@@ -1,0 +1,68 @@
+"""Text-analysis scalar helpers over the documents table (SURVEY.md §2
+Part B "LLM-data extensions": text stats / quality scoring / language-ID
+support functions).
+
+All built-in column expressions (split/filter/transform/size) — codegen'd,
+no UDFs, so text featurization of 100 TB of documents stays a pure map
+stage with zero Python overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multi-language stopword list used for quality scoring — enough signal
+# for a ratio feature without external deps.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "in", "to", "is",
+    "der", "die", "das", "und", "le", "la", "les", "et",
+    "el", "los", "y", "de", "que",
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text; empty string → empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles (distinct) — the MinHash/Jaccard input.
+
+    Built from sequence + transform + substring: JVM-side, no UDF.
+    """
+    t = F.lower(F.trim(text))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short strings
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+    return F.when(F.length(t) >= n, grams).otherwise(F.array().cast("array<string>"))

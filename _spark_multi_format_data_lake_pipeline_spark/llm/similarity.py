@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (SURVEY.md §2 Part B
+"Similarity search": brute-force cosine top-k baseline + LSH-bucketed
+scale path).
+
+Scale design
+------------
+- ``topk_cosine``: a map stage (JVM-side cosine per row) + TakeOrdered —
+  no shuffle at all. The right baseline for one query vector over any SF:
+  on a 1000-executor cluster this is a single pass over the embedding
+  table with a k-row result.
+- ``lsh_bucket_bits``: random-hyperplane signatures. Partition the table by
+  bucket once (a single shuffle, amortized over all queries), then a query
+  probes only its own bucket — the classic recall/cost dial. Hyperplanes
+  are seeded-deterministic so bucketing is reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_col: str = "cosine_sim",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), F.round(sim, 4).alias(sim_col))
+        .orderBy(F.col(sim_col).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_bits(
+    vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    Sign of <v, h_i> per plane, packed to an int. Pure higher-order
+    built-ins; vectors never leave the JVM.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        pcol = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, pcol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_search_bucketed(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rescore only vectors sharing the query's LSH
+    bucket. Recall < 1 by design; use multiple probe tables (different
+    seeds) to trade cost for recall."""
+    # query bucket computed driver-side (it's one vector)
+    bucket = 0
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            bucket |= 1 << i
+
+    bucketed = embeddings.withColumn(
+        "_bucket", lsh_bucket_bits(F.col(vec_col), dim, n_planes, seed)
+    )
+    return topk_cosine(
+        bucketed.filter(F.col("_bucket") == F.lit(bucket)),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -1,0 +1,169 @@
+"""Event-stream queries: JSON props extraction, time-window aggregation
+(batch-equivalent of the streaming formulations in streaming/), and
+sessionization (SURVEY.md §2 Part B "Scalar functions: JSON" /
+"Streaming" rows).
+
+The tumbling-window and sessionization queries here are the deterministic
+batch twins of streaming/events.py — the driver oracle-checks these, the
+streaming tests assert stream==batch equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q40 — JSON extraction from the props string column
+# ---------------------------------------------------------------------------
+
+@register(
+    "q40_props_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="get_json_object over the untyped props column — the schema-on-read path "
+        "for semi-structured event payloads.",
+)
+def q40_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — from_json with an explicit schema (typed struct path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q41_props_typed_struct",
+    oracle="""
+    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="from_json(props, 'k BIGINT') — parse once into a struct, then project; "
+        "preferred over repeated get_json_object calls at scale.",
+)
+def q41_props_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_s", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.withColumn("k_bucket", F.col("props_s.k") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — tumbling window aggregation (batch twin of the streaming query)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q42_hourly_event_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window: F.window on the streaming side == date_trunc here; "
+        "group keys stringified for cross-engine hashing.",
+)
+def q42_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("_hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — sessionization (gaps-and-islands, 30-min inactivity gap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q43_user_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           (epoch_ms(CAST(MAX(ts) AS TIMESTAMP))
+            - epoch_ms(CAST(MIN(ts) AS TIMESTAMP))) / 1000 AS duration_s
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionize with a 30-min gap via gaps-and-islands: lag → flag → running sum. "
+        "ONE shuffle by user_id; the streaming twin uses F.session_window.",
+)
+def q43_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ms > 1800000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 1000).alias("duration_s"),
+    )

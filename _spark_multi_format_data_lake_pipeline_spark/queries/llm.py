@@ -1,0 +1,326 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing, and the Pandas-UDF surface (SURVEY.md §2
+Part B last rows).
+
+Oracle notes: sha256 hex strings match between F.sha2 and DuckDB sha256();
+cosine matches DuckDB list_cosine_similarity at 4 decimals; MinHash/SimHash
+fingerprints are engine-specific (xxhash64) and therefore rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_token_length,
+    distinct_token_count,
+    stopword_ratio,
+    token_count,
+)
+from ..functions.vectors import cosine_similarity
+from ..llm.dedup import exact_dedup_keepers, minhash_near_dup_pairs, simhash, word_shingles
+from ..llm.multimodal import attach_fake_media, extract_features
+from ..llm.similarity import ann_search_bucketed, topk_cosine
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q50 — exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q50_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_sha256, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact dedup: one keeper per distinct text, keyed by sha256 — uniform "
+        "shuffle key, no skew at any scale.",
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_keepers(docs, "doc_id", "text").select(
+        "doc_id", "content_sha256", "n_copies"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — text statistics / quality scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "q51_text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(LOWER(TRIM(text)), '\\s+'))) AS n_distinct_tokens,
+           ROUND(LENGTH(REPLACE(text, ' ', ''))::DOUBLE
+                 / len(string_split_regex(TRIM(text), '\\s+')), 4) AS avg_token_len,
+           ROUND(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                                 t -> list_contains(['the','a','an','and','or','of','in','to','is',
+                                                     'der','die','das','und','le','la','les','et',
+                                                     'el','los','y','de','que'], t)))::DOUBLE
+                 / len(string_split_regex(TRIM(text), '\\s+')), 4) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Token/char counts, distinct tokens, avg token length, stopword ratio — all "
+        "codegen'd column expressions, zero Python per row.",
+)
+def q51_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lower_text = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        distinct_token_count(lower_text).alias("n_distinct_tokens"),
+        F.round(avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — language histogram (language-ID aggregate surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q52_lang_histogram",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Language/source histogram over the corpus.",
+)
+def q52_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — n-gram Jaccard similarity (exact, on a bounded id range)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q53_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(TRIM(text))[i:i+2] for i in range(1, LENGTH(TRIM(text)) - 1)])
+                   AS grams
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.65
+    """,
+    doc="Exact character-trigram Jaccard on a bounded window — the verification "
+        "rescorer that MinHash candidates feed into at scale.",
+)
+def q53_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = docs.select("doc_id", char_ngrams("text", 3).alias("grams"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+            jac.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= 0.65)
+        .drop("_raw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — MinHash-LSH near-dup candidates (rows-only: engine-specific hashes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q54_minhash_near_dup",
+    oracle=None,
+    doc="MinHash+LSH banding near-dup pairs (shingle→minhash→band→bucket-join). "
+        "xxhash64-based signatures have no DuckDB twin → rows-only check; "
+        "q53 is the oracle-checked exact rescorer.",
+)
+def q54_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q55 — SimHash fingerprints (rows-only: engine-specific hashes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q55_simhash_fingerprints",
+    oracle=None,
+    doc="64-bit SimHash per document, map-only higher-order built-ins. "
+        "rows-only (xxhash64 has no DuckDB twin).",
+)
+def q55_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# q56 — top-k cosine similarity search (exact baseline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q56_topk_cosine",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+    FROM embeddings e
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Exact brute-force top-k cosine against vec_id=0's embedding: one map "
+        "pass + TakeOrdered, no shuffle.",
+)
+def q56_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine(em, list(qvec), k=10)
+
+
+# ---------------------------------------------------------------------------
+# q57 — embedding near-duplicate pairs (bounded exact self-join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q57_embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND a.label = b.label
+      AND list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.25
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by label (the blocking key stands "
+        "in for an LSH bucket at scale) on a bounded id range.",
+)
+def q57_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = em.alias("a")
+    b = em.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim") > 0.25)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — ANN via LSH bucket (approximate → rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q58_ann_lsh_bucket",
+    oracle=None,
+    doc="Approximate top-k: random-hyperplane LSH bucket probe then exact rescoring "
+        "within the bucket. Recall<1 by design → rows-only check.",
+)
+def q58_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_search_bucketed(em, list(qvec), dim=len(qvec), k=10)
+
+
+# ---------------------------------------------------------------------------
+# q59 — grouped Pandas UDF (applyInPandas) with a SQL-checkable contract
+# ---------------------------------------------------------------------------
+
+@register(
+    "q59_zscore_by_lang",
+    oracle="""
+    SELECT doc_id,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4) AS z_chars
+    FROM documents
+    """,
+    doc="applyInPandas: per-language z-score of document length. Arrow-batched "
+        "grouped-map UDF; the oracle is the equivalent window formulation.",
+)
+def q59_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "z_chars": ((pdf["n_chars"] - mu) / sd).round(4)}
+        )
+
+    return docs.groupBy("lang").applyInPandas(_z, schema="doc_id bigint, z_chars double")
+
+
+# ---------------------------------------------------------------------------
+# q60 — multimodal plumbing through mapInPandas
+# ---------------------------------------------------------------------------
+
+@register(
+    "q60_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    doc="Binary media column → mapInPandas feature extraction (byte length + "
+        "sha256 stand in for decode/resize). The oracle checks the Arrow "
+        "round-trip byte-exactly.",
+)
+def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return extract_features(media).select("doc_id", "n_bytes", "payload_sha256")
