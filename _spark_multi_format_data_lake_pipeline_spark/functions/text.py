@@ -56,13 +56,20 @@ def avg_token_length(text: Column | str) -> Column:
     )
 
 
-def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Character n-gram shingles (distinct) — the MinHash/Jaccard input.
+def with_char_ngrams(df, text_col: str, out: str = "grams", n: int = 3):
+    """Add a column of distinct character n-gram shingles.
 
-    Built from sequence + transform + substring: JVM-side, no UDF.
+    DataFrame-level: the lowered text must be a bound attribute before the
+    per-index substring lambda runs — HOF lambdas are interpreted without
+    CSE, so referencing `lower(trim(text))` inside the lambda would
+    re-lowercase the whole document once per n-gram (O(len²) per doc).
     """
-    t = F.lower(F.trim(text))
+    tmp = df.withColumn("__t", F.lower(F.trim(F.col(text_col))))
+    t = F.col("__t")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short strings
     idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
     grams = F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
-    return F.when(F.length(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return tmp.withColumn(
+        out,
+        F.when(F.length(t) >= n, grams).otherwise(F.array().cast("array<string>")),
+    ).drop("__t")

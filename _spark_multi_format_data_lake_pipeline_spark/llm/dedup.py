@@ -19,7 +19,7 @@ aggregate / array_min) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: universal-hash modulus. With a,b,h < 2^31 the
@@ -50,13 +50,50 @@ def exact_dedup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, lowercased."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    m = F.size(toks)
+def with_word_shingles(
+    df: DataFrame, text_col: str, out: str = "grams", n: int = 3
+) -> DataFrame:
+    """Add a column of distinct word n-gram shingles, lowercased.
+
+    DataFrame-level on purpose: the token array must be a bound ATTRIBUTE
+    before the shingling lambda touches it. Higher-order-function lambdas
+    are interpreted with no common-subexpression elimination, so a lambda
+    that references an outer `split(...)` expression re-runs the regex
+    split once PER SHINGLE (observed ~10x wall-clock on the minhash
+    pipeline). Two projections keep the split at once-per-row: Catalyst's
+    CollapseProject leaves multi-referenced non-cheap aliases alone.
+    """
+    tmp = df.withColumn("__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    m = F.size("__toks")
     idx = F.sequence(F.lit(0), m - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.when(m >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)))
+    return tmp.withColumn(
+        out,
+        F.when(m >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>")),
+    ).drop("__toks")
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, _gh) — one reduced hash per word n-gram occurrence.
+
+    posexplode tokens → window lead() to line up the n-gram → multi-column
+    xxhash64 of the n tokens. No per-element lambdas (interpreted HOFs cost
+    ~20us per shingle — 3x the whole rest of the pipeline) and no string
+    concatenation: the shingle never materializes, only its hash.
+    Duplicate shingles are NOT deduped — MIN aggregation is multiset-
+    invariant, so dedup would buy nothing and cost a shuffle.
+    """
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("w", k).over(win).alias(f"_w{k}") for k in range(1, n)]
+    leads = tk.select("id", "w", *lead_cols)
+    gram_cols = ["w"] + [f"_w{k}" for k in range(1, n)]
+    return leads.filter(F.col(f"_w{n-1}").isNotNull()).select(
+        "id", F.pmod(F.xxhash64(*gram_cols), F.lit(_P)).alias("_gh")
+    )
 
 
 def minhash_signatures(
@@ -75,14 +112,22 @@ def minhash_signatures(
     Docs with no shingles produce no signature (and thus no candidates).
     """
     g = df.select(id_col, F.explode(grams_col).alias("_gram")).select(
-        id_col, F.pmod(F.xxhash64("_gram"), F.lit(_P)).alias("_gh")
+        F.col(id_col).alias("id"), F.pmod(F.xxhash64("_gram"), F.lit(_P)).alias("_gh")
     )
+    return signatures_from_hashes(g, num_perm, seed).withColumnRenamed("id", id_col)
+
+
+def signatures_from_hashes(
+    ghdf: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig) from an (id, _gh) shingle-hash table. num_perm MIN
+    aggregates with map-side partial aggregation."""
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_gh") + F.lit(b), F.lit(_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_perm, seed))
     ]
-    return g.groupBy(id_col).agg(*aggs).select(
-        id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+    return ghdf.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -103,11 +148,8 @@ def minhash_near_dup_pairs(
     (1/16)^(1/4) ≈ 0.5 — tuned to the default threshold.
     """
     rows_per_band = num_perm // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("grams"),
-    )
-    sig = minhash_signatures(shingled, "id", "grams", num_perm)
+    gh = shingle_hashes(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, shingle_n)
+    sig = signatures_from_hashes(gh, num_perm)
 
     band_idx = F.posexplode(
         F.transform(
@@ -117,29 +159,37 @@ def minhash_near_dup_pairs(
     )
     banded = sig.select("id", "sig", band_idx.alias("band", "band_hash"))
 
-    # cap pathological buckets (boilerplate): documented recall trade-off
-    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_bsz"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
-        ["band", "band_hash"],
-        "inner",
+    # One linear pipeline, no self-join: gather each bucket with
+    # collect_list, then generate within-bucket pairs as an array
+    # expression. A join-based formulation reads the banded table 3x
+    # (bucket sizing + both join sides) and recomputes the whole
+    # shingle→signature subtree each time (observed 4x wall-clock).
+    # sort_array orders members by id, so pair generation with i<j yields
+    # id_a < id_b for free. Buckets above max_bucket (boilerplate text)
+    # are dropped — the documented recall trade-off that also bounds the
+    # pair explosion to max_bucket²/2 per bucket.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pair_arrays = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

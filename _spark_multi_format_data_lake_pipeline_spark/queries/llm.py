@@ -23,7 +23,7 @@ from ..functions.text import (
     token_count,
 )
 from ..functions.vectors import cosine_similarity
-from ..llm.dedup import exact_dedup_keepers, minhash_near_dup_pairs, simhash, word_shingles
+from ..llm.dedup import exact_dedup_keepers, minhash_near_dup_pairs, simhash
 from ..llm.multimodal import attach_fake_media, extract_features
 from ..llm.similarity import ann_search_bucketed, topk_cosine
 from ..sources.lake import load_table
@@ -140,10 +140,10 @@ def q52_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rescorer that MinHash candidates feed into at scale.",
 )
 def q53_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import char_ngrams
+    from ..functions.text import with_char_ngrams
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sh = docs.select("doc_id", char_ngrams("text", 3).alias("grams"))
+    sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
