@@ -1,0 +1,122 @@
+"""Merge engine (SURVEY.md §2 Part A.2 W2-W6): per-table strategy selection
+between upsert, full replace, and CTAS.
+
+Strategy selection (W5, reference utils/merge_utils.py:22-68):
+    key column found AND target exists  -> MERGE upsert (W2)
+    target exists, no key               -> INSERT OVERWRITE (W3)
+    target missing                      -> CTAS (W4)
+
+W2 has two implementations:
+- ``merge_sql``: the reference's ``MERGE INTO ... WHEN MATCHED UPDATE SET *
+  WHEN NOT MATCHED INSERT *`` (reference utils/merge_utils.py:70-82) —
+  requires a row-level-capable catalog (Iceberg/Delta with jars).
+- ``merge_antijoin`` (default here, jar-free): target rows not matched by
+  key are kept via left_anti, source rows win — semantically identical to
+  UPDATE SET * / INSERT * when schemas align, which is exactly the
+  reference's assumption (SURVEY.md §1.2 "schema evolution not
+  implemented"). The result lands in a staging table that atomically
+  replaces the target via RENAME, avoiding Spark's
+  read-while-overwriting restriction.
+
+Scale: the anti-join shuffles both sides by the key once; with a bucketed
+target table the shuffle drops to the source side only. MERGE INTO on
+Iceberg additionally gets file-level pruning on the ON predicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+KEY_CANDIDATES = ("id", "product_id", "sku", "code", "_id")
+
+
+def find_key_column(df: DataFrame) -> Optional[str]:
+    """W6 (reference utils/merge_utils.py:13-20): first candidate present."""
+    cols = set(df.columns)
+    for k in KEY_CANDIDATES:
+        if k in cols:
+            return k
+    return None
+
+
+class TableMerger:
+    def __init__(self, spark: SparkSession, use_merge_sql: bool = False):
+        self.spark = spark
+        self.use_merge_sql = use_merge_sql
+
+    # -- W2 -----------------------------------------------------------------
+    def _merge_sql(self, df: DataFrame, target: str, key: str) -> None:
+        """Reference utils/merge_utils.py:70-82 (needs Iceberg/Delta)."""
+        df.createOrReplaceTempView("source_changes")
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {target} t
+                USING source_changes s
+                ON t.{key} = s.{key}
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            self.spark.catalog.dropTempView("source_changes")
+
+    def _merge_antijoin(self, df: DataFrame, target: str, key: str) -> None:
+        """Jar-free upsert: keep unmatched target rows, take all source
+        rows; stage + rename for an atomic-enough swap."""
+        target_df = self.spark.table(target)
+        merged = target_df.join(df, on=key, how="left_anti").unionByName(df)
+        stage = f"{target}__stage"
+        merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
+        self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+
+    # -- W3 -----------------------------------------------------------------
+    def _insert_overwrite(self, df: DataFrame, target: str) -> None:
+        """Reference utils/merge_utils.py:84-93."""
+        df.createOrReplaceTempView("source_data")
+        try:
+            self.spark.sql(f"INSERT OVERWRITE TABLE {target} SELECT * FROM source_data")
+        finally:
+            self.spark.catalog.dropTempView("source_data")
+
+    # -- W4 -----------------------------------------------------------------
+    def _create_table(self, df: DataFrame, target: str) -> None:
+        """Reference utils/merge_utils.py:95-105 (CTAS)."""
+        df.createOrReplaceTempView("source_data")
+        try:
+            self.spark.sql(
+                f"CREATE TABLE {target} USING parquet AS SELECT * FROM source_data"
+            )
+        finally:
+            self.spark.catalog.dropTempView("source_data")
+
+    # -- W5 -----------------------------------------------------------------
+    def merge_table(
+        self, df: DataFrame, target_table: str, target_exists: bool
+    ) -> dict:
+        """Strategy selector (reference utils/merge_utils.py:22-68).
+        Returns {strategy, source_rows, final_rows} like the reference."""
+        key = find_key_column(df)
+        source_rows = df.count()
+        if target_exists and key is not None:
+            strategy = "MERGE"
+            if self.use_merge_sql:
+                self._merge_sql(df, target_table, key)
+            else:
+                self._merge_antijoin(df, target_table, key)
+        elif target_exists:
+            strategy = "INSERT_OVERWRITE"
+            self._insert_overwrite(df, target_table)
+        else:
+            strategy = "CREATE_TABLE"
+            self._create_table(df, target_table)
+        self.spark.catalog.clearCache()  # reference utils/merge_utils.py:56
+        final_rows = self.spark.table(target_table).count()
+        return {
+            "strategy": strategy,
+            "source_rows": source_rows,
+            "final_rows": final_rows,
+        }

@@ -1,0 +1,75 @@
+"""Batch table writer + verification report (SURVEY.md §2 Part A.2 W1 and
+A.7 F9).
+
+The reference writes Iceberg v2 tables (``utils/spark_write_iceberg.py:10-84``).
+This sandbox has no Iceberg runtime jars, so the default table format is
+parquet via ``saveAsTable`` — the documented jar-free divergence (SURVEY.md
+§7 M3). Pass ``table_format="iceberg"`` (with jars configured) to get the
+reference behavior including ``format-version=2``.
+
+Scale: ``partition_by`` maps to DataFrameWriter.partitionBy — at 100 TB the
+write path is the same saveAsTable; the difference is you'd always pass a
+partition spec (e.g. date) so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+from ..catalog import CatalogManager
+from ..registry import TableHandle
+
+
+def write_tables(
+    spark: SparkSession,
+    handles: Sequence[TableHandle],
+    database: str = "local_db",
+    mode: str = "overwrite",
+    partition_by: Mapping[str, Sequence[str]] | None = None,
+    extra_options: Mapping[str, str] | None = None,
+    table_format: str = "parquet",
+    recreate_database: bool = True,
+) -> dict[str, int]:
+    """W1 (reference utils/spark_write_iceberg.py:10-84): drop+recreate the
+    database, then write each registry table. Returns {table: rows}."""
+    cat = CatalogManager(spark)
+    if recreate_database:
+        cat.drop_database(database)
+    cat.create_database(database)
+
+    results: dict[str, int] = {}
+    for h in handles:
+        writer = h.df.write.mode(mode).format(table_format)
+        cols = (partition_by or {}).get(h.name)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        if table_format == "iceberg":
+            writer = writer.option("format-version", "2")  # reference :57
+        for k, v in (extra_options or {}).items():
+            writer = writer.option(k, v)
+        writer.saveAsTable(f"{database}.{h.name}")
+        results[h.name] = h.row_count
+    return results
+
+
+def verify_tables(
+    spark: SparkSession,
+    database: str,
+    table_names: Sequence[str] | None = None,
+    sample_rows: int = 3,
+) -> dict[str, dict]:
+    """F9 (reference utils/spark_write_iceberg.py:88-132): SHOW TABLES →
+    per-table sample + count. Returns {table: {rows, columns, sample}}."""
+    cat = CatalogManager(spark)
+    names = list(table_names) if table_names else cat.list_tables(database)
+    report: dict[str, dict] = {}
+    for t in names:
+        df = spark.table(f"{database}.{t}")
+        report[t] = {
+            "rows": df.count(),
+            "columns": df.columns,
+            "sample": [r.asDict() for r in df.limit(sample_rows).collect()],
+        }
+    return report

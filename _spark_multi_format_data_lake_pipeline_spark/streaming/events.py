@@ -1,0 +1,116 @@
+"""Structured Streaming over the events table (SURVEY.md §2 Part B
+"Streaming" row; absent from the reference, which is batch-only —
+SURVEY.md §1.1).
+
+Design:
+- Every transformation takes/returns DataFrames, so the same function works
+  on a batch frame (for the DuckDB-oracle twins in queries/events.py) and a
+  ``readStream`` frame. Stream==batch equivalence is asserted in tests.
+- Watermarks bound state: at 100 TB/day of events, the tumbling/session
+  aggregations hold only (watermark + window) worth of state per key, and
+  late rows beyond the watermark are dropped deterministically.
+- ``run_available_now`` uses Trigger.AvailableNow for deterministic
+  one-shot draining in tests (SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Parquet-stream schema for event files written with microsecond timestamps.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream: picks up parquet files as they land in ``path``.
+    maxFilesPerTrigger keeps micro-batches bounded on backfill."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` inactivity.
+    The batch twin is queries/events.py::q43 (gaps-and-islands)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id; watermark bounds the dedup state
+    (an id older than the watermark can re-enter — the standard trade)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: the static side is broadcast per micro-batch."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available into an in-memory table named
+    ``query_name``, then stop. Deterministic one-shot for tests."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,74 @@
+"""Merge-strategy matrix + idempotency (SURVEY.md §5 items 3-4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.catalog import CatalogManager
+from _spark_multi_format_data_lake_pipeline_spark.sinks.merge import TableMerger, find_key_column
+
+DB = "merge_test_db"
+
+
+@pytest.fixture()
+def cat(spark):
+    c = CatalogManager(spark)
+    c.drop_database(DB)
+    c.create_database(DB)
+    yield c
+    c.drop_database(DB)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema="id int, name string, qty int")
+
+
+def test_find_key_column(spark):
+    assert find_key_column(_df(spark, [])) == "id"
+    df = spark.createDataFrame([(1, "x")], schema="sku int, name string")
+    assert find_key_column(df) == "sku"
+    df = spark.createDataFrame([(1,)], schema="other int")
+    assert find_key_column(df) is None
+
+
+def test_ctas_when_target_missing(spark, cat):
+    m = TableMerger(spark)
+    res = m.merge_table(_df(spark, [(1, "a", 10)]), f"{DB}.t1", target_exists=False)
+    assert res["strategy"] == "CREATE_TABLE"
+    assert res["final_rows"] == 1
+
+
+def test_merge_upsert_updates_and_inserts(spark, cat):
+    m = TableMerger(spark)
+    m.merge_table(_df(spark, [(1, "a", 10), (2, "b", 20)]), f"{DB}.t2", False)
+    # update id=2, insert id=3
+    res = m.merge_table(_df(spark, [(2, "b2", 25), (3, "c", 30)]), f"{DB}.t2", True)
+    assert res["strategy"] == "MERGE"
+    assert res["final_rows"] == 3
+    rows = {r.id: (r.name, r.qty) for r in spark.table(f"{DB}.t2").collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30)}
+
+
+def test_insert_overwrite_when_no_key(spark, cat):
+    m = TableMerger(spark)
+    nokey = spark.createDataFrame([("x", 1)], schema="name string, qty int")
+    m.merge_table(nokey, f"{DB}.t3", False)
+    res = m.merge_table(
+        spark.createDataFrame([("y", 2), ("z", 3)], schema="name string, qty int"),
+        f"{DB}.t3",
+        True,
+    )
+    assert res["strategy"] == "INSERT_OVERWRITE"
+    assert res["final_rows"] == 2
+
+
+def test_merge_idempotent(spark, cat):
+    m = TableMerger(spark)
+    src = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    m.merge_table(src, f"{DB}.t4", False)
+    r1 = m.merge_table(src, f"{DB}.t4", True)
+    r2 = m.merge_table(src, f"{DB}.t4", True)
+    assert r1["final_rows"] == r2["final_rows"] == 2
+    assert sorted(
+        (r.id, r.name, r.qty) for r in spark.table(f"{DB}.t4").collect()
+    ) == [(1, "a", 1), (2, "b", 2)]

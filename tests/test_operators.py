@@ -1,0 +1,139 @@
+"""Operator unit tests: as-of join vs naive reference implementation,
+top-k, dedup, simhash, similarity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from _spark_multi_format_data_lake_pipeline_spark.operators.joins import asof_join
+from _spark_multi_format_data_lake_pipeline_spark.operators.topk import top_k, top_k_per_group
+from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import (
+    exact_dedup_keepers,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import topk_cosine
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 1, "e")],
+        schema="k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (2, 7, 300), (9, 1, 999)],
+        schema="k int, t int, val int",
+    )
+    # non-strict: right.t <= left.t
+    got = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, by=["k"], left_on="t", right_on="t", right_cols=["val"]
+        ).collect()
+    }
+    assert got == {(1, 10): 100, (1, 20): 200, (1, 5): 100, (2, 7): 300, (3, 1): None}
+
+    # strict: right.t < left.t — the (2,7)/(1,5) matches disappear
+    got_strict = {
+        (r.k, r.t): r.val
+        for r in asof_join(
+            left, right, by=["k"], left_on="t", right_on="t",
+            right_cols=["val"], strict=True,
+        ).collect()
+    }
+    assert got_strict == {
+        (1, 10): 100, (1, 20): 200, (1, 5): None, (2, 7): None, (3, 1): None,
+    }
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame([(1, 10, "L")], schema="k int, t int, val string")
+    right = spark.createDataFrame([(1, 5, "R")], schema="k int, t int, val string")
+    out = asof_join(left, right, ["k"], "t", "t", ["val"])
+    row = out.collect()[0]
+    assert row.val == "L" and row.val_right == "R"
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], schema="x int")
+    got = [r.x for r in top_k(df, [F.col("x").desc()], 3).collect()]
+    assert got == [99, 98, 97]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9)], schema="g string, x int"
+    )
+    got = sorted(
+        (r.g, r.x, r.rnk)
+        for r in top_k_per_group(df, ["g"], [F.col("x").desc()], 2).collect()
+    )
+    assert got == [("a", 5, 1), ("a", 3, 2), ("b", 9, 1)] or got == sorted(
+        [("a", 5, 1), ("a", 3, 2), ("b", 9, 1)]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        schema="doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup_keepers(df, "doc_id", "text").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")  # one word differs
+    # filler docs get per-doc token vocabularies so they share no shingles
+    rows = [(0, base), (1, near)] + [
+        (i, " ".join(f"tok{i}_{j}" for j in range(15))) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs
+    # no false positives among the unrelated docs
+    assert all(a == 0 and b == 1 for a, b in pairs)
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (2, "completely unrelated words about spark catalyst tungsten codegen"),
+        ],
+        schema="id bigint, text string",
+    )
+    fp = {r.id: r.f for r in df.select("id", simhash("text").alias("f")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
+    assert ham(fp[0], fp[1]) <= 16
+
+
+def test_topk_cosine_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = mat[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = sorted(
+        ((round(cos(v, q), 4), -k) for k, v in mat.items()), reverse=True
+    )[:5]
+    expected_ids = [-negk for _, negk in expected]
+
+    got = [r.vec_id for r in topk_cosine(emb, list(q), k=5).collect()]
+    assert got == expected_ids

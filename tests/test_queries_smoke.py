@@ -1,0 +1,37 @@
+"""Smoke: every registered query runs at sf0.001 with a stable schema, and
+every oracle is valid DuckDB SQL. (Value-level equivalence is covered by
+tools/check.py and the driver's gate.)"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+from _spark_multi_format_data_lake_pipeline_spark.sources.lake import TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.columns, f"{name} produced no columns"
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+)
+def test_oracle_parses_and_columns_match(spark, sf_dir, duck, name):
+    q = QUERIES[name]
+    odf = duck.sql(q.oracle).df()
+    sdf = q.fn(spark, sf_dir)
+    assert sorted(sdf.columns) == sorted(odf.columns), name

@@ -1,0 +1,137 @@
+"""Golden ingestion fixtures (SURVEY.md §5 item 2): table naming,
+all-string CSV schemas, corrupt-row filtering, nested JSON inference,
+per-file error isolation, DOCX extraction."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.sources.readers import (
+    load_all_sources,
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("sources")
+    (base / "json").mkdir()
+    (base / "csv").mkdir()
+    (base / "parquet").mkdir()
+    (base / "docx").mkdir()
+
+    # nested multi-line JSON (array-of-objects, like the reference's inputs)
+    (base / "json" / "products.json").write_text(
+        """[
+          {"id": 1, "name": "widget", "tags": ["a", "b"],
+           "details": [{"name": "color"}, {"name": "size"}]},
+          {"id": 2, "name": "bolt", "tags": [], "details": []}
+        ]"""
+    )
+    # JSON with a corrupt row (line-JSON must be single-line records when
+    # multiLine=true reads it as one doc — use a broken array instead)
+    (base / "json" / "broken.json").write_text('{"id": 1, "x": ]]]')
+    # empty file
+    (base / "json" / "empty.json").write_text("")
+
+    # CSV with header + quoted multi-line field + short (corrupt-ish) row
+    (base / "csv" / "anime.csv").write_text(
+        'id,title,notes\n1,"Cowboy Bebop","space\njazz"\n2,"Akira","neo tokyo"\n'
+    )
+
+    # parquet via Spark later (written in test via fixture param) — instead
+    # write with pyarrow here so the reader is exercised standalone
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "temp": [20.5, 21.0, 19.8]}),
+        base / "parquet" / "weather.parquet",
+    )
+
+    # plain text
+    (base / "docx" / "notes.txt").write_text("line one\nline two\nline three\n")
+
+    # minimal real DOCX (a zip with word/document.xml)
+    doc_xml = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://x"><w:body>'
+        "<w:p><w:r><w:t>Hello paragraph one</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>Second &amp; final</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    with zipfile.ZipFile(base / "docx" / "report.docx", "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+
+    return base
+
+
+def test_json_nested_inference(spark, data_dir):
+    h = read_json(spark, data_dir / "json" / "products.json")
+    assert h is not None
+    assert h.name == "json_products"
+    assert h.source_type == "JSON"
+    assert h.row_count == 2
+    dtypes = dict(h.df.dtypes)
+    assert dtypes["tags"] == "array<string>"
+    assert dtypes["details"].startswith("array<struct")
+    assert "_corrupt_record" not in h.df.columns
+
+
+def test_json_corrupt_rows_filtered(spark, data_dir):
+    # the whole file is one corrupt document -> zero clean rows -> None
+    assert read_json(spark, data_dir / "json" / "broken.json") is None
+
+
+def test_json_empty_file(spark, data_dir):
+    assert read_json(spark, data_dir / "json" / "empty.json") is None
+
+
+def test_csv_all_strings(spark, data_dir):
+    h = read_csv(spark, data_dir / "csv" / "anime.csv")
+    assert h is not None
+    assert h.name == "csv_anime"
+    assert all(t == "string" for _, t in h.df.dtypes)  # inferSchema=false
+    assert h.row_count == 2  # multiLine keeps the embedded newline row whole
+    notes = {r.notes for r in h.df.collect()}
+    assert "space\njazz" in notes
+
+
+def test_parquet_native_types(spark, data_dir):
+    h = read_parquet(spark, data_dir / "parquet" / "weather.parquet")
+    assert h is not None
+    assert h.name == "parquet_weather"
+    assert dict(h.df.dtypes)["temp"] == "double"
+
+
+def test_text_lines(spark, data_dir):
+    h = read_text(spark, data_dir / "docx" / "notes.txt")
+    assert h is not None
+    assert h.name == "text_notes"
+    assert h.df.columns == ["value"]
+    assert h.row_count == 3
+
+
+def test_docx_real_extraction(spark, data_dir):
+    h = read_text(spark, data_dir / "docx" / "report.docx")
+    assert h is not None
+    assert h.name == "text_report"
+    vals = [r.value for r in h.df.collect()]
+    assert vals == ["Hello paragraph one", "Second & final"]
+
+
+def test_sweep_isolates_failures(spark, data_dir):
+    handles = load_all_sources(spark, data_dir)
+    names = sorted(h.name for h in handles)
+    # broken.json and empty.json skipped, everything else present
+    assert names == [
+        "csv_anime",
+        "json_products",
+        "parquet_weather",
+        "text_notes",
+        "text_report",
+    ]

@@ -1,0 +1,164 @@
+"""Streaming tests (SURVEY.md §5 item 5): batch==stream equivalence for
+windowed aggregation, watermark late-data drop, stateful dedup, session
+windows, stream-static join. File source + Trigger.AvailableNow keeps
+everything deterministic."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+from _spark_multi_format_data_lake_pipeline_spark.streaming.events import (
+    dedup_events,
+    read_event_stream,
+    run_available_now,
+    session_counts,
+    stream_static_join,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Copy the events table (us timestamps) into a clean stream-source dir."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def _memtable(spark, name):
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    # complete mode: with AvailableNow the watermark only advances at the
+    # end of the run, so append mode would emit nothing for the last window
+    run_available_now(tumbling_counts(stream), name, output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in _memtable(spark, name).collect()
+    }
+
+    batch = tumbling_counts(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_windows_run(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    run_available_now(session_counts(stream), name, output_mode="complete")
+    rows = _memtable(spark, name).collect()
+    assert len(rows) > 0
+    # session invariant: end >= start, counts positive
+    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_stateful_dedup_drops_duplicates(spark, tmp_path):
+    src = tmp_path / "dup_stream"
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),  # dup id
+            (2, "2024-01-01 00:01:00", 7, "view", 2.0, "{}"),
+        ],
+        schema="event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    run_available_now(dedup_events(stream), name)
+    got = sorted(r.event_id for r in _memtable(spark, name).collect())
+    assert got == [1, 2]
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Two micro-batches: the second contains an event older than the
+    watermark established by the first -> it must not create/update a
+    window in update mode."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import EVENTS_SCHEMA
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+
+    def write_events(fname, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, src / fname)
+
+    # three parquet files with controlled names AND mtimes, written in
+    # order; maxFilesPerTrigger=1 turns them into sequential micro-batches
+    # within ONE AvailableNow run. The watermark from file a (11:00) is
+    # COMMITTED after file b's batch and so governs file c — Spark applies
+    # a newly-raised watermark one batch later, which is why the late row
+    # rides in the third file, not the second.
+    write_events("a_batch1.parquet", [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 12:00:00"),  # raises watermark to 11:00
+    ])
+    time.sleep(1.05)
+    write_events("b_batch2.parquet", [(3, "2024-01-01 12:30:00")])
+    time.sleep(1.05)
+    write_events("c_batch3.parquet", [(4, "2024-01-01 08:00:00")])  # late
+    assert os.path.getmtime(src / "a_batch1.parquet") < os.path.getmtime(src / "c_batch3.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .repartition(1)
+    )
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    starts = {r.window_start.hour for r in _memtable(spark, name).collect()}
+    assert 10 in starts and 12 in starts
+    assert 8 not in starts  # late event dropped
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_event_stream(spark, events_dir)
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    run_available_now(stream_static_join(stream, users), name)
+    out = _memtable(spark, name)
+    assert "c_mktsegment" in out.columns
+    assert out.count() == load_table(spark, sf_dir, "events").count()
