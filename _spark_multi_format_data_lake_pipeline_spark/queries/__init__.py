@@ -10,5 +10,6 @@ from . import relational  # noqa: F401,E402
 from . import analytic  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import extended  # noqa: F401,E402
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,325 @@
+"""Extended operator coverage: full/cross joins, grouping sets, pivot,
+statistical aggregates, IN/EXISTS subqueries, map functions, approximate
+distinct, language-ID (SURVEY.md §2 Part B rows not covered by the first
+batch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import load_table, register_views
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q16 — full outer join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_full_outer_activity",
+    oracle="""
+    WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000),
+         recent AS (SELECT o_custkey, COUNT(*) AS n_recent
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                    GROUP BY o_custkey)
+    SELECT COALESCE(r.c_custkey, o.o_custkey) AS custkey,
+           ROUND(COALESCE(r.c_acctbal, -1), 2) AS acctbal,
+           COALESCE(o.n_recent, 0) AS n_recent,
+           (r.c_custkey IS NOT NULL) AS is_rich,
+           (o.o_custkey IS NOT NULL) AS is_active
+    FROM rich r FULL OUTER JOIN recent o ON r.c_custkey = o.o_custkey
+    """,
+    doc="Full outer join with exclusives on both sides; null-flag projection.",
+)
+def q16_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    j = rich.join(recent, rich.c_custkey == recent.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.round(F.coalesce("c_acctbal", F.lit(-1.0)), 2).alias("acctbal"),
+        F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+        F.col("c_custkey").isNotNull().alias("is_rich"),
+        F.col("o_custkey").isNotNull().alias("is_active"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — GROUPING SETS via the SQL surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_grouping_sets",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+    doc="Explicit GROUPING SETS (not derivable from rollup/cube) through spark.sql.",
+)
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — approximate distinct (HLL) — engine-specific sketch → rows-only
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++). Sketches differ across engines "
+        "→ rows-only; tests assert <5% error vs exact.",
+)
+def q18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — statistical aggregate battery
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_stats_battery",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)  AS price_stddev,
+           ROUND(VAR_SAMP(l_discount), 6)          AS disc_var,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_median,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)   AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="stddev/variance/exact-percentile/corr/covar — Spark percentile() matches "
+        "DuckDB quantile_cont (linear interpolation).",
+)
+def q19_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_median"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "q31_status_pivot",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="df.pivot with an explicit value list (never let pivot scan for distinct "
+        "values at scale); oracle is the CASE-WHEN expansion pivot desugars to.",
+)
+def q31_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    joined = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey).join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    )
+    p = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "n_name",
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — language-ID heuristic (stopword voting)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in _LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_intersect(string_split_regex(LOWER(TRIM(text)), '\\s+'), [{arr}])) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "q32_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, {_lang_scores_sql()} FROM documents
+    )
+    SELECT lang AS actual_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="n-gram-free language-ID heuristic: distinct-stopword voting with a fixed "
+        "tie-break order; output is the (actual, predicted) confusion matrix.",
+)
+def q32_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.withColumn("__toks", F.split(F.lower(F.trim("text")), r"\s+"))
+    scored = toks.select(
+        "lang",
+        *[
+            F.size(
+                F.array_intersect("__toks", F.array(*[F.lit(w) for w in words]))
+            ).alias(f"s_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        scored.withColumn("predicted_lang", predicted)
+        .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — IN / NOT IN subqueries through SQL
+# ---------------------------------------------------------------------------
+
+@register(
+    "q33_in_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      AND p_size NOT IN (1, 2, 3)
+    GROUP BY p_brand
+    """,
+    doc="IN-subquery (rewritten to left_semi by Catalyst) + NOT IN value list.",
+)
+def q33_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+          AND p_size NOT IN (1, 2, 3)
+        GROUP BY p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — map functions over parsed JSON props
+# ---------------------------------------------------------------------------
+
+@register(
+    "q34_props_map_functions",
+    oracle="""
+    SELECT k.key AS prop_key,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS sum_val
+    FROM events, unnest(json_keys(props)) AS k(key)
+    GROUP BY k.key
+    """,
+    doc="from_json to map<string,bigint> → explode(map) — the schema-free path "
+        "for heterogeneous event payloads; map_keys/map_values surface.",
+)
+def q34_props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "val"))
+    return m.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("val").alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — cross join (tiny dims only) + inequality filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q35_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+    doc="Explicit cross join — only ever sane on tiny dims; the guard is the "
+        "API requiring crossJoin() to be spelled out.",
+)
+def q35_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    b = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
