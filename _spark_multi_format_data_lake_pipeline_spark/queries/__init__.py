@@ -11,5 +11,7 @@ from . import analytic  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import extended  # noqa: F401,E402
+from . import tpch_like  # noqa: F401,E402
+from . import windows_extra  # noqa: F401,E402
 
 __all__ = ["QUERIES", "Query", "register"]

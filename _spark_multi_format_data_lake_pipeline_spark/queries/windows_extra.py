@@ -1,0 +1,63 @@
+"""Window-function completions: cume_dist, nth_value, range frames
+(SURVEY.md §2 Part B 'Window functions': running & framed aggregates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q36_cume_nth",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(CUME_DIST() OVER w, 6) AS bal_cume,
+           ROUND(NTH_VALUE(s_acctbal, 2) OVER (ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    doc="cume_dist + nth_value(2) over the full frame.",
+)
+def q36_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return su.select(
+        "s_suppkey",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        F.round(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_bal"),
+    )
+
+
+@register(
+    "q37_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+                 RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_last_90d
+    FROM orders
+    """,
+    doc="RANGE frame over event-time (90 days in ms): value-based window, not "
+        "row-based — counts all orders within the trailing window regardless "
+        "of row position.",
+)
+def q37_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 24 * 3600 * 1000, Window.currentRow)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("orders_last_90d"),
+    )

@@ -28,6 +28,7 @@ def write_tables(
     database: str = "local_db",
     mode: str = "overwrite",
     partition_by: Mapping[str, Sequence[str]] | None = None,
+    bucket_by: Mapping[str, tuple[int, Sequence[str]]] | None = None,
     extra_options: Mapping[str, str] | None = None,
     table_format: str = "parquet",
     recreate_database: bool = True,
@@ -45,6 +46,13 @@ def write_tables(
         cols = (partition_by or {}).get(h.name)
         if cols:
             writer = writer.partitionBy(*cols)
+        bucket_spec = (bucket_by or {}).get(h.name)
+        if bucket_spec:
+            # bucketed+sorted layout: equal-bucket joins/aggregations on
+            # these keys skip the shuffle entirely — the 100 TB co-location
+            # strategy for repeatedly-joined fact tables
+            n_buckets, bcols = bucket_spec
+            writer = writer.bucketBy(n_buckets, *bcols).sortBy(*bcols)
         if table_format == "iceberg":
             writer = writer.option("format-version", "2")  # reference :57
         for k, v in (extra_options or {}).items():
