@@ -96,3 +96,83 @@ def ann_search_bucketed(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probe search
+# ---------------------------------------------------------------------------
+
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the coarse quantizer on a bounded driver-side sample.
+
+    Sampling + tiny k-means is the standard IVF training recipe (the
+    quantizer needs only thousands of examples regardless of corpus size);
+    the full table never leaves the executors.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_assign(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Cluster id = argmin L2 distance to the centroids, computed with
+    per-centroid dot products JVM-side (||v-c||² = ||v||² - 2<v,c> + ||c||²
+    and ||v||² is constant per row, so argmin of (||c||² - 2<v,c>))."""
+    scores = []
+    for c in centroids:
+        ccol = F.array(*[F.lit(x) for x in c])
+        dotp = F.aggregate(
+            F.zip_with(vec_col, ccol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm2 = sum(x * x for x in c)
+        scores.append(F.lit(norm2) - 2.0 * dotp)
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe clusters nearest the query, rescore exactly within
+    them. nprobe == n_clusters degrades gracefully to exact search."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    cents = np.array(centroids, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+
+    assigned = embeddings.withColumn("_cluster", ivf_assign(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("_cluster").isin(probe))
+    return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

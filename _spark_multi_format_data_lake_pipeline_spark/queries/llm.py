@@ -25,7 +25,12 @@ from ..functions.text import (
 from ..functions.vectors import cosine_similarity
 from ..llm.dedup import exact_dedup_keepers, minhash_near_dup_pairs, simhash
 from ..llm.multimodal import attach_fake_media, extract_features
-from ..llm.similarity import ann_search_bucketed, topk_cosine
+from ..llm.similarity import (
+    ann_search_bucketed,
+    ivf_fit_centroids,
+    ivf_search,
+    topk_cosine,
+)
 from ..sources.lake import load_table
 from .registry import register
 
@@ -324,3 +329,22 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
     return extract_features(media).select("doc_id", "n_bytes", "payload_sha256")
+
+
+# ---------------------------------------------------------------------------
+# q73 — IVF ANN (coarse quantizer + cluster probe; approximate → rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q73_ivf_ann",
+    oracle=None,
+    doc="IVF ANN: k-means coarse quantizer trained on a driver-side sample, "
+        "JVM-side cluster assignment, nprobe-cluster exact rescoring. "
+        "Approximate by design → rows-only; tests assert full-probe == exact "
+        "and partial-probe recall.",
+)
+def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = list(em.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = ivf_fit_centroids(em, n_clusters=16, sample_size=1024, iters=6)
+    return ivf_search(em, qvec, cents, k=10, nprobe=4)

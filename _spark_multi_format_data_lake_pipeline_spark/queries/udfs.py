@@ -1,0 +1,151 @@
+"""The Python-UDF surface (SURVEY.md §2 Part B 'UDF/UDAF/UDTF'): scalar
+pandas UDF, grouped-aggregate pandas UDF, and a Python UDTF — each with a
+deterministic contract so the DuckDB oracle can check the Arrow round-trip
+value-exactly. Plus the remaining join/sort variants (right join, nulls
+first/last)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q38 — right outer join + NULLS FIRST/LAST ordering
+# ---------------------------------------------------------------------------
+
+@register(
+    "q38_right_join_nulls_order",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey % 100 = 0
+    ORDER BY c.c_name NULLS FIRST, o.o_orderkey
+    """,
+    doc="Right outer join (nulls on the left side) + explicit NULLS FIRST "
+        "sort. Order-insensitive hash can't see the sort; the nulls are the "
+        "point — non-rich customers' orders keep c_name NULL.",
+)
+def q38_right_join_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "right")
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy(F.col("c_name").asc_nulls_first(), F.col("o_orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — scalar pandas UDF (Arrow-vectorized), deterministic math contract
+# ---------------------------------------------------------------------------
+
+@register(
+    "q70_pandas_udf_quality",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(0.002 * n_chars - 3.0))), 6) AS quality
+    FROM documents
+    """,
+    doc="Scalar pandas_udf: logistic quality score. Arrow-batched numpy on "
+        "the Python side, EXP() on the oracle side — equal to 6 decimals "
+        "because both are IEEE double.",
+)
+def q70_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def quality(n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(0.002 * n_chars.astype("float64") - 3.0)))
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality("n_chars"), 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# q71 — grouped-aggregate pandas UDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "q71_grouped_agg_pandas_udf",
+    oracle="""
+    SELECT lang,
+           ROUND(SUM(n_chars * doc_id) / SUM(doc_id), 4) AS weighted_mean_chars
+    FROM documents
+    WHERE doc_id > 0
+    GROUP BY lang
+    """,
+    doc="Grouped-aggregate pandas_udf (weighted mean) — a UDAF the built-in "
+        "aggregates can't express directly as one function.",
+)
+def q71_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def weighted_mean(chars: pd.Series, weights: pd.Series) -> float:
+        return float((chars * weights).sum() / weights.sum())
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") > 0)
+    return docs.groupBy("lang").agg(
+        F.round(
+            weighted_mean(
+                F.col("n_chars").cast("double"), F.col("doc_id").cast("double")
+            ),
+            4,
+        ).alias("weighted_mean_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — Python UDTF (table function)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q72_udtf_token_positions",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 20),
+         flat AS (SELECT doc_id, unnest(toks) AS token,
+                         unnest(range(0, len(toks)))::INT AS pos
+                  FROM d)
+    SELECT doc_id, token, pos FROM flat WHERE token <> ''
+    """,
+    doc="Python UDTF exploding text into (token, position) rows — the "
+        "lateral-join table-function surface. Oracle: DuckDB parallel unnest "
+        "(zips co-selected unnests).",
+)
+def q72_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield tok, i
+
+    spark.udtf.register("tokenize", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL tokenize(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )

@@ -43,6 +43,93 @@ HEADLINE = [
 ]
 
 
+def _ingest_benchmarks(spark) -> dict[str, float]:
+    """Generate the reference's benchmark workloads (BASELINE.md: 25 MB /
+    50k-row / 4450-col CSV ~15s; multi-line JSON ~2s; 5 MB / 100k-row
+    parquet ~3s; 1 MB / 10k-line text ~1s) and time our readers on them."""
+    import csv
+    import json as jsonlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources import readers
+
+    base = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
+    out: dict[str, float] = {}
+    try:
+        # wide CSV: 4450 cols x enough rows for ~25 MB
+        wide = base / "wide.csv"
+        n_cols, n_rows = 4450, 1000
+        header = [f"c{i}" for i in range(n_cols)]
+        with open(wide, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            row = [f"v{i % 97}" for i in range(n_cols)]
+            for _ in range(n_rows):
+                w.writerow(row)
+        # scale rows until ~25 MB
+        sz = wide.stat().st_size
+        reps = max(1, int(25_000_000 / sz))
+        with open(wide, "a", newline="") as f:
+            w = csv.writer(f)
+            for _ in range((reps - 1) * n_rows):
+                w.writerow(row)
+        t0 = time.time()
+        h = readers.read_csv(spark, wide)
+        assert h is not None and h.col_count == n_cols
+        out["ingest_csv_wide_25mb"] = round(time.time() - t0, 3)
+
+        # multi-line JSON (array of nested objects)
+        j = base / "nested.json"
+        j.write_text(
+            jsonlib.dumps(
+                [
+                    {
+                        "id": i,
+                        "name": f"row{i}",
+                        "tags": ["a", "b", "c"],
+                        "details": [{"name": "x", "url": f"u{i}"}],
+                    }
+                    for i in range(2000)
+                ]
+            )
+        )
+        t0 = time.time()
+        h = readers.read_json(spark, j)
+        assert h is not None
+        out["ingest_json_multiline"] = round(time.time() - t0, 3)
+
+        # typed parquet: 100k rows x 20 cols
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        rng = np.random.default_rng(42)
+        pdf = pd.DataFrame(
+            {f"d{i}": rng.random(100_000) for i in range(18)}
+            | {"k": rng.integers(0, 1000, 100_000), "s": ["x"] * 100_000}
+        )
+        pfile = base / "typed.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), pfile)
+        t0 = time.time()
+        h = readers.read_parquet(spark, pfile)
+        assert h is not None and h.row_count == 100_000
+        out["ingest_parquet_100k"] = round(time.time() - t0, 3)
+
+        # line text ~1 MB / 10k lines
+        txt = base / "lines.txt"
+        txt.write_text("\n".join(f"line {i} " + "x" * 90 for i in range(10_000)))
+        t0 = time.time()
+        h = readers.read_text(spark, txt)
+        assert h is not None and h.row_count == 10_000
+        out["ingest_text_10k_lines"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +147,11 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # Ingest-throughput probes mirroring BASELINE.md's workloads (25 MB
+    # wide CSV, multi-line JSON, typed parquet, line text) so the numbers
+    # are directly comparable to the reference's published figures.
+    timings.update(_ingest_benchmarks(spark))
 
     total = round(sum(timings.values()), 3)
     print(

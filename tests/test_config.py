@@ -1,0 +1,46 @@
+"""Config-builder parity (SURVEY.md §2 Part A.7 F1/F2/F5): topology dicts
+must be constructible and complete without the Iceberg/S3 runtime."""
+
+from __future__ import annotations
+
+from _spark_multi_format_data_lake_pipeline_spark.config import (
+    S3Config,
+    executor_sizing,
+    iceberg_catalog_conf,
+    iceberg_extensions_conf,
+    merge_job_overlay,
+    s3a_conf,
+)
+
+
+def test_local_iceberg_catalog():
+    conf = iceberg_catalog_conf("local", "/tmp/warehouse")
+    assert conf["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.local.type"] == "hadoop"
+    assert conf["spark.sql.catalog.local.warehouse"] == "/tmp/warehouse"
+    assert not any(".s3." in k for k in conf)
+
+
+def test_s3_iceberg_catalog():
+    s3 = S3Config("http://localhost:9000", "ak", "sk")
+    conf = iceberg_catalog_conf("minio_catalog", "s3a://bucket/wh", s3)
+    assert conf["spark.sql.catalog.minio_catalog.io-impl"].endswith("S3FileIO")
+    assert conf["spark.sql.catalog.minio_catalog.s3.endpoint"] == "http://localhost:9000"
+    assert conf["spark.sql.catalog.minio_catalog.s3.path-style-access"] == "true"
+
+
+def test_s3a_conf_complete():
+    conf = s3a_conf(S3Config("http://minio:9000", "ak", "sk", ssl_enabled=False))
+    assert conf["spark.hadoop.fs.s3a.connection.maximum"] == "100"
+    assert conf["spark.hadoop.fs.s3a.multipart.size"] == str(100 * 1024 * 1024)
+    assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
+    assert conf["spark.hadoop.fs.s3a.attempts.maximum"] == "3"
+
+
+def test_merge_overlay_and_sizing():
+    o = merge_job_overlay()
+    assert o["spark.sql.shuffle.partitions"] == "50"
+    assert o["spark.sql.files.maxPartitionBytes"] == str(64 * 1024 * 1024)
+    s = executor_sizing(num_executors=10)
+    assert s["spark.executor.instances"] == "10"
+    assert "spark.sql.extensions" in iceberg_extensions_conf()

@@ -1,0 +1,45 @@
+"""ANN variants: IVF recall behavior and LSH bucket sanity."""
+
+from __future__ import annotations
+
+from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import (
+    ann_search_bucketed,
+    ivf_fit_centroids,
+    ivf_search,
+    topk_cosine,
+)
+
+
+def _query_vec(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, list(emb.filter(F.col("vec_id") == 0).head()[1])
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    emb, q = _query_vec(spark, sf_dir)
+    cents = ivf_fit_centroids(emb, n_clusters=8, sample_size=256, iters=4)
+    exact = [r.vec_id for r in topk_cosine(emb, q, k=10).collect()]
+    full = [r.vec_id for r in ivf_search(emb, q, cents, k=10, nprobe=8).collect()]
+    assert full == exact  # probing every cluster degrades to exact search
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb, q = _query_vec(spark, sf_dir)
+    cents = ivf_fit_centroids(emb, n_clusters=8, sample_size=256, iters=4)
+    exact = {r.vec_id for r in topk_cosine(emb, q, k=10).collect()}
+    approx = [r.vec_id for r in ivf_search(emb, q, cents, k=10, nprobe=4).collect()]
+    assert len(approx) == 10
+    # query's own vector lives in a probed cluster by construction
+    assert 0 in approx
+    recall = len(set(approx) & exact) / 10
+    assert recall >= 0.3, f"recall collapsed: {recall}"
+
+
+def test_lsh_bucket_returns_neighbors(spark, sf_dir):
+    emb, q = _query_vec(spark, sf_dir)
+    got = ann_search_bucketed(emb, q, dim=len(q), k=10)
+    rows = got.collect()
+    assert 1 <= len(rows) <= 10
+    assert rows[0].vec_id == 0  # the query vector itself is its top hit
