@@ -228,3 +228,40 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
         weight = -(1 << (bits - 1)) if j == bits - 1 else (1 << j)
         fp = fp + F.when(vote > 0, F.lit(weight).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return fp
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) — winnowing document fingerprints (the rolling-hash
+    scheme from Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram, slide
+    a w-window over the hash sequence, keep each window's minimum, emit the
+    distinct minima. Two documents sharing a substring of length >= k+w-1
+    are guaranteed to share a fingerprint.
+
+    Same execution shape as shingle_hashes: posexplode + window lead for
+    the k-grams, then a w-row sliding MIN — two window passes over one
+    shuffle by document id.
+    """
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("w", j).over(win).alias(f"_w{j}") for j in range(1, k)]
+    grams = (
+        tk.select("id", "pos", "w", *lead_cols)
+        .filter(F.col(f"_w{k-1}").isNotNull())
+        .select(
+            "id",
+            "pos",
+            F.pmod(F.xxhash64("w", *[f"_w{j}" for j in range(1, k)]), F.lit(_P)).alias("_gh"),
+        )
+    )
+    w_slide = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    picks = grams.select("id", F.min("_gh").over(w_slide).alias("fingerprint"))
+    return picks.distinct().withColumnRenamed("id", id_col)

@@ -348,3 +348,22 @@ def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(em.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     cents = ivf_fit_centroids(em, n_clusters=16, sample_size=1024, iters=6)
     return ivf_search(em, qvec, cents, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q74 — winnowing document fingerprints (rolling hash; rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q74_winnowing_fingerprints",
+    oracle=None,
+    doc="Winnowing (MOSS) rolling-hash fingerprints: k-gram xxhash64 stream, "
+        "sliding-window minima, distinct per doc. Guaranteed shared "
+        "fingerprint for substrings >= k+w-1 tokens. Engine-specific hashes "
+        "→ rows-only; correctness covered by the planted-substring test.",
+)
+def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(docs, "doc_id", "text")

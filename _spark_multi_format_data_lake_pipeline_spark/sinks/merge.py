@@ -72,6 +72,9 @@ class TableMerger:
         merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
         self.spark.sql(f"DROP TABLE IF EXISTS {target}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+        # the rename moves data files under the target's directory; any
+        # cached FileIndex for the old table would list vanished part files
+        self.spark.catalog.refreshTable(target)
 
     # -- W3 -----------------------------------------------------------------
     def _insert_overwrite(self, df: DataFrame, target: str) -> None:
@@ -95,11 +98,13 @@ class TableMerger:
 
     # -- W5 -----------------------------------------------------------------
     def merge_table(
-        self, df: DataFrame, target_table: str, target_exists: bool
+        self, df: DataFrame, target_table: str, target_exists: bool,
+        key: str | None = None,
     ) -> dict:
         """Strategy selector (reference utils/merge_utils.py:22-68).
-        Returns {strategy, source_rows, final_rows} like the reference."""
-        key = find_key_column(df)
+        Returns {strategy, source_rows, final_rows} like the reference.
+        ``key`` overrides the reference's auto-detection candidate list."""
+        key = key or find_key_column(df)
         source_rows = df.count()
         if target_exists and key is not None:
             strategy = "MERGE"
@@ -114,6 +119,7 @@ class TableMerger:
             strategy = "CREATE_TABLE"
             self._create_table(df, target_table)
         self.spark.catalog.clearCache()  # reference utils/merge_utils.py:56
+        self.spark.catalog.refreshTable(target_table)
         final_rows = self.spark.table(target_table).count()
         return {
             "strategy": strategy,

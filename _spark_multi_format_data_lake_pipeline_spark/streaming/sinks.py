@@ -1,0 +1,53 @@
+"""Streaming sinks (SURVEY.md §2 Part B 'Streaming': foreachBatch).
+
+``stream_upsert_sink`` closes the loop between the streaming surface and
+the merge engine: each micro-batch is upserted into a lake table through
+the same TableMerger used by the batch pipeline — the streaming-ingestion
+pattern the reference's batch-only design points toward.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..catalog import CatalogManager
+from ..sinks.merge import TableMerger
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    key: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch upsert into ``target_table`` (key from ``key`` or the
+    merge engine's auto-detection; first batch creates the table).
+    Exactly-once per batch: foreachBatch may replay a batch on failure,
+    and the key-based upsert makes the replay idempotent — which is the
+    reason to upsert rather than append here."""
+    outer_spark = stream.sparkSession
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # each micro-batch runs in a cloned session — temp views registered
+        # by the merge engine are only visible through THAT session
+        batch_spark = batch_df.sparkSession
+        cat = CatalogManager(batch_spark)
+        merger = TableMerger(batch_spark)
+        merger.merge_table(
+            batch_df, target_table, cat.table_exists(target_table), key=key
+        )
+        # the stage+rename swap invalidated file listings; the DEFINING
+        # session caches its own FileIndex per table, so refresh it too or
+        # the caller's next read lists vanished part files
+        outer_spark.catalog.refreshTable(target_table)
+
+    writer = stream.writeStream.foreachBatch(_upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
