@@ -31,6 +31,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: the driver's verify harness builds ITS OWN SparkSession,
+    # which won't carry session.py's conf. Both settings are runtime-
+    # settable SQL confs and are required for correctness here:
+    # - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+    #   otherwise refuses to read at all;
+    # - UTC session tz: timestamp->string formatting (q42 etc.) must agree
+    #   with DuckDB's timezone-naive timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
