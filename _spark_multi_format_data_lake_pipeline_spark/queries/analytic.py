@@ -373,3 +373,47 @@ def q30_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("comp_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "q44_intersect_except_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+    doc="Multiset set-ops: intersectAll/exceptAll preserve multiplicity "
+        "(unlike q24/q25's set semantics).",
+)
+def q44_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    inter = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "q45_row_dedup",
+    oracle="""
+    SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders
+    )
+    """,
+    doc="Exact whole-row dedup via dropDuplicates() over a deliberately "
+        "duplicated input — deterministic because rows are exact copies.",
+)
+def q45_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return od.unionByName(od).dropDuplicates()

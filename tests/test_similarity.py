@@ -43,3 +43,17 @@ def test_lsh_bucket_returns_neighbors(spark, sf_dir):
     rows = got.collect()
     assert 1 <= len(rows) <= 10
     assert rows[0].vec_id == 0  # the query vector itself is its top hit
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import ann_search_multiprobe
+
+    emb, q = _query_vec(spark, sf_dir)
+    exact = {r.vec_id for r in topk_cosine(emb, q, k=10).collect()}
+    single = {r.vec_id for r in ann_search_bucketed(emb, q, dim=len(q), k=10).collect()}
+    multi = {
+        r.vec_id
+        for r in ann_search_multiprobe(emb, q, dim=len(q), k=10, n_probes=4).collect()
+    }
+    assert single <= multi or len(multi & exact) >= len(single & exact)
+    assert 0 in multi
