@@ -1,0 +1,128 @@
+"""Iterative graph operators: connected components for dedup grouping
+(SURVEY.md §2 Part B "LLM-data extensions" — near-dup pairs are only half
+of dedup; collapsing pairs into groups and electing a canonical document
+needs the transitive closure).
+
+Algorithm: min-label propagation. Each node starts labeled with itself;
+every iteration each node takes the min label in its neighborhood;
+converged when no label changes. Iterations are whole DataFrame joins —
+each one a shuffle by node — so the driver loop runs O(graph diameter)
+Spark jobs. Near-dup graphs are collections of small dense cliques
+(diameter 2-3), so this converges in a handful of rounds at any corpus
+size; the ``max_iter`` guard and localCheckpoint() per round (severing
+the growing lineage) keep the worst case bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable from node.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Isolated nodes don't appear (join your node table afterwards with a
+    coalesce-to-self if needed).
+
+    Physical strategy: near-dup graphs are tiny relative to the corpus
+    (only documents that HAVE a near-duplicate appear), so when the edge
+    list fits on the driver (< ``local_threshold``) a union-find over
+    collected edges beats N_iterations x 3 shuffle jobs by an order of
+    magnitude. Larger graphs take the distributed min-label-propagation
+    loop. Pass ``local_threshold=0`` to force the distributed path.
+    """
+    # materialize the edge list exactly once: the strategy probe (count)
+    # and the chosen algorithm would otherwise each re-execute a possibly
+    # expensive upstream pair-generation plan
+    edges = edges.localCheckpoint(eager=True)
+    if local_threshold and edges.count() <= local_threshold:
+        return _cc_local(edges, src, dst)
+    return _cc_distributed(edges, src, dst, max_iter)
+
+
+def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.select(src, dst).collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = f"node {dict(edges.dtypes)[src]}, component {dict(edges.dtypes)[src]}"
+    return spark.createDataFrame(rows, schema)
+
+
+def _cc_distributed(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        # materialize once: the edge list is re-joined EVERY iteration, and
+        # without this the (possibly expensive) upstream pair-generation
+        # plan re-executes per round (observed 4x wall-clock on q75)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    # labels only ever decrease, so the label-sum is a strictly decreasing
+    # convergence witness — one cheap agg per round instead of a
+    # join-based change detector
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, canonical_id) for every document in a near-dup pair: the
+    group representative is the minimum doc id of the component."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

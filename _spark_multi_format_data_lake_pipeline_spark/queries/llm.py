@@ -367,3 +367,56 @@ def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return winnowing_fingerprints(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q75 — dedup groups: connected components over exact-Jaccard pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "q75_dedup_groups",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(TRIM(text))[i:i+2] for i in range(1, LENGTH(TRIM(text)) - 1)])
+                   AS grams
+        FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.65
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+    doc="Transitive closure of the near-dup relation: connected components "
+        "via iterative min-label propagation (Spark) == recursive CTE "
+        "(DuckDB). The canonical doc per group is the min doc_id.",
+)
+def q75_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_char_ngrams
+    from ..operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union.cast("double") >= 0.65)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dedup_groups(pairs)

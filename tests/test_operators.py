@@ -137,3 +137,28 @@ def test_topk_cosine_matches_numpy(spark, sf_dir):
 
     got = [r.vec_id for r in topk_cosine(emb, list(q), k=5).collect()]
     assert got == expected_ids
+
+
+def test_connected_components(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.graph import connected_components
+
+    # two components: {1,2,3,4} (chain) and {10,11}; 20-21-22 triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_distributed_path(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
