@@ -420,3 +420,39 @@ def q75_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return dedup_groups(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q76 — one-pass data-quality validation report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q76_quality_report",
+    oracle="""
+    WITH m AS (
+        SELECT ROUND(AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS text_null_ratio,
+               ROUND(COUNT(DISTINCT doc_id)::DOUBLE / COUNT(*), 6)          AS doc_id_unique,
+               ROUND(AVG(CASE WHEN n_chars BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END), 6)
+                   AS chars_in_range
+        FROM documents
+    )
+    SELECT 'text_null_ratio' AS rule, text_null_ratio AS value, CAST('-inf' AS DOUBLE) AS min_ok, 0.01 AS max_ok,
+           (text_null_ratio <= 0.01) AS passed FROM m
+    UNION ALL
+    SELECT 'doc_id_unique', doc_id_unique, 1.0, CAST('inf' AS DOUBLE), doc_id_unique >= 1.0 FROM m
+    UNION ALL
+    SELECT 'chars_in_range', chars_in_range, 0.99, CAST('inf' AS DOUBLE), chars_in_range >= 0.99 FROM m
+    """,
+    doc="Declarative data-quality gate: every rule is a conditional aggregate "
+        "in ONE scan (llm/quality.py::validate).",
+)
+def q76_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.quality import Rule, distinct_ratio, in_range_ratio, null_ratio, validate
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        Rule("text_null_ratio", null_ratio("text"), max_ok=0.01),
+        Rule("doc_id_unique", distinct_ratio("doc_id"), min_ok=1.0),
+        Rule("chars_in_range", in_range_ratio("n_chars", 10, 100000), min_ok=0.99),
+    ]
+    return validate(docs, rules)
