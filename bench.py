@@ -40,6 +40,10 @@ HEADLINE = [
     "q51_text_stats",
     "q54_minhash_near_dup",
     "q56_topk_cosine",
+    "q61_promo_revenue_share",
+    "q62_customer_distribution",
+    "q63_small_qty_revenue",
+    "q65_returned_item_customers",
 ]
 
 
