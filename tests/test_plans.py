@@ -44,3 +44,37 @@ def test_q56_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q56_topk_cosine")
     assert "Exchange hashpartitioning" not in plan  # map + TakeOrdered only
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned lake layout: a day filter must prune to that
+    partition's files (PartitionFilters in the scan, fewer input files)."""
+    import uuid
+    from pyspark.sql import functions as F
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import CatalogManager
+    from _spark_multi_format_data_lake_pipeline_spark.registry import TableHandle
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.writer import write_tables
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    db = f"prune_{uuid.uuid4().hex[:6]}"
+    cat = CatalogManager(spark)
+    try:
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_tables(
+            spark,
+            [TableHandle(events, "events_by_day", "PARQUET", events.count(), 7)],
+            database=db,
+            partition_by={"events_by_day": ["day"]},
+            recreate_database=True,
+        )
+        t = spark.table(f"{db}.events_by_day")
+        all_files = len(t.inputFiles())
+        one_day = t.filter(F.col("day") == "2024-01-05")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "day" in plan
+        assert len(one_day.inputFiles()) < all_files
+        assert one_day.count() > 0
+    finally:
+        cat.drop_database(db)

@@ -135,3 +135,38 @@ def test_sweep_isolates_failures(spark, data_dir):
         "text_notes",
         "text_report",
     ]
+
+
+def test_csv_corrupt_row_captured_and_filtered(spark, tmp_path):
+    # an unclosed quote makes an unparseable record -> PERMISSIVE captures
+    # it in _corrupt_record; the reader counts+filters+drops (S2 semantics)
+    f = tmp_path / "broken.csv"
+    f.write_text('id,name\n1,ok\n2,"unclosed\n3,fine\n')
+    h = read_csv(spark, f)
+    assert h is not None
+    assert "_corrupt_record" not in h.df.columns
+    ids = sorted(r.id for r in h.df.collect())
+    assert "1" in ids  # clean rows survive
+    assert h.row_count == len(ids)
+
+
+def test_csv_short_rows_are_null_padded_not_corrupt(spark, tmp_path):
+    f = tmp_path / "short.csv"
+    f.write_text("a,b,c\n1,2,3\n4,5\n")
+    h = read_csv(spark, f)
+    assert h is not None
+    assert h.row_count == 2  # short row padded with nulls, kept
+    rows = {r.a: (r.b, r.c) for r in h.df.collect()}
+    assert rows["4"] == ("5", None)
+
+
+def test_wide_csv_maxcolumns(spark, tmp_path):
+    n = 5000
+    f = tmp_path / "wide.csv"
+    header = ",".join(f"c{i}" for i in range(n))
+    row = ",".join(str(i) for i in range(n))
+    f.write_text(header + "\n" + row + "\n")
+    h = read_csv(spark, f)
+    assert h is not None
+    assert h.col_count == n
+    assert h.row_count == 1
