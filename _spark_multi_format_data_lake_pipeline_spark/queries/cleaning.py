@@ -1,0 +1,209 @@
+"""Text-cleaning catalog queries (q77-q80): PII redaction, HTML strip,
+repetition signals, corpus boilerplate-line removal.
+
+The synthetic `documents` corpus is clean single-line prose, so q77/q78/
+q80 first SYNTHESIZE the dirt deterministically from (doc_id, source) —
+identically on the Spark side and in the oracle SQL — then clean it.
+That makes the parity check exercise the actual transformation (regex
+dialect, entity decode, line accounting) rather than a no-op.
+
+The oracle strings for q77/q78 are GENERATED from the same pattern
+tables the Spark expressions use (`llm/cleaning.py::pii_redact_sql`,
+`strip_html_sql`) — one source of truth, no drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.cleaning import (
+    dedup_lines_corpus,
+    pii_redact_sql,
+    redact_pii,
+    repetition_signals,
+    strip_html,
+    strip_html_sql,
+)
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q77 — PII redaction (map-only regexp_replace chain)
+# ---------------------------------------------------------------------------
+
+_PII_DIRT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 ssn 123-45-6789 call 415-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_dirt_spark() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (did % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "q77_pii_redaction",
+    oracle=f"""
+    SELECT doc_id, {pii_redact_sql(f"({_PII_DIRT_SQL})")} AS clean_text
+    FROM documents
+    """,
+    doc="PII redaction over deterministically dirtied text (email/IP/SSN/"
+        "phone synthesized from doc_id). Map-only regexp_replace chain, "
+        "zero shuffles; oracle SQL generated from the same pattern table.",
+)
+def q77_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", redact_pii(_pii_dirt_spark()).alias("clean_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — HTML strip + entity decode (map-only)
+# ---------------------------------------------------------------------------
+
+_HTML_DIRT_SQL = (
+    "'<div class=\"doc\"><p>' || text ||"
+    " '</p></div> <br/> 5 &lt; 7 &amp;&amp; &quot;it&#39;s&quot;'"
+)
+
+
+def _html_dirt_spark() -> F.Column:
+    return F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.col("text"),
+        F.lit("</p></div> <br/> 5 &lt; 7 &amp;&amp; &quot;it&#39;s&quot;"),
+    )
+
+
+@register(
+    "q78_html_strip",
+    oracle=f"""
+    SELECT doc_id, {strip_html_sql(f"({_HTML_DIRT_SQL})")} AS clean_text
+    FROM documents
+    """,
+    doc="HTML tag removal + entity decode + whitespace collapse over "
+        "deterministically wrapped text. Map-only; oracle generated from "
+        "the same tag/entity tables.",
+)
+def q78_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", strip_html(_html_dirt_spark()).alias("clean_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — Gopher-style repetition / quality signals
+# ---------------------------------------------------------------------------
+
+@register(
+    "q79_repetition_signals",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               trim(lower(text)) AS t,
+               string_split_regex(trim(lower(text)), '\s+') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS INT) AS n_words,
+               ROUND(length(regexp_replace(t, '\s+', '', 'g'))::DOUBLE
+                     / len(words), 4) AS mean_word_len,
+               ROUND(CASE WHEN len(words) >= 2 THEN
+                   1.0 - len(list_distinct([words[i] || ' ' || words[i + 1]
+                                            for i in range(1, len(words))]))::DOUBLE
+                         / (len(words) - 1)
+                   ELSE 0.0 END, 4) AS dup_2gram_frac
+        FROM w
+    ),
+    t AS (
+        SELECT doc_id,
+               ROUND(MAX(c)::DOUBLE / CAST(SUM(c) AS BIGINT), 4) AS top_word_frac
+        FROM (
+            SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS word FROM w)
+            GROUP BY doc_id, word
+        )
+        GROUP BY doc_id
+    )
+    SELECT m.doc_id, n_words, mean_word_len, dup_2gram_frac, top_word_frac
+    FROM m JOIN t USING (doc_id)
+    """,
+    doc="Per-doc repetition/quality signals (Gopher rules): word count, "
+        "mean word length, duplicate-2-gram fraction (map-only array "
+        "exprs) and top-word fraction (explode + doc-keyed groupBy).",
+)
+def q79_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q80 — corpus-level boilerplate line removal (C4 recipe)
+# ---------------------------------------------------------------------------
+
+_LINES_DIRT_SQL = (
+    "text || chr(10) || 'subscribe to our newsletter' || chr(10) ||"
+    " 'copyright ' || source || chr(10) || 'doc id ' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _lines_dirt_spark() -> F.Column:
+    return F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("copyright "), F.col("source")),
+        F.concat(F.lit("doc id "), F.col("doc_id").cast("string")),
+    )
+
+
+@register(
+    "q80_boilerplate_line_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_LINES_DIRT_SQL} AS dirty FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               unnest(string_split(dirty, chr(10))) AS line,
+               unnest(generate_series(1, len(string_split(dirty, chr(10))))) AS pos
+        FROM d
+    ),
+    dup AS (
+        SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT l.doc_id,
+           COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+                    FILTER (WHERE dup.line IS NULL), '') AS clean_text,
+           CAST(COUNT(dup.line) AS INT) AS n_removed
+    FROM l LEFT JOIN dup ON l.line = dup.line
+    GROUP BY l.doc_id
+    """,
+    doc="C4-style boilerplate removal: lines present in >= 5 distinct docs "
+        "(the synthesized newsletter/copyright lines) are deleted corpus-"
+        "wide; unique lines survive in order. Two doc/line-keyed shuffles.",
+)
+def q80_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", _lines_dirt_spark().alias("dirty"))
+    return dedup_lines_corpus(dirty, "doc_id", "dirty", min_docs=5)
