@@ -73,3 +73,18 @@ def with_char_ngrams(df, text_col: str, out: str = "grams", n: int = 3):
         out,
         F.when(F.length(t) >= n, grams).otherwise(F.array().cast("array<string>")),
     ).drop("__t")
+
+
+# GPT-2-style pretokenizer pattern, restricted to the Java-regex ∩ RE2
+# common subset (non-capturing groups, \p{L}/\p{N} classes, no lookaround)
+# so the DuckDB oracle compiles the identical pattern. Pieces: common
+# English contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pretokenization (array of pieces). The whole match (group
+    0) is the token — the pattern has no capturing groups."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)

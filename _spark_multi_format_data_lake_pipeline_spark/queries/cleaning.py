@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import BPE_ISH_PATTERN, bpe_ish_tokens, token_count
 from ..llm.cleaning import (
     dedup_lines_corpus,
     pii_redact_sql,
@@ -207,3 +208,38 @@ def q80_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     dirty = docs.select("doc_id", _lines_dirt_spark().alias("dirty"))
     return dedup_lines_corpus(dirty, "doc_id", "dirty", min_docs=5)
+
+
+# ---------------------------------------------------------------------------
+# q81 — token counting: whitespace vs BPE-style pretokenizer
+# ---------------------------------------------------------------------------
+
+_BPE_SQL_LIT = BPE_ISH_PATTERN.replace("'", "''")  # pattern starts with '
+
+
+@register(
+    "q81_bpe_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL_LIT}', 0)) AS INT)
+               AS n_bpe_tokens,
+           ROUND(len(regexp_extract_all(text, '{_BPE_SQL_LIT}', 0))::DOUBLE
+                 / len(string_split_regex(trim(text), '\s+')), 4) AS bpe_per_ws
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace split and a GPT-2-style "
+        "regex pretokenizer (shared Java/RE2 pattern — the oracle compiles "
+        "the IDENTICAL string from functions/text.py::BPE_ISH_PATTERN). "
+        "Map-only, zero shuffles.",
+)
+def q81_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(bpe_ish_tokens(F.col("text")))
+    n_ws = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe.cast("double") / n_ws.cast("double"), 4).alias("bpe_per_ws"),
+    )

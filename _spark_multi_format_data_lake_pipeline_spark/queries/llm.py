@@ -456,3 +456,52 @@ def q76_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("chars_in_range", in_range_ratio("n_chars", 10, 100000), min_ok=0.99),
     ]
     return validate(docs, rules)
+
+
+# ---------------------------------------------------------------------------
+# q82 — int8 embedding quantization (storage-scale compression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q82_embedding_quantization",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sc, 6) AS scale,
+           ROUND(list_max(list_transform(embedding,
+                 x -> abs(floor(CAST(x AS DOUBLE) / sc + 0.5) * sc
+                          - CAST(x AS DOUBLE)))), 6) AS max_abs_err
+    FROM s
+    """,
+    doc="Symmetric int8 quantization of the embedding column (scale = "
+        "max|x|/127) with per-vector max reconstruction error — the 4x "
+        "storage compression a 100 TB vector corpus ships with. floor(x/s "
+        "+ 0.5) on BOTH sides pins the rounding mode across engines. "
+        "Map-only, zero shuffles.",
+)
+def q82_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    # bind the scale as a real column before the lambda references it —
+    # HOF lambdas re-evaluate outer EXPRESSIONS per element (see
+    # functions/text.py), attributes are free
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    with_scale = em.select(
+        "vec_id",
+        emb_d.alias("emb"),
+        (F.array_max(F.transform(emb_d, F.abs)) / F.lit(127.0)).alias("sc"),
+    )
+    sc = F.col("sc")
+    err = F.array_max(
+        F.transform("emb", lambda x: F.abs(F.floor(x / sc + 0.5) * sc - x))
+    )
+    return with_scale.select(
+        "vec_id",
+        F.round(sc, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

@@ -109,6 +109,31 @@ def read_parquet(spark: SparkSession, filepath: str | Path) -> TableHandle | Non
         return None
 
 
+def read_orc(spark: SparkSession, filepath: str | Path) -> TableHandle | None:
+    """ORC scan — native Spark format, same finalize/registry semantics as
+    S3. Not in the reference (its formats stop at S1-S4); added for
+    multi-format-lake completeness since ORC ships in Spark itself."""
+    filepath = Path(filepath)
+    try:
+        df = spark.read.orc(str(filepath))
+        return _finalize(df, f"orc_{filepath.stem}", "ORC")
+    except Exception:
+        return None
+
+
+def read_avro(spark: SparkSession, filepath: str | Path) -> TableHandle | None:
+    """Avro scan — requires the external spark-avro module (not bundled in
+    this sandbox). Returns None when the data source is missing, matching
+    the per-file error-isolation contract, so sweeps degrade gracefully on
+    clusters without the jar."""
+    filepath = Path(filepath)
+    try:
+        df = spark.read.format("avro").load(str(filepath))
+        return _finalize(df, f"avro_{filepath.stem}", "AVRO")
+    except Exception:
+        return None
+
+
 def _docx_paragraphs(filepath: Path) -> list[str]:
     """Extract paragraph text from a DOCX (a zip of XML) with the stdlib.
 
@@ -161,6 +186,8 @@ def load_all_sources(spark: SparkSession, base_dir: str | Path) -> list[TableHan
         (base / "parquet", "*.parquet", read_parquet),
         (base / "docx", "*.docx", read_text),
         (base / "docx", "*.txt", read_text),
+        (base / "orc", "*.orc", read_orc),
+        (base / "avro", "*.avro", read_avro),
     ]
     out: list[TableHandle] = []
     for folder, pattern, reader in plan:

@@ -170,3 +170,38 @@ def test_wide_csv_maxcolumns(spark, tmp_path):
     assert h is not None
     assert h.col_count == n
     assert h.row_count == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = spark.range(50).selectExpr("id", "cast(id * 2 as double) d")
+    path = tmp_path / "t.orc"
+    src.write.orc(str(path))
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import read_orc
+
+    h = read_orc(spark, path)
+    assert h is not None
+    assert h.source_type == "ORC"
+    assert h.row_count == 50
+    assert dict(h.df.dtypes) == {"id": "bigint", "d": "double"}
+
+
+def test_avro_degrades_gracefully_without_jar(spark, tmp_path):
+    # spark-avro is an external module; without it the reader must return
+    # None (per-file isolation) rather than raise. With the jar present
+    # this test would need a real .avro file instead.
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import read_avro
+
+    f = tmp_path / "x.avro"
+    f.write_bytes(b"Obj\x01not really avro")
+    assert read_avro(spark, f) is None
+
+
+def test_sweep_picks_up_orc_dir(spark, tmp_path):
+    orc_dir = tmp_path / "orc"
+    orc_dir.mkdir()
+    spark.range(5).coalesce(1).write.orc(str(orc_dir / "five.orc"))
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import load_all_sources
+
+    handles = load_all_sources(spark, tmp_path)
+    assert [h.source_type for h in handles] == ["ORC"]
+    assert handles[0].row_count == 5
