@@ -51,3 +51,32 @@ def stream_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_file_sink(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append-mode file sink with end-to-end exactly-once semantics: the
+    checkpoint's WAL tracks which source files/offsets each batch covered
+    and the sink's transaction log (``_spark_metadata``) records which
+    output files a committed batch wrote, so a crash + restart with the
+    SAME checkpoint neither loses nor duplicates rows. This is the lake
+    landing-zone pattern: stream → partitioned parquet, compacted later by
+    ``sinks/maintenance.py``. Partition by a low-cardinality time-derived
+    column so downstream scans prune (100 TB guidance in SCALING.md)."""
+    writer = (
+        stream.writeStream.format(fmt)
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

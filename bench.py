@@ -49,6 +49,10 @@ HEADLINE = [
     "q54_minhash_near_dup",
     "q56_topk_cosine",
     "q61_promo_revenue_share",
+    "q77_pii_redaction",
+    "q79_repetition_signals",
+    "q80_boilerplate_line_dedup",
+    "q81_bpe_token_counts",
     "q62_customer_distribution",
     "q63_small_qty_revenue",
     "q65_returned_item_customers",

@@ -162,3 +162,59 @@ def test_stream_static_join(spark, sf_dir, events_dir):
     out = _memtable(spark, name)
     assert "c_mktsegment" in out.columns
     assert out.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """stream_file_sink: restarting from the same checkpoint after new
+    source files arrive processes ONLY the new files — no duplicates, no
+    loss (the file-source WAL + _spark_metadata sink log together give
+    end-to-end exactly-once)."""
+    import json as jsonlib
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_file_sink
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(fname, ids):
+        (src / fname).write_text(
+            "\n".join(jsonlib.dumps({"id": i, "v": i * 10}) for i in ids)
+        )
+
+    write_batch("a.json", range(5))
+    stream = spark.readStream.schema("id bigint, v bigint").json(str(src))
+    q = stream_file_sink(stream, str(out), str(ckpt))
+    q.awaitTermination(60)
+    got1 = {r["id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == set(range(5))
+
+    # second run, same checkpoint: only the new file lands
+    write_batch("b.json", range(5, 8))
+    stream2 = spark.readStream.schema("id bigint, v bigint").json(str(src))
+    q2 = stream_file_sink(stream2, str(out), str(ckpt))
+    q2.awaitTermination(60)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 8, "replayed rows would show up as duplicates here"
+    assert {r["id"] for r in rows} == set(range(8))
+
+
+def test_file_sink_partitioned_output_prunes(spark, tmp_path):
+    import json as jsonlib
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_file_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "x.json").write_text(
+        "\n".join(jsonlib.dumps({"id": i, "bucket": i % 2}) for i in range(10))
+    )
+    stream = spark.readStream.schema("id bigint, bucket int").json(str(src))
+    q = stream_file_sink(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), partition_by=["bucket"]
+    )
+    q.awaitTermination(60)
+    assert (tmp_path / "out" / "bucket=0").exists()
+    df = spark.read.parquet(str(tmp_path / "out")).filter("bucket = 1")
+    assert df.count() == 5
