@@ -78,3 +78,52 @@ def asof_join(
     # but a cleaner discriminator is the tag value we assigned to left)
     left_rows = filled.filter(F.col(_TAG) == F.lit(left_tag))
     return left_rows.select(*left.columns, *carried.values())
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join as a shuffle equi-join instead of a
+    nested-loop: bucket the number line into ``bin_width``-wide bins, tag
+    each point with its bin, explode each interval to every bin it
+    overlaps, equi-join on the bin, then apply the exact BETWEEN as a
+    residual filter.
+
+    Vanilla Spark plans ``p.ts BETWEEN i.lo AND i.hi`` as a broadcast
+    nested loop (or worse, a cartesian product) — O(|P| * |I|) comparisons
+    that no amount of executors rescues at 100 TB. Binning makes it a
+    HashPartitioning equi-join: each point is matched only against
+    intervals overlapping its bin. Each (point, interval) pair meets in
+    EXACTLY one bin (the point's), so no post-join dedup is needed.
+
+    Cost model: interval fanout is ceil(len/bin_width) + 1 rows, so pick
+    ``bin_width`` near the typical interval length — 1 sizes fanout ~2x;
+    much smaller explodes the interval side, much larger piles unrelated
+    points into each bin and degenerates toward the nested loop. Columns
+    must be integral (days since epoch, unix seconds, ids...); callers
+    with dates convert via ``datediff`` first.
+
+    ``how='inner'`` only: outer variants would need the unmatched sides
+    re-attached after the residual filter.
+    """
+    if how != "inner":
+        raise ValueError("binned_range_join supports how='inner' only")
+    w = F.lit(int(bin_width))
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / w))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w))
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )

@@ -323,3 +323,45 @@ def q35_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
     b = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
     return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
+
+
+# ---------------------------------------------------------------------------
+# q83 — binned range join (point-in-interval as an equi-join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q83_binned_range_join",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipments
+    FROM (SELECT o_orderkey,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+          FROM orders WHERE o_orderkey % 97 = 0) o
+    JOIN (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+          FROM lineitem) l
+      ON l.d BETWEEN o.lo AND o.lo + 7
+    GROUP BY o.o_orderkey
+    """,
+    doc="Pure range join (no equi key): shipments falling in a 7-day window "
+        "after sampled order dates. operators/joins.py::binned_range_join "
+        "rewrites the BETWEEN nested-loop into a bin-keyed equi-join + "
+        "residual filter — the O(|P|*|I|) -> O(shuffle) rewrite that keeps "
+        "interval joins alive at 100 TB. Oracle is the naive BETWEEN join.",
+)
+def q83_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import binned_range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 7)
+    )
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("d")
+    )
+    j = binned_range_join(pts, iv, "d", "lo", "hi", bin_width=7)
+    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))

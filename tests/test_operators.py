@@ -162,3 +162,56 @@ def test_connected_components_distributed_path(spark):
         for r in connected_components(edges, local_threshold=0).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+class TestBinnedRangeJoin:
+    def test_matches_naive_between_join(self, spark):
+        from _spark_multi_format_data_lake_pipeline_spark.operators.joins import binned_range_join
+
+        pts = spark.createDataFrame(
+            [(i, i * 3 % 101) for i in range(200)], "pid bigint, x bigint"
+        )
+        ivs = spark.createDataFrame(
+            [(j, j * 7 % 90, j * 7 % 90 + (j % 13)) for j in range(40)],
+            "iid bigint, lo bigint, hi bigint",
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in binned_range_join(pts, ivs, "x", "lo", "hi", bin_width=5).collect()
+        }
+        want = {
+            (r["pid"], r["iid"])
+            for r in pts.join(
+                ivs, pts.x.between(ivs.lo, ivs.hi)
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_no_duplicate_pairs_when_interval_spans_bins(self, spark):
+        from _spark_multi_format_data_lake_pipeline_spark.operators.joins import binned_range_join
+
+        pts = spark.createDataFrame([(1, 50)], "pid bigint, x bigint")
+        ivs = spark.createDataFrame([(1, 0, 100)], "iid bigint, lo bigint, hi bigint")
+        rows = binned_range_join(pts, ivs, "x", "lo", "hi", bin_width=10).collect()
+        assert len(rows) == 1
+
+    def test_negative_values_bin_correctly(self, spark):
+        # floor division keeps bins aligned below zero (floor(-3/10) = -1)
+        from _spark_multi_format_data_lake_pipeline_spark.operators.joins import binned_range_join
+
+        pts = spark.createDataFrame([(1, -3), (2, -15), (3, 4)], "pid bigint, x bigint")
+        ivs = spark.createDataFrame([(1, -10, 0)], "iid bigint, lo bigint, hi bigint")
+        got = sorted(
+            r["pid"]
+            for r in binned_range_join(pts, ivs, "x", "lo", "hi", bin_width=10).collect()
+        )
+        assert got == [1]
+
+    def test_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from _spark_multi_format_data_lake_pipeline_spark.operators.joins import binned_range_join
+
+        df = spark.range(1)
+        with _pytest.raises(ValueError):
+            binned_range_join(df, df, "id", "id", "id", 1, how="left")
