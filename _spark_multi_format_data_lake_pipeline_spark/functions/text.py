@@ -88,3 +88,17 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     0) is the token — the pattern has no capturing groups."""
     col = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): the first 8
+    hex chars of sha256(key) mod buckets. Unlike ``df.sample`` (seeded
+    RNG, engine- and partitioning-dependent) this selects the SAME rows
+    on any engine and any cluster shape — the reproducible-sampling
+    primitive for corpus experiments ("take 1% of documents, forever").
+    DuckDB twin: ``CAST(('0x' || substr(sha256(key), 1, 8)) AS BIGINT) %
+    buckets``.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(buckets))

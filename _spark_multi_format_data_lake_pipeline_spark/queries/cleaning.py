@@ -243,3 +243,30 @@ def q81_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe.cast("double") / n_ws.cast("double"), 4).alias("bpe_per_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — deterministic hash-mod sampling (reproducible on any engine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q84_deterministic_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < 1000
+    """,
+    doc="Reproducible ~10% sample: sha256-derived bucket < 1000/10000. "
+        "Same rows on every engine, partitioning, and run — what corpus "
+        "experiments need instead of seeded RNG sampling. Map-only filter "
+        "(prunes at the scan at scale when the bucket is persisted).",
+)
+def q84_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 10_000)
+    return docs.select("doc_id", b.alias("bucket")).filter(F.col("bucket") < 1000)
