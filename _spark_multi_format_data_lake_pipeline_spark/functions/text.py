@@ -102,3 +102,65 @@ def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
     col = F.col(key) if isinstance(key, str) else key
     h = F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
     return F.pmod(h.cast("bigint"), F.lit(buckets))
+
+
+def _doc_words(df, id_col: str, text_col: str):
+    """(id, word) — lowercased whitespace tokens, one row per occurrence."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """(id, word, rank, tfidf) — top-k characteristic terms per document,
+    tfidf = tf * ln(N / df). Execution: explode → (doc,word) count → word-
+    keyed document-frequency join (map-side combined both times) → per-doc
+    WindowGroupLimit for the top-k. The df table is |vocab|-sized — tiny
+    next to the corpus — so AQE broadcasts the join at scale.
+
+    Ties broken by word ascending so results are deterministic (word-soup
+    corpora tie constantly).
+    """
+    from pyspark.sql import Window
+
+    words = _doc_words(df, id_col, text_col)
+    n_docs = df.count()  # one lightweight count job; N is a plan literal
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "word").select(
+        "id",
+        "word",
+        (F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf_raw"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf_raw").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "word",
+            "rank",
+            F.round("tfidf_raw", 4).alias("tfidf"),
+        )
+    )
+
+
+def unigram_neg_logprob(df, id_col: str, text_col: str):
+    """(id, n_tokens, avg_neg_logprob) — average -ln p(word) under the
+    corpus unigram model; the cheap stand-in for perplexity-based quality
+    filtering (docs scoring far above the corpus mean are gibberish or
+    boilerplate-stuffed). Same two shuffles as tf-idf; the unigram table
+    is vocab-sized."""
+    words = _doc_words(df, id_col, text_col)
+    total = words.count()  # corpus token count as a plan literal
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    scored = words.join(uni, "word").select(
+        "id", (-F.log(F.col("c").cast("double") / F.lit(float(total)))).alias("nlp")
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("nlp"), 4).alias("avg_neg_logprob"),
+    ).withColumnRenamed("id", id_col)

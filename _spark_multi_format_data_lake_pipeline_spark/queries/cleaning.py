@@ -270,3 +270,80 @@ def q84_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"), 10_000)
     return docs.select("doc_id", b.alias("bucket")).filter(F.col("bucket") < 1000)
+
+
+# ---------------------------------------------------------------------------
+# q85 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+@register(
+    "q85_tfidf_top_terms",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tfc FROM words GROUP BY doc_id, word
+    ),
+    dfreq AS (
+        SELECT word, COUNT(*) AS dfc FROM tf GROUP BY word
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tfc * ln((SELECT COUNT(*) FROM documents)::DOUBLE / dfreq.dfc)
+                   AS tfidf_raw
+        FROM tf JOIN dfreq USING (word)
+    )
+    SELECT doc_id, word, rank, ROUND(tfidf_raw, 4) AS tfidf
+    FROM (
+        SELECT doc_id, word, tfidf_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf_raw DESC, word) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    doc="Top-3 characteristic terms per doc, tfidf = tf * ln(N/df). "
+        "Explode -> doc-keyed tf -> vocab-sized df join (AQE broadcasts) "
+        "-> WindowGroupLimit top-k. Ties broken by word for determinism.",
+)
+def q85_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# q86 — unigram negative log-prob (perplexity-style quality score)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q86_unigram_logprob",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    ),
+    uni AS (
+        SELECT word, COUNT(*) AS c FROM words GROUP BY word
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(AVG(-ln(uni.c::DOUBLE / (SELECT COUNT(*) FROM words))), 4)
+               AS avg_neg_logprob
+    FROM words JOIN uni USING (word)
+    GROUP BY doc_id
+    """,
+    doc="Average -ln p(word) under the corpus unigram model — the cheap "
+        "perplexity stand-in for quality filtering. Two shuffles; the "
+        "unigram table is vocab-sized.",
+)
+def q86_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import unigram_neg_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_neg_logprob(docs, "doc_id", "text")
