@@ -268,3 +268,58 @@ def winnowing_fingerprints(
     w_slide = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     picks = grams.select("id", F.min("_gh").over(w_slide).alias("fingerprint"))
     return picks.distinct().withColumnRenamed("id", id_col)
+
+
+def minhash_incremental_filter(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: drop rows of ``new_df`` whose MinHash signature
+    agrees with some ``old_df`` row at >= ``threshold`` — the streaming/
+    batch-append flow where each crawl increment is deduped AGAINST THE
+    EXISTING CORPUS without re-pairing the corpus with itself.
+
+    Candidates come from an equi-join of band hashes (new side only joins
+    the bands it collides with, so cost scales with |new| + collision
+    count, not |old|); collisions are rescored by full-signature
+    agreement. At deployment scale the old side's banded signatures are a
+    persisted table partitioned by (band, band_hash) — each increment
+    probes, then appends its own bands.
+    """
+    rows_per_band = num_perm // bands
+
+    def _banded(df: DataFrame, tag: str) -> DataFrame:
+        gh = shingle_hashes(df.select(id_col, text_col), id_col, text_col, shingle_n)
+        sig = signatures_from_hashes(gh, num_perm)
+        band_idx = F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        )
+        return sig.select(
+            F.col("id").alias(f"{tag}_id"),
+            F.col("sig").alias(f"{tag}_sig"),
+            band_idx.alias("band", "band_hash"),
+        )
+
+    new_b = _banded(new_df, "new")
+    old_b = _banded(old_df, "old")
+    agree = F.aggregate(
+        F.zip_with("new_sig", "old_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    dup_ids = (
+        new_b.join(old_b, ["band", "band_hash"])
+        .filter(agree.cast("double") / F.lit(float(num_perm)) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")

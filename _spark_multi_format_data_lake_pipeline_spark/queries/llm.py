@@ -505,3 +505,50 @@ def q82_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sc, 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "q87_incremental_dedup",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(TRIM(text))[i:i+2]
+                              for i in range(1, LENGTH(TRIM(text)) - 1)]) AS grams
+        FROM documents WHERE doc_id < 250
+    ),
+    old AS (SELECT * FROM sh WHERE doc_id < 150),
+    new AS (SELECT * FROM sh WHERE doc_id >= 150)
+    SELECT doc_id FROM new
+    EXCEPT
+    SELECT n.doc_id FROM new n JOIN old o
+      ON len(list_intersect(o.grams, n.grams))::DOUBLE
+         / len(list_distinct(list_concat(o.grams, n.grams))) >= 0.65
+    """,
+    doc="Incremental dedup (exact-Jaccard formulation, oracle-paired): "
+        "keep new-batch docs with no >= 0.65 char-3-gram Jaccard match in "
+        "the existing corpus. The scale path is llm/dedup.py::"
+        "minhash_incremental_filter (band-hash equi-join probe of the "
+        "persisted corpus signatures — cost scales with the increment, "
+        "not the corpus; planted-dup test in tests/test_cleaning.py).",
+)
+def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_char_ngrams
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
+    old = sh.filter(F.col("doc_id") < 150).alias("o")
+    new = sh.filter(F.col("doc_id") >= 150).alias("n")
+    inter = F.size(F.array_intersect(F.col("o.grams"), F.col("n.grams")))
+    union = F.size(F.array_union(F.col("o.grams"), F.col("n.grams")))
+    dup_ids = (
+        new.join(old, inter.cast("double") / union.cast("double") >= 0.65)
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new.select("doc_id").join(dup_ids, "doc_id", "left_anti")
+    )

@@ -110,3 +110,27 @@ class TestDedupLinesCorpus:
         )
         out = dedup_lines_corpus(df, "id", "text", min_docs=5).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestMinhashIncrementalFilter:
+    def test_planted_duplicate_filtered_fresh_kept(self, spark):
+        from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import minhash_incremental_filter
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep green forest tonight").split()
+        old = spark.createDataFrame(
+            [(i, " ".join(base * 3) + f" variant {i}") for i in range(5)],
+            "id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (100, " ".join(base * 3) + " variant 0"),  # near-copy of old id 0
+                (101, " ".join(f"completely unrelated token{j} stream" for j in range(20))),
+            ],
+            "id bigint, text string",
+        )
+        kept = [
+            r["id"]
+            for r in minhash_incremental_filter(new, old, "id", "text").collect()
+        ]
+        assert kept == [101]

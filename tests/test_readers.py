@@ -205,3 +205,19 @@ def test_sweep_picks_up_orc_dir(spark, tmp_path):
     handles = load_all_sources(spark, tmp_path)
     assert [h.source_type for h in handles] == ["ORC"]
     assert handles[0].row_count == 5
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A lake directory accretes columns over time; mergeSchema reads the
+    union schema with nulls for files written before a column existed."""
+    d = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id bigint, v1 string").write.parquet(
+        str(d), mode="append"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v1 string, v2 double"
+    ).write.parquet(str(d), mode="append")
+    df = spark.read.option("mergeSchema", "true").parquet(str(d))
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
