@@ -24,7 +24,12 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine_similarity
 from ..llm.dedup import exact_dedup_keepers, minhash_near_dup_pairs, simhash
-from ..llm.multimodal import attach_fake_media, extract_features
+from ..llm.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..llm.similarity import (
     ann_search_bucketed,
     ivf_fit_centroids,
@@ -552,3 +557,73 @@ def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         new.select("doc_id").join(dup_ids, "doc_id", "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88/q89 — multimodal resize geometry + frame sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q88_image_resize",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               (64 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1857)::INT AS width,
+               (64 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8))
+                          AS BIGINT) % 1017)::INT AS height
+        FROM documents
+    ),
+    s AS (
+        SELECT *, LEAST(1.0, 256.0 / GREATEST(width, height)) AS scale FROM m
+    ),
+    o AS (
+        SELECT doc_id, n_bytes, width, height,
+               GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS out_width,
+               GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS out_height
+        FROM s
+    )
+    SELECT doc_id, width, height, out_width, out_height,
+           GREATEST(1, CAST(FLOOR(n_bytes * (out_width * out_height)
+                                  / (width * height)) AS INT)) AS out_bytes
+    FROM o
+    """,
+    doc="Multimodal resize plumbing: typed media metadata (sha256-derived, "
+        "engine-portable) + aspect-preserving geometry computed in an "
+        "Arrow-batched mapInPandas where a real decoder would slot in "
+        "(llm/multimodal.py::resize_media). Oracle recomputes the geometry "
+        "in SQL — IEEE-double on both engines.",
+)
+def q88_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_media(attach_fake_media(docs), max_dim=256)
+    return out.select(
+        "doc_id", "width", "height", "out_width", "out_height", "out_bytes"
+    )
+
+
+@register(
+    "q89_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_bytes,
+               unnest(range(0, CAST(CEIL(n_bytes / 256.0) AS BIGINT), 4)) AS fi
+        FROM m WHERE n_bytes > 0
+    )
+    SELECT doc_id, fi::INT AS frame_idx,
+           LEAST(256, n_bytes - fi * 256)::INT AS frame_len
+    FROM f
+    """,
+    doc="Video-style frame sampling: payload split into 256-byte frames, "
+        "every 4th kept, one output row per sampled frame (row-expanding "
+        "mapInPandas, llm/multimodal.py::sample_frames). Oracle derives the "
+        "same (frame_idx, frame_len) stream with a range() unnest.",
+)
+def q89_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_frames(attach_fake_media(docs), frame_bytes=256, every=4)
+    return out.select("doc_id", "frame_idx", "frame_len")

@@ -1,0 +1,102 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2 Part B "Multimodal").
+
+The decode step is stubbed (no codec libs in this container) but the
+Spark-side plumbing — typed metadata struct, Arrow batching, row-expanding
+frame sampling — is real and asserted here.
+"""
+
+import hashlib
+
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.llm.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "x" * 1000),
+            (3, ""),  # zero-byte payload
+        ],
+        "doc_id bigint, text string",
+    )
+    return attach_fake_media(docs)
+
+
+def test_metadata_struct_typed_and_deterministic(media):
+    row = media.filter("doc_id = 1").select("meta.*").head()
+    again = media.filter("doc_id = 1").select("meta.*").head()
+    assert row == again
+    assert 64 <= row["width"] < 64 + 1857
+    assert 64 <= row["height"] < 64 + 1017
+    assert 1000 <= row["duration_ms"] < 601_000
+    assert 8000 <= row["sample_rate"] < 48_000
+
+
+def test_extract_features_hashes_payload(media):
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[2]["n_bytes"] == 1000
+    assert feats[1]["payload_sha256"] == hashlib.sha256(b"short").hexdigest()
+
+
+def test_resize_preserves_aspect_and_bounds(media):
+    out = {r["doc_id"]: r for r in resize_media(media, max_dim=128).collect()}
+    for r in out.values():
+        assert 1 <= r["out_width"] <= max(r["width"], 128)
+        assert 1 <= r["out_height"] <= max(r["height"], 128)
+        assert max(r["out_width"], r["out_height"]) <= max(
+            r["width"], r["height"]
+        )
+        # aspect ratio within integer-floor tolerance
+        if min(r["width"], r["height"]) > 128:
+            in_ratio = r["width"] / r["height"]
+            out_ratio = r["out_width"] / r["out_height"]
+            assert abs(in_ratio - out_ratio) / in_ratio < 0.05
+        assert len(r["thumbnail"]) == min(r["out_bytes"], len(r["thumbnail"]))
+
+
+def test_resize_never_upscales(media):
+    out = resize_media(media, max_dim=10_000).collect()
+    for r in out:
+        assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+
+
+def test_sample_frames_row_expansion_and_reassembly(media):
+    frames = sample_frames(media, frame_bytes=100, every=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: 1000 bytes -> 10 frames, every 2nd -> indices 0,2,4,6,8
+    idxs = sorted(r["frame_idx"] for r in by_doc[2])
+    assert idxs == [0, 2, 4, 6, 8]
+    assert all(r["frame_len"] == 100 for r in by_doc[2])
+    # sampled frames are the exact payload slices
+    payload = b"x" * 1000
+    for r in by_doc[2]:
+        start = r["frame_idx"] * 100
+        assert bytes(r["frame"]) == payload[start : start + 100]
+    # zero-byte payload yields no frames
+    assert 3 not in by_doc
+
+
+def test_sample_frames_ragged_tail(spark):
+    docs = spark.createDataFrame([(7, "a" * 250)], "doc_id bigint, text string")
+    frames = sample_frames(attach_fake_media(docs), frame_bytes=100, every=1).collect()
+    assert [(r["frame_idx"], r["frame_len"]) for r in sorted(frames, key=lambda r: r["frame_idx"])] == [
+        (0, 100),
+        (1, 100),
+        (2, 50),
+    ]
+
+
+def test_decode_stub_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
