@@ -167,3 +167,36 @@ def q43_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 1000).alias("duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — click→purchase attribution (batch twin of stream_stream_join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q90_click_purchase_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS left_id,
+           p.event_id AS right_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Interval join: every purchase within 30 min after a click by the "
+        "same user. Batch twin of streaming/events.py::stream_stream_join "
+        "(same column contract); the streaming test asserts stream==batch. "
+        "At scale both sides shuffle once on user_id and the interval "
+        "bound doubles as the state-eviction rule.",
+)
+def q90_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return stream_stream_join(clicks, purchases, within="30 minutes")

@@ -627,3 +627,33 @@ def q89_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = sample_frames(attach_fake_media(docs), frame_bytes=256, every=4)
     return out.select("doc_id", "frame_idx", "frame_len")
+
+
+# ---------------------------------------------------------------------------
+# q91 — per-label embedding centroids (semantic-cluster statistics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q91_label_centroids",
+    oracle="""
+    SELECT label, dim::INT AS dim, ROUND(AVG(e), 4) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS e,
+               unnest(range(0, len(embedding))) AS dim
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    doc="Per-label, per-dimension embedding centroid: posexplode the vector "
+        "and hash-aggregate on (label, dim). The explode multiplies rows by "
+        "the dimensionality but partial aggregation collapses them map-side, "
+        "so the shuffle carries only |labels|*dim rows — the scalable way to "
+        "compute class centroids for semantic dedup/clustering at 100 TB.",
+)
+def q91_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    exploded = em.select("label", F.posexplode("embedding").alias("dim", "e"))
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("e"), 4).alias("centroid")
+    )

@@ -101,6 +101,40 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str = "user_id") -
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right events
+    for the same key that occur in ``[left.ts, left.ts + within]``.
+
+    Both sides carry watermarks so Spark can bound the join state buffer:
+    a left row is dropped from state once the right watermark passes
+    ``left.ts + within`` (and vice versa) — without the time-range
+    condition the state would grow forever. The batch twin is
+    queries/events.py::q90 (click→purchase attribution).
+    """
+    l = left.alias("l").withWatermark("ts", left_watermark)
+    r = right.alias("r").withWatermark("ts", right_watermark)
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias(
+            "lag_us"
+        ),
+    )
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

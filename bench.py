@@ -53,6 +53,8 @@ HEADLINE = [
     "q79_repetition_signals",
     "q80_boilerplate_line_dedup",
     "q81_bpe_token_counts",
+    "q85_tfidf_top_terms",
+    "q88_image_resize",
     "q62_customer_distribution",
     "q63_small_qty_revenue",
     "q65_returned_item_customers",

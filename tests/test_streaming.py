@@ -218,3 +218,28 @@ def test_file_sink_partitioned_output_prunes(spark, tmp_path):
     assert (tmp_path / "out" / "bucket=0").exists()
     df = spark.read.parquet(str(tmp_path / "out")).filter("bucket = 1")
     assert df.count() == 5
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import stream_stream_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    clicks_s, purchases_s = split(read_event_stream(spark, events_dir))
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    run_available_now(stream_stream_join(clicks_s, purchases_s), name)
+    got = {
+        (r.user_id, r.left_id, r.right_id, r.lag_us)
+        for r in _memtable(spark, name).collect()
+    }
+
+    clicks_b, purchases_b = split(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.user_id, r.left_id, r.right_id, r.lag_us)
+        for r in stream_stream_join(clicks_b, purchases_b).collect()
+    }
+    assert got == want and len(want) > 0
