@@ -365,3 +365,154 @@ def q83_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = binned_range_join(pts, iv, "d", "lo", "hi", bin_width=7)
     return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))
+
+
+# ---------------------------------------------------------------------------
+# q92 — calendar gap-fill (sequence/explode dimension generation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q92_daily_gapfill",
+    oracle="""
+    WITH cal AS (
+        SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.n_orders, 0)::BIGINT AS n_orders
+    FROM cal LEFT JOIN daily USING (d)
+    """,
+    doc="Zero-filled daily order counts: a generated calendar dimension "
+        "(F.sequence + explode — no source scan) left-joined to the daily "
+        "aggregate. The calendar side is rows=days, always broadcastable; "
+        "the fact side aggregates BEFORE the join so the shuffle carries "
+        "one row per day, not per order.",
+)
+def q92_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit("1997-01-01").cast("date"), F.lit("1997-03-31").cast("date"))
+        ).alias("d")
+    )
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cal.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — fuzzy string matching (levenshtein)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q93_fuzzy_type_pairs",
+    oracle="""
+    WITH t AS (SELECT DISTINCT p_type FROM part)
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           levenshtein(a.p_type, b.p_type)::INT AS dist
+    FROM t a JOIN t b ON a.p_type < b.p_type
+    WHERE levenshtein(a.p_type, b.p_type) <= 6
+    """,
+    doc="Near-duplicate category labels by edit distance: distinct-value "
+        "self-join + levenshtein <= 6. The distinct projection shrinks the "
+        "pair space from |part|^2 to |vocab|^2 — the standard trick for "
+        "fuzzy-matching label columns whose vocabulary is tiny relative to "
+        "the table.",
+)
+def q93_fuzzy_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "part").select("p_type").distinct()
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.p_type"), F.col("b.p_type"))
+    return (
+        a.join(b, F.col("a.p_type") < F.col("b.p_type"))
+        .filter(dist <= 6)
+        .select(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — equi-width histogram (width_bucket)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q94_price_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; this CASE is the exact arithmetic Spark's
+    -- WidthBucket uses (width = (max-min)/n = 5000.0, same IEEE doubles)
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 100000 THEN 21
+                ELSE CAST(FLOOR(l_extendedprice / 5000.0) + 1 AS INT) END AS bucket,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Equi-width price histogram via width_bucket — single map-side-"
+        "combined aggregation, shuffle carries only n_buckets rows. DuckDB "
+        "lacks width_bucket, so the oracle spells out the same bucket "
+        "arithmetic.",
+)
+def q94_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket("l_extendedprice", F.lit(0), F.lit(100000), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — unpivot / melt (inverse of q31's pivot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q95_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value
+    FROM (
+        SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+        FROM part
+    ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    """,
+    doc="Wide→long unpivot (inverse of q31's pivot): each part row becomes "
+        "one row per metric. Map-only (no shuffle) — the melt shape that "
+        "feeds generic metric stores.",
+)
+def q95_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
