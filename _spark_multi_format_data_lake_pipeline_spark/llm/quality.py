@@ -57,3 +57,40 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             "passed"
         ),
     )
+
+
+def observed(df: DataFrame, rules: list[Rule]):
+    """Attach the rule measures to ``df`` as an ``Observation`` so they are
+    collected as a SIDE EFFECT of whatever action the caller already runs
+    (a write, a count) — zero additional table scans, unlike ``validate``
+    which spends its own aggregation job. The trade: observation metrics
+    must be commutative aggregates (count_distinct is rejected by Spark
+    here, so ``distinct_ratio`` rules can't ride along).
+
+    Returns ``(df, observation)``; after an action on ``df``, call
+    ``observation_report(observation, rules)``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    return (
+        df.observe(obs, *[r.measure.cast("double").alias(r.name) for r in rules]),
+        obs,
+    )
+
+
+def observation_report(obs, rules: list[Rule]) -> list[dict]:
+    """Evaluate rule bounds against a completed Observation's metrics."""
+    got = obs.get
+    return [
+        {
+            "rule": r.name,
+            "value": got[r.name],
+            "min_ok": r.min_ok,
+            "max_ok": r.max_ok,
+            "passed": (
+                got[r.name] is not None and r.min_ok <= got[r.name] <= r.max_ok
+            ),
+        }
+        for r in rules
+    ]
