@@ -76,3 +76,81 @@ def test_merge_upsert_idempotent_antijoin(spark, base, update):
     once = t.join(u, "id", "left_anti").unionByName(u)
     twice = once.join(u, "id", "left_anti").unionByName(u)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user_id
+            st.integers(0, 7200),   # seconds offset
+            st.booleans(),          # click vs purchase
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_interval_join_matches_naive(spark, events):
+    """stream_stream_join's batch formulation == a driver-side nested loop
+    over the same interval condition, on arbitrary event sets."""
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import stream_stream_join
+
+    rows = [
+        (i, f"2024-01-01 00:00:00", u, "click" if is_c else "purchase", s)
+        for i, (u, s, is_c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, s) for i, _, u, t, s in rows],
+        "event_id bigint, user_id bigint, event_type string, off bigint",
+    ).selectExpr(
+        "event_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off) AS ts",
+        "user_id",
+        "event_type",
+    )
+    clicks = df.filter("event_type = 'click'")
+    purchases = df.filter("event_type = 'purchase'")
+    got = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in stream_stream_join(clicks, purchases, within="30 minutes").collect()
+    }
+
+    evs = [(i, u, s, is_c) for i, (u, s, is_c) in enumerate(events)]
+    want = {
+        (cu, ci, pi)
+        for ci, cu, cs, c_is_c in evs if c_is_c
+        for pi, pu, ps, p_is_c in evs if not p_is_c
+        if pu == cu and cs <= ps <= cs + 1800
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=3,  # shingles are WORD 3-grams: need >= 3 words
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_incremental_filter_self_is_empty_and_idempotent(spark, texts):
+    """Deduping a corpus against itself removes everything (every doc's
+    signature agrees 100% with itself); filtering an already-filtered batch
+    again removes nothing more. Docs need >= 3 words — shorter docs have
+    no word-3-gram signature and are (correctly) always kept."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import minhash_incremental_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    assert minhash_incremental_filter(df, df, "id", "text").count() == 0
+
+    # disjoint alphabets -> nothing filtered; re-filter is a fixpoint
+    other = spark.createDataFrame([(99, "zzz qqq www " * 3)], "id bigint, text string")
+    once = minhash_incremental_filter(df, other, "id", "text")
+    twice = minhash_incremental_filter(once, other, "id", "text")
+    assert sorted(r.id for r in once.collect()) == sorted(r.id for r in twice.collect())
