@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: clean → dedup → quality-gate in ONE
+declarative pass (SURVEY.md §2 Part B "LLM-data extensions", composed).
+
+Instead of filtering stage by stage (each filter hiding what it dropped),
+every document is annotated with its first-matching ``drop_reason``:
+
+    NULL          survives curation
+    'too_short'   fewer than ``min_tokens`` whitespace tokens after cleaning
+    'low_quality' stopword ratio outside ``[min_stopword, max_stopword]``
+    'exact_dup'   same cleaned text as a lower-id document
+    'near_dup'    MinHash-estimated Jaccard >= ``near_threshold`` against a
+                  lower-id exact-dedup survivor (greedy: the match itself
+                  may also be near-dup-dropped)
+
+so the curated set is ``drop_reason IS NULL`` and the funnel report is a
+single groupBy — stats cost one scan, not one scan per stage. At 100 TB the
+expensive stages (exact-dup groupBy, MinHash band join) shuffle only ids and
+hashes, never the payload text; the text rides along in the final join by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cleaning import redact_pii, strip_html
+from .dedup import exact_dedup_keepers, minhash_near_dup_pairs
+from ..functions.text import stopword_ratio, token_count
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_stopword: float = 0.0,
+    max_stopword: float = 1.0,
+    near_threshold: float = 0.8,
+) -> DataFrame:
+    """Annotate every document with ``clean_text`` and ``drop_reason``
+    (NULL = keep). Quality gates run before dedup so a near-dup of a
+    rejected doc is charged to quality, not dedup; exact-dup beats
+    near-dup so the reasons are deterministic."""
+    cleaned = docs.select(
+        F.col(id_col).alias("id"),
+        redact_pii(strip_html(F.col(text_col))).alias("clean_text"),
+    )
+
+    sw = stopword_ratio("clean_text")
+    quality = cleaned.select(
+        "id",
+        "clean_text",
+        F.when(token_count("clean_text") < min_tokens, F.lit("too_short"))
+        .when((sw < min_stopword) | (sw > max_stopword), F.lit("low_quality"))
+        .alias("q_reason"),
+    )
+    passing = quality.filter(F.col("q_reason").isNull()).select("id", "clean_text")
+
+    # exact dup: every passing doc that is NOT its sha-group's keeper
+    keepers = exact_dedup_keepers(passing, "id", "clean_text").select(
+        F.col("id").alias("keep_id")
+    )
+    exact_kept = passing.join(
+        keepers, passing["id"] == keepers["keep_id"], "left_semi"
+    )
+
+    # near dup among exact-survivors: drop the higher id of each pair
+    pairs = minhash_near_dup_pairs(
+        exact_kept, "id", "clean_text", threshold=near_threshold
+    )
+    near_drops = pairs.select(F.col("id_b").alias("nd_id")).distinct()
+
+    reason = (
+        F.when(F.col("q_reason").isNotNull(), F.col("q_reason"))
+        .when(F.col("keep_id").isNull(), F.lit("exact_dup"))
+        .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
+    )
+    annotated = (
+        quality.join(keepers, quality["id"] == keepers["keep_id"], "left")
+        .join(near_drops, quality["id"] == near_drops["nd_id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "clean_text",
+            reason.alias("drop_reason"),
+        )
+    )
+    return annotated
+
+
+def curation_report(annotated: DataFrame) -> DataFrame:
+    """Funnel counts by drop reason ('kept' for survivors) — one groupBy."""
+    return (
+        annotated.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("stage")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -657,3 +657,26 @@ def q91_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         F.round(F.avg("e"), 4).alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — corpus curation funnel (composed clean→dedup→quality pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q96_curation_funnel",
+    oracle=None,
+    doc="End-to-end curation funnel over documents: HTML strip + PII "
+        "redaction, then quality gates, exact dedup, and MinHash near-dup "
+        "— one declarative pass annotating drop_reason per doc, one groupBy "
+        "for the report (llm/curation.py). MinHash stage is engine-specific "
+        "→ rows-only; each stage is oracle-checked individually by "
+        "q50/q54/q77/q78/q51.",
+)
+def q96_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import curate_corpus, curation_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_report(
+        curate_corpus(docs, min_tokens=5, near_threshold=0.7)
+    )

@@ -1,0 +1,72 @@
+"""End-to-end corpus curation funnel (llm/curation.py): one declarative
+pass annotating drop reasons; planted docs land in the right funnel stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from _spark_multi_format_data_lake_pipeline_spark.llm.curation import (
+    curate_corpus,
+    curation_report,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest tonight under a pale cold moon"
+)
+OTHER = (
+    "completely different subject matter here about spark catalyst plans "
+    "and shuffle partitions during large scale joins on clusters"
+)
+
+
+@pytest.fixture(scope="module")
+def annotated(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, BASE),                              # exact dup of 0
+            (2, BASE + " extra trailing words"),    # near dup of 0
+            (3, "hi"),                              # too short
+            (4, "<p>" + BASE + "</p>"),             # html -> cleans to BASE -> exact dup
+            (5, OTHER),                             # kept
+        ],
+        "doc_id bigint, text string",
+    )
+    return curate_corpus(docs, near_threshold=0.6).cache()
+
+
+def test_funnel_reasons(annotated):
+    got = {r["doc_id"]: r["drop_reason"] for r in annotated.collect()}
+    assert got[0] is None
+    assert got[1] == "exact_dup"
+    assert got[2] == "near_dup"
+    assert got[3] == "too_short"
+    assert got[4] == "exact_dup"  # cleaning runs BEFORE dedup
+    assert got[5] is None
+
+
+def test_clean_text_stripped(annotated):
+    r4 = annotated.filter("doc_id = 4").head()
+    assert r4["clean_text"] == BASE
+
+
+def test_report_is_one_groupby(annotated):
+    rep = {r["stage"]: r["n_docs"] for r in curation_report(annotated).collect()}
+    assert rep == {"kept": 2, "exact_dup": 2, "near_dup": 1, "too_short": 1}
+
+
+def test_quality_gate_charged_before_dedup(spark):
+    # a stopword-soup doc AND its exact copy: both low_quality, not dup
+    soup = "the and of to is the and of to is the and of to is"
+    docs = spark.createDataFrame(
+        [(0, soup), (1, soup), (2, OTHER)], "doc_id bigint, text string"
+    )
+    out = curate_corpus(docs, max_stopword=0.5)
+    got = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+    assert got[0] == "low_quality" and got[1] == "low_quality"
+    assert got[2] is None
+
+
+def test_curated_set_is_null_filter(annotated):
+    kept = annotated.filter(F.col("drop_reason").isNull())
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 5]
