@@ -200,3 +200,124 @@ def q90_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_stream_join(clicks, purchases, within="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# q97 — retention cohorts (signup-month cohort × month offset)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q97_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort,
+               date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           day_offset::INT AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+    doc="Classic retention matrix: cohort = day of a user's first event; "
+        "count distinct users active at each day offset. Two aggregations "
+        "sharing the user_id shuffle key; the firsts table is |users|-sized "
+        "so AQE broadcasts the join at scale.",
+)
+def q97_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q98 — sequential conversion funnel (click → view → purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q98_event_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+               MIN(ts) FILTER (WHERE event_type = 'view'
+                               AND ts > (SELECT MIN(ts) FROM events e2
+                                         WHERE e2.user_id = e.user_id
+                                           AND e2.event_type = 'click'))
+                   AS first_view_after,
+               MAX(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase
+        FROM events e
+        GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE first_click IS NOT NULL) AS n_clicked,
+           COUNT(*) FILTER (WHERE first_view_after IS NOT NULL) AS n_then_viewed,
+           COUNT(*) FILTER (WHERE first_view_after IS NOT NULL
+                            AND last_purchase > first_view_after) AS n_then_purchased
+    FROM per_user
+    """,
+    doc="Ordered funnel: users who clicked, then viewed AFTER the first "
+        "click, then purchased AFTER that view. One groupBy(user) with "
+        "conditional aggregates — no self-joins; the step ordering is "
+        "min/max timestamp logic, the scalable funnel formulation.",
+)
+def q98_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    click_ts = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        click_ts.alias("first_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "view"), F.col("ts")
+            )
+        ).alias("first_view_any"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    # recompute first view AFTER first click with a second conditional pass
+    view_after = (
+        ev.alias("e")
+        .join(
+            per_user.select("user_id", "first_click").alias("p"),
+            "user_id",
+        )
+        .filter(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_after"))
+    )
+    j = per_user.join(view_after, "user_id", "left")
+    return j.agg(
+        F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("n_clicked"),
+        F.count(F.when(F.col("first_view_after").isNotNull(), 1)).alias(
+            "n_then_viewed"
+        ),
+        F.count(
+            F.when(
+                F.col("first_view_after").isNotNull()
+                & (F.col("last_purchase") > F.col("first_view_after")),
+                1,
+            )
+        ).alias("n_then_purchased"),
+    )

@@ -96,6 +96,22 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful dedup tolerant of LATE duplicates: unlike ``dedup_events``
+    (plain dropDuplicates keyed forever-or-until-watermark on event time),
+    ``dropDuplicatesWithinWatermark`` keeps each id's state for the
+    watermark delay measured from when the FIRST copy arrived — so a
+    duplicate whose own timestamp is older than the watermark is still
+    caught as long as it lands within the delay. The right choice when
+    upstream retries re-emit events with their original (old) timestamps.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static join: the static side is broadcast per micro-batch."""
     return events.join(F.broadcast(dim), on=on, how="left")

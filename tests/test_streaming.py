@@ -243,3 +243,59 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
         for r in stream_stream_join(clicks_b, purchases_b).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_catches_late_duplicate(spark, tmp_path):
+    """A retry re-emits event_id=1 with its ORIGINAL old timestamp in a
+    later micro-batch. dropDuplicatesWithinWatermark still suppresses it
+    (state lifetime is measured from first arrival, not event time)."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        dedup_events_within_watermark,
+    )
+
+    src = tmp_path / "retry_stream"
+    src.mkdir()
+
+    def write_events(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [dt.datetime.fromisoformat(r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            src / fname,
+        )
+
+    write_events("a.parquet", [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 13:00:00"),  # raises watermark to 11:00
+    ])
+    time.sleep(1.05)
+    # duplicate of id 1 with its original ts (10:00 < watermark 11:00)
+    write_events("b.parquet", [(1, "2024-01-01 10:00:00"), (3, "2024-01-01 13:30:00")])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .repartition(1)
+    )
+    name = f"wd_{uuid.uuid4().hex[:8]}"
+    run_available_now(dedup_events_within_watermark(stream), name)
+    ids = sorted(r.event_id for r in _memtable(spark, name).collect())
+    assert ids == [1, 2, 3]  # id 1 exactly once despite the late retry
