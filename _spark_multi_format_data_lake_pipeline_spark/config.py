@@ -112,3 +112,38 @@ def executor_sizing(
     if num_executors is not None:
         conf["spark.executor.instances"] = str(num_executors)
     return conf
+
+
+def jar_manifest(
+    spark_minor: str = "4.0",
+    scala: str = "2.13",
+    iceberg_version: str = "1.8.1",
+    hadoop_aws_version: str = "3.4.1",
+    with_s3: bool = False,
+) -> list[str]:
+    """Maven coordinates for the lakehouse runtime (reference
+    ``config/minio_config.py:39-47``, ``main.py:17-25`` — F6). The sandbox
+    has no Maven access, so this list is *declared* here and only consumed
+    by ``session.get_spark(jars=...)`` when a cluster can resolve it; every
+    code path that needs the Iceberg runtime degrades to the jar-free
+    equivalent when absent (sinks/merge.py).
+    """
+    jars = [
+        f"org.apache.iceberg:iceberg-spark-runtime-{spark_minor}_{scala}:{iceberg_version}",
+    ]
+    if with_s3:
+        jars += [
+            f"org.apache.iceberg:iceberg-aws-bundle:{iceberg_version}",
+            f"org.apache.hadoop:hadoop-aws:{hadoop_aws_version}",
+        ]
+    return jars
+
+
+def object_store_cleanup_plan(bucket: str, prefix: str = "") -> dict:
+    """Deliberately NOT an implementation of the reference's boto3 bucket
+    purge (``main.py:56-86`` — F7): a destructive out-of-band delete has no
+    place inside an analytics engine. Returns the parameters a deployment's
+    external janitor job would use; documented divergence (SURVEY.md §2
+    A.7).
+    """
+    return {"bucket": bucket, "prefix": prefix, "action": "delete_objects"}

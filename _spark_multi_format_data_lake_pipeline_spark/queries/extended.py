@@ -516,3 +516,35 @@ def q95_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — recursive CTE (iterative transitive closure in pure SQL)
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS id, 0 AS depth FROM supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT s.s_suppkey, c.depth + 1
+        FROM supplier s JOIN chain c ON {half} = c.id
+        WHERE s.s_suppkey > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+    FROM chain GROUP BY depth
+"""
+
+
+@register(
+    "q99_recursive_hierarchy",
+    oracle=_Q99_SQL.format(half="s.s_suppkey // 2"),
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): treat supplier keys as an "
+        "implicit binary org-chart (parent = key div 2) and walk it from "
+        "the root, counting nodes per depth. Each iteration is one "
+        "hash-join stage; the frontier shrinks geometrically, exactly how "
+        "an iterative closure should behave on a cluster.",
+)
+def q99_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q99_SQL.format(half="s.s_suppkey DIV 2"))

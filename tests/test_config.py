@@ -44,3 +44,23 @@ def test_merge_overlay_and_sizing():
     s = executor_sizing(num_executors=10)
     assert s["spark.executor.instances"] == "10"
     assert "spark.sql.extensions" in iceberg_extensions_conf()
+
+
+def test_jar_manifest_shapes():
+    from _spark_multi_format_data_lake_pipeline_spark.config import jar_manifest
+
+    base = jar_manifest()
+    assert base == [
+        "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.1"
+    ]
+    s3 = jar_manifest(with_s3=True)
+    assert len(s3) == 3 and any("hadoop-aws" in j for j in s3)
+
+
+def test_cleanup_plan_is_declarative():
+    from _spark_multi_format_data_lake_pipeline_spark.config import (
+        object_store_cleanup_plan,
+    )
+
+    plan = object_store_cleanup_plan("lake", "warehouse/")
+    assert plan["action"] == "delete_objects" and plan["bucket"] == "lake"
