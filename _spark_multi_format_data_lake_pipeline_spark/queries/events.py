@@ -321,3 +321,68 @@ def q98_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_then_purchased"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — VARIANT semi-structured path (Spark 4 parse_json/variant_get)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q100_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion of the untyped props column: parse_json "
+        "once into a variant, then typed variant_get extraction — the "
+        "shredded-at-read path that replaces repeated get_json_object "
+        "string parsing (one parse per row instead of one per field). "
+        "DuckDB twin uses its JSON extraction.",
+)
+def q100_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("vp")
+    ).select(
+        "event_type",
+        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — mergeable HLL sketches (partials per day, union to total)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q101_hll_partial_union",
+    oracle=None,
+    doc="Mergeable distinct-count sketches: hll_sketch_agg builds one "
+        "sketch per day, hll_union_agg merges them into the overall "
+        "distinct-user estimate — the incremental pattern that lets a 100 "
+        "TB pipeline maintain per-partition sketches and answer global "
+        "count-distinct without rescanning history. Sketches are engine-"
+        "specific -> rows-only; tests assert <5% error vs exact.",
+)
+def q101_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "approx_distinct_users"
+        ),
+    )

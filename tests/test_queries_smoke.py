@@ -35,3 +35,14 @@ def test_oracle_parses_and_columns_match(spark, sf_dir, duck, name):
     odf = duck.sql(q.oracle).df()
     sdf = q.fn(spark, sf_dir)
     assert sorted(sdf.columns) == sorted(odf.columns), name
+
+
+def test_hll_union_estimate_close_to_exact(spark, sf_dir):
+    from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    est = QUERIES["q101_hll_partial_union"].fn(spark, sf_dir).head()[
+        "approx_distinct_users"
+    ]
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
