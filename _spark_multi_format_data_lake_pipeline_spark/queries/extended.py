@@ -548,3 +548,60 @@ _Q99_SQL = """
 def q99_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q99_SQL.format(half="s.s_suppkey DIV 2"))
+
+
+# ---------------------------------------------------------------------------
+# q102 — deterministic list aggregation (collect_list + sort discipline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q102_sorted_listagg",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Per-nation sorted roster: collect_list is order-nondeterministic "
+        "under parallel aggregation, so the engine ALWAYS array_sort()s "
+        "before joining to a string — the discipline that makes list "
+        "aggregation reproducible on any cluster shape. Oracle uses "
+        "string_agg ORDER BY.",
+)
+def q102_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — file provenance via the _metadata column (rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q103_file_provenance",
+    oracle=None,
+    doc="Per-input-file lineage: the hidden _metadata struct exposes "
+        "file_name/file_size for every row at zero cost (populated from "
+        "the scan, no extra IO) — the debugging handle for 'which file "
+        "produced this bad row' on a million-file lake. No DuckDB twin for "
+        "Spark's metadata column -> rows-only; the test cross-checks "
+        "counts against per-file parquet footers.",
+)
+def q103_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -55,6 +55,8 @@ HEADLINE = [
     "q81_bpe_token_counts",
     "q85_tfidf_top_terms",
     "q88_image_resize",
+    "q96_curation_funnel",
+    "q97_retention_cohorts",
     "q62_customer_distribution",
     "q63_small_qty_revenue",
     "q65_returned_item_customers",

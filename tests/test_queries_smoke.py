@@ -46,3 +46,15 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     ]
     exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_file_provenance_matches_parquet_footers(spark, sf_dir, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+
+    # multi-file table so provenance has >1 group
+    src = spark.range(0, 1000).withColumnRenamed("id", "l_orderkey")
+    src.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["q103_file_provenance"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert sum(r["n_rows"] for r in out) == 1000
+    assert all(r["file_name"].endswith(".parquet") for r in out)
