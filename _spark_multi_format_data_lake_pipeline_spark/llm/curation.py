@@ -36,11 +36,18 @@ def curate_corpus(
     min_stopword: float = 0.0,
     max_stopword: float = 1.0,
     near_threshold: float = 0.8,
+    cache_cleaned: bool = True,
 ) -> DataFrame:
     """Annotate every document with ``clean_text`` and ``drop_reason``
     (NULL = keep). Quality gates run before dedup so a near-dup of a
     rejected doc is charged to quality, not dedup; exact-dup beats
-    near-dup so the reasons are deterministic."""
+    near-dup so the reasons are deterministic.
+
+    The cleaned+gated frame feeds FOUR downstream branches (exact dedup,
+    band join, and the two final joins); without materialization Spark
+    re-runs the HTML/PII regex chain once per branch (~2.6x wall on the
+    bench corpus). ``cache_cleaned`` persists that one stage; a 100 TB run
+    would checkpoint it to the lake instead."""
     cleaned = docs.select(
         F.col(id_col).alias("id"),
         redact_pii(strip_html(F.col(text_col))).alias("clean_text"),
@@ -54,6 +61,8 @@ def curate_corpus(
         .when((sw < min_stopword) | (sw > max_stopword), F.lit("low_quality"))
         .alias("q_reason"),
     )
+    if cache_cleaned:
+        quality = quality.persist()
     passing = quality.filter(F.col("q_reason").isNull()).select("id", "clean_text")
 
     # exact dup: every passing doc that is NOT its sha-group's keeper
