@@ -605,3 +605,45 @@ def q103_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — referential-integrity validation across the lake
+# ---------------------------------------------------------------------------
+
+@register(
+    "q104_referential_integrity",
+    oracle="""
+    SELECT 'orders_without_customer' AS violation, COUNT(*) AS n
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_without_order' AS violation, COUNT(*) AS n
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_without_part' AS violation, COUNT(*) AS n
+    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="Foreign-key orphan audit: one anti-join per relationship, counts "
+        "unioned into a single report. Anti joins broadcast the key-only "
+        "side when it fits and otherwise shuffle just the keys — the "
+        "cheapest possible conformance sweep over a lake, run after every "
+        "ingest batch.",
+)
+def q104_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+
+    def _orphans(name, child, parent, ck, pk):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("violation"), "n")
+        )
+
+    return (
+        _orphans("orders_without_customer", od, cu, "o_custkey", "c_custkey")
+        .unionAll(_orphans("lineitem_without_order", li, od, "l_orderkey", "o_orderkey"))
+        .unionAll(_orphans("lineitem_without_part", li, pa, "l_partkey", "p_partkey"))
+    )
