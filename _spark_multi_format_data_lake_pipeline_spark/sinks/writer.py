@@ -32,9 +32,17 @@ def write_tables(
     extra_options: Mapping[str, str] | None = None,
     table_format: str = "parquet",
     recreate_database: bool = True,
+    max_records_per_file: int | None = None,
 ) -> dict[str, int]:
     """W1 (reference utils/spark_write_iceberg.py:10-84): drop+recreate the
-    database, then write each registry table. Returns {table: rows}."""
+    database, then write each registry table. Returns {table: rows}.
+
+    ``max_records_per_file`` caps file size at write time (the other half
+    of the small-files problem that sinks/maintenance.py compaction fixes
+    after the fact): a 100 TB table written by 8000 tasks must neither emit
+    8000 multi-GB files nor millions of KB files — cap records per file and
+    let AQE coalesce the task count.
+    """
     cat = CatalogManager(spark)
     if recreate_database:
         cat.drop_database(database)
@@ -53,6 +61,8 @@ def write_tables(
             # strategy for repeatedly-joined fact tables
             n_buckets, bcols = bucket_spec
             writer = writer.bucketBy(n_buckets, *bcols).sortBy(*bcols)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if table_format == "iceberg":
             writer = writer.option("format-version", "2")  # reference :57
         for k, v in (extra_options or {}).items():

@@ -47,3 +47,19 @@ def test_write_partitioned(spark, cleanup):
     got = spark.table(f"{DB}.events_part")
     assert got.count() == 2
     assert "day" in got.columns
+
+
+def test_max_records_per_file_splits_output(spark, cleanup, tmp_path):
+    df = spark.range(0, 100).coalesce(1)
+    handles = [TableHandle(df, "wide_table", "PARQUET", 100, 1)]
+    write_tables(
+        spark, handles, database=DB, max_records_per_file=25
+    )
+    files = [
+        f
+        for f in (spark.table(f"{DB}.wide_table")
+                  .select("_metadata.file_name").distinct().collect())
+    ]
+    # single task, 100 rows, cap 25 -> four data files
+    assert len(files) == 4
+    assert spark.table(f"{DB}.wide_table").count() == 100
