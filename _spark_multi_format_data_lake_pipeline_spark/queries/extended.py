@@ -647,3 +647,133 @@ def q104_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_orphans("lineitem_without_order", li, od, "l_orderkey", "o_orderkey"))
         .unionAll(_orphans("lineitem_without_part", li, pa, "l_partkey", "p_partkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — struct -> JSON serialization (to_json export payloads)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q105_json_export",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(
+               o_orderkey := o_orderkey,
+               status := o_orderstatus,
+               priority := o_orderpriority,
+               order_date := strftime(o_orderdate, '%Y-%m-%d'),
+               price_floor := CAST(FLOOR(o_totalprice) AS BIGINT)
+           ))::VARCHAR AS payload
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+    doc="Row -> JSON-document serialization for export feeds: to_json over "
+        "a struct projection renders each row as a compact JSON string "
+        "entirely inside codegen (no Python), the inverse of the q40/q41 "
+        "parse path. Ints/strings only in the payload (float-to-text "
+        "differs across engines); FLOOR not CAST for the price (DuckDB "
+        "casts double->bigint by rounding, Spark by truncation). Filter "
+        "pushes to the scan, so the export reads only matching row groups.",
+)
+def q105_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.filter((F.col("o_orderstatus") == "F")
+                  & (F.col("o_orderpriority") == "1-URGENT"))
+        .select(
+            "o_orderkey",
+            F.to_json(F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+            )).alias("payload"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — class-balanced deterministic sampling (training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q106_balanced_lang_sample",
+    oracle="""
+    SELECT lang, doc_id, rk
+    FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    ) WHERE rk <= 50
+    """,
+    doc="Class-balanced downsampling for training mixes: cap each language "
+        "at K docs, chosen by ranking on sha256(doc_id) so the sample is "
+        "deterministic and engine-portable (no RNG state, no seed drift "
+        "across cluster shapes). One shuffle on the class key; "
+        "WindowGroupLimit pushes the rank<=K cut below the sort at scale. "
+        "Rebalancing a 100 TB multilingual corpus is this exact plan with "
+        "a bigger K.",
+)
+def q106_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.sha2(F.col("doc_id").cast("string"), 256), "doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — percentile winsorization (outlier clipping before training)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q107_winsorized_values",
+    oracle="""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(e.value), 4) AS raw_avg,
+           ROUND(AVG(LEAST(GREATEST(e.value, p.p01), p.p99)), 4)
+               AS winsorized_avg,
+           COUNT(*) AS n_events
+    FROM events e JOIN pct p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Winsorization: clip a metric to its per-class [p1, p99] band "
+        "before it feeds training stats, the standard outlier guard for "
+        "reward/quality signals. Exact interpolated percentile "
+        "(F.percentile == DuckDB quantile_cont) on a tiny per-class agg, "
+        "broadcast back over the fact table, clip with least/greatest in "
+        "codegen. Two scans of events but only one shuffle of it; the "
+        "percentile table is classes-sized, never fact-sized.",
+)
+def q107_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_avg"),
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
