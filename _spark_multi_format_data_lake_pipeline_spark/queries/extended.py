@@ -777,3 +777,120 @@ def q107_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — ANSI-safe dirty-data promotion (try_cast / try_divide)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q108_try_cast_promotion",
+    oracle="""
+    WITH dirty AS (
+        SELECT lang,
+               TRY_CAST(CASE WHEN doc_id % 7 = 0 THEN source
+                             ELSE CAST(n_chars AS VARCHAR) END AS BIGINT)
+                   AS parsed,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE n_chars / (doc_id % 5) END AS safe_ratio
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(parsed) AS BIGINT) AS n_failed,
+           CAST(ROUND(AVG(parsed), 2) AS DOUBLE) AS avg_parsed,
+           CAST(ROUND(AVG(safe_ratio), 4) AS DOUBLE) AS avg_ratio
+    FROM dirty GROUP BY lang
+    """,
+    doc="Typed promotion of dirty string data under ANSI mode (Spark 4 "
+        "default): try_cast turns unparseable values into NULL instead of "
+        "failing the job, try_divide absorbs div-by-zero — the correct "
+        "posture for promoting all-string CSV ingests (reference "
+        "schema_manager.py:57 reads every CSV column as string) to typed "
+        "columns without a cluster-wide abort on one bad cell. Dirty "
+        "values derived deterministically (every 7th doc gets a "
+        "non-numeric string). Oracle spells TRY_CAST + a NULL-guard CASE "
+        "for the divide.",
+)
+def q108_try_cast_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.when(F.col("doc_id") % 7 == 0, F.col("source")).otherwise(
+        F.col("n_chars").cast("string")
+    )
+    n = F.count(F.lit(1))
+    return (
+        docs.select(
+            "lang",
+            dirty.try_cast("bigint").alias("parsed"),
+            F.try_divide("n_chars", F.col("doc_id") % 5).alias("safe_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.count("parsed").alias("n_parsed"),
+            (n - F.count("parsed")).alias("n_failed"),
+            F.round(F.avg("parsed"), 2).alias("avg_parsed"),
+            F.round(F.avg("safe_ratio"), 4).alias("avg_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — robust outlier detection via median absolute deviation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q109_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, m.med,
+               median(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           ROUND(m.med, 4) AS med,
+           ROUND(m.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(e.value) AS BIGINT) AS n_values
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+    doc="Robust outlier flagging: per-class median + MAD (median absolute "
+        "deviation), the estimator that survives the heavy-tailed value "
+        "distributions a mean/stddev z-score chokes on. Two tiny per-class "
+        "aggregates broadcast back over the fact table; the fact table "
+        "shuffles on the class key for the medians but the final flagging "
+        "pass is join+codegen only. F.median == DuckDB median "
+        "(interpolated) on identical doubles.",
+)
+def q109_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    is_out = (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("int")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(is_out).alias("n_outliers"),
+            F.count("value").alias("n_values"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n_values",
+        )
+    )
