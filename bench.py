@@ -60,6 +60,10 @@ HEADLINE = [
     "q62_customer_distribution",
     "q63_small_qty_revenue",
     "q65_returned_item_customers",
+    "q105_json_export",
+    "q106_balanced_lang_sample",
+    "q107_winsorized_values",
+    "q109_mad_outliers",
 ]
 
 
