@@ -894,3 +894,30 @@ def q109_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_values",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — contiguous stable-ID assignment (distributed row numbering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q110_stable_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS stable_id
+    FROM documents
+    """,
+    doc="Global contiguous ids without the global-window trap: the oracle "
+        "is row_number() OVER (ORDER BY ...) which Spark would execute in "
+        "a SINGLE task; the engine instead range-partitions, counts per "
+        "partition (P longs to the driver), prefix-sums offsets, and "
+        "numbers each partition independently (operators/ids.py). "
+        "Bit-identical output, every stage parallel — how a 100 TB corpus "
+        "gets its example ids.",
+)
+def q110_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import assign_contiguous_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_contiguous_ids(docs, ["doc_id"], id_col="stable_id")
