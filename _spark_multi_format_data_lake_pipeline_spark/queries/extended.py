@@ -921,3 +921,180 @@ def q110_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return assign_contiguous_ids(docs, ["doc_id"], id_col="stable_id")
+
+
+# ---------------------------------------------------------------------------
+# q111 — count-min sketch token frequencies (mergeable, rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q111_cms_token_freq",
+    oracle=None,
+    doc="Count-min sketch frequency estimation (functions/sketches.py): "
+        "token stream -> depth x width counter table (one groupBy, "
+        "map-side partial agg), estimates = MIN over hash lanes. "
+        "Mergeable across shards by cell-wise addition — the incremental "
+        "companion to the q101 HLL sketch, answering 'how frequent is "
+        "this token corpus-wide' from kilobytes. xxhash64 lanes have no "
+        "DuckDB twin -> rows-only; tests prove the overestimate-only "
+        "guarantee and shard-merge equivalence.",
+)
+def q111_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact_top = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(20)
+    )
+    sketch = cms_build(tokens, "tok")
+    est = cms_estimate(sketch, exact_top.select("tok"), "tok")
+    return (
+        exact_top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "n_exact",
+            "est_n",
+            (F.col("est_n") >= F.col("n_exact")).alias("never_under"),
+        )
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — benchmark-contamination sweep (word 5-gram overlap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_contamination_overlap",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(words) >= 3
+                   THEN [array_to_string(words[i:i+2], ' ')
+                         for i in range(1, len(words) - 1)]
+                   ELSE []::VARCHAR[] END) AS grams
+        FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+    ),
+    cand AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(b.gram)::DOUBLE / COUNT(*), 4) AS ratio
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(b.gram) > 0
+    """,
+    doc="Benchmark decontamination: flag training docs sharing word "
+        "3-grams with a held-out 'benchmark' set (every 37th doc stands "
+        "in). Shingles stay exact strings so the check is oracle-paired; "
+        "at 100 TB the bench shingle set is small and broadcasts, making "
+        "the sweep one map + one broadcast join over the exploded corpus "
+        "— the shape every contamination audit runs before a training "
+        "cut. Words column bound before the transform lambda (HOFs "
+        "re-evaluate outer expressions per element).",
+)
+def q112_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    nw = F.size(F.col("words"))
+    grams = F.when(
+        nw >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), nw - 3),
+                lambda i: F.array_join(F.slice(F.col("words"), i + 1, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") % 37 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand = g.filter(F.col("doc_id") % 37 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_overlap"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 4).alias("ratio"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — token-budget sequence packing (context-window binning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q113_sequence_packing",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                    AS BIGINT) AS tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, tok,
+               CAST(FLOOR((SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - tok)
+                          / 2048.0) AS BIGINT) AS bin
+        FROM t
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+    doc="Sequence packing for pretraining batches: docs stream into "
+        "2048-token context windows per language; bin id falls out of a "
+        "running token cumsum (each doc starts at its preceding total), "
+        "so packing is ONE window pass — no iterative bin-packing loop, "
+        "which is what makes it tractable on a 100 TB corpus. The "
+        "greedy-sequential discipline also keeps bins stable under "
+        "re-runs (deterministic doc order).",
+)
+def q113_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "lang",
+        tok.alias("tok"),
+        F.floor((F.sum(tok).over(w) - tok) / F.lit(2048.0)).alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+    )

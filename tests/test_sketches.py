@@ -1,0 +1,59 @@
+"""Count-min sketch (functions/sketches.py): overestimate-only guarantee,
+error bound, and cell-wise shard mergeability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _tokens(spark):
+    # zipf-ish multiset: token t_k appears ~1000//(k+1) times
+    rows = [(f"t_{k}",) for k in range(50) for _ in range(1000 // (k + 1))]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    toks = _tokens(spark)
+    n_total = toks.count()
+    width = 2048
+    sketch = cms_build(toks, "tok", depth=4, width=width)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(sketch, exact.select("tok"), "tok", depth=4, width=width)
+    joined = exact.join(est, "tok").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r.est_n >= r.n_exact, r
+        # standard CMS bound: overestimate <= 2N/width w.h.p.
+        assert r.est_n - r.n_exact <= 2 * n_total / width, r
+
+
+def test_cms_sketch_is_bounded_size(spark):
+    toks = _tokens(spark)
+    sketch = cms_build(toks, "tok", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+
+
+def test_cms_shard_merge_equals_whole(spark):
+    toks = _tokens(spark).withColumn(
+        "shard", F.pmod(F.xxhash64("tok"), F.lit(2))
+    )
+    whole = cms_build(toks, "tok", depth=4, width=256)
+    s0 = cms_build(toks.filter("shard = 0"), "tok", depth=4, width=256)
+    s1 = cms_build(toks.filter("shard = 1"), "tok", depth=4, width=256)
+    merged = cms_merge(s0, s1)
+    diff = (
+        whole.withColumnRenamed("cnt", "cnt_w")
+        .join(merged.withColumnRenamed("cnt", "cnt_m"), ["d", "pos"], "full")
+        .filter(
+            F.coalesce(F.col("cnt_w"), F.lit(-1))
+            != F.coalesce(F.col("cnt_m"), F.lit(-1))
+        )
+        .count()
+    )
+    assert diff == 0
