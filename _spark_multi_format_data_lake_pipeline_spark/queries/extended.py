@@ -1098,3 +1098,92 @@ def q113_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — exact mergeable distinct counts via bitmap partials
+# ---------------------------------------------------------------------------
+
+@register(
+    "q114_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="EXACT distinct counting that still merges like a sketch: ids map "
+        "to (bucket, bit) via bitmap_bucket_number/bitmap_bit_position, "
+        "each (group, bucket) aggregates to a 4KB bitmap "
+        "(bitmap_construct_agg), counts sum per group. Unlike "
+        "COUNT(DISTINCT) — whose dedup must see all ids for a group in "
+        "one place — bitmap partials OR together, so daily partials "
+        "roll up into monthly exact uniques without rescanning, and the "
+        "bucket key fans the shuffle out across (group x bucket) instead "
+        "of concentrating on hot groups. HLL (q101) trades that exactness "
+        "for fixed size; this is the exact tier of the same design.",
+)
+def q114_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — dynamic pivot (two-phase: enumerate, then pivot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q115_dynamic_pivot",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_p
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Dynamic pivot discipline: pivot columns are enumerated by a "
+        "first (tiny, distinct-on-dictionary) pass, then passed "
+        "EXPLICITLY to pivot() — never inferred inside the pivot, which "
+        "would force Spark to run that distinct scan serially inside "
+        "planning and makes output schemas drift run-to-run. Sorted "
+        "value list keeps the column order deterministic. Oracle spells "
+        "the same pivot as conditional aggregates.",
+)
+def q115_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    statuses = sorted(
+        r[0] for r in od.select("o_orderstatus").distinct().collect()
+    )
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "n_name",
+            *[
+                F.col(s).alias(f"status_{s.lower()}")
+                for s in statuses
+            ],
+        )
+    )
