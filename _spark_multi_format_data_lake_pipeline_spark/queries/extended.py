@@ -1187,3 +1187,82 @@ def q115_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — argmax (max_by) with a deterministic composite tie-break
+# ---------------------------------------------------------------------------
+
+@register(
+    "q116_argmax_top_customer",
+    oracle="""
+    SELECT n.n_name,
+           arg_max(c.c_name,
+                   printf('%012.2f-%010d', c.c_acctbal + 10000, c.c_custkey))
+               AS top_customer,
+           ROUND(MAX(c.c_acctbal), 2) AS top_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Argmax without a window: max_by/arg_max picks the row attribute "
+        "at the group maximum in ONE aggregation pass — no rank window, "
+        "no self-join, half the shuffles of the row_number()=1 "
+        "formulation (q20) when only the top-1 attribute is needed. Ties "
+        "are broken deterministically by a zero-padded composite sort key "
+        "(value, id) — engine-portable where struct-valued arg_max is "
+        "not; +10000 keeps negative balances sorting correctly as text.",
+)
+def q116_argmax_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    key = F.format_string(
+        "%012.2f-%010d", F.col("c_acctbal") + 10000, F.col("c_custkey")
+    )
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("top_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — forward-fill imputation (last non-null carried forward)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q117_forward_fill_purchase",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value
+                            END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_purchase
+    FROM events
+    """,
+    doc="Forward-fill: carry each user's most recent purchase amount onto "
+        "every subsequent event — the standard imputation / "
+        "state-at-event-time feature for training data, done with "
+        "last(..., ignorenulls) over a running frame instead of a "
+        "self-join against the purchase history (which would shuffle the "
+        "fact table twice). One window pass, one shuffle on user_id; "
+        "event_id in the order key makes same-timestamp fills "
+        "deterministic.",
+)
+def q117_forward_fill_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(pv, ignorenulls=True).over(w), 2).alias("last_purchase"),
+    )
