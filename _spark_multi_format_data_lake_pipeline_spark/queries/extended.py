@@ -1266,3 +1266,59 @@ def q117_forward_fill_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.last(pv, ignorenulls=True).over(w), 2).alias("last_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — CDC batch application (insert/update/delete upsert)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q118_cdc_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 7 IN (0, 1)
+    ),
+    survivors AS (
+        SELECT o.* FROM orders o
+        ANTI JOIN changes c ON o.o_orderkey = c.o_orderkey
+    ),
+    final AS (
+        SELECT * FROM survivors
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM changes WHERE op <> 'D'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="CDC application (sinks/cdc.py): a change batch with deletes "
+        "(every 7th order) and updates (+10% price) applied as "
+        "anti-join-the-keys + union-the-upserts — the full I/U/D surface "
+        "the reference's MERGE (utils/merge_utils.py:70-82) lacks. "
+        "Changes derived deterministically from orders; verified through "
+        "a per-status rollup of the post-CDC state.",
+)
+def q118_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.cdc import apply_cdc_batch
+
+    od = _t(spark, sf_dir, "orders")
+    changes = (
+        od.filter(F.col("o_orderkey") % 7 <= 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U"),
+        )
+    )
+    final = apply_cdc_batch(od, changes, ["o_orderkey"])
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
