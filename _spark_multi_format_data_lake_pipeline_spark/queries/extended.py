@@ -1322,3 +1322,57 @@ def q118_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — overlapping document chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q119_doc_chunking",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, words, unnest(range(0, len(words), 96)) AS s
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(s // 96 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(128, len(words) - s) AS BIGINT) AS n_chunk_tokens,
+           sha256(array_to_string(words[s+1:s+128], ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc="Sliding-window chunking for embedding/RAG pipelines: 128-token "
+        "chunks with 32-token overlap (stride 96), generated by "
+        "sequence+transform+explode entirely in codegen — each document "
+        "expands to its chunks in the same task that scanned it, no "
+        "shuffle until whatever aggregates the chunks. Chunk text is "
+        "verified by sha256 so the oracle compares content, not just "
+        "geometry. The words column is bound before the lambda (HOF "
+        "re-evaluation pitfall).",
+)
+def q119_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    n = F.size(F.col("words"))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(96))
+    return (
+        w.select("doc_id", "words", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 96).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(128), n - F.col("s")).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+            F.sha2(
+                F.array_join(F.slice(F.col("words"), F.col("s") + 1, 128), " "),
+                256,
+            ).alias("chunk_hash"),
+        )
+    )

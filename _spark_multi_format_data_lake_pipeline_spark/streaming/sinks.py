@@ -80,3 +80,66 @@ def stream_file_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cdc_sink(
+    changes: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC: each micro-batch of I/U/D change rows is applied to
+    ``target_table`` via sinks/cdc.py's pure transformation, using the
+    same stage+rename swap as the merge engine. First batch creates the
+    table from the batch's inserts. foreachBatch replays are safe: CDC
+    application is idempotent per batch (tests/test_cdc.py), so a batch
+    applied twice after a failure converges to the same state.
+    """
+    from ..sinks.cdc import apply_cdc_batch
+
+    outer_spark = changes.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_spark = batch_df.sparkSession
+        cat = CatalogManager(batch_spark)
+        if not cat.table_exists(target_table):
+            from pyspark.sql import functions as F
+
+            # first state = the batch applied to an empty table (the empty
+            # target's schema must be the PAYLOAD schema: no op, no seq)
+            payload_cols = [
+                c
+                for c in batch_df.columns
+                if c != op_col and c != (seq_col or "")
+            ]
+            empty = batch_df.select(*payload_cols).filter(F.lit(False))
+            init = apply_cdc_batch(
+                empty, batch_df, key_cols, op_col=op_col, seq_col=seq_col
+            )
+            init.write.mode("overwrite").format("parquet").saveAsTable(
+                target_table
+            )
+            outer_spark.catalog.refreshTable(target_table)
+            return
+        target_df = batch_spark.table(target_table)
+        nxt = apply_cdc_batch(
+            target_df, batch_df, key_cols, op_col=op_col, seq_col=seq_col
+        )
+        stage = f"{target_table}__stage"
+        nxt.write.mode("overwrite").format("parquet").saveAsTable(stage)
+        batch_spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+        batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        batch_spark.catalog.refreshTable(target_table)
+        outer_spark.catalog.refreshTable(target_table)
+
+    writer = changes.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
