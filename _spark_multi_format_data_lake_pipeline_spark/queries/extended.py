@@ -1376,3 +1376,192 @@ def q119_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — inverted index (posting lists) over documents
+# ---------------------------------------------------------------------------
+
+@register(
+    "q120_inverted_index",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents
+    ),
+    td AS (
+        SELECT term, doc_id, COUNT(*) AS occ FROM w GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(occ) AS BIGINT) AS term_freq,
+           array_to_string(list_sort(list(doc_id))[1:8], ',') AS posting_sample
+    FROM td GROUP BY term HAVING COUNT(*) >= 4
+    """,
+    doc="Search-index build: term -> document-frequency, corpus term "
+        "frequency, and the first 8 doc_ids of the (sorted) posting list. "
+        "Scale shape: explode -> (term, doc_id) pre-aggregation (map-side "
+        "combined, collapses per-doc repeats BEFORE any per-term state), "
+        "then a term-keyed window caps the posting sample at 8 doc_ids so "
+        "no unbounded collect_list ever materializes a stop-word's full "
+        "posting list; the final groupBy reuses the window's hash "
+        "partitioning (no third exchange). Posting truncation happens "
+        "pre-aggregation — the full list is never built.",
+)
+def q120_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    td = exploded.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    return (
+        td.withColumn("rn", rn)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("occ").alias("term_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("rn") <= 8, F.col("doc_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_sample"),
+        )
+        .filter(F.col("doc_freq") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — deterministic weighted sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q121_weighted_sample",
+    oracle=r"""
+    WITH k AS (
+        SELECT source, doc_id, n_chars,
+               POW((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1) / 4294967296.0,
+                   1.0 / n_chars) AS key
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    WHERE rk <= 5
+    """,
+    doc="Efraimidis-Spirakis A-ES weighted sampling without RNG state: "
+        "each row's key is u^(1/w) with u derived from sha256(doc_id) "
+        "(engine-portable, partitioning-independent — the SAME rows are "
+        "chosen on any cluster shape) and w = n_chars, so longer documents "
+        "are proportionally more likely to be kept; top-5 per source = a "
+        "deterministic weighted sample for corpus mixing. Scale: one "
+        "shuffle on source + WindowGroupLimit prunes to 5 rows per "
+        "partition map-side before the exchange. The float key is ranked "
+        "but never output (libm pow may differ in the last ulp across "
+        "engines; orderings are stable, exact bits are not).",
+)
+def q121_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("key"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — one-pass per-column profiling report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_column_profile",
+    oracle=r"""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_count,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+    FROM orders
+    """,
+    doc="Data-profiling report (null count, exact distinct, min/max per "
+        "column) computed in ONE scan: all per-column aggregates go into a "
+        "single agg, then stack() unpivots the 1-row result into the "
+        "report shape driver-side-free. The naive formulation (the oracle, "
+        "and most hand-written profilers) re-scans the table once per "
+        "column — at 100 TB that is 4 scans vs 1 here. count_distinct on "
+        "multiple columns expands to Expand+agg (one pass, multiple "
+        "streams), still a single scan of the parquet.",
+)
+def q122_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spec = {
+        "o_custkey": lambda c: c.cast("string"),
+        "o_orderpriority": lambda c: c,
+        "o_orderstatus": lambda c: c,
+        "o_totalprice": lambda c: F.format_string("%.2f", c),
+    }
+    aggs = []
+    for c, fmt in spec.items():
+        # min/max aggregate the RAW column (numeric order), then the
+        # formatter is applied to the scalar result — formatting first
+        # would turn numeric min/max into lexicographic string min/max.
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            fmt(F.min(F.col(c))).alias(f"{c}__min"),
+            fmt(F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in spec
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(spec)}, {stack_args}) AS "
+            "(column_name, null_count, n_distinct, min_val, max_val)"
+        )
+    )

@@ -134,6 +134,44 @@ def read_avro(spark: SparkSession, filepath: str | Path) -> TableHandle | None:
         return None
 
 
+def read_xml(
+    spark: SparkSession, filepath: str | Path, row_tag: str = "row"
+) -> TableHandle | None:
+    """XML scan — native in Spark 4 (the spark-xml donation, no jar
+    needed). Mirrors S1's semantics on the third semi-structured format:
+    PERMISSIVE mode, ``_corrupt_record`` capture, schema inference over
+    the repeated ``row_tag`` element. Naming follows the reference's
+    ``{format}_{stem}`` convention (reference schema_manager.py:43)."""
+    filepath = Path(filepath)
+    try:
+        df = (
+            spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .load(str(filepath))
+        )
+        return _finalize(df, f"xml_{filepath.stem}", "XML")
+    except Exception:
+        return None
+
+
+def read_binary(spark: SparkSession, filepath: str | Path) -> TableHandle | None:
+    """binaryFile scan — ``(path, modificationTime, length, content)`` with
+    the raw bytes as an opaque ``binary`` column. This is the ingestion
+    front door for multimodal data (images/audio/video) feeding
+    ``llm/multimodal.py``: bytes stay opaque at scan time, typed metadata
+    and decode happen downstream in Arrow-batched mapInPandas. At scale,
+    set ``spark.sql.files.maxPartitionBytes`` so a task holds a bounded
+    number of media blobs."""
+    filepath = Path(filepath)
+    try:
+        df = spark.read.format("binaryFile").load(str(filepath))
+        return _finalize(df, f"binary_{filepath.stem}", "BINARY")
+    except Exception:
+        return None
+
+
 def _docx_paragraphs(filepath: Path) -> list[str]:
     """Extract paragraph text from a DOCX (a zip of XML) with the stdlib.
 
@@ -188,6 +226,8 @@ def load_all_sources(spark: SparkSession, base_dir: str | Path) -> list[TableHan
         (base / "docx", "*.txt", read_text),
         (base / "orc", "*.orc", read_orc),
         (base / "avro", "*.avro", read_avro),
+        (base / "xml", "*.xml", read_xml),
+        (base / "binary", "*", read_binary),
     ]
     out: list[TableHandle] = []
     for folder, pattern, reader in plan:

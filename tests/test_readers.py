@@ -221,3 +221,48 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "v1", "v2"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+
+def test_xml_native_read(spark, tmp_path):
+    f = tmp_path / "books.xml"
+    f.write_text(
+        "<catalog>"
+        "<row><id>1</id><title>Spark</title><price>9.5</price></row>"
+        "<row><id>2</id><title>Lake</title><price>3.25</price></row>"
+        "</catalog>"
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import read_xml
+
+    h = read_xml(spark, f)
+    assert h is not None
+    assert h.source_type == "XML"
+    assert h.name == "xml_books"
+    assert h.row_count == 2
+    got = {r["id"]: (r["title"], r["price"]) for r in h.df.collect()}
+    assert got == {1: ("Spark", 9.5), 2: ("Lake", 3.25)}
+
+
+def test_binaryfile_read(spark, tmp_path):
+    payload = b"\x89PNG\r\nfake-image-bytes"
+    f = tmp_path / "img.png"
+    f.write_bytes(payload)
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import read_binary
+
+    h = read_binary(spark, f)
+    assert h is not None
+    assert h.source_type == "BINARY"
+    row = h.df.collect()[0]
+    assert bytes(row["content"]) == payload
+    assert row["length"] == len(payload)
+    assert row["path"].endswith("img.png")
+
+
+def test_sweep_picks_up_xml_and_binary(spark, tmp_path):
+    (tmp_path / "xml").mkdir()
+    (tmp_path / "binary").mkdir()
+    (tmp_path / "xml" / "a.xml").write_text("<r><row><x>1</x></row></r>")
+    (tmp_path / "binary" / "b.bin").write_bytes(b"\x00\x01\x02")
+    from _spark_multi_format_data_lake_pipeline_spark.sources.readers import load_all_sources
+
+    names = {h.name for h in load_all_sources(spark, tmp_path)}
+    assert {"xml_a", "binary_b"} <= names
