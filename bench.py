@@ -64,6 +64,9 @@ HEADLINE = [
     "q106_balanced_lang_sample",
     "q107_winsorized_values",
     "q109_mad_outliers",
+    "q120_inverted_index",
+    "q121_weighted_sample",
+    "q122_column_profile",
 ]
 
 
