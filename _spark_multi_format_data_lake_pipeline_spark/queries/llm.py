@@ -636,7 +636,7 @@ def q89_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q91_label_centroids",
     oracle="""
-    SELECT label, dim::INT AS dim, ROUND(AVG(e), 4) AS centroid
+    SELECT label, dim::INT AS dim, ROUND(AVG(e), 4) + 0.0 AS centroid
     FROM (
         SELECT label,
                unnest(embedding) AS e,
@@ -649,13 +649,16 @@ def q89_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and hash-aggregate on (label, dim). The explode multiplies rows by "
         "the dimensionality but partial aggregation collapses them map-side, "
         "so the shuffle carries only |labels|*dim rows — the scalable way to "
-        "compute class centroids for semantic dedup/clustering at 100 TB.",
+        "compute class centroids for semantic dedup/clustering at 100 TB. "
+        "Both sides add +0.0 after the round: a tiny negative mean rounds "
+        "to IEEE negative zero, and -0.0 vs 0.0 is value-equal but "
+        "repr/hash-different; x + 0.0 canonicalizes to +0.0.",
 )
 def q91_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     exploded = em.select("label", F.posexplode("embedding").alias("dim", "e"))
     return exploded.groupBy("label", "dim").agg(
-        F.round(F.avg("e"), 4).alias("centroid")
+        (F.round(F.avg("e"), 4) + F.lit(0.0)).alias("centroid")
     )
 
 

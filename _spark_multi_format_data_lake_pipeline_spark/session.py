@@ -35,6 +35,13 @@ def default_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # -- runtime bloom-filter pruning (off by default): for a shuffle
+        #    join whose build side is selective, inject a bloom filter of
+        #    the build-side join keys into the probe-side SCAN, dropping
+        #    non-matching rows before the shuffle. At 100 TB this is the
+        #    difference between shuffling the whole fact table and
+        #    shuffling only rows that can join.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.shuffle.partitions": str(n),
         "spark.default.parallelism": str(n),
         # -- columnar Python boundary (Arrow), reference F3
