@@ -1591,3 +1591,39 @@ def q122_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.col("min_num"), F.col("min_str")).alias("min_val"),
         _fmt(F.col("max_num"), F.col("max_str")).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — approximate percentiles (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q123_approx_percentiles",
+    oracle=None,  # sketch internals are engine-specific -> rows-only check;
+    # tests/test_sketches.py bounds the error against exact percentiles.
+    doc="Approximate p50/p90/p99 of l_extendedprice per return flag via "
+        "approx_percentile (Greenwald-Khanna sketch, accuracy 10000 -> "
+        "error <= 0.01%%). Completes the approximate-aggregate tier "
+        "(q18/q101 HLL distinct, q111 count-min frequency): exact "
+        "percentile (q19/q107) needs the full sorted value set per group "
+        "— a massive state at 100 TB — while the GK sketch is fixed-size, "
+        "map-side partial-merged, and one-pass, the only percentile that "
+        "scales. Engine-specific sketch -> rows-only driver check; the "
+        "pytest bounds it against the exact percentile (GK guarantees "
+        "RANK error <= n/accuracy, so the value tolerance is "
+        "distribution-dependent; 0.5%% relative holds easily here).",
+)
+def q123_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10000
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, acc), 2
+        ).alias("p50"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.9, acc), 2
+        ).alias("p90"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.99, acc), 2
+        ).alias("p99"),
+    )

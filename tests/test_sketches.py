@@ -57,3 +57,29 @@ def test_cms_shard_merge_equals_whole(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["q123_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["e50"], r["e90"], r["e99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, vals in approx.items():
+        for a, e in zip(vals, exact[flag]):
+            assert abs(a - e) <= max(abs(e) * 5e-3, 1.0), (flag, a, e)
