@@ -78,3 +78,41 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         assert one_day.count() > 0
     finally:
         cat.drop_database(db)
+
+
+def test_runtime_bloom_filter_injects_into_probe_scan(spark, sf_dir):
+    """session.py enables runtime bloom-filter pruning. Locally it stays
+    dormant (Spark requires a >=10GB probe-side scan by default); this test
+    lowers the runtime-settable threshold to prove the mechanism: the
+    build side's join keys must appear as a might_contain() filter on the
+    probe-side scan, which at 100 TB drops non-joinable fact rows before
+    the shuffle."""
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = spark.conf.get(thr_key), spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(thr_key, "0")
+        spark.conf.set(bcast_key, "-1")  # force a shuffle join
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(thr_key, old_thr)
+        spark.conf.set(bcast_key, old_bcast)
