@@ -1627,3 +1627,74 @@ def q123_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", 0.99, acc), 2
         ).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — distribution drift between corpus batches (KL divergence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q124_lang_drift",
+    oracle=r"""
+    WITH d AS (
+        SELECT source, lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS batch
+        FROM documents
+    ),
+    w AS (
+        SELECT source, lang,
+               CAST(COUNT(*) FILTER (WHERE batch = 'old') AS BIGINT) AS c_old,
+               CAST(COUNT(*) FILTER (WHERE batch = 'new') AS BIGINT) AS c_new
+        FROM d GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source,
+               CAST(SUM(c_old) AS BIGINT) AS n_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_new,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM w GROUP BY source
+    )
+    SELECT w.source, t.n_old, t.n_new,
+           ROUND(SUM(
+               ((c_new + 1.0) / (n_new + v)) *
+               LN(((c_new + 1.0) / (n_new + v)) /
+                  ((c_old + 1.0) / (n_old + v)))
+           ), 6) + 0.0 AS kl_new_vs_old
+    FROM w JOIN t ON w.source = t.source
+    GROUP BY w.source, t.n_old, t.n_new
+    """,
+    doc="Dataset-shift monitor: per source, the add-one-smoothed KL "
+        "divergence of the NEW batch's language distribution against the "
+        "OLD batch's (batch = deterministic doc_id parity split here; in "
+        "production, ingestion date). This is the guard that catches a "
+        "crawler or upstream filter silently changing the corpus mix "
+        "before it poisons a training run. Scale: two map-side-combined "
+        "aggregations over (source, lang) — the joined distribution table "
+        "is |sources|x|langs| rows, trivially broadcast; the raw corpus "
+        "is scanned once. Smoothing keeps langs absent from one batch "
+        "finite; KL rounded at 6dp (ln is libm-identical to last-ulp "
+        "noise only) and -0.0-canonicalized on both sides.",
+)
+def q124_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new").alias("batch"),
+    )
+    w = d.groupBy("source", "lang").agg(
+        F.sum(F.when(F.col("batch") == "old", 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("batch") == "new", 1).otherwise(0)).alias("c_new"),
+    )
+    t = w.groupBy("source").agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = w.join(F.broadcast(t), "source")
+    p = (F.col("c_new") + 1.0) / (F.col("n_new") + F.col("v"))
+    q = (F.col("c_old") + 1.0) / (F.col("n_old") + F.col("v"))
+    return (
+        j.groupBy("source", "n_old", "n_new")
+        .agg((F.round(F.sum(p * F.log(p / q)), 6) + F.lit(0.0)).alias("kl_new_vs_old"))
+    )

@@ -266,3 +266,42 @@ def test_sweep_picks_up_xml_and_binary(spark, tmp_path):
 
     names = {h.name for h in load_all_sources(spark, tmp_path)}
     assert {"xml_a", "binary_b"} <= names
+
+
+def test_schema_diff_detects_nested_drift(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.sources.evolution import (
+        compatible_for_merge,
+        schema_diff,
+        schema_diff_report,
+    )
+
+    old = spark.createDataFrame(
+        [], schema="id bigint, price double, meta struct<os:string,v:int>"
+    )
+    new = spark.createDataFrame(
+        [],
+        schema="id bigint, price string, extra boolean, "
+        "meta struct<os:string,region:string>",
+    )
+    diff = schema_diff(old, new)
+    by_path = {c["path"]: c for c in diff}
+    assert by_path["price"]["kind"] == "type_changed"
+    assert by_path["price"]["old_type"] == "double"
+    assert by_path["meta.v"]["kind"] == "removed"
+    assert by_path["meta.region"]["kind"] == "added"
+    assert by_path["extra"]["kind"] == "added"
+    # severity ordering: type changes first, additions last
+    kinds = [c["kind"] for c in diff]
+    assert kinds == sorted(kinds, key=["type_changed", "removed", "added"].index)
+
+    rep = schema_diff_report(spark, old, new)
+    assert rep.count() == len(diff)
+    assert rep.columns == ["path", "kind", "old_type", "new_type"]
+
+    assert not compatible_for_merge(old, new)
+    added_only = spark.createDataFrame(
+        [], schema="id bigint, price double, meta struct<os:string,v:int>, x int"
+    )
+    assert compatible_for_merge(old, added_only)
+    assert not compatible_for_merge(old, added_only, allow_added=False)
+    assert schema_diff(old, old) == []
