@@ -67,6 +67,7 @@ HEADLINE = [
     "q120_inverted_index",
     "q121_weighted_sample",
     "q122_column_profile",
+    "q124_lang_drift",
 ]
 
 
