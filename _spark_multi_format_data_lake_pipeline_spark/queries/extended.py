@@ -1698,3 +1698,53 @@ def q124_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("source", "n_old", "n_new")
         .agg((F.round(F.sum(p * F.log(p / q)), 6) + F.lit(0.0)).alias("kl_new_vs_old"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — cross-modal join: text metadata ⋈ embedding vectors
+# ---------------------------------------------------------------------------
+
+@register(
+    "q125_crossmodal_norms",
+    oracle=r"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(d.n_chars), 2) AS avg_chars,
+           ROUND(AVG(sqrt(list_sum(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)
+           ))), 4) AS avg_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+    doc="Cross-modal audit joining the text table to its vector table "
+        "(doc_id = vec_id): per language, document count, mean length, "
+        "and mean embedding L2 norm — the sanity check that catches a "
+        "mis-normalized or silently-truncated embedding batch per corpus "
+        "slice. The norm is a codegen'd array fold (F.aggregate, elements "
+        "cast to double BEFORE multiply so both engines accumulate in "
+        "f64), computed map-side in the scan task; the join ships only "
+        "(vec_id, norm), never the vectors. At 100 TB both sides are "
+        "bucketed on the id so the join is shuffle-free.",
+)
+def q125_crossmodal_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    em = _t(spark, sf_dir, "embeddings")
+    norms = em.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("norm"),
+    )
+    return (
+        docs.join(norms, docs.doc_id == norms.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
