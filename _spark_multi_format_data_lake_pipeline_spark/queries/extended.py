@@ -1748,3 +1748,57 @@ def q125_crossmodal_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — corpus token-budget report (mixture shares per source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q126_token_budget",
+    oracle=r"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(TRIM(text), '\s+')) END)
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, tokens,
+           ROUND(tokens * 1.0 / SUM(tokens) OVER (), 4) AS share,
+           ROUND(SUM(tokens) OVER (ORDER BY tokens DESC, source)
+                 * 1.0 / SUM(tokens) OVER (), 4) AS cum_share
+    FROM s
+    """,
+    doc="Training-mixture report: whitespace-token budget per source with "
+        "each source's share of the corpus and the Pareto cumulative "
+        "share (ordered largest-first, source as deterministic "
+        "tie-break) — the table a data-mixing decision reads first. "
+        "Token counting is a codegen'd map over the scan with map-side "
+        "partial sums; the window runs over |sources| rows, so the "
+        "whole report costs one corpus scan regardless of SF.",
+)
+def q126_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("tokens"),
+    )
+    total = Window.partitionBy()
+    running = Window.partitionBy().orderBy(
+        F.desc("tokens"), F.asc("source")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(total), 4).alias("share"),
+        F.round(
+            F.sum("tokens").over(running) / F.sum("tokens").over(total), 4
+        ).alias("cum_share"),
+    )
