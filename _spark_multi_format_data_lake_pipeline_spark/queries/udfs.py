@@ -149,3 +149,50 @@ def q72_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — cogrouped applyInPandas (two-table grouped Arrow computation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q127_cogroup_user_activity",
+    oracle="""
+    WITH e AS (SELECT user_id, COUNT(*) AS n_events
+               FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+               FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    doc="Cogroup surface: events and orders are co-shuffled by user key "
+        "and each user's two Arrow batches meet in ONE pandas call — the "
+        "primitive for per-entity cross-table Python logic that has no "
+        "relational form (sequence alignment, per-user DTW, custom "
+        "attribution). Here the per-group body is deliberately trivial "
+        "(row counts) so the DuckDB oracle — a full outer join of two "
+        "group-bys, exactly cogroup's join semantics — can value-check "
+        "the Arrow round-trip. When the logic IS relationally "
+        "expressible, prefer the join: cogroup pays two shuffles plus a "
+        "per-group Python dispatch that no optimizer can fuse.",
+)
+def q127_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def stats(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [len(evs)], "n_orders": [len(ords)]}
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            stats, schema="user_id bigint, n_events bigint, n_orders bigint"
+        )
+    )
