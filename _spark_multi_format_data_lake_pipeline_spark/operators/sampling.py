@@ -1,0 +1,65 @@
+"""Deterministic weighted sampling (Efraimidis–Spirakis A-ES) without RNG
+state.
+
+``df.sample`` draws from a seeded RNG whose stream depends on the
+partitioning, so the "same" sample changes whenever the cluster shape or
+file splits change. For corpus experiments ("sample 50k docs weighted by
+quality, forever") the selection must be a pure function of the data.
+A-ES gives exactly that: each row's key is u^(1/w) with u a uniform
+derived from a content hash; the global (or per-group) top-k by key is a
+weighted sample without replacement, identical on any engine and any
+partitioning. Heavier rows get proportionally larger keys, so inclusion
+probability follows the weights.
+
+Engine-portable: sha256 is bit-identical everywhere; the float key is
+used only for ORDERING (libm pow may differ in the last ulp across
+engines — orderings are stable, exact bits are not), so callers should
+not emit the key itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def aes_key(id_col: Column | str, weight_col: Column | str) -> Column:
+    """The A-ES priority key u^(1/w): u in (0, 1] from the first 8 hex
+    chars of sha256(id), w the row weight (must be > 0)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(F.substring(F.sha2(idc.cast("string"), 256), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    return F.pow(u, F.lit(1.0) / w)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows by A-ES key — globally, or per ``by`` group.
+
+    Deterministic and partitioning-independent (ties broken by id).
+    Scale: the per-group form is one shuffle on ``by`` with
+    WindowGroupLimit pruning to k rows per partition map-side before the
+    exchange; the global form adds a single k-row reduction. The key
+    column is dropped from the output (see module note on ulp
+    portability).
+    """
+    key = aes_key(id_col, weight_col).alias("__aes_key")
+    parts = [by] if by is not None else []
+    win = Window.partitionBy(*parts).orderBy(
+        F.desc("__aes_key"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("__aes_rk", F.row_number().over(win))
+        .filter(F.col("__aes_rk") <= k)
+        .drop("__aes_key", "__aes_rk")
+    )

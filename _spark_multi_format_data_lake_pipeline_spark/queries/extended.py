@@ -1474,16 +1474,14 @@ def q120_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q121_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from ..operators.sampling import aes_key
+
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
     keyed = docs.select(
         "source",
         "doc_id",
         "n_chars",
-        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("key"),
+        aes_key("doc_id", "n_chars").alias("key"),
     )
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))

@@ -154,3 +154,43 @@ def test_incremental_filter_self_is_empty_and_idempotent(spark, texts):
     once = minhash_incremental_filter(df, other, "id", "text")
     twice = minhash_incremental_filter(once, other, "id", "text")
     assert sorted(r.id for r in once.collect()) == sorted(r.id for r in twice.collect())
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    """A-ES selection is a pure function of the data: identical rows are
+    chosen regardless of how the input is partitioned (the property
+    df.sample does NOT have)."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"g{i % 3}", float(1 + (i * 7) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+
+    def pick(frame):
+        return {
+            (r["grp"], r["id"])
+            for r in weighted_sample(frame, "id", "w", 4, by="grp").collect()
+        }
+
+    base = pick(df)
+    assert pick(df.repartition(17)) == base
+    assert pick(df.repartition(1)) == base
+    assert pick(df.orderBy(F.desc("id"))) == base
+    # 4 per group, 3 groups
+    assert len(base) == 12
+    # global form: k rows total, same invariance
+    g = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert len(g) == 10
+    assert {r["id"] for r in weighted_sample(df.repartition(13), "id", "w", 10).collect()} == g
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Rows with 100x weight should dominate the sample."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    picked = {r["id"] for r in weighted_sample(df, "id", "w", 30).collect()}
+    heavy = sum(1 for i in picked if i < 50)
+    assert heavy >= 20, f"only {heavy}/30 heavy rows sampled"
