@@ -152,20 +152,29 @@ def q43_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    # testdata ts is TIMESTAMP_NTZ (parquet timestamp[us] without tz);
+    # unix_millis requires TIMESTAMP, so cast (session tz is UTC → identity).
+    ts = F.col("ts").cast("timestamp")
+    gap_ms = F.unix_millis(ts) - F.unix_millis(F.lag(ts).over(w))
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         F.when(gap_ms > 1800000, 1)
-        .when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.lag(ts).over(w).isNull(), 1)
         .otherwise(0)
         .alias("new_session"),
     )
     sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 1000).alias("duration_s"),
+        (
+            (
+                F.unix_millis(F.max("ts").cast("timestamp"))
+                - F.unix_millis(F.min("ts").cast("timestamp"))
+            )
+            / 1000
+        ).alias("duration_s"),
     )
 
 

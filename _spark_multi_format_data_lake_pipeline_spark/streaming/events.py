@@ -145,9 +145,11 @@ def stream_stream_join(
         F.col(f"l.{on}").alias(on),
         F.col("l.event_id").alias("left_id"),
         F.col("r.event_id").alias("right_id"),
-        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias(
-            "lag_us"
-        ),
+        # cast: NTZ parquet timestamps are rejected by unix_micros directly
+        (
+            F.unix_micros(F.col("r.ts").cast("timestamp"))
+            - F.unix_micros(F.col("l.ts").cast("timestamp"))
+        ).alias("lag_us"),
     )
 
 

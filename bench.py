@@ -172,18 +172,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name].fn(spark, sf_dir).count()
-        cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        QUERIES[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # A failing query must not kill the whole bench run: record the
+        # error and keep going so the JSON line always gets printed.
+        try:
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).count()
+            cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).split("\n")[0][:200]
 
     # Ingest-throughput probes mirroring BASELINE.md's workloads (25 MB
     # wide CSV, multi-line JSON, typed parquet, line text) so the numbers
     # are directly comparable to the reference's published figures.
-    timings.update(_ingest_benchmarks(spark))
+    try:
+        timings.update(_ingest_benchmarks(spark))
+    except Exception as e:  # noqa: BLE001
+        errors["_ingest"] = str(e).split("\n")[0][:200]
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -196,6 +205,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": cold_total,
+                "errors": errors,
                 "sf": sf,
             }
         )
