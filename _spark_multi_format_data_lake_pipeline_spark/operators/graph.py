@@ -38,18 +38,21 @@ def connected_components(
     collected edges beats N_iterations x 3 shuffle jobs by an order of
     magnitude. Larger graphs take the distributed min-label-propagation
     loop. Pass ``local_threshold=0`` to force the distributed path.
+
+    The strategy probe is a single ``take(local_threshold + 1)``: if the
+    edge list fits, those rows ARE the union-find input — no checkpoint,
+    no second job, the upstream pair-generation plan executes exactly
+    once. Only the distributed branch (re-joining edges every iteration)
+    pays for a localCheckpoint.
     """
-    # materialize the edge list exactly once: the strategy probe (count)
-    # and the chosen algorithm would otherwise each re-execute a possibly
-    # expensive upstream pair-generation plan
-    edges = edges.localCheckpoint(eager=True)
-    if local_threshold and edges.count() <= local_threshold:
-        return _cc_local(edges, src, dst)
+    if local_threshold:
+        head = edges.select(src, dst).take(local_threshold + 1)
+        if len(head) <= local_threshold:
+            return _cc_local(edges.sparkSession, head, dict(edges.dtypes)[src])
     return _cc_distributed(edges, src, dst, max_iter)
 
 
-def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    spark = edges.sparkSession
+def _cc_local(spark, edge_rows, id_type: str) -> DataFrame:
     parent: dict = {}
 
     def find(x):
@@ -58,7 +61,7 @@ def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.select(src, dst).collect():
+    for r in edge_rows:
         a, b = r[0], r[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -68,8 +71,7 @@ def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    schema = f"node {dict(edges.dtypes)[src]}, component {dict(edges.dtypes)[src]}"
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, f"node {id_type}, component {id_type}")
 
 
 def _cc_distributed(

@@ -154,7 +154,9 @@ def q53_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
-    a = sh.alias("a")
+    # spread the nested-loop join's stream side: the filtered scan is a
+    # single partition, which would serialize every Jaccard comparison
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
@@ -415,7 +417,10 @@ def q75_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
-    a = sh.alias("a")
+    # the filtered scan collapses to 1 partition, so the nested-loop join's
+    # stream side must be spread or every Jaccard comparison runs on one
+    # thread (measured 9s -> 1.3s at sf0.01 on local[32])
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
@@ -546,7 +551,13 @@ def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
     old = sh.filter(F.col("doc_id") < 150).alias("o")
-    new = sh.filter(F.col("doc_id") >= 150).alias("n")
+    # spread the probe (stream) side of the nested-loop join — the filtered
+    # scan is 1 partition and would serialize the Jaccard comparisons
+    new = (
+        sh.filter(F.col("doc_id") >= 150)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .alias("n")
+    )
     inter = F.size(F.array_intersect(F.col("o.grams"), F.col("n.grams")))
     union = F.size(F.array_union(F.col("o.grams"), F.col("n.grams")))
     dup_ids = (

@@ -68,6 +68,12 @@ HEADLINE = [
     "q121_weighted_sample",
     "q122_column_profile",
     "q124_lang_drift",
+    # super-linear-risk tail: iterative / join-heavy pipelines whose cost
+    # could regress quietly if left unbenched
+    "q75_dedup_groups",
+    "q87_incremental_dedup",
+    "q93_fuzzy_type_pairs",
+    "q99_recursive_hierarchy",
 ]
 
 
@@ -184,6 +190,9 @@ def main() -> None:
             QUERIES[name].fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
+            # drop the cold timing too: cold_total and total must always
+            # cover the same query set or partial runs read as speedups
+            cold.pop(name, None)
             errors[name] = str(e).split("\n")[0][:200]
 
     # Ingest-throughput probes mirroring BASELINE.md's workloads (25 MB
@@ -200,11 +209,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                "value": total,
+                # a partial total is not comparable to BASELINE — null it
+                # out and let consumers look at `queries`/`errors` instead
+                "value": total if not errors else None,
                 "unit": "sec",
+                "complete": not errors,
                 "queries": timings,
                 "cold_queries": cold,
-                "cold_total": cold_total,
+                "cold_total": cold_total if not errors else None,
                 "errors": errors,
                 "sf": sf,
             }
