@@ -57,11 +57,38 @@ def attach_fake_media(documents: DataFrame, media_type: str = "image/fake") -> D
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Codec stub — image/audio libs are not in this container."""
+def _load_codec():
+    """Optional codec autodetection: returns a PIL-backed image decoder when
+    Pillow is importable, else None. On a real cluster with Pillow installed
+    the exact same code path goes live; in this container it stays stubbed."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    def _decode(payload: bytes, media_type: str):
+        if media_type.startswith("image/"):
+            return Image.open(io.BytesIO(bytes(payload)))
+        raise NotImplementedError(f"no codec wired for {media_type}")
+
+    return _decode
+
+
+_CODEC = _load_codec()
+
+
+def decode_media(payload: bytes, media_type: str, codec=None):
+    """Decode a binary media payload. Uses the autodetected codec (PIL for
+    images, when installed), an explicitly supplied ``codec`` callable, or
+    raises — audio/video libs are never present in this container."""
+    codec = codec or _CODEC
+    if codec is not None:
+        return codec(payload, media_type)
     raise NotImplementedError(
         "media decoding requires an image/audio codec library; "
-        "wire PIL/torchaudio here on a real cluster"
+        "install Pillow (images) or wire torchaudio/pyav via the codec arg"
     )
 
 

@@ -287,12 +287,17 @@ def q67_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
     )
+    # broadcast the 1-row average instead of collect()ing it: the whole
+    # query stays one lazy plan / one Spark job
     avg_bal = (
-        cu.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+        cu.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     return (
-        cu.filter(F.col("c_acctbal") > avg_bal)
-        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        cu.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+        .join(od, F.col("c_custkey") == od.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),

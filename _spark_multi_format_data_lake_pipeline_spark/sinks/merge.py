@@ -32,6 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 KEY_CANDIDATES = ("id", "product_id", "sku", "code", "_id")
 
 
+def merge_sql_statement(target: str, key: str, source_view: str = "source_changes") -> str:
+    """The MERGE INTO statement the SQL upsert path runs (reference
+    utils/merge_utils.py:70-82). Exposed as a pure function so its text can
+    be contract-tested even though executing it needs a row-level-capable
+    catalog (Iceberg/Delta) that this sandbox can't install."""
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source_view} s\n"
+        f"ON t.{key} = s.{key}\n"
+        f"WHEN MATCHED THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def find_key_column(df: DataFrame) -> Optional[str]:
     """W6 (reference utils/merge_utils.py:13-20): first candidate present."""
     cols = set(df.columns)
@@ -51,15 +65,7 @@ class TableMerger:
         """Reference utils/merge_utils.py:70-82 (needs Iceberg/Delta)."""
         df.createOrReplaceTempView("source_changes")
         try:
-            self.spark.sql(
-                f"""
-                MERGE INTO {target} t
-                USING source_changes s
-                ON t.{key} = s.{key}
-                WHEN MATCHED THEN UPDATE SET *
-                WHEN NOT MATCHED THEN INSERT *
-                """
-            )
+            self.spark.sql(merge_sql_statement(target, key))
         finally:
             self.spark.catalog.dropTempView("source_changes")
 

@@ -133,7 +133,19 @@ def stream_stream_join(
     ``left.ts + within`` (and vice versa) — without the time-range
     condition the state would grow forever. The batch twin is
     queries/events.py::q90 (click→purchase attribution).
+
+    Precondition: ``spark.sql.session.timeZone`` must be UTC (asserted
+    below; ``session.get_spark`` sets it). The NTZ→TIMESTAMP cast in
+    ``lag_us`` reinterprets wall-clock values in the session zone — in a
+    DST-shifting zone, a transition between ``l.ts`` and ``r.ts`` would
+    skew the lag by the offset change.
     """
+    tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"stream_stream_join requires a UTC session (timeZone={tz!r}): "
+            "the NTZ cast in lag_us is DST-sensitive in non-UTC zones"
+        )
     l = left.alias("l").withWatermark("ts", left_watermark)
     r = right.alias("r").withWatermark("ts", right_watermark)
     cond = (

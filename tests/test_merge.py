@@ -72,3 +72,35 @@ def test_merge_idempotent(spark, cat):
     assert sorted(
         (r.id, r.name, r.qty) for r in spark.table(f"{DB}.t4").collect()
     ) == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_merge_sql_contract_text():
+    """The Iceberg MERGE statement can't execute jar-free, so pin its text:
+    same clause structure as reference utils/merge_utils.py:70-82
+    (UPDATE SET * / INSERT *), modulo identifiers."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.merge import merge_sql_statement
+
+    tokens = merge_sql_statement("db.products", "product_id").split()
+    assert tokens == [
+        "MERGE", "INTO", "db.products", "t",
+        "USING", "source_changes", "s",
+        "ON", "t.product_id", "=", "s.product_id",
+        "WHEN", "MATCHED", "THEN", "UPDATE", "SET", "*",
+        "WHEN", "NOT", "MATCHED", "THEN", "INSERT", "*",
+    ]
+
+
+def test_merge_sql_path_executes_contract_statement(spark, cat, monkeypatch):
+    """use_merge_sql=True must run exactly the contract statement (captured
+    via a patched session.sql — the real call needs Iceberg/Delta jars)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.merge import merge_sql_statement
+
+    m = TableMerger(spark, use_merge_sql=True)
+    executed: list[str] = []
+    real_sql = spark.sql
+    monkeypatch.setattr(
+        m.spark, "sql", lambda q, *a, **k: executed.append(q) or real_sql("SELECT 1")
+    )
+    src = _df(spark, [(1, "a", 10)])
+    m._merge_sql(src, f"{DB}.contract_t", "id")
+    assert executed == [merge_sql_statement(f"{DB}.contract_t", "id")]

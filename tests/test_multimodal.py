@@ -100,3 +100,23 @@ def test_sample_frames_ragged_tail(spark):
 def test_decode_stub_raises(media):
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_media_with_injected_codec():
+    calls = []
+
+    def codec(payload, media_type):
+        calls.append((bytes(payload), media_type))
+        return "decoded!"
+
+    assert decode_media(b"abc", "image/png", codec=codec) == "decoded!"
+    assert calls == [(b"abc", "image/png")]
+
+
+def test_decode_media_autodetected_codec(monkeypatch):
+    """With a codec 'installed' (monkeypatched — Pillow is absent in this
+    container), the same decode_media call goes live instead of raising."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm import multimodal as mm
+
+    monkeypatch.setattr(mm, "_CODEC", lambda p, t: ("ok", t))
+    assert mm.decode_media(b"x", "image/fake") == ("ok", "image/fake")

@@ -299,3 +299,18 @@ def test_dedup_within_watermark_catches_late_duplicate(spark, tmp_path):
     run_available_now(dedup_events_within_watermark(stream), name)
     ids = sorted(r.event_id for r in _memtable(spark, name).collect())
     assert ids == [1, 2, 3]  # id 1 exactly once despite the late retry
+
+
+def test_stream_stream_join_requires_utc_session(spark):
+    """The NTZ cast in lag_us is DST-sensitive, so a non-UTC session must be
+    rejected up front rather than silently skewing lags."""
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import stream_stream_join
+
+    df = spark.createDataFrame([], "user_id bigint, event_id bigint, ts timestamp")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            stream_stream_join(df, df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
