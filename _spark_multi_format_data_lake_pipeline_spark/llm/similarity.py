@@ -178,6 +178,78 @@ def ivf_search(
     return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (SURVEY.md §2 Part B "Deduplication":
+# embedding-cosine near-dup — the semantic-dedup sibling of MinHash)
+# ---------------------------------------------------------------------------
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup detection: (id_a, id_b) for every
+    pair with cosine >= threshold, id_a < id_b.
+
+    O(n²) by construction — the verification rescorer for a bounded
+    window or for candidates produced by ``cosine_near_dup_pairs_lsh``,
+    same division of labor as exact n-gram Jaccard vs MinHash. The
+    stream side is repartitioned: a small filtered input collapses to one
+    partition and would serialize every comparison.
+    """
+    base = embeddings.select(F.col(id_col), F.col(vec_col))
+    a = base.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).alias("a")
+    b = base.alias("b")
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(sim >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: candidates are pairs sharing a random-hyperplane LSH
+    bucket (equi-join on the bucket id — a hash shuffle, never all-pairs),
+    exact-rescored by cosine. Precision is exact (every emitted pair
+    really clears the threshold); recall < 1 when a near-dup pair straddles
+    a hyperplane. At 100 TB the bucket id becomes a persisted partition
+    column and candidate cost is Σ|bucket|², as with MinHash banding.
+    """
+    bucketed = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_bucket", lsh_bucket_bits(F.col(vec_col), dim, n_planes, seed)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+
+
 def ann_search_multiprobe(
     embeddings: DataFrame,
     query_vec: list[float],

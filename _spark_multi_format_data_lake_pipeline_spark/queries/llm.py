@@ -694,3 +694,73 @@ def q96_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(
         curate_corpus(docs, min_tokens=5, near_threshold=0.7)
     )
+
+
+# ---------------------------------------------------------------------------
+# q128/q129 — embedding-cosine near-dup (exact oracle + LSH scale path)
+# ---------------------------------------------------------------------------
+
+def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table has no natural near-dups (max pair cosine 0.51
+    at sf0.01), so plant them: each base vector gets a slightly perturbed
+    twin (x*1.001 + 0.01, id + 10000). Planted pairs land at cosine >=
+    0.996 while everything else stays <= 0.40 — a margin no cross-engine
+    float noise can flip."""
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    dup = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001 + 0.01).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+_PLANTED_CORPUS_SQL = """
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    dup AS (SELECT vec_id + 10000 AS vec_id,
+                   list_transform(embedding, x -> x * 1.001 + 0.01) AS embedding
+            FROM base),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+"""
+
+
+@register(
+    "q128_embedding_near_dup",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+    doc="Embedding-cosine near-dup pairs (semantic dedup): exact all-pairs "
+        "rescorer on a bounded window with planted duplicates — the "
+        "verification stage that LSH candidates (q129) feed into at scale.",
+)
+def q128_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _planted_embedding_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
+@register(
+    "q129_embedding_near_dup_lsh",
+    oracle=None,  # approximate by design (recall < 1); precision/recall tests
+    doc="LSH-bucketed embedding near-dup: candidates are same-bucket pairs "
+        "(hash equi-join on the random-hyperplane bucket id — never "
+        "all-pairs), exact-rescored by cosine. Rows-only check; "
+        "tests/test_similarity.py pins precision=1 and planted-pair recall.",
+)
+def q129_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import cosine_near_dup_pairs_lsh
+
+    return cosine_near_dup_pairs_lsh(
+        _planted_embedding_corpus(spark, sf_dir), threshold=0.9, dim=64
+    )

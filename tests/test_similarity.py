@@ -57,3 +57,40 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     }
     assert single <= multi or len(multi & exact) >= len(single & exact)
     assert 0 in multi
+
+
+def test_cosine_near_dup_exact_finds_planted_pairs(spark, sf_dir):
+    """Exact cosine near-dup on a planted corpus: each of the 50 base
+    vectors pairs with exactly its perturbed twin (id + 10000)."""
+    from _spark_multi_format_data_lake_pipeline_spark.queries.llm import _planted_embedding_corpus
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import cosine_near_dup_pairs
+
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert pairs == {(i, i + 10000) for i in range(50)}
+
+
+def test_cosine_near_dup_lsh_precision_and_recall(spark, sf_dir):
+    """LSH candidates rescored exactly: precision must be 1 (every emitted
+    pair is a true near-dup); recall < 1 only from bucket straddling, and
+    must stay reasonable on the planted corpus."""
+    from _spark_multi_format_data_lake_pipeline_spark.queries.llm import _planted_embedding_corpus
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs_lsh(corpus, threshold=0.9, dim=64).collect()
+    }
+    assert approx <= exact  # precision = 1 by construction (exact rescore)
+    assert len(approx) / len(exact) >= 0.8  # deterministic: 43/50 at seed 42
