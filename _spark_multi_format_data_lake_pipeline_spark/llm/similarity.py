@@ -250,6 +250,55 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def cosine_incremental_filter(
+    corpus: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic incremental dedup: the rows of ``new`` with NO embedding in
+    ``corpus`` at cosine >= threshold — the admission filter a training
+    pipeline runs on every incoming crawl batch.
+
+    With ``dim`` set, candidates come from an LSH-bucket equi-join (cost
+    scales with |new| + bucket collisions, not |corpus| — the corpus side
+    is pre-bucketed once and at 100 TB lives partitioned by bucket id, so
+    only matching partitions are even read). With ``dim=None`` the
+    comparison is exact (nested-loop vs the full corpus) — the bounded
+    verification twin, same division of labor as q87's text version.
+    """
+    new_side = new.select(F.col(id_col), F.col(vec_col))
+    corpus_side = corpus.select(
+        F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec")
+    )
+    # spread the probe side: a small batch collapses to one partition and
+    # would serialize every comparison (see q75)
+    new_side = new_side.repartition(
+        new.sparkSession.sparkContext.defaultParallelism
+    )
+    if dim is not None:
+        new_side = new_side.withColumn(
+            "_bucket", lsh_bucket_bits(F.col(vec_col), dim, n_planes, seed)
+        )
+        corpus_side = corpus_side.withColumn(
+            "_bucket", lsh_bucket_bits(F.col("_c_vec"), dim, n_planes, seed)
+        )
+        cand = new_side.join(corpus_side, "_bucket")
+    else:
+        cand = new_side.crossJoin(corpus_side)
+    sim = cosine_similarity(F.col(vec_col), F.col("_c_vec"))
+    dup_ids = (
+        cand.filter(sim >= threshold)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    return new.select(id_col).join(dup_ids, id_col, "left_anti")
+
+
 def ann_search_multiprobe(
     embeddings: DataFrame,
     query_vec: list[float],

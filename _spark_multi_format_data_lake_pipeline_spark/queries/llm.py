@@ -764,3 +764,80 @@ def q129_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs_lsh(
         _planted_embedding_corpus(spark, sf_dir), threshold=0.9, dim=64
     )
+
+
+# ---------------------------------------------------------------------------
+# q130/q131 — incremental semantic dedup: admit a new embedding batch
+# against the existing corpus (exact oracle + LSH scale path)
+# ---------------------------------------------------------------------------
+
+def _incremental_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """corpus = vectors 0..99; new batch = 25 perturbed corpus twins
+    (planted dups, ids +20000) + 25 genuinely fresh vectors (ids 100..124).
+    A correct filter admits exactly the 25 fresh ids."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _dbl(col):
+        return F.transform(col, lambda x: x.cast("double")).alias("embedding")
+
+    corpus = emb.filter(F.col("vec_id") < 100).select("vec_id", _dbl("embedding"))
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001 + 0.01).alias(
+            "embedding"
+        ),
+    )
+    fresh = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 125)).select(
+        "vec_id", _dbl("embedding")
+    )
+    return corpus, planted.unionByName(fresh)
+
+
+_INCREMENTAL_SQL = """
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    newb AS (
+        SELECT vec_id + 20000 AS vec_id,
+               list_transform(embedding, x -> x * 1.001 + 0.01) AS embedding
+        FROM embeddings WHERE vec_id < 25
+        UNION ALL
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100 AND vec_id < 125
+    ),
+    dups AS (
+        SELECT DISTINCT n.vec_id
+        FROM newb n JOIN corpus c
+          ON list_cosine_similarity(n.embedding, c.embedding) >= 0.9
+    )
+"""
+
+
+@register(
+    "q130_embedding_incremental_dedup",
+    oracle=f"""
+    WITH {_INCREMENTAL_SQL}
+    SELECT vec_id FROM newb WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    doc="Incremental semantic dedup (exact twin): new-batch vectors with no "
+        "corpus neighbor at cosine >= 0.9 survive admission — the embedding "
+        "counterpart of q87's text-based incremental filter.",
+)
+def q130_embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import cosine_incremental_filter
+
+    corpus, new = _incremental_batches(spark, sf_dir)
+    return cosine_incremental_filter(corpus, new, threshold=0.9)
+
+
+@register(
+    "q131_embedding_incremental_lsh",
+    oracle=None,  # recall < 1 by design; containment pinned in tests
+    doc="Incremental semantic dedup, LSH scale path: candidates from a "
+        "bucket equi-join so cost scales with |new| + collisions, not "
+        "|corpus|. A bucket-straddled dup is admitted (recall loss), never "
+        "a fresh vector rejected — tests pin exact-kept ⊆ lsh-kept and "
+        "all-fresh-kept.",
+)
+def q131_embedding_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import cosine_incremental_filter
+
+    corpus, new = _incremental_batches(spark, sf_dir)
+    return cosine_incremental_filter(corpus, new, threshold=0.9, dim=64)

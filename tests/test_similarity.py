@@ -94,3 +94,31 @@ def test_cosine_near_dup_lsh_precision_and_recall(spark, sf_dir):
     }
     assert approx <= exact  # precision = 1 by construction (exact rescore)
     assert len(approx) / len(exact) >= 0.8  # deterministic: 43/50 at seed 42
+
+
+def test_cosine_incremental_exact_admits_only_fresh(spark, sf_dir):
+    """Exact incremental filter: every planted dup rejected, every fresh
+    vector admitted."""
+    from _spark_multi_format_data_lake_pipeline_spark.queries.llm import _incremental_batches
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import cosine_incremental_filter
+
+    corpus, new = _incremental_batches(spark, sf_dir)
+    kept = {r.vec_id for r in cosine_incremental_filter(corpus, new, threshold=0.9).collect()}
+    assert kept == set(range(100, 125))
+
+
+def test_cosine_incremental_lsh_never_rejects_fresh(spark, sf_dir):
+    """LSH path errs only toward admission: exact-kept ⊆ lsh-kept (a
+    straddled dup may slip in; a fresh vector can never be rejected,
+    since rejection requires a true >= threshold match in the bucket)."""
+    from _spark_multi_format_data_lake_pipeline_spark.queries.llm import _incremental_batches
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import cosine_incremental_filter
+
+    corpus, new = _incremental_batches(spark, sf_dir)
+    exact = {r.vec_id for r in cosine_incremental_filter(corpus, new, threshold=0.9).collect()}
+    lsh = {r.vec_id for r in cosine_incremental_filter(corpus, new, threshold=0.9, dim=64).collect()}
+    assert exact <= lsh
+    assert set(range(100, 125)) <= lsh
+    # the dial still catches most planted dups (deterministic at seed 42)
+    missed_dups = len(lsh) - len(exact)
+    assert missed_dups <= 10
