@@ -116,3 +116,23 @@ def test_runtime_bloom_filter_injects_into_probe_scan(spark, sf_dir):
     finally:
         spark.conf.set(thr_key, old_thr)
         spark.conf.set(bcast_key, old_bcast)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q53_ngram_jaccard_pairs",
+        "q87_incremental_dedup",
+        "q128_embedding_near_dup",
+        "q130_embedding_incremental_dedup",
+    ],
+)
+def test_pair_queries_spread_the_nested_loop_stream_side(spark, sf_dir, name):
+    """Regression guard for the single-partition BNLJ trap: every bounded
+    pair/theta query must carry a round-robin repartition so the comparison
+    work parallelizes (q75's pair stage was 9x slower without it; q75
+    itself can't be plan-checked here — its union-find path has already
+    executed by the time a DataFrame comes back, but it shares q53's
+    pair-generation code)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "REPARTITION_BY_NUM" in plan  # the user repartition survived
