@@ -21,23 +21,54 @@ from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
 
 # The driver's correctness gate samples the first 50 entries of ``queries()``
 # per round.  To get every catalog query a driver-green row across rounds, we
-# rotate: a small always-on core first, then every query that has never
-# appeared in a prior CORRECTNESS_r*.json, then the already-checked rest.
+# rotate: a small always-on core first, then queries whose implementation
+# changed since their last green record (manually listed below), then every
+# query the driver has never *verified*, then the already-verified rest.
+#
+# "Verified" is stricter than "appeared in a CORRECTNESS file": an entry only
+# counts when rows/schema/hash all matched, or — for queries registered
+# rows-only by design (no oracle) — when the driver recorded a row count
+# without error.  Entries with any other ``err`` are treated as unchecked so
+# a failed query automatically rotates back into the window next round.
 _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup")
+
+# Queries whose implementation changed after their most recent green driver
+# record.  Keep in sync when editing query bodies: add the name here, remove
+# it once a newer CORRECTNESS_r*.json shows it green again.
+_RECHECK = (
+    # r3 diff rewrote the bounded pair join (stream-side repartition guard,
+    # commit 49619ab) after q53's r2 green record.
+    "q53_ngram_jaccard_pairs",
+)
+
+
+def _is_verified(name: str, rec: dict) -> bool:
+    if rec.get("err") == "no_oracle":
+        rows_only = QUERIES[name].oracle is None
+        return rows_only and rec.get("spark_rows") is not None
+    return (
+        rec.get("rows_match") is True
+        and rec.get("schema_match") is True
+        and rec.get("hash_match") is True
+    )
 
 
 def _rotated_names() -> list[str]:
-    checked: set[str] = set()
+    verified: set[str] = set()
     try:
         for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
-            checked.update(json.loads(path.read_text()))
+            for name, rec in json.loads(path.read_text()).items():
+                if name in QUERIES and isinstance(rec, dict) and _is_verified(name, rec):
+                    verified.add(name)
     except Exception:  # pragma: no cover - any parse issue → registry order
         return list(QUERIES)
     names = list(QUERIES)
     core = [n for n in _ALWAYS_ON if n in QUERIES]
-    fresh = [n for n in names if n not in checked and n not in core]
-    rest = [n for n in names if n in checked and n not in core]
-    return core + fresh + rest
+    recheck = [n for n in _RECHECK if n in QUERIES and n not in core]
+    head = set(core) | set(recheck)
+    fresh = [n for n in names if n not in verified and n not in head]
+    rest = [n for n in names if n in verified and n not in head]
+    return core + recheck + fresh + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

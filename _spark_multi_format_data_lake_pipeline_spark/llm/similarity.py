@@ -54,17 +54,31 @@ def lsh_bucket_bits(
 
     Sign of <v, h_i> per plane, packed to an int. Pure higher-order
     built-ins; vectors never leave the JVM.
+
+    Fails loudly when a vector's length differs from ``dim``: zip_with
+    would otherwise null-pad the shorter side, the dot product would go
+    NULL, every sign test would be false, and ALL rows would silently
+    land in bucket 0 — turning the LSH equi-join into an all-pairs join.
     """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0)
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         pcol = F.array(*[F.lit(x) for x in plane])
         d = F.aggregate(
-            F.zip_with(vec_col, pcol, lambda a, b: a.cast("double") * b),
+            F.zip_with(vec, pcol, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    return F.when(F.size(vec) == F.lit(dim), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket_bits: expected {dim}-dim vectors, got "),
+                F.size(vec).cast("string"),
+                F.lit("-dim; all rows would degenerate into LSH bucket 0"),
+            )
+        )
+    )
 
 
 def ann_search_bucketed(

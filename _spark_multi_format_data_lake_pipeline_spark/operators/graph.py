@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many edges a take()-probe doubles as the collect; above it the
+# probe is a row-count so a "graph too big" answer never ships rows driver-side.
+_TAKE_PROBE_CAP = 10_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -39,16 +43,27 @@ def connected_components(
     magnitude. Larger graphs take the distributed min-label-propagation
     loop. Pass ``local_threshold=0`` to force the distributed path.
 
-    The strategy probe is a single ``take(local_threshold + 1)``: if the
-    edge list fits, those rows ARE the union-find input — no checkpoint,
-    no second job, the upstream pair-generation plan executes exactly
-    once. Only the distributed branch (re-joining edges every iteration)
-    pays for a localCheckpoint.
+    The strategy probe is sized to the threshold. Small thresholds
+    (<= ``_TAKE_PROBE_CAP``) use a single ``take(threshold + 1)``: if the
+    edge list fits, those rows ARE the union-find input — no second job.
+    Large thresholds probe with a bounded ``limit(threshold + 1).count()``
+    instead, which moves no rows to the driver; edges are collected only
+    once the local path is actually chosen. (A take()-probe at the default
+    1M threshold would ship ~1M Row objects driver-side just to *decide*,
+    and discard them all when the graph turns out large.)
     """
     if local_threshold:
-        head = edges.select(src, dst).take(local_threshold + 1)
-        if len(head) <= local_threshold:
-            return _cc_local(edges.sparkSession, head, dict(edges.dtypes)[src])
+        sel = edges.select(src, dst)
+        if local_threshold <= _TAKE_PROBE_CAP:
+            head = sel.take(local_threshold + 1)
+            if len(head) <= local_threshold:
+                return _cc_local(edges.sparkSession, head, dict(edges.dtypes)[src])
+        else:
+            n = sel.limit(local_threshold + 1).count()
+            if n <= local_threshold:
+                return _cc_local(
+                    edges.sparkSession, sel.collect(), dict(edges.dtypes)[src]
+                )
     return _cc_distributed(edges, src, dst, max_iter)
 
 

@@ -1,6 +1,7 @@
 """Driver-contract invariants for __spark_entry__ (no Spark session needed):
 the rotation must expose every catalog query exactly once, keep the
-always-on core first, and front-load queries the driver has never checked."""
+always-on core first, front-load recheck + never-verified queries, and
+treat errored driver records as unchecked."""
 
 from __future__ import annotations
 
@@ -13,10 +14,12 @@ from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
 REPO = Path(E.__file__).resolve().parent
 
 
-def _driver_checked() -> set[str]:
+def _driver_verified() -> set[str]:
     out: set[str] = set()
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        out.update(json.loads(p.read_text()))
+        for name, rec in json.loads(p.read_text()).items():
+            if name in QUERIES and isinstance(rec, dict) and E._is_verified(name, rec):
+                out.add(name)
     return out
 
 
@@ -26,19 +29,60 @@ def test_rotation_is_a_permutation_of_the_catalog():
     assert len(names) == len(set(names))
 
 
-def test_rotation_front_loads_never_checked_queries():
+def test_rotation_front_loads_recheck_then_never_verified():
     names = E._rotated_names()
     core = [n for n in E._ALWAYS_ON if n in QUERIES]
     assert names[: len(core)] == core
-    checked = _driver_checked()
-    if not checked:  # fresh repo: registry order is fine
+    recheck = [n for n in E._RECHECK if n in QUERIES and n not in core]
+    assert names[len(core) : len(core) + len(recheck)] == recheck
+    verified = _driver_verified()
+    if not verified:  # fresh repo: registry order is fine
         return
-    fresh = [n for n in names if n not in checked and n not in core]
-    # every never-checked query must come before every already-checked one
-    # (after the core), so the driver's 50-slot window always eats fresh
-    # queries first
-    tail = names[len(core):]
+    head = set(core) | set(recheck)
+    fresh = [n for n in names if n not in verified and n not in head]
+    # every never-verified query must come before every verified one (after
+    # the core + recheck head), so the driver's 50-slot window always eats
+    # unproven queries first
+    tail = names[len(core) + len(recheck) :]
     assert tail[: len(fresh)] == fresh
+
+
+def test_errored_records_do_not_count_as_verified():
+    # a hash-green record verifies
+    assert E._is_verified(
+        "q01_pricing_summary",
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+    )
+    # any failed comparison does not
+    assert not E._is_verified(
+        "q01_pricing_summary",
+        {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+    )
+    # a runtime error does not
+    assert not E._is_verified(
+        "q01_pricing_summary",
+        {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
+    )
+    # no_oracle only verifies queries that are rows-only BY DESIGN
+    rows_only = next(n for n in QUERIES if QUERIES[n].oracle is None)
+    oracle_paired = next(n for n in QUERIES if QUERIES[n].oracle is not None)
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": 7, "err": "no_oracle"}
+    assert E._is_verified(rows_only, rec)
+    assert not E._is_verified(oracle_paired, rec)
+
+
+def test_backlog_fits_driver_window():
+    """Core + recheck + every never-verified query must fit the driver's
+    50-slot correctness window, otherwise part of the backlog silently
+    misses another round."""
+    names = E._rotated_names()
+    verified = _driver_verified()
+    unproven = [n for n in names if n not in verified]
+    assert len(unproven) <= 50, (
+        f"{len(unproven)} unproven queries exceed the 50-slot window: "
+        f"{unproven[50:]}"
+    )
 
 
 def test_oracle_keys_subset_of_queries():

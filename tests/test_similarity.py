@@ -45,6 +45,20 @@ def test_lsh_bucket_returns_neighbors(spark, sf_dir):
     assert rows[0].vec_id == 0  # the query vector itself is its top hit
 
 
+def test_lsh_bucket_dim_mismatch_fails_loudly(spark, sf_dir):
+    """A dim mismatch must raise, not silently send every row to bucket 0
+    (which would turn the LSH equi-join into an all-pairs join)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import lsh_bucket_bits
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bad = emb.withColumn("_bucket", lsh_bucket_bits(F.col("embedding"), dim=32))
+    with pytest.raises(Exception, match="expected 32-dim"):
+        bad.collect()
+
+
 def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import ann_search_multiprobe
 
