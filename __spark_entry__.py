@@ -39,6 +39,9 @@ _RECHECK = (
     # r3 diff rewrote the bounded pair join (stream-side repartition guard,
     # commit 49619ab) after q53's r2 green record.
     "q53_ngram_jaccard_pairs",
+    # r4 restructured curate_corpus (optional near-dup stage for the q132
+    # deterministic-prefix twin) after q96's r3 rows-only record.
+    "q96_curation_funnel",
 )
 
 

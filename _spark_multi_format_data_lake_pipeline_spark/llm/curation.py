@@ -35,13 +35,18 @@ def curate_corpus(
     min_tokens: int = 5,
     min_stopword: float = 0.0,
     max_stopword: float = 1.0,
-    near_threshold: float = 0.8,
+    near_threshold: float | None = 0.8,
     cache_cleaned: bool = True,
 ) -> DataFrame:
     """Annotate every document with ``clean_text`` and ``drop_reason``
     (NULL = keep). Quality gates run before dedup so a near-dup of a
     rejected doc is charged to quality, not dedup; exact-dup beats
     near-dup so the reasons are deterministic.
+
+    ``near_threshold=None`` skips the MinHash near-dup stage entirely —
+    the deterministic prefix of the funnel (clean → quality → exact dup),
+    cheap enough to run on every ingest batch and exactly reproducible on
+    any engine (the driver hash-checks it via q132 against a DuckDB twin).
 
     The cleaned+gated frame feeds FOUR downstream branches (exact dedup,
     band join, and the two final joins); without materialization Spark
@@ -73,27 +78,28 @@ def curate_corpus(
         keepers, passing["id"] == keepers["keep_id"], "left_semi"
     )
 
-    # near dup among exact-survivors: drop the higher id of each pair
-    pairs = minhash_near_dup_pairs(
-        exact_kept, "id", "clean_text", threshold=near_threshold
-    )
-    near_drops = pairs.select(F.col("id_b").alias("nd_id")).distinct()
-
     reason = (
         F.when(F.col("q_reason").isNotNull(), F.col("q_reason"))
         .when(F.col("keep_id").isNull(), F.lit("exact_dup"))
-        .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
     )
-    annotated = (
-        quality.join(keepers, quality["id"] == keepers["keep_id"], "left")
-        .join(near_drops, quality["id"] == near_drops["nd_id"], "left")
-        .select(
-            F.col("id").alias(id_col),
-            "clean_text",
-            reason.alias("drop_reason"),
+    annotated = quality.join(keepers, quality["id"] == keepers["keep_id"], "left")
+
+    if near_threshold is not None:
+        # near dup among exact-survivors: drop the higher id of each pair
+        pairs = minhash_near_dup_pairs(
+            exact_kept, "id", "clean_text", threshold=near_threshold
         )
+        near_drops = pairs.select(F.col("id_b").alias("nd_id")).distinct()
+        annotated = annotated.join(
+            near_drops, annotated["id"] == near_drops["nd_id"], "left"
+        )
+        reason = reason.when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
+
+    return annotated.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        reason.alias("drop_reason"),
     )
-    return annotated
 
 
 def curation_report(annotated: DataFrame) -> DataFrame:

@@ -590,13 +590,18 @@ def q102_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q103_file_provenance",
-    oracle=None,
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows
+    FROM lineitem
+    """,
     doc="Per-input-file lineage: the hidden _metadata struct exposes "
         "file_name/file_size for every row at zero cost (populated from "
         "the scan, no extra IO) — the debugging handle for 'which file "
-        "produced this bad row' on a million-file lake. No DuckDB twin for "
-        "Spark's metadata column -> rows-only; the test cross-checks "
-        "counts against per-file parquet footers.",
+        "produced this bad row' on a million-file lake. DuckDB has no "
+        "_metadata column, but the testdata layout is one parquet file per "
+        "table, so the oracle pins both the count AND that Spark "
+        "attributes every row to exactly that file (a second file or a "
+        "wrong basename breaks the row-count/hash match).",
 )
 def q103_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

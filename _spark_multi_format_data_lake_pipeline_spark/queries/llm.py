@@ -685,7 +685,8 @@ def q91_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— one declarative pass annotating drop_reason per doc, one groupBy "
         "for the report (llm/curation.py). MinHash stage is engine-specific "
         "→ rows-only; each stage is oracle-checked individually by "
-        "q50/q54/q77/q78/q51.",
+        "q50/q54/q77/q78/q51, and the deterministic prefix of THIS funnel "
+        "is hash-checked end-to-end by q132.",
 )
 def q96_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.curation import curate_corpus, curation_report
@@ -693,6 +694,60 @@ def q96_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return curation_report(
         curate_corpus(docs, min_tokens=5, near_threshold=0.7)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — deterministic curation prefix (oracle-paired twin of q96's funnel)
+# ---------------------------------------------------------------------------
+
+def _curation_prefix_oracle() -> str:
+    from ..llm.cleaning import pii_redact_sql, strip_html_sql
+
+    clean = pii_redact_sql(strip_html_sql("text"))
+    return rf"""
+    WITH cleaned AS (
+        SELECT doc_id, {clean} AS clean_text FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, clean_text,
+               CASE WHEN len(string_split_regex(TRIM(clean_text), '\s+')) < 5
+                    THEN 'too_short' END AS q_reason
+        FROM cleaned
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS keep_id
+        FROM quality WHERE q_reason IS NULL
+        GROUP BY sha256(clean_text)
+    )
+    SELECT q.doc_id,
+           COALESCE(q.q_reason,
+                    CASE WHEN k.keep_id IS NULL THEN 'exact_dup'
+                         ELSE 'entered_near_dup' END) AS stage
+    FROM quality q LEFT JOIN keepers k ON q.doc_id = k.keep_id
+    """
+
+
+@register(
+    "q132_curation_prefix",
+    oracle=_curation_prefix_oracle(),
+    doc="Per-document drop_reason for the DETERMINISTIC prefix of the q96 "
+        "curation funnel (clean → too_short gate → exact dedup), with "
+        "near-dup survivors collapsed to 'entered_near_dup'. Runs the same "
+        "curate_corpus code with near_threshold=None, so the driver "
+        "hash-checks the composed pipeline end-to-end (q96's only "
+        "unverifiable stage is the engine-specific MinHash band join). "
+        "Oracle SQL is composed from the SAME pattern tables as the Spark "
+        "expressions (pii_redact_sql/strip_html_sql) plus q50's keeper rule.",
+)
+def q132_curation_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ann = curate_corpus(docs, min_tokens=5, near_threshold=None)
+    return ann.select(
+        "doc_id",
+        F.coalesce("drop_reason", F.lit("entered_near_dup")).alias("stage"),
     )
 
 
