@@ -73,7 +73,15 @@ class TableMerger:
         """Jar-free upsert: keep unmatched target rows, take all source
         rows; stage + rename for an atomic-enough swap."""
         target_df = self.spark.table(target)
-        merged = target_df.join(df, on=key, how="left_anti").unionByName(df)
+        # .select(columns): the USING-join hoists the key column to the
+        # front, which would silently rotate the stored column order any
+        # time the key isn't the first column — MERGE INTO preserves the
+        # target schema, so this path must too
+        merged = (
+            target_df.join(df, on=key, how="left_anti")
+            .unionByName(df)
+            .select(*target_df.columns)
+        )
         stage = f"{target}__stage"
         merged.write.mode("overwrite").format("parquet").saveAsTable(stage)
         self.spark.sql(f"DROP TABLE IF EXISTS {target}")

@@ -90,6 +90,73 @@ def test_merge_sql_contract_text():
     ]
 
 
+def _merge_into_model(target_rows, source_rows, key_idx):
+    """Pure-Python semantics of the contract MERGE INTO statement
+    (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *), the statement
+    pinned textually by test_merge_sql_contract_text. SQL equality: a NULL
+    key never matches, so NULL-key target rows survive and NULL-key source
+    rows insert. Assumes unique non-null keys per side (the upsert
+    precondition; Iceberg/Delta MERGE *errors* on multi-match)."""
+    src_by_key = {r[key_idx]: r for r in source_rows if r[key_idx] is not None}
+    out = []
+    matched = set()
+    for t in target_rows:
+        k = t[key_idx]
+        if k is not None and k in src_by_key:
+            out.append(src_by_key[k])  # UPDATE SET *
+            matched.add(k)
+        else:
+            out.append(t)
+    for s in source_rows:
+        k = s[key_idx]
+        if k is None or k not in matched:
+            out.append(s)  # INSERT *
+    return sorted(out, key=repr)
+
+
+_SCHEMAS = {
+    "int_key": ("id int, name string, qty int", 0,
+                lambda i: (i, f"n{i}", i * 10), lambda i: (i, f"N{i}", i * 100)),
+    "str_key": ("price double, sku string, n bigint", 1,
+                lambda i: (i + 0.5, f"s{i}", i), lambda i: (i + 0.25, f"s{i}", i * 7)),
+}
+
+
+@pytest.mark.parametrize("schema_name", list(_SCHEMAS))
+@pytest.mark.parametrize("overlap", ["disjoint", "partial", "full"])
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_antijoin_merge_matches_merge_into_semantics(
+    spark, cat, schema_name, overlap, with_nulls
+):
+    """Property matrix (key-overlap x null-keys x schema): the jar-free
+    anti-join upsert must produce exactly the final table the contract
+    MERGE INTO statement would — modeled row-by-row by _merge_into_model,
+    since executing the SQL path needs Iceberg/Delta jars."""
+    schema, key_idx, mk_t, mk_s = _SCHEMAS[schema_name]
+    key = schema.split(",")[key_idx].strip().split()[0]
+
+    target_rows = [mk_t(i) for i in range(6)]
+    lo, hi = {"disjoint": (6, 11), "partial": (3, 8), "full": (0, 6)}[overlap]
+    source_rows = [mk_s(i) for i in range(lo, hi)]
+    if with_nulls:
+        def null_key(row):
+            r = list(row)
+            r[key_idx] = None
+            return tuple(r)
+        target_rows.append(null_key(mk_t(90)))
+        source_rows.append(null_key(mk_s(91)))
+
+    tbl = f"{DB}.prop_{schema_name}_{overlap}_{int(with_nulls)}"
+    m = TableMerger(spark)
+    m.merge_table(spark.createDataFrame(target_rows, schema=schema), tbl, False, key=key)
+    res = m.merge_table(spark.createDataFrame(source_rows, schema=schema), tbl, True, key=key)
+    assert res["strategy"] == "MERGE"
+
+    got = sorted((tuple(r) for r in spark.table(tbl).collect()), key=repr)
+    want = _merge_into_model(target_rows, source_rows, key_idx)
+    assert got == want
+
+
 def test_merge_sql_path_executes_contract_statement(spark, cat, monkeypatch):
     """use_merge_sql=True must run exactly the contract statement (captured
     via a patched session.sql — the real call needs Iceberg/Delta jars)."""
