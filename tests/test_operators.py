@@ -101,6 +101,24 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(a == 0 and b == 1 for a, b in pairs)
 
 
+def test_minhash_bucket_cap_drops_boilerplate_buckets(spark):
+    """max_bucket bounds the per-bucket pair explosion: a bucket larger
+    than the cap (boilerplate text shared by many docs) is dropped
+    entirely — the documented recall trade-off that keeps Σ|bucket|²
+    bounded at corpus scale."""
+    rows = [(i, "identical boilerplate text repeated across many documents x")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    capped = minhash_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.4, max_bucket=5
+    ).count()
+    assert capped == 0  # 12-member buckets exceed the cap of 5
+    uncapped = minhash_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.4, max_bucket=50
+    ).count()
+    assert uncapped == 12 * 11 // 2  # all pairs once the cap admits them
+
+
 def test_simhash_similar_texts_close(spark):
     df = spark.createDataFrame(
         [

@@ -118,6 +118,34 @@ def test_runtime_bloom_filter_injects_into_probe_scan(spark, sf_dir):
         spark.conf.set(bcast_key, old_bcast)
 
 
+def _simple_plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(em)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # explode→hash→64 partial MIN aggs map-side combined, bucket join:
+        # sig shuffle + bucket groupBy + dropDuplicates = 3
+        ("q54_minhash_near_dup", 3),
+        # clean persist + exact-dedup groupBy + band join + two id-joins
+        # + report groupBy = 7 (PLANS.md post-AQE section)
+        ("q96_curation_funnel", 7),
+    ],
+)
+def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    """Shuffle-budget pin for the heaviest LLM queries: an extra Exchange
+    or any Python-eval node in these plans is a structural regression
+    (each extra shuffle re-moves the whole corpus at 100 TB)."""
+    plan = _simple_plan(spark, sf_dir, name)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= max_shuffles, f"{name} grew to {n_shuffles} shuffles"
+    assert "EvalPython" not in plan  # no Python in the hot path
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
