@@ -37,6 +37,7 @@ def curate_corpus(
     max_stopword: float = 1.0,
     near_threshold: float | None = 0.8,
     cache_cleaned: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Annotate every document with ``clean_text`` and ``drop_reason``
     (NULL = keep). Quality gates run before dedup so a near-dup of a
@@ -51,8 +52,16 @@ def curate_corpus(
     The cleaned+gated frame feeds FOUR downstream branches (exact dedup,
     band join, and the two final joins); without materialization Spark
     re-runs the HTML/PII regex chain once per branch (~2.6x wall on the
-    bench corpus). ``cache_cleaned`` persists that one stage; a 100 TB run
-    would checkpoint it to the lake instead."""
+    bench corpus). Two materialization postures:
+
+    - ``cache_cleaned`` (default): executor-memory persist — right for a
+      single-session run that fits the cluster's storage fraction.
+    - ``checkpoint_dir``: write the cleaned stage to parquet and read it
+      back — the 100 TB posture. The lake checkpoint survives executor
+      loss, frees memory for the band join's shuffle, and severs the
+      lineage so the regex chain provably runs in exactly ONE job (every
+      downstream branch scans the checkpoint files, never the source).
+      Takes precedence over ``cache_cleaned``."""
     cleaned = docs.select(
         F.col(id_col).alias("id"),
         redact_pii(strip_html(F.col(text_col))).alias("clean_text"),
@@ -66,7 +75,11 @@ def curate_corpus(
         .when((sw < min_stopword) | (sw > max_stopword), F.lit("low_quality"))
         .alias("q_reason"),
     )
-    if cache_cleaned:
+    if checkpoint_dir is not None:
+        path = checkpoint_dir.rstrip("/") + "/curation_cleaned"
+        quality.write.mode("overwrite").parquet(path)
+        quality = docs.sparkSession.read.parquet(path)
+    elif cache_cleaned:
         quality = quality.persist()
     passing = quality.filter(F.col("q_reason").isNull()).select("id", "clean_text")
 

@@ -70,3 +70,35 @@ def test_quality_gate_charged_before_dedup(spark):
 def test_curated_set_is_null_filter(annotated):
     kept = annotated.filter(F.col("drop_reason").isNull())
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 5]
+
+
+def test_checkpoint_dir_severs_lineage_from_source(spark, tmp_path):
+    """The 100 TB posture: with checkpoint_dir, the cleaned stage lands in
+    parquet and EVERY downstream branch scans those files — the source
+    (and its regex chain) appears nowhere in the returned plan, proving
+    the HTML/PII pass ran in exactly one job."""
+    src_path = str(tmp_path / "src_docs")
+    spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, "hi"), (3, OTHER)],
+        "doc_id bigint, text string",
+    ).write.parquet(src_path)
+    docs = spark.read.parquet(src_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = curate_corpus(
+        docs, near_threshold=0.6, checkpoint_dir=ckpt, cache_cleaned=False
+    )
+
+    # the checkpoint materialized the cleaned stage
+    cleaned = spark.read.parquet(ckpt + "/curation_cleaned")
+    assert sorted(cleaned.columns) == ["clean_text", "id", "q_reason"]
+    assert cleaned.count() == 4
+
+    # every scan in the result plan reads the checkpoint, never the source
+    files = out.inputFiles()
+    assert files and all("curation_cleaned" in f for f in files)
+    assert not any("src_docs" in f for f in files)
+
+    # and the annotations are unchanged vs the persist posture
+    got = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
+    assert got == {0: None, 1: "exact_dup", 2: "too_short", 3: None}
