@@ -1633,6 +1633,37 @@ def q123_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q133 — exact percentiles (oracle-paired twin of q123)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q133_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="EXACT p50/p90/p99 per return flag — the hash-checked twin of "
+        "q123's GK sketch (both engines define the continuous percentile "
+        "as linear interpolation between order statistics, so values match "
+        "to the cent). Exact percentile holds the full sorted value set "
+        "per group, so at 100 TB it is the wrong default (q123 is); it "
+        "earns its place as the driver-verifiable anchor that also bounds "
+        "q123's sketch error in tests/test_sketches.py.",
+)
+def q133_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 2).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q124 — distribution drift between corpus batches (KL divergence)
 # ---------------------------------------------------------------------------
 
