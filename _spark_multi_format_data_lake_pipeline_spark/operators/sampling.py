@@ -63,3 +63,38 @@ def weighted_sample(
         .filter(F.col("__aes_rk") <= k)
         .drop("__aes_key", "__aes_rk")
     )
+
+
+def epoch_shard_order(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic epoch shuffle: adds ``shard`` (training shard in
+    [0, n_shards)) and ``pos`` (1-based order within the shard).
+
+    Training pipelines need each epoch's data order to be (a) pseudo-
+    random, (b) different per epoch, and (c) exactly reproducible for
+    restarts and audits. ``orderBy(rand(seed))`` fails (c) — Spark's RNG
+    stream depends on partitioning. This is instead a pure function of
+    (seed, id): shard and order both derive from sha256(seed:id), so a
+    new seed re-deals membership and order (the next epoch) while any
+    engine, partitioning, or cluster shape reproduces the same deal.
+
+    Scale: one shuffle on ``shard``; the within-shard sort handles
+    ~N/n_shards rows per partition — pick n_shards so a shard fits an
+    executor (the same sizing rule as any partitioned write). The hash
+    ordering also declusters whatever locality the source had (adjacent
+    ids land in different shards and far-apart positions).
+    """
+    h = F.sha2(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    )
+    win = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(win))
+        .drop("__h")
+    )

@@ -1664,6 +1664,41 @@ def q133_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q134 — deterministic epoch shuffle (training shard + order assignment)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q134_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               sha256('1:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
+                ORDER BY hx, doc_id) AS INT) AS pos
+    FROM h
+    """,
+    doc="Deterministic epoch shuffle for training: shard in [0,8) and "
+        "within-shard position both derive from sha256(seed:doc_id) "
+        "(operators/sampling.py::epoch_shard_order). A new seed re-deals "
+        "the whole corpus (next epoch); the same seed reproduces the deal "
+        "bit-for-bit on any engine or cluster shape — what orderBy(rand) "
+        "cannot promise. One shuffle on shard; each shard sorts N/8 rows.",
+)
+def q134_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_shard_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shard_order(docs, "doc_id", n_shards=8, seed=1).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q124 — distribution drift between corpus batches (KL divergence)
 # ---------------------------------------------------------------------------
 

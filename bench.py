@@ -56,6 +56,9 @@ HEADLINE = [
     "q85_tfidf_top_terms",
     "q88_image_resize",
     "q96_curation_funnel",
+    "q132_curation_prefix",
+    "q133_exact_percentiles",
+    "q134_epoch_shuffle",
     "q97_retention_cohorts",
     "q62_customer_distribution",
     "q63_small_qty_revenue",

@@ -101,6 +101,30 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(a == 0 and b == 1 for a, b in pairs)
 
 
+def test_epoch_shard_order_is_deterministic_and_reseeds(spark):
+    """Epoch shuffle: (shard, pos) is a pure function of (seed, id) —
+    identical under any partitioning — and a new seed re-deals both
+    membership and order (the next epoch)."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import epoch_shard_order
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.shard, r.pos)
+         for r in epoch_shard_order(df, "doc_id", 4, seed=1).collect()}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in epoch_shard_order(df.repartition(13), "doc_id", 4, seed=1).collect()}
+    assert a == b  # partitioning-independent
+    c = {(r.doc_id, r.shard, r.pos)
+         for r in epoch_shard_order(df, "doc_id", 4, seed=2).collect()}
+    assert a != c  # a new seed is a new epoch
+    # every shard is a contiguous 1..n_s numbering and ids spread across shards
+    by_shard: dict = {}
+    for doc_id, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
 def test_minhash_bucket_cap_drops_boilerplate_buckets(spark):
     """max_bucket bounds the per-bucket pair explosion: a bucket larger
     than the cap (boilerplate text shared by many docs) is dropped
