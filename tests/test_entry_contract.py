@@ -6,6 +6,7 @@ treat errored driver records as unchecked."""
 from __future__ import annotations
 
 import json
+import sys
 from pathlib import Path
 
 import __spark_entry__ as E
@@ -82,6 +83,38 @@ def test_backlog_fits_driver_window():
     assert len(unproven) <= 50, (
         f"{len(unproven)} unproven queries exceed the 50-slot window: "
         f"{unproven[50:]}"
+    )
+
+
+def test_changed_query_bodies_must_be_rechecked():
+    """Mechanized recheck discipline: if a query's function source or
+    oracle changed since QUERY_HASHES.json was generated, the query must
+    be unproven (rotates into the window anyway) or listed in _RECHECK —
+    otherwise a silent edit to a verified query would dodge the driver
+    gate forever. Fix by adding the name to _RECHECK (driver re-proves
+    it) and regenerating: python tools/query_hashes.py --write.
+    NOTE: helper-module edits don't move these hashes — those still need
+    a manual _RECHECK entry (tools/query_hashes.py docstring)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import query_hashes
+
+    manifest = query_hashes.load_manifest()
+    assert manifest, "QUERY_HASHES.json missing - run tools/query_hashes.py --write"
+    cur = query_hashes.compute()
+    verified = _driver_verified()
+    offenders = [
+        n
+        for n in cur
+        if n in manifest
+        and manifest[n] != cur[n]
+        and n in verified
+        and n not in E._RECHECK
+        and n not in E._ALWAYS_ON
+    ]
+    assert not offenders, (
+        f"query bodies changed but not queued for driver recheck: {offenders}; "
+        "add to _RECHECK in __spark_entry__.py, then "
+        "python tools/query_hashes.py --write"
     )
 
 
