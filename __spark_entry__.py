@@ -36,12 +36,19 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # record.  Keep in sync when editing query bodies: add the name here, remove
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
-    # r3 diff rewrote the bounded pair join (stream-side repartition guard,
-    # commit 49619ab) after q53's r2 green record.
-    "q53_ngram_jaccard_pairs",
-    # r4 restructured curate_corpus (optional near-dup stage for the q132
-    # deterministic-prefix twin) after q96's r3 rows-only record.
+    # r5 ADVICE fixes touched helper modules after these queries' green
+    # records: lsh_bucket_bits null-vector guard (similarity.py) feeds
+    # q58/q129/q131; connected_components persist-before-probe (graph.py)
+    # feeds q75; epoch_shard_order collision guard (sampling.py) feeds
+    # q134; curate_corpus cache posture (curation.py) feeds q96/q132
+    # (q132's body also changed: cache_cleaned=False).
+    "q58_ann_lsh_bucket",
+    "q129_embedding_near_dup_lsh",
+    "q131_embedding_incremental_lsh",
+    "q75_dedup_groups",
+    "q134_epoch_shuffle",
     "q96_curation_funnel",
+    "q132_curation_prefix",
 )
 
 

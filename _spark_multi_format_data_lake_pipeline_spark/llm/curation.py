@@ -55,7 +55,13 @@ def curate_corpus(
     bench corpus). Two materialization postures:
 
     - ``cache_cleaned`` (default): executor-memory persist — right for a
-      single-session run that fits the cluster's storage fraction.
+      single-session run that fits the cluster's storage fraction. The
+      persist is intentionally NOT unpersisted here (the returned frame is
+      lazy; downstream branches haven't run yet), so it lives until the
+      session ends or the caller unpersists — callers composing many
+      curations in one session should pass ``cache_cleaned=False`` when
+      the funnel is cheap (e.g. the ``near_threshold=None`` prefix has
+      only two downstream branches).
     - ``checkpoint_dir``: write the cleaned stage to parquet and read it
       back — the 100 TB posture. The lake checkpoint survives executor
       loss, frees memory for the band join's shuffle, and severs the

@@ -59,6 +59,13 @@ def lsh_bucket_bits(
     would otherwise null-pad the shorter side, the dot product would go
     NULL, every sign test would be false, and ALL rows would silently
     land in bucket 0 — turning the LSH equi-join into an all-pairs join.
+
+    NULL vectors also fail loudly (reported as "NULL-dim") rather than
+    landing in bucket 0 as they did before the guard existed: a null
+    embedding in an LSH join is a data-quality bug upstream, and bucket 0
+    would silently cross-join every null row. ``F.size(NULL)`` is NULL,
+    so both the condition and the message coalesce the size to keep the
+    error readable instead of raise_error(NULL).
     """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0)
@@ -70,11 +77,12 @@ def lsh_bucket_bits(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return F.when(F.size(vec) == F.lit(dim), bucket).otherwise(
+    sz = F.coalesce(F.size(vec), F.lit(-1))
+    return F.when(sz == F.lit(dim), bucket).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"lsh_bucket_bits: expected {dim}-dim vectors, got "),
-                F.size(vec).cast("string"),
+                F.when(sz == -1, F.lit("NULL")).otherwise(sz.cast("string")),
                 F.lit("-dim; all rows would degenerate into LSH bucket 0"),
             )
         )

@@ -46,11 +46,13 @@ def connected_components(
     The strategy probe is sized to the threshold. Small thresholds
     (<= ``_TAKE_PROBE_CAP``) use a single ``take(threshold + 1)``: if the
     edge list fits, those rows ARE the union-find input — no second job.
-    Large thresholds probe with a bounded ``limit(threshold + 1).count()``
-    instead, which moves no rows to the driver; edges are collected only
-    once the local path is actually chosen. (A take()-probe at the default
-    1M threshold would ship ~1M Row objects driver-side just to *decide*,
-    and discard them all when the graph turns out large.)
+    Large thresholds persist the projected edge list, probe with a bounded
+    ``limit(threshold + 1).count()`` (no rows move to the driver), and only
+    then collect; partitions computed by the probe are served from cache,
+    so the upstream pair-generation plan still executes at most once per
+    partition in every branch. (A take()-probe at the default 1M threshold
+    would ship ~1M Row objects driver-side just to *decide*, and discard
+    them all when the graph turns out large.)
     """
     if local_threshold:
         sel = edges.select(src, dst)
@@ -59,11 +61,18 @@ def connected_components(
             if len(head) <= local_threshold:
                 return _cc_local(edges.sparkSession, head, dict(edges.dtypes)[src])
         else:
-            n = sel.limit(local_threshold + 1).count()
-            if n <= local_threshold:
-                return _cc_local(
-                    edges.sparkSession, sel.collect(), dict(edges.dtypes)[src]
-                )
+            sel = sel.persist()
+            try:
+                n = sel.limit(local_threshold + 1).count()
+                if n <= local_threshold:
+                    return _cc_local(
+                        edges.sparkSession, sel.collect(), dict(edges.dtypes)[src]
+                    )
+                # distributed path consumes the persisted projection; its
+                # eager localCheckpoint materializes before we unpersist
+                return _cc_distributed(sel, src, dst, max_iter)
+            finally:
+                sel.unpersist()
     return _cc_distributed(edges, src, dst, max_iter)
 
 

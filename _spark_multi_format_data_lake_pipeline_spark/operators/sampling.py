@@ -84,7 +84,16 @@ def epoch_shard_order(
     executor (the same sizing rule as any partitioned write). The hash
     ordering also declusters whatever locality the source had (adjacent
     ids land in different shards and far-apart positions).
+
+    Raises when the input already has a ``shard``/``pos``/``__h`` column:
+    withColumn would silently overwrite caller data otherwise.
     """
+    clash = [c for c in ("shard", "pos", "__h") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"epoch_shard_order would overwrite existing column(s) {clash}; "
+            "rename or drop them before sharding"
+        )
     h = F.sha2(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256
     )

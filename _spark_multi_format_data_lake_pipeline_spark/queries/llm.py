@@ -744,7 +744,13 @@ def q132_curation_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.curation import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    ann = curate_corpus(docs, min_tokens=5, near_threshold=None)
+    # cache_cleaned=False: the deterministic prefix has only two downstream
+    # branches (keeper groupBy + final join), and curate_corpus's persist
+    # lives for the session — repeated correctness sweeps (q96 + q132 +
+    # tests) would otherwise accumulate persisted frames in executor storage.
+    ann = curate_corpus(
+        docs, min_tokens=5, near_threshold=None, cache_cleaned=False
+    )
     return ann.select(
         "doc_id",
         F.coalesce("drop_reason", F.lit("entered_near_dup")).alias("stage"),

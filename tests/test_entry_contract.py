@@ -76,13 +76,22 @@ def test_errored_records_do_not_count_as_verified():
 def test_backlog_fits_driver_window():
     """Core + recheck + every never-verified query must fit the driver's
     50-slot correctness window, otherwise part of the backlog silently
-    misses another round."""
+    misses another round. Counts window OCCUPANCY with the same head
+    decomposition as _rotated_names: verified core/recheck entries still
+    hold head slots, so counting only the unproven tail would let e.g.
+    48 unproven + 3 core + 2 recheck pass while 3 unproven queries fall
+    outside the window."""
     names = E._rotated_names()
     verified = _driver_verified()
-    unproven = [n for n in names if n not in verified]
-    assert len(unproven) <= 50, (
-        f"{len(unproven)} unproven queries exceed the 50-slot window: "
-        f"{unproven[50:]}"
+    core = [n for n in E._ALWAYS_ON if n in QUERIES]
+    recheck = [n for n in E._RECHECK if n in QUERIES and n not in core]
+    head = set(core) | set(recheck)
+    fresh = [n for n in names if n not in verified and n not in head]
+    occupied = len(core) + len(recheck) + len(fresh)
+    assert occupied <= 50, (
+        f"core({len(core)}) + recheck({len(recheck)}) + unproven({len(fresh)})"
+        f" = {occupied} exceeds the 50-slot window; overflow: "
+        f"{(core + recheck + fresh)[50:]}"
     )
 
 

@@ -125,6 +125,19 @@ def test_epoch_shard_order_is_deterministic_and_reseeds(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1))
 
 
+def test_epoch_shard_order_rejects_colliding_columns(spark):
+    """withColumn would silently overwrite a caller's shard/pos/__h."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import epoch_shard_order
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="shard"):
+        epoch_shard_order(df.withColumn("shard", df.doc_id), "doc_id", 4)
+    with pytest.raises(ValueError, match="pos"):
+        epoch_shard_order(df.withColumn("pos", df.doc_id), "doc_id", 4)
+
+
 def test_minhash_bucket_cap_drops_boilerplate_buckets(spark):
     """max_bucket bounds the per-bucket pair explosion: a bucket larger
     than the cap (boilerplate text shared by many docs) is dropped

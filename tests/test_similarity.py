@@ -59,6 +59,29 @@ def test_lsh_bucket_dim_mismatch_fails_loudly(spark, sf_dir):
         bad.collect()
 
 
+def test_lsh_bucket_null_vector_fails_with_readable_error(spark, sf_dir):
+    """F.size(NULL) is NULL: without the coalesce both the guard condition
+    and the error message would go NULL, raising an opaque null error (and
+    before the guard existed, null embeddings silently landed in bucket 0)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import lsh_bucket_bits
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(5)
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
+        )
+    )
+    dim = len(emb.filter(F.col("embedding").isNotNull()).first().embedding)
+    bad = emb.withColumn("_bucket", lsh_bucket_bits(F.col("embedding"), dim=dim))
+    with pytest.raises(Exception, match="NULL-dim"):
+        bad.collect()
+
+
 def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import ann_search_multiprobe
 
