@@ -43,6 +43,11 @@ _RECHECK = (
     # q134; curate_corpus cache posture (curation.py) feeds q96/q132
     # (q132's body also changed: cache_cleaned=False).
     "q58_ann_lsh_bucket",
+    # r5 oracle-twin work re-touched these rows-only queries' registrations
+    # (doc now cites the hash-green twin; q73/q111/q101 pipelines unchanged).
+    "q73_ivf_ann",
+    "q101_hll_partial_union",
+    "q111_cms_token_freq",
     "q129_embedding_near_dup_lsh",
     "q131_embedding_incremental_lsh",
     "q75_dedup_groups",

@@ -89,6 +89,61 @@ def lsh_bucket_bits(
     )
 
 
+def _hyperplanes_int(
+    dim: int, n_planes: int, seed: int = 42, scale: int = 1000
+) -> list[list[int]]:
+    """The lsh_bucket_bits hyperplanes quantized to integers (driver-side,
+    exact) so dot products can be all-integer arithmetic."""
+    return [
+        [round(x * scale) for x in p] for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def lsh_bucket_bits_exact(
+    vec_col: Column | str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    scale: int = 1000,
+) -> Column:
+    """Bit-identical-on-any-engine LSH bucket id: quantize the vector to
+    integers (floor(x*scale)) and use integer-quantized hyperplanes, so
+    every dot product is exact integer arithmetic — no FP summation-order
+    ambiguity between engines, which is what keeps the float version
+    (lsh_bucket_bits) out of the oracle gate. Buckets can differ from the
+    float version only for vectors whose hyperplane margin is below the
+    quantization error (~1/scale); recall/precision behavior is the same.
+
+    Products stay < 2^53, so the math is exact even for an engine that
+    accumulates in doubles (DuckDB's list_dot_product) — the q137 oracle
+    relies on that. Same loud failure as lsh_bucket_bits on dim mismatch
+    or NULL vectors.
+    """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    qv = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("bigint")
+    )
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(_hyperplanes_int(dim, n_planes, seed, scale)):
+        pcol = F.array(*[F.lit(int(x)).cast("bigint") for x in plane])
+        d = F.aggregate(
+            F.zip_with(qv, pcol, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    sz = F.coalesce(F.size(vec), F.lit(-1))
+    return F.when(sz == F.lit(dim), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket_bits_exact: expected {dim}-dim vectors, got "),
+                F.when(sz == -1, F.lit("NULL")).otherwise(sz.cast("string")),
+                F.lit("-dim"),
+            )
+        )
+    )
+
+
 def ann_search_bucketed(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -381,7 +381,9 @@ def q100_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct-user estimate — the incremental pattern that lets a 100 "
         "TB pipeline maintain per-partition sketches and answer global "
         "count-distinct without rescanning history. Sketches are engine-"
-        "specific -> rows-only; tests assert <5% error vs exact.",
+        "specific -> rows-only; tests assert <5% error vs exact, and the "
+        "explicit register-table twin q136 hash-checks the same partial->"
+        "merge algebra cross-engine.",
 )
 def q101_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -395,3 +397,45 @@ def q101_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_distinct_users"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — explicit HLL register table (oracle-paired twin of q101)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q136_hll_register_twin",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT CAST(hv % 64 AS INT) AS bucket,
+               hv // 64 AS w
+        FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN w > 0 THEN 27 - length(bin(w)) ELSE 27 END)
+                AS INT) AS rho
+    FROM r GROUP BY bucket
+    """,
+    doc="Oracle-paired twin of q101: the same per-day-partial -> "
+        "merge-by-union HLL shape, but with the sketch held as an explicit "
+        "(bucket, rho) register table (functions/sketches.py "
+        "hll_register_partials/hll_merge_registers) instead of the "
+        "datasketches binary no other engine can parse. sha256 hex-prefix "
+        "hash (q134 pattern), rho from length(bin(w)) — pure integer rows, "
+        "so DuckDB rebuilds the merged registers exactly and the driver "
+        "hash-checks the mergeable-sketch algebra q101 can only row-count. "
+        "Per-day partials merged by MAX == global MAX, which is the "
+        "mergeability property itself; the estimate step is pinned by a "
+        "<25%-error test against exact count-distinct.",
+)
+def q136_hll_register_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import hll_merge_registers, hll_register_partials
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_register_partials(ev, "user_id", F.to_date("ts"), p=6)
+    return hll_merge_registers(daily)

@@ -942,7 +942,8 @@ def q110_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "companion to the q101 HLL sketch, answering 'how frequent is "
         "this token corpus-wide' from kilobytes. xxhash64 lanes have no "
         "DuckDB twin -> rows-only; tests prove the overestimate-only "
-        "guarantee and shard-merge equivalence.",
+        "guarantee and shard-merge equivalence, and the sha256-lane twin "
+        "q135 hash-checks the identical sketch algebra cross-engine.",
 )
 def q111_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import cms_build, cms_estimate
@@ -968,6 +969,82 @@ def q111_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("n_exact")).alias("never_under"),
         )
         .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — count-min sketch with sha256 lanes (oracle-paired twin of q111)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q135_cms_sha_twin",
+    oracle=r"""
+    WITH tk AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    lanes AS (SELECT d FROM (VALUES (0), (1), (2), (3)) AS v(d)),
+    cells AS (
+        SELECT d,
+               CAST(('0x' || substr(sha256(CAST(d AS VARCHAR) || ':' || tok), 1, 8))
+                    AS BIGINT) % 1024 AS pos,
+               COUNT(*) AS cnt
+        FROM tk CROSS JOIN lanes
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY tok
+        ORDER BY n_exact DESC, tok LIMIT 20
+    ),
+    probe AS (
+        SELECT top.tok, top.n_exact, lanes.d,
+               CAST(('0x' || substr(sha256(CAST(lanes.d AS VARCHAR) || ':' || top.tok), 1, 8))
+                    AS BIGINT) % 1024 AS pos
+        FROM top CROSS JOIN lanes
+    )
+    SELECT p.tok AS token, p.n_exact,
+           MIN(COALESCE(c.cnt, 0)) AS est_n,
+           MIN(COALESCE(c.cnt, 0)) >= p.n_exact AS never_under
+    FROM probe p LEFT JOIN cells c USING (d, pos)
+    GROUP BY 1, 2
+    """,
+    doc="Oracle-paired twin of q111: the IDENTICAL count-min pipeline "
+        "(functions/sketches.py cms_build/cms_estimate) with sha256-derived "
+        "hash lanes instead of xxhash64, so DuckDB rebuilds the exact "
+        "counter matrix and the driver hash-checks build + merge-shape + "
+        "estimate end-to-end (q134's hex-prefix pattern). q111 remains the "
+        "production path — xxhash64 is one JVM intrinsic per lane vs "
+        "sha256's hex round-trip — and its overestimate-only/merge "
+        "guarantees are pinned by tests; this twin proves the relational "
+        "sketch algebra itself is engine-exact.",
+)
+def q135_cms_sha_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact_top = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(20)
+    )
+    sketch = cms_build(tokens, "tok", depth=4, width=1024, lane="sha256")
+    est = cms_estimate(
+        sketch, exact_top.select("tok"), "tok", depth=4, width=1024, lane="sha256"
+    )
+    return (
+        exact_top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "n_exact",
+            "est_n",
+            (F.col("est_n") >= F.col("n_exact")).alias("never_under"),
+        )
     )
 
 

@@ -32,6 +32,7 @@ from ..llm.multimodal import (
 )
 from ..llm.similarity import (
     ann_search_bucketed,
+    ivf_assign,
     ivf_fit_centroids,
     ivf_search,
     topk_cosine,
@@ -280,12 +281,66 @@ def q57_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_ann_lsh_bucket",
     oracle=None,
     doc="Approximate top-k: random-hyperplane LSH bucket probe then exact rescoring "
-        "within the bucket. Recall<1 by design → rows-only check.",
+        "within the bucket. Recall<1 by design → rows-only check; the bucket "
+        "assignment itself is hash-checked by its exact-integer twin q137 "
+        "and the rescoring by q56.",
 )
 def q58_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ann_search_bucketed(em, list(qvec), dim=len(qvec), k=10)
+
+
+# ---------------------------------------------------------------------------
+# q137 — exact-integer LSH bucket assignment (oracle-paired twin of q58)
+# ---------------------------------------------------------------------------
+
+def _lsh_exact_oracle(dim: int = 64, n_planes: int = 8, scale: int = 1000) -> str:
+    """Oracle for q137: the seeded hyperplanes are deterministic driver-side
+    Python, so quantize them to integers and embed them as SQL literals;
+    DuckDB then recomputes every bucket bit with the same exact-integer
+    dot products (integer-valued doubles stay exact below 2^53, so
+    list_dot_product's double accumulation introduces no error)."""
+    from ..llm.similarity import _hyperplanes_int
+
+    planes = _hyperplanes_int(dim, n_planes, seed=42, scale=scale)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, CAST([{','.join(str(v) for v in p)}]"
+        f" AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS DOUBLE)
+                for x in embedding] AS qv
+        FROM embeddings
+    )
+    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM q
+    """
+
+
+@register(
+    "q137_lsh_bucket_twin",
+    oracle=_lsh_exact_oracle(),
+    doc="Oracle-paired twin of q58's unverifiable half: the LSH bucket "
+        "assignment itself. Same seeded hyperplanes as lsh_bucket_bits, "
+        "quantized to integers (llm/similarity.py lsh_bucket_bits_exact) so "
+        "every sign test is exact integer arithmetic — no FP summation-order "
+        "ambiguity between engines — and the driver hash-checks the full "
+        "(vec_id, bucket) table. q58's remaining stage (exact rescoring "
+        "within a bucket) is the same top-k cosine already hash-green as "
+        "q56, so between q137 and q56 the whole ANN path is oracle-covered; "
+        "q58 stays rows-only only as the composed float-hyperplane query.",
+)
+def q137_lsh_bucket_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import lsh_bucket_bits_exact
+
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        lsh_bucket_bits_exact(F.col("embedding"), dim=64).alias("bucket"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +403,74 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN: k-means coarse quantizer trained on a driver-side sample, "
         "JVM-side cluster assignment, nprobe-cluster exact rescoring. "
         "Approximate by design → rows-only; tests assert full-probe == exact "
-        "and partial-probe recall.",
+        "and partial-probe recall; the cluster assignment is hash-checked by "
+        "its exact-integer twin q138.",
 )
 def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     qvec = list(em.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     cents = ivf_fit_centroids(em, n_clusters=16, sample_size=1024, iters=6)
     return ivf_search(em, qvec, cents, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q138 — exact-integer IVF cluster assignment (oracle-paired twin of q73)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q138_ivf_assign_twin",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS DOUBLE)
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    c AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               qv AS cvec,
+               list_dot_product(qv, qv) AS c2
+        FROM q WHERE vec_id % 37 = 0
+    ),
+    scored AS (
+        SELECT q.vec_id, c.cid,
+               c.c2 - 2 * list_dot_product(q.qv, c.cvec) AS score
+        FROM q CROSS JOIN c
+    )
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Oracle-paired twin of q73's unverifiable half: the IVF cluster "
+        "assignment. Runs the SAME ivf_assign operator (||c||^2 - 2<v,c> "
+        "argmin, JVM-side) but on integer-quantized vectors with centroids "
+        "taken deterministically from the data (every 37th vec_id, "
+        "quantized) instead of the seeded k-means fit, so every distance "
+        "is exact integer arithmetic and DuckDB reproduces the argmin "
+        "bit-for-bit, tie-broken by centroid index on both sides. The "
+        "bounded centroid collect (~n/37 rows) mirrors ivf_fit_centroids' "
+        "driver-side quantizer training. q73's remaining stage (exact "
+        "rescoring in probed clusters) is q56's hash-green top-k cosine; "
+        "the k-means fit itself is pinned by full-probe==exact and recall "
+        "tests.",
+)
+def q138_ivf_assign_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    qem = em.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("bigint"),
+        ).alias("qv"),
+    )
+    cents = [
+        [int(v) for v in r.qv]
+        for r in qem.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").collect()
+    ]
+    return qem.select("vec_id", ivf_assign(F.col("qv"), cents).alias("cluster"))
 
 
 # ---------------------------------------------------------------------------

@@ -159,3 +159,44 @@ def test_cosine_incremental_lsh_never_rejects_fresh(spark, sf_dir):
     # the dial still catches most planted dups (deterministic at seed 42)
     missed_dups = len(lsh) - len(exact)
     assert missed_dups <= 10
+
+
+def test_lsh_exact_twin_mostly_agrees_with_float_buckets(spark, sf_dir):
+    """lsh_bucket_bits_exact (q137) quantizes the same seeded hyperplanes;
+    buckets may differ from the float path only for vectors with a
+    hyperplane margin below the quantization error, so agreement should
+    be near-total on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import (
+        lsh_bucket_bits,
+        lsh_bucket_bits_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select(
+        lsh_bucket_bits(F.col("embedding"), dim=64).alias("f"),
+        lsh_bucket_bits_exact(F.col("embedding"), dim=64).alias("i"),
+    )
+    n = both.count()
+    agree = both.filter(F.col("f") == F.col("i")).count()
+    assert agree / n > 0.9, (agree, n)
+
+
+def test_ivf_assign_twin_centroids_map_to_themselves(spark, sf_dir):
+    """q138 invariant: a vector that IS a centroid has distance 0 to
+    itself, so it must be assigned its own cluster index."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.queries.registry import QUERIES
+
+    out = QUERIES["q138_ivf_assign_twin"].fn(spark, sf_dir)
+    cents = sorted(
+        r.vec_id for r in out.filter(F.col("vec_id") % 37 == 0).collect()
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in out.filter(F.col("vec_id") % 37 == 0).collect()
+    }
+    for idx, vid in enumerate(cents):
+        assert got[vid] == idx, (vid, idx, got[vid])

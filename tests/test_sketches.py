@@ -83,3 +83,57 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for flag, vals in approx.items():
         for a, e in zip(vals, exact[flag]):
             assert abs(a - e) <= max(abs(e) * 5e-3, 1.0), (flag, a, e)
+
+
+def test_cms_sha_lane_matches_xxhash_guarantees(spark):
+    """The sha256 lane (q135's oracle-pairable variant) obeys the same
+    overestimate-only guarantee as the default xxhash64 lane."""
+    toks = _tokens(spark)
+    sketch = cms_build(toks, "tok", depth=4, width=2048, lane="sha256")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(
+        sketch, exact.select("tok"), "tok", depth=4, width=2048, lane="sha256"
+    )
+    for r in exact.join(est, "tok").collect():
+        assert r.est_n >= r.n_exact, r
+
+
+def test_hll_registers_estimate_within_error(spark, sf_dir):
+    """q136's explicit register table must actually be an HLL: the standard
+    estimator over the merged registers lands near exact count-distinct
+    (m=64 -> ~13% standard error; assert 25%)."""
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+        hll_estimate_registers,
+        hll_merge_registers,
+        hll_register_partials,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    partials = hll_register_partials(ev, "user_id", F.to_date("ts"), p=6)
+    merged = hll_merge_registers(partials).collect()
+    est = hll_estimate_registers(merged, p=6)
+    assert abs(est - exact) / exact < 0.25, (est, exact)
+
+
+def test_hll_partial_merge_equals_whole(spark, sf_dir):
+    """Registers merged from per-day partials == registers built in one
+    pass: the mergeability property that lets 100 TB pipelines maintain
+    incremental sketches."""
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+        hll_merge_registers,
+        hll_register_partials,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_day = hll_merge_registers(
+        hll_register_partials(ev, "user_id", F.to_date("ts"), p=6)
+    )
+    one_pass = hll_merge_registers(
+        hll_register_partials(ev, "user_id", F.lit(0), p=6)
+    )
+    assert sorted(map(tuple, per_day.collect())) == sorted(
+        map(tuple, one_pass.collect())
+    )
