@@ -21,6 +21,17 @@ W2 has two implementations:
 Scale: the anti-join shuffles both sides by the key once; with a bucketed
 target table the shuffle drops to the source side only. MERGE INTO on
 Iceberg additionally gets file-level pruning on the ON predicate.
+
+Jar status (verified 2026-08, round 5): no iceberg-spark-runtime /
+delta-spark jar exists anywhere on this image (filesystem sweep + pyspark
+jars dir) and the sandbox has no network (pip download fails to resolve),
+so the SQL path cannot execute against row-level ops here. Verification
+ladder instead: (1) statement text contract-tested, (2) parser-level test
+proves the text produces a MergeIntoTable plan with update-star/
+insert-star clauses and UPDATE,INSERT write privileges
+(tests/test_merge.py::test_merge_sql_statement_parses_to_merge_into_plan),
+(3) anti-join emulation proven equivalent to MERGE semantics against a
+Python model. On a real cluster the statement analyzes/executes untouched.
 """
 
 from __future__ import annotations
