@@ -77,3 +77,59 @@ def test_bucketed_join_avoids_shuffle(spark):
         assert joined.count() == 10000
     finally:
         cat.drop_database(DB)
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """SCALING.md claims AQE skew-split covers power-law join keys; this
+    manufactures one (90% of rows on a single key, incompressible payload
+    so shuffle bytes actually exceed the threshold) and asserts the
+    runtime plan really was rewritten: SortMergeJoin(skew=true) with a
+    'skewed' AQEShuffleRead on the hot side. Thresholds are lowered to
+    test scale; the rewrite logic is identical at 256MB defaults. The
+    executed plan is read after collect() — count() short-circuits and
+    never finalizes AQE stages."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # force SMJ (no broadcast) and thresholds small enough for test data
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+
+        payload = F.concat(
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"s{i}")), 256)
+                for i in range(4)
+            ]
+        )
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            payload.alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        assert len(rows) == 100_000  # inner join is lossless here
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert "coalesced and skewed" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
