@@ -2,9 +2,11 @@
 
 Images/audio/video are carried as opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batching through
-``mapInPandas``, partition sizing — is real and tested; the actual codec
-step is stubbed (no image/audio libraries in this container) behind
-``decode_media``, exactly as flagged in the build brief.
+``mapInPandas``, partition sizing — is real and tested. The codec layer
+behind ``decode_media`` resolves to PIL when installed; in this container
+a stdlib ``struct``-based decoder handles 24bpp BMP and P6 PPM for real
+(q139 hash-checks an actual header decode end-to-end), and other formats
+stay stubbed exactly as flagged in the build brief.
 
 At 100 TB: binary payloads dominate partition size, so feature extraction
 uses ``mapInPandas`` (streaming Arrow batches, bounded memory) rather than
@@ -60,7 +62,9 @@ def attach_fake_media(documents: DataFrame, media_type: str = "image/fake") -> D
 def _load_codec():
     """Optional codec autodetection: returns a PIL-backed image decoder when
     Pillow is importable, else None. On a real cluster with Pillow installed
-    the exact same code path goes live; in this container it stays stubbed."""
+    the exact same code path goes live; in this container the stdlib
+    BMP/PPM decoder below covers those two formats and everything else
+    stays stubbed."""
     try:
         import io
 
@@ -79,17 +83,115 @@ def _load_codec():
 _CODEC = _load_codec()
 
 
+class DecodedImage:
+    """Minimal decoded-image surface (duck-typed subset of PIL.Image):
+    width/height/mode plus the raw pixel array."""
+
+    __slots__ = ("width", "height", "mode", "pixels")
+
+    def __init__(self, width: int, height: int, mode: str, pixels: bytes):
+        self.width = width
+        self.height = height
+        self.mode = mode
+        self.pixels = pixels
+
+
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal 24bpp uncompressed BMP (BITMAPINFOHEADER) encoder —
+    stdlib-only, used to generate real image fixtures in-sandbox.
+    ``pixel_bytes`` supplies ``3*width*height`` BGR bytes (short input is
+    zero-padded); rows are 4-byte aligned per the format."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    stride = row + pad
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for r in range(height):
+        chunk = pixel_bytes[r * row : (r + 1) * row]
+        rows.append(chunk + b"\x00" * (stride - len(chunk)))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> DecodedImage:
+    """Stdlib 24bpp-uncompressed BMP decoder: parses the real header
+    (magic, pixel-array offset, BITMAPINFOHEADER dims/bpp/compression)
+    with ``struct`` — no image library involved."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    _, width, height = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"builtin BMP codec handles 24bpp uncompressed only (got "
+            f"bpp={bpp}, compression={compression})"
+        )
+    return DecodedImage(width, abs(height), "BGR", data[offset:])
+
+
+def encode_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal binary PPM (P6, maxval 255) encoder — stdlib-only."""
+    need = width * height * 3
+    body = pixel_bytes[:need] + b"\x00" * max(0, need - len(pixel_bytes))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
+
+
+def decode_ppm(payload: bytes) -> DecodedImage:
+    """Stdlib P6 PPM decoder: parses the ASCII header, returns RGB pixels."""
+    data = bytes(payload)
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(data[start:pos])
+    width, height, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise NotImplementedError("builtin PPM codec handles maxval 255 only")
+    return DecodedImage(width, height, "RGB", data[pos + 1 :])
+
+
+def _builtin_codec(payload: bytes, media_type: str):
+    """Magic-byte dispatch for the formats the stdlib decoder covers."""
+    data = bytes(payload)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    raise NotImplementedError(
+        f"builtin codec covers BMP/PPM only; {media_type} payloads need "
+        "Pillow (images) or torchaudio/pyav via the codec arg"
+    )
+
+
 def decode_media(payload: bytes, media_type: str, codec=None):
-    """Decode a binary media payload. Uses the autodetected codec (PIL for
-    images, when installed), an explicitly supplied ``codec`` callable, or
-    raises — audio/video libs are never present in this container."""
+    """Decode a binary media payload. Resolution order: an explicitly
+    supplied ``codec`` callable, the autodetected PIL codec (when
+    installed), then the stdlib BMP/PPM decoder — so in this container
+    BMP/PPM decode for real while other formats raise until a codec
+    library is present."""
     codec = codec or _CODEC
     if codec is not None:
         return codec(payload, media_type)
-    raise NotImplementedError(
-        "media decoding requires an image/audio codec library; "
-        "install Pillow (images) or wire torchaudio/pyav via the codec arg"
-    )
+    return _builtin_codec(payload, media_type)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -209,3 +311,74 @@ def sample_frames(
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+GEN_BMP_SCHEMA = "doc_id bigint, media_type string, payload binary"
+
+
+def attach_generated_bmp(documents: DataFrame) -> DataFrame:
+    """Real (not fake) image payloads: one valid 24bpp BMP per document,
+    dimensions derived from sha256(doc_id) hex slices — width in [4, 64],
+    height in [4, 48] — and deterministic pixel bytes. Because the dims
+    come from the same hex-slice-of-sha pattern as attach_fake_media, an
+    oracle can predict what a correct decoder must read back out of the
+    binary header, which is what lets q139 hash-check an actual decode."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        payloads = []
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                hx = hashlib.sha256(str(d).encode()).hexdigest()
+                w = 4 + int(hx[0:8], 16) % 61
+                h = 4 + int(hx[8:16], 16) % 45
+                need = w * 3 * h
+                seed = hashlib.sha256(f"{d}:px".encode()).digest()
+                pix = (seed * (need // len(seed) + 1))[:need]
+                payloads.append(encode_bmp(w, h, pix))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(_gen, schema=GEN_BMP_SCHEMA)
+
+
+DECODE_DIMS_SCHEMA = (
+    "doc_id bigint, width int, height int, mode string, n_pixel_bytes int"
+)
+
+
+def decode_image_dims(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: runs decode_media on every payload and
+    emits the dimensions/mode/pixel-array size read from the binary
+    header. Same mapInPandas shape as extract_features, but the decode
+    step is no longer a stand-in for BMP/PPM payloads."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, m, nb = [], [], [], []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                img = decode_media(bytes(p), mt)
+                w.append(img.width)
+                h.append(img.height)
+                m.append(img.mode)
+                # PIL images expose tobytes(), the stdlib DecodedImage .pixels
+                raw = img.pixels if hasattr(img, "pixels") else img.tobytes()
+                nb.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "mode": m,
+                    "n_pixel_bytes": pd.Series(nb, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_dec, schema=DECODE_DIMS_SCHEMA)

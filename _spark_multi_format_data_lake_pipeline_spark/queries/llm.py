@@ -731,6 +731,60 @@ def q88_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q139_bmp_decode_twin",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               (4 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 61)::INT AS width,
+               (4 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8))
+                         AS BIGINT) % 45)::INT AS height
+        FROM documents
+    ),
+    p AS (
+        SELECT *,
+               (((3 * width + 3) // 4) * 4 * height)::INT AS n_pixel_bytes,
+               LEAST(1.0, 32.0 / GREATEST(width, height)) AS scale
+        FROM m
+    )
+    SELECT doc_id, width, height, n_pixel_bytes,
+           GREATEST(1, CAST(FLOOR(width * scale) AS INT)) AS out_width,
+           GREATEST(1, CAST(FLOOR(height * scale) AS INT)) AS out_height
+    FROM p
+    """,
+    doc="REAL image decode, hash-checked: attach_generated_bmp writes one "
+        "valid 24bpp BMP per document (dims from sha256(doc_id) hex "
+        "slices), decode_image_dims parses the actual binary headers with "
+        "the stdlib struct codec (llm/multimodal.py::decode_bmp — no image "
+        "library), and the resize geometry runs on the DECODED dims "
+        "JVM-side. The oracle independently predicts what a correct "
+        "decoder must read back (generator formula + BMP 4-byte row "
+        "padding), so a header-parsing bug breaks the hash. Upgrades "
+        "q88's geometry-only check to decode+geometry; n_pixel_bytes "
+        "assumes the stdlib codec's padded BGR array (PIL, when installed, "
+        "returns unpadded RGB — this twin is for the jar-free container).",
+)
+def q139_bmp_decode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import attach_generated_bmp, decode_image_dims
+
+    docs = _t(spark, sf_dir, "documents")
+    dims = decode_image_dims(attach_generated_bmp(docs))
+    scale = F.least(F.lit(1.0), F.lit(32.0) / F.greatest("width", "height"))
+    return dims.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias(
+            "out_width"
+        ),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias(
+            "out_height"
+        ),
+    )
+
+
+@register(
     "q89_frame_sample",
     oracle="""
     WITH m AS (
