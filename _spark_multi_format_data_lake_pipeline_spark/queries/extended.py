@@ -1948,3 +1948,54 @@ def q126_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens").over(running) / F.sum("tokens").over(total), 4
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — compaction maintenance report (exercises sinks/maintenance.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q140_compaction_report",
+    oracle="""
+    SELECT 16::INT AS files_before, 1::INT AS files_after,
+           COUNT(*) AS n_rows, TRUE AS rows_preserved
+    FROM documents
+    """,
+    doc="Small-file compaction under the driver gate: writes a "
+        "deliberately fragmented copy of documents (repartition(16) -> "
+        "exactly 16 parquet files), runs sinks/maintenance.py::"
+        "compact_table (stats-sized repartition + stage/rename swap), and "
+        "reports catalog-observed file counts plus row preservation. "
+        "Deterministic because the fragment count is forced and the "
+        "corpus is far under one 128MB target file -> files_after == 1; "
+        "the oracle pins both plus COUNT(*) surviving the rewrite. This "
+        "is an eager maintenance ACTION (file counts come from the "
+        "catalog, not row data), so the result frame is assembled "
+        "driver-side by design; scratch tables are dropped on exit.",
+)
+def q140_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.maintenance import compact_table
+
+    docs = _t(spark, sf_dir, "documents")
+    db = "maint_q140"
+    tbl = f"{db}.doc_copy"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+    docs.repartition(16).write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    n_before = spark.table(tbl).count()
+    report = compact_table(spark, tbl, target_file_mb=128)
+    n_after = spark.table(tbl).count()
+    out = spark.createDataFrame(
+        [
+            (
+                report["files_before"],
+                report["files_after"],
+                n_after,
+                n_before == n_after,
+            )
+        ],
+        "files_before int, files_after int, n_rows bigint, rows_preserved boolean",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
