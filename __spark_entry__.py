@@ -48,6 +48,10 @@ _RECHECK = (
     "q73_ivf_ann",
     "q101_hll_partial_union",
     "q111_cms_token_freq",
+    # r5 added the sha256 shingle lane to shingle_hashes (helper edit;
+    # default-lane behavior identical) and re-touched q54's registration
+    # to cite the q141 twin. q54 is _ALWAYS_ON; q87 consumes the helper.
+    "q87_incremental_dedup",
     "q129_embedding_near_dup_lsh",
     "q131_embedding_incremental_lsh",
     "q75_dedup_groups",

@@ -73,7 +73,9 @@ def with_word_shingles(
     ).drop("__toks")
 
 
-def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, lane: str = "xxhash64"
+) -> DataFrame:
     """(id, _gh) — one reduced hash per word n-gram occurrence.
 
     posexplode tokens → window lead() to line up the n-gram → multi-column
@@ -82,6 +84,11 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     concatenation: the shingle never materializes, only its hash.
     Duplicate shingles are NOT deduped — MIN aggregation is multiset-
     invariant, so dedup would buy nothing and cost a shuffle.
+
+    ``lane="sha256"`` swaps the shingle hash for the hex-prefix-of-sha
+    pattern an ANSI oracle can recompute (the q141 twin); it materializes
+    the gram string and runs a cryptographic hash, so xxhash64 stays the
+    production default.
     """
     tk = df.select(
         F.col(id_col).alias("id"),
@@ -91,8 +98,19 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     lead_cols = [F.lead("w", k).over(win).alias(f"_w{k}") for k in range(1, n)]
     leads = tk.select("id", "w", *lead_cols)
     gram_cols = ["w"] + [f"_w{k}" for k in range(1, n)]
+    if lane == "sha256":
+        gh = F.pmod(
+            F.conv(
+                F.substring(F.sha2(F.concat_ws(" ", *gram_cols), 256), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_P),
+        )
+    else:
+        gh = F.pmod(F.xxhash64(*gram_cols), F.lit(_P))
     return leads.filter(F.col(f"_w{n-1}").isNotNull()).select(
-        "id", F.pmod(F.xxhash64(*gram_cols), F.lit(_P)).alias("_gh")
+        "id", gh.alias("_gh")
     )
 
 
@@ -196,6 +214,78 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = agree.cast("double") / F.lit(float(num_perm))
+    return (
+        cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs_sha(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-engine-exact MinHash banding (the q141 oracle twin of
+    minhash_near_dup_pairs): sha256 hex-prefix shingle hashes instead of
+    xxhash64, and band buckets keyed by the EXACT signature slice (the
+    raw min values) instead of F.hash of it — every number in the
+    pipeline is integer arithmetic an ANSI oracle reproduces, so the full
+    shingle→signature→band→pair→estimate chain hash-checks. Same linear
+    collect_list bucket pipeline as the production path; no max_bucket
+    cap (the cap's hash-dependent bucket membership would make the
+    drop set engine-specific — cap behavior is pinned separately by
+    tests)."""
+    rows_per_band = num_perm // bands
+    gh = shingle_hashes(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        shingle_n,
+        lane="sha256",
+    )
+    sig = signatures_from_hashes(gh, num_perm)
+
+    band_idx = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+        )
+    )
+    banded = sig.select("id", "sig", band_idx.alias("band", "band_key"))
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),

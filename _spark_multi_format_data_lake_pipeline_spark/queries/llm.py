@@ -184,11 +184,94 @@ def q53_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc="MinHash+LSH banding near-dup pairs (shingle→minhash→band→bucket-join). "
         "xxhash64-based signatures have no DuckDB twin → rows-only check; "
-        "q53 is the oracle-checked exact rescorer.",
+        "q53 is the oracle-checked exact rescorer and q141 is the sha256 "
+        "twin that hash-checks the entire banding pipeline cross-engine.",
 )
 def q54_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q141 — MinHash banding with sha256 shingles (oracle-paired twin of q54)
+# ---------------------------------------------------------------------------
+
+def _minhash_sha_oracle(num_perm: int = 32, bands: int = 8) -> str:
+    """Rebuilds the ENTIRE MinHash pipeline in ANSI SQL: 3-gram shingles,
+    sha256 hex-prefix hashes, the same 32 affine permutations (seeded
+    constants embedded as literals), min-signatures, exact-value band
+    self-joins, pair dedup via UNION, and the agreement-fraction
+    estimate. Every value is integer arithmetic, so the hash must match."""
+    from ..llm.dedup import _P, _perm_constants
+
+    rpb = num_perm // bands
+    consts = _perm_constants(num_perm, seed=42)
+    mins = ",\n           ".join(
+        f"MIN(({a} * hv + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_blocks = "\n    UNION\n".join(
+        "    SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "    FROM mins a JOIN mins b ON a.doc_id < b.doc_id\n"
+        + "".join(
+            f"        AND a.m{j} = b.m{j}\n" for j in range(b * rpb, (b + 1) * rpb)
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(num_perm))
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, len(t) - 1)]) AS gram
+        FROM toks WHERE len(t) >= 3
+    ),
+    gh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(gram), 1, 8)) AS BIGINT) % {_P} AS hv
+        FROM g
+    ),
+    mins AS (
+        SELECT doc_id,
+           {mins}
+        FROM gh GROUP BY doc_id
+    ),
+    cand AS (
+{band_blocks}
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({eq}) / {float(num_perm)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN mins a ON a.doc_id = c.id_a
+    JOIN mins b ON b.doc_id = c.id_b
+    WHERE ({eq}) >= {num_perm // 2}
+    """
+
+
+@register(
+    "q141_minhash_sha_twin",
+    oracle=_minhash_sha_oracle(),
+    doc="Oracle-paired twin of q54: the COMPLETE MinHash banding pipeline "
+        "(shingle -> signature -> band bucket-join -> pair dedup -> "
+        "agreement estimate) with sha256 hex-prefix shingle hashes and "
+        "band buckets keyed by exact signature slices "
+        "(llm/dedup.py::minhash_near_dup_pairs_sha), so DuckDB rebuilds "
+        "every integer in the chain and the driver hash-checks what q54 "
+        "can only row-count. The affine permutation family is identical "
+        "(same seeded constants, embedded in the SQL as literals); only "
+        "the shingle hash differs from production (xxhash64 is ~5x "
+        "cheaper and stays the q54 default). No max_bucket cap here — "
+        "its drop set is hash-dependent by design; cap behavior is "
+        "pinned by tests/test_operators.py.",
+)
+def q141_minhash_sha_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import minhash_near_dup_pairs_sha
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs_sha(docs, "doc_id", "text", threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

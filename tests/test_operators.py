@@ -270,3 +270,31 @@ class TestBinnedRangeJoin:
         df = spark.range(1)
         with _pytest.raises(ValueError):
             binned_range_join(df, df, "id", "id", "id", 1, how="left")
+
+
+def test_minhash_sha_twin_finds_planted_near_dup(spark):
+    """The sha-lane twin (q141) must find the same planted near-dup as the
+    production xxhash64 path — only the hash family differs, not the
+    banding semantics."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_sha,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base + "with one extra tail phrase"
+    rows = [(0, base), (1, near)] + [
+        (i, f"completely unrelated document number {i} about topic {i * 7}")
+        for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sha_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs_sha(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in sha_pairs
+    assert (0, 1) in xx_pairs
