@@ -52,6 +52,10 @@ _RECHECK = (
     # default-lane behavior identical) and re-touched q54's registration
     # to cite the q141 twin. q54 is _ALWAYS_ON; q87 consumes the helper.
     "q87_incremental_dedup",
+    # r5 factored simhash through simhash_from_hashes and added the
+    # winnowing sha lane (helper edits; default behavior identical).
+    "q55_simhash_fingerprints",
+    "q74_winnowing_fingerprints",
     "q129_embedding_near_dup_lsh",
     "q131_embedding_incremental_lsh",
     "q75_dedup_groups",

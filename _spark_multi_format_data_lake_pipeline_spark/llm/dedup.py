@@ -298,6 +298,34 @@ def minhash_near_dup_pairs_sha(
     )
 
 
+def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint from a pre-computed array of token hashes: per
+    bit position j, sum ±1 contributions, then pack sign bits. Factored
+    out of :func:`simhash` so twins can supply an oracle-reproducible
+    hash family (q142 uses sha256 hex-prefix hashes). When the hash is
+    expensive, pass a bound ATTRIBUTE (two projections, like
+    with_word_shingles) rather than an inline transform — the ``bits``
+    aggregates each reference the array, and an inline non-cheap
+    expression would re-run per bit."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    # bit positions are Python ints (shift amounts must be literals in
+    # PySpark), so loop driver-side while the math stays JVM-side
+    def vote_merge(j: int):
+        # factory, not `j=j` default: PySpark counts default params in arity
+        return lambda acc, hv: acc + (
+            F.shiftright(hv, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(h, F.lit(0), vote_merge(j))
+        # two's-complement weight for the top bit keeps the result in int64
+        weight = -(1 << (bits - 1)) if j == bits - 1 else (1 << j)
+        fp = fp + F.when(vote > 0, F.lit(weight).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return fp
+
+
 def simhash(text: Column | str, bits: int = 64) -> Column:
     """SimHash fingerprint of whitespace tokens as a bigint.
 
@@ -305,22 +333,7 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     then pack sign bits. All higher-order built-ins, no UDF.
     """
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit positions are Python ints (shift amounts must be literals in
-    # PySpark), so loop driver-side while the math stays JVM-side
-    def vote_merge(j: int):
-        # factory, not `j=j` default: PySpark counts default params in arity
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
-
-    fp = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), vote_merge(j))
-        # two's-complement weight for the top bit keeps the result in int64
-        weight = -(1 << (bits - 1)) if j == bits - 1 else (1 << j)
-        fp = fp + F.when(vote > 0, F.lit(weight).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return fp
+    return simhash_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)), bits)
 
 
 def winnowing_fingerprints(
@@ -329,6 +342,7 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """(id, fingerprint) — winnowing document fingerprints (the rolling-hash
     scheme from Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram, slide
@@ -338,7 +352,9 @@ def winnowing_fingerprints(
 
     Same execution shape as shingle_hashes: posexplode + window lead for
     the k-grams, then a w-row sliding MIN — two window passes over one
-    shuffle by document id.
+    shuffle by document id. ``lane="sha256"`` swaps in the
+    oracle-reproducible hex-prefix gram hash (q143 twin), same trade-off
+    as shingle_hashes.
     """
     tk = df.select(
         F.col(id_col).alias("id"),
@@ -346,14 +362,22 @@ def winnowing_fingerprints(
     )
     win = Window.partitionBy("id").orderBy("pos")
     lead_cols = [F.lead("w", j).over(win).alias(f"_w{j}") for j in range(1, k)]
+    gram_cols = ["w"] + [f"_w{j}" for j in range(1, k)]
+    if lane == "sha256":
+        gh = F.pmod(
+            F.conv(
+                F.substring(F.sha2(F.concat_ws(" ", *gram_cols), 256), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_P),
+        )
+    else:
+        gh = F.pmod(F.xxhash64(*gram_cols), F.lit(_P))
     grams = (
         tk.select("id", "pos", "w", *lead_cols)
         .filter(F.col(f"_w{k-1}").isNotNull())
-        .select(
-            "id",
-            "pos",
-            F.pmod(F.xxhash64("w", *[f"_w{j}" for j in range(1, k)]), F.lit(_P)).alias("_gh"),
-        )
+        .select("id", "pos", gh.alias("_gh"))
     )
     w_slide = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     picks = grams.select("id", F.min("_gh").over(w_slide).alias("fingerprint"))

@@ -282,11 +282,120 @@ def q141_minhash_sha_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_simhash_fingerprints",
     oracle=None,
     doc="64-bit SimHash per document, map-only higher-order built-ins. "
-        "rows-only (xxhash64 has no DuckDB twin).",
+        "rows-only (xxhash64 has no DuckDB twin); q142 is the sha-lane "
+        "twin that hash-checks the vote-and-pack algebra.",
 )
 def q55_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# q142 — 32-bit sha-lane SimHash (oracle-paired twin of q55)
+# ---------------------------------------------------------------------------
+
+def _simhash_sha_oracle(bits: int = 32) -> str:
+    """Rebuilds the SimHash vote-and-pack in SQL: per-token sha256
+    hex-prefix hash, per-bit ±1 vote sums, two's-complement sign packing
+    — all integer arithmetic."""
+    sums = ",\n           ".join(
+        f"SUM((CAST((hv >> {j}) & 1 AS INT)) * 2 - 1) AS s{j}"
+        for j in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {-(1 << (bits - 1)) if j == bits - 1 else (1 << j)} ELSE 0 END"
+        for j in range(bits)
+    )
+    return rf"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) AS hv
+        FROM tk
+    ),
+    v AS (
+        SELECT doc_id,
+           {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS fingerprint
+    FROM v
+    """
+
+
+@register(
+    "q142_simhash_sha_twin",
+    oracle=_simhash_sha_oracle(),
+    doc="Oracle-paired twin of q55: the same SimHash vote-and-pack "
+        "(llm/dedup.py::simhash_from_hashes) fed 32-bit sha256 hex-prefix "
+        "token hashes instead of xxhash64, so DuckDB reproduces every "
+        "vote sum and sign bit and the driver hash-checks the "
+        "fingerprint algebra q55 can only row-count. The token-hash "
+        "array is materialized as a bound attribute (two projections) so "
+        "the 32 per-bit aggregates don't re-run the sha chain; xxhash64 "
+        "remains the production default.",
+)
+def q142_simhash_sha_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import simhash_from_hashes
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sha_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    return docs.withColumn("_th", sha_hashes).select(
+        "doc_id", simhash_from_hashes("_th", bits=32).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — sha-lane winnowing fingerprints (oracle-paired twin of q74)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q143_winnowing_sha_twin",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    g AS (
+        SELECT doc_id, u['pos'] AS pos,
+               CAST(('0x' || substr(sha256(u['gram']), 1, 8))
+                    AS BIGINT) % 2147483647 AS gh
+        FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i, 'gram': array_to_string(t[i:i+4], ' ')}
+                           for i in range(1, len(t) - 3)]) AS u
+            FROM toks WHERE len(t) >= 5
+        )
+    )
+    SELECT DISTINCT doc_id,
+           MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint
+    FROM g
+    """,
+    doc="Oracle-paired twin of q74: the same winnowing scheme "
+        "(llm/dedup.py::winnowing_fingerprints, lane='sha256') — k-gram "
+        "hash stream, 4-row sliding MIN, distinct minima — with "
+        "hex-prefix-of-sha gram hashes so DuckDB replays the rolling "
+        "window exactly. The k+w-1 shared-substring guarantee is pinned "
+        "by q74's property test; this twin pins the window algebra "
+        "cross-engine.",
+)
+def q143_winnowing_sha_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(docs, "doc_id", "text", lane="sha256")
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +675,9 @@ def q138_ivf_assign_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Winnowing (MOSS) rolling-hash fingerprints: k-gram xxhash64 stream, "
         "sliding-window minima, distinct per doc. Guaranteed shared "
         "fingerprint for substrings >= k+w-1 tokens. Engine-specific hashes "
-        "→ rows-only; correctness covered by the planted-substring test.",
+        "→ rows-only; correctness covered by the planted-substring test "
+        "and the q143 sha-lane twin hash-checks the rolling-window "
+        "algebra.",
 )
 def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import winnowing_fingerprints
