@@ -4,7 +4,9 @@ Part B last rows).
 
 Oracle notes: sha256 hex strings match between F.sha2 and DuckDB sha256();
 cosine matches DuckDB list_cosine_similarity at 4 decimals; MinHash/SimHash
-fingerprints are engine-specific (xxhash64) and therefore rows-only checks.
+fingerprints are engine-specific (xxhash64) and therefore rows-only checks —
+but each hash family has a sha256-lane exact twin (q141/q142/q143, and
+q135-q138 for CMS/HLL/LSH/IVF) that the driver hash-checks end-to-end.
 """
 
 from __future__ import annotations
