@@ -107,3 +107,41 @@ def epoch_shard_order(
         .withColumn("pos", F.row_number().over(win))
         .drop("__h")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicate content across
+    splits: every document's split derives from the CANONICAL id of its
+    exact-dedup group (min id per sha256(text)), so all copies of a text
+    land in the same split — splitting by raw doc id would put byte-
+    identical near-test examples into train. Returns (id, canonical_id,
+    split) with split in {'train','val','test'}.
+
+    Deterministic on any engine/partitioning (sha-derived, like
+    hash_bucket); one shuffle on the content sha (uniform key — the same
+    cost profile as exact dedup) with the group min computed as a window,
+    then a map-only bucket assignment. For near-dup-safe splits, feed the
+    canonical ids from dedup_groups (connected components) instead.
+    """
+    from ..functions.text import hash_bucket
+
+    sha = F.sha2(F.col(text_col), 256)
+    canonical = F.min(id_col).over(Window.partitionBy(sha))
+    b = hash_bucket(canonical, buckets)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col),
+        canonical.alias("canonical_id"),
+        split.alias("split"),
+    )

@@ -1999,3 +1999,44 @@ def q140_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# q144 — leakage-safe train/val/test split (dedup-group-aware)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q144_leakage_safe_split",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, canonical_id,
+               CAST(('0x' || substr(sha256(CAST(canonical_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM g
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Leakage-safe 80/10/10 split (operators/sampling.py::"
+        "leakage_safe_split): split derives from the exact-dedup group's "
+        "canonical id (min doc_id per sha256(text)), so byte-identical "
+        "copies can never straddle train and test — the failure mode of "
+        "splitting on raw ids. One uniform-key shuffle on the content "
+        "sha with the group min as a window, then map-only bucketing "
+        "(q84's hash_bucket). Oracle replays the identical sha-derived "
+        "assignment; the no-straddle invariant is additionally pinned by "
+        "a planted-duplicate test.",
+)
+def q144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "doc_id", "text")

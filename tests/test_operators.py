@@ -298,3 +298,28 @@ def test_minhash_sha_twin_finds_planted_near_dup(spark):
     }
     assert (0, 1) in sha_pairs
     assert (0, 1) in xx_pairs
+
+
+def test_leakage_safe_split_never_straddles_duplicates(spark):
+    """Planted byte-identical copies must land in the same split, whatever
+    their raw ids hash to; fractions stay near 80/10/10 on unique texts."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import leakage_safe_split
+
+    # 60 duplicate groups of 3 copies each, ids deliberately interleaved
+    rows = []
+    for g in range(60):
+        for c in range(3):
+            rows.append((g + c * 1000, f"shared text for group {g}"))
+    rows += [(5000 + i, f"unique text {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    by_text_group: dict = {}
+    for r in out:
+        if r.canonical_id < 1000:  # a planted dup group, canonical = g
+            by_text_group.setdefault(r.canonical_id, set()).add(r.split)
+    assert len(by_text_group) == 60
+    assert all(len(s) == 1 for s in by_text_group.values())
+    splits = [r.split for r in out]
+    n = len(splits)
+    assert 0.6 < splits.count("train") / n < 0.95
+    assert splits.count("val") > 0 and splits.count("test") > 0
