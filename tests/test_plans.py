@@ -133,6 +133,10 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # clean persist + exact-dedup groupBy + band join + two id-joins
         # + report groupBy = 7 (PLANS.md post-AQE section)
         ("q96_curation_funnel", 7),
+        # content-sha window shuffle only; bucket assignment is map-only
+        ("q144_leakage_safe_split", 1),
+        # per-day register partials + merge = 2 groupBys
+        ("q136_hll_register_twin", 2),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
