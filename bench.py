@@ -71,6 +71,8 @@ HEADLINE = [
     "q121_weighted_sample",
     "q122_column_profile",
     "q124_lang_drift",
+    "q139_bmp_decode_twin",
+    "q144_leakage_safe_split",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",
