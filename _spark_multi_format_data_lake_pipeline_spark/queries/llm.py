@@ -745,6 +745,98 @@ def q75_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q145 — near-dup-safe split (connected-component groups -> split buckets)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q145_neardup_safe_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(TRIM(text))[i:i+2] for i in range(1, LENGTH(TRIM(text)) - 1)])
+                   AS grams
+        FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.65
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    groups AS (
+        SELECT node AS doc_id, MIN(label) AS canonical_id
+        FROM reach GROUP BY node
+    ),
+    full_map AS (
+        SELECT d.doc_id, COALESCE(g.canonical_id, d.doc_id) AS canonical_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN groups g ON g.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, canonical_id,
+               CAST(('0x' || substr(sha256(CAST(canonical_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM full_map
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="The near-dup-safe variant q144 promises: split assignment from "
+        "the CONNECTED-COMPONENT canonical id (q75's transitive closure "
+        "over exact-Jaccard pairs, coalesced to self for docs with no "
+        "near-dup), so even non-identical near-duplicates cannot straddle "
+        "train/test. Composition of three oracle-paired pieces (q75 "
+        "groups, q144 bucketing, q84 hash_bucket) and itself hash-checked "
+        "end-to-end via the same recursive-CTE oracle. Bounded window "
+        "(doc_id < 100) like q75 — at scale the group map comes from the "
+        "persisted dedup_groups output, and the split step stays map-only.",
+)
+def q145_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash_bucket, with_char_ngrams
+    from ..operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union.cast("double") >= 0.65)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    groups = dedup_groups(pairs)
+    full = (
+        docs.select("doc_id")
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    bucket = hash_bucket(F.col("canonical_id"), 100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return full.select("doc_id", "canonical_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
 # q76 — one-pass data-quality validation report
 # ---------------------------------------------------------------------------
 
