@@ -143,3 +143,47 @@ def stream_cdc_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_register_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    col: str,
+    p: int = 6,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch incremental distinct-count sketch: each micro-batch
+    computes its own HLL register partials (functions/sketches.py) and
+    folds them into the persisted register table by per-bucket MAX — the
+    ingest posture where a 100 TB history is never rescanned and the
+    global approx-distinct answer lives in m rows. Replays are safe
+    because MAX-merge is idempotent: re-folding a batch cannot move any
+    register. The merged table is bounded at 2^p rows, so the fold
+    materializes driver-side (no read-while-overwrite staging needed)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import hll_register_partials
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_spark = batch_df.sparkSession
+        partials = hll_register_partials(batch_df, col, F.lit(0), p).select(
+            "bucket", "rho"
+        )
+        if batch_spark.catalog.tableExists(target_table):
+            partials = partials.unionByName(batch_spark.table(target_table))
+        merged = (
+            partials.groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+        )
+        batch_spark.createDataFrame(merged, "bucket int, rho int").write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(target_table)
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -314,3 +314,52 @@ def test_stream_stream_join_requires_utc_session(spark):
             stream_stream_join(df, df)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_stream_hll_registers_converge_to_batch(spark, sf_dir, tmp_path):
+    """Incremental sketch maintenance (the q136 register algebra fed by a
+    stream): registers folded batch-by-batch through foreachBatch MAX-merge
+    must equal the one-pass batch registers over the full table — the
+    mergeability guarantee under micro-batch ingestion."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+        hll_merge_registers,
+        hll_register_partials,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_hll_register_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = tmp_path / "hll_src"
+    # two parquet files -> two sequential micro-batches
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    tbl = f"hll_regs_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_hll_register_sink(
+        stream, tbl, str(tmp_path / "ckpt"), "user_id", p=6
+    )
+    q.awaitTermination()
+
+    streamed = sorted(map(tuple, spark.table(tbl).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            hll_merge_registers(
+                hll_register_partials(ev, "user_id", F.lit(0), p=6)
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
