@@ -187,3 +187,94 @@ def stream_hll_register_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_cms_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Fold one micro-batch into a persisted count-min sketch, exactly
+    once. Unlike the HLL register fold (MAX, idempotent), CMS counters ADD
+    — so a read-merge-overwrite fold would double-count on a foreachBatch
+    REPLAY (and a batch-id ledger doesn't fix it: a crash between the
+    sketch write and the ledger write replays against a state that
+    already contains the batch). Instead each batch's OWN sketch lands in
+    its ``batch_id`` partition via dynamic partition overwrite: a replay
+    rewrites the same partition with identical content, which is
+    idempotent by construction. The queryable sketch is the cell-wise sum
+    over partitions (``cms_stream_merged``); at scale a periodic
+    compaction collapses old partitions. Module-level (not a closure) so
+    tests can drive a replay directly."""
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import cms_build
+
+    sketch = cms_build(batch_df, col, depth=depth, width=width).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    if not batch_spark.catalog.tableExists(target_table):
+        sketch.write.partitionBy("batch_id").format("parquet").saveAsTable(
+            target_table
+        )
+        return
+    prev = batch_spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # insertInto is position-based; cms_build's (d, pos, cnt) + trailing
+        # partition column matches the create order above
+        sketch.write.mode("overwrite").insertInto(target_table)
+    finally:
+        if prev is None:
+            batch_spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def cms_stream_merged(spark, target_table: str) -> DataFrame:
+    """The queryable counter matrix: cell-wise sum of all batch partials."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(target_table)
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def stream_cms_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch incremental count-min sketch (see fold_cms_batch for
+    the exactly-once design): per-batch sketch partitions, merged on read
+    by cell-wise addition."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_cms_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            target_table,
+            col,
+            depth,
+            width,
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -363,3 +363,53 @@ def test_stream_hll_registers_converge_to_batch(spark, sf_dir, tmp_path):
     )
     assert streamed == batch
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_cms_converges_and_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """CMS under micro-batch ingestion: the partition-per-batch fold must
+    (a) converge to the one-pass batch sketch, and (b) be a no-op under a
+    foreachBatch replay — counters ADD, so the naive read-merge-overwrite
+    fold would double-count; the partition overwrite design cannot."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import cms_build
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        cms_stream_merged,
+        fold_cms_batch,
+        stream_cms_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    src = tmp_path / "cms_src"
+    ev.filter(F.pmod(F.xxhash64("event_type"), F.lit(2)) == 0).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    ev.filter(F.pmod(F.xxhash64("event_type"), F.lit(2)) == 1).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    tbl = f"cms_sketch_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_cms_sink(stream, tbl, str(tmp_path / "ckpt"), "event_type")
+    q.awaitTermination()
+
+    merged = sorted(map(tuple, cms_stream_merged(spark, tbl).collect()))
+    batch = sorted(
+        map(tuple, cms_build(ev, "event_type", depth=4, width=1024).collect())
+    )
+    assert merged == batch
+
+    # replay the last folded batch: partition overwrite must be a no-op
+    last_batch = spark.table(tbl).agg(F.max("batch_id")).collect()[0][0]
+    replay_rows = spark.table(tbl).filter(F.col("batch_id") == last_batch).count()
+    assert replay_rows > 0
+    half_b = spark.read.parquet(str(src / "b"))
+    fold_cms_batch(spark, half_b, last_batch, tbl, "event_type")
+    assert sorted(map(tuple, cms_stream_merged(spark, tbl).collect())) == batch
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
