@@ -194,3 +194,108 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     picked = {r["id"] for r in weighted_sample(df, "id", "w", 30).collect()}
     heavy = sum(1 for i in picked if i < 50)
     assert heavy >= 20, f"only {heavy}/30 heavy rows sampled"
+
+
+@given(
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+    ),
+    data=st.binary(min_size=0, max_size=600),
+)
+@_SETTINGS
+def test_bmp_roundtrip_preserves_header_and_rows(dims, data):
+    """Pure-Python property (no Spark): any (w, h) and any pixel bytes
+    round-trip through the stdlib BMP codec — decoded dims match, the
+    pixel array has exactly stride*h bytes, and each stored row starts
+    with the corresponding input bytes (zero-padded, 4-byte aligned)."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.multimodal import decode_bmp, encode_bmp
+
+    w, h = dims
+    img = decode_bmp(encode_bmp(w, h, data))
+    assert (img.width, img.height) == (w, h)
+    stride = (3 * w + 3) // 4 * 4
+    assert len(img.pixels) == stride * h
+    for r in range(h):
+        want = data[r * 3 * w : (r + 1) * 3 * w]
+        got = img.pixels[r * stride : r * stride + len(want)]
+        assert got == want
+
+
+@given(
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+    ),
+    data=st.binary(min_size=0, max_size=600),
+)
+@_SETTINGS
+def test_ppm_roundtrip(dims, data):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    w, h = dims
+    img = decode_ppm(encode_ppm(w, h, data))
+    assert (img.width, img.height) == (w, h)
+    assert len(img.pixels) == 3 * w * h
+    assert img.pixels[: min(len(data), 3 * w * h)] == data[: 3 * w * h]
+
+
+@given(texts=TEXTS, ids=st.permutations(list(range(25))))
+@_SETTINGS
+def test_leakage_safe_split_is_content_deterministic(spark, texts, ids):
+    """Split assignment depends only on content groups, never on row order
+    or which duplicate carries which id beyond the group minimum: shuffling
+    ids within the corpus re-deals canonicals but every text group still
+    lands wholly inside one split."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import leakage_safe_split
+
+    rows = [(ids[i], t) for i, t in enumerate(texts[:25])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    by_id = {r.doc_id: (r.canonical_id, r.split) for r in out}
+    text_of = {ids[i]: t for i, t in enumerate(texts[:25])}
+    splits_per_text: dict = {}
+    for doc_id, (canon, split) in by_id.items():
+        splits_per_text.setdefault(text_of[doc_id], set()).add(split)
+        assert text_of[canon] == text_of[doc_id]  # canonical shares the text
+    assert all(len(s) == 1 for s in splits_per_text.values())
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60),
+    cut=st.integers(min_value=0, max_value=59),
+)
+@_SETTINGS
+def test_hll_register_merge_is_grouping_invariant(spark, values, cut):
+    """Registers merged from ANY two-way split of the input equal the
+    one-pass registers — the associativity/commutativity that makes the
+    sketch safely incremental (q136 + stream_hll_register_sink)."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+        hll_merge_registers,
+        hll_register_partials,
+    )
+
+    cut = min(cut, len(values) - 1)
+    df = spark.createDataFrame(
+        [(v, 0 if i <= cut else 1) for i, v in enumerate(values)],
+        "v bigint, part int",
+    )
+    split_regs = sorted(
+        map(
+            tuple,
+            hll_merge_registers(
+                hll_register_partials(df, "v", "part", p=4)
+            ).collect(),
+        )
+    )
+    whole_regs = sorted(
+        map(
+            tuple,
+            hll_merge_registers(
+                hll_register_partials(df, "v", F.lit(0), p=4)
+            ).collect(),
+        )
+    )
+    assert split_regs == whole_regs
