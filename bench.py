@@ -73,6 +73,9 @@ HEADLINE = [
     "q124_lang_drift",
     "q139_bmp_decode_twin",
     "q144_leakage_safe_split",
+    "q146_bm25_topk",
+    "q147_duplicate_spans",
+    "q149_bigram_surprisal",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

@@ -137,6 +137,18 @@ def _simple_plan(spark, sf_dir, name) -> str:
         ("q144_leakage_safe_split", 1),
         # per-day register partials + merge = 2 groupBys
         ("q136_hll_register_twin", 2),
+        # tf + df + per-doc score groupBys (df/stats ride broadcasts);
+        # top-20 is TakeOrdered, never a global sort
+        ("q146_bm25_topk", 4),
+        # shingle window + (doc,g) distinct + per-doc rollup; the per-
+        # shingle frequency joins back as a broadcast at test SF
+        ("q147_duplicate_spans", 3),
+        # one shuffle to the domain grain; normalizing window is
+        # SinglePartition over O(#domains) rows
+        ("q148_domain_mixture", 1),
+        # bigram window + bigram/unigram count tables + per-doc avg;
+        # vocab scalar rides a 1-row broadcast NLJ
+        ("q149_bigram_surprisal", 5),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):

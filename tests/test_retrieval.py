@@ -1,0 +1,126 @@
+"""Semantic tests for the retrieval/corpus-modeling queries (q146-q149).
+
+Driver parity (Spark == DuckDB hash) is covered by tools/check.py; these
+tests pin the *semantics* on planted corpora: BM25 ordering, duplicate-span
+detection of a shared substring, mixture-weight normalization and rare-
+domain upweighting, and surprisal separating formulaic from novel text.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a documents.parquet a query's sf_dir loader can read."""
+    sf = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, text, lang, source, len(text)) for i, (text, lang, source) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
+    # doc0 mentions 'spark' three times, doc1 once, doc2 never.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("spark spark spark engine plan", "en", "s0"),
+            ("spark engine plan shuffle stage", "en", "s0"),
+            ("engine plan shuffle stage codegen", "en", "s0"),
+        ],
+    )
+    out = QUERIES["q146_bm25_topk"].fn(spark, sf).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 0, "term-dense doc must rank first"
+    assert 2 not in ids, "doc without any query term must not score"
+    assert all(r.bm25_score > 0 for r in out)
+
+
+def test_bm25_doc_length_normalization(spark, tmp_path):
+    # Same tf for 'hash', but doc1 is much longer -> lower score (b=0.75).
+    filler = " ".join(["pad"] * 60)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("hash join probe", "en", "s0"),
+            (f"hash join probe {filler}", "en", "s0"),
+        ],
+    )
+    out = {r.doc_id: r.bm25_score for r in QUERIES["q146_bm25_topk"].fn(spark, sf).collect()}
+    assert out[0] > out[1]
+
+
+def test_duplicate_spans_detects_shared_8gram(spark, tmp_path):
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (f"{shared} alpha beta gamma delta epsilon zeta", "en", "s0"),
+            (f"prefix words here {shared} suffix tail words", "en", "s0"),
+            ("totally different content with no overlap at all here okay", "en", "s0"),
+        ],
+    )
+    rows = {r.doc_id: r for r in QUERIES["q147_duplicate_spans"].fn(spark, sf).collect()}
+    assert rows[0].dup_shingles >= 1 and rows[1].dup_shingles >= 1
+    assert rows[2].dup_shingles == 0 and rows[2].dup_frac == 0.0
+    for r in rows.values():
+        assert 0 <= r.dup_shingles <= r.n_distinct_shingles
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_duplicate_spans_short_docs_excluded(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [("only three words", "en", "s0")])
+    assert QUERIES["q147_duplicate_spans"].fn(spark, sf).count() == 0
+
+
+def test_mixture_weights_normalize_and_upweight_rare(spark, tmp_path):
+    big = " ".join(["tok"] * 90)
+    small = " ".join(["tok"] * 10)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(big, "en", "web"), (small, "fr", "books")],
+    )
+    rows = {(r.source, r.lang): r for r in QUERIES["q148_domain_mixture"].fn(spark, sf).collect()}
+    assert abs(sum(r.mixture_weight for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-4
+    rare, common = rows[("books", "fr")], rows[("web", "en")]
+    # alpha=0.5 moves the rare domain's weight above its raw share.
+    assert rare.mixture_weight > rare.token_share
+    assert common.mixture_weight < common.token_share
+    # exact closed form: sqrt(10)/(sqrt(10)+sqrt(90)) = 0.25
+    assert rare.mixture_weight == pytest.approx(0.25, abs=1e-4)
+
+
+def test_bigram_surprisal_formulaic_below_novel(spark, tmp_path):
+    # doc0 repeats one bigram; doc1 is all singleton bigrams. Under the
+    # corpus bigram LM, doc0's transitions are high-probability.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a b a b a b a b a b", "en", "s0"),
+            ("c d e f g h i j k l", "en", "s0"),
+        ],
+    )
+    rows = {r.doc_id: r for r in QUERIES["q149_bigram_surprisal"].fn(spark, sf).collect()}
+    assert rows[0].avg_bigram_surprisal < rows[1].avg_bigram_surprisal
+    assert rows[0].n_bigrams == 9 and rows[1].n_bigrams == 9
+
+
+def test_bigram_surprisal_add1_smoothing_exact(spark, tmp_path):
+    # Single doc "x y": one bigram with c12=1, c1(x)=1, vocab=2.
+    # -ln((1+1)/(1+2)) = ln(1.5)
+    sf = _write_docs(spark, tmp_path, [("x y", "en", "s0")])
+    row = QUERIES["q149_bigram_surprisal"].fn(spark, sf).collect()[0]
+    assert row.avg_bigram_surprisal == pytest.approx(round(math.log(1.5), 4), abs=1e-6)
