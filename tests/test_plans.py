@@ -180,3 +180,59 @@ def test_pair_queries_spread_the_nested_loop_stream_side(spark, sf_dir, name):
     pair-generation code)."""
     plan = _plan(spark, sf_dir, name)
     assert "REPARTITION_BY_NUM" in plan  # the user repartition survived
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """The 100 TB co-location claim made by sinks/writer.py:59 — two fact
+    tables written bucketed on the join key must sort-merge-join with NO
+    Exchange on either side (bucket layout replaces the shuffle). This is
+    the strategy for repeatedly-joined fact pairs like orders⋈lineitem:
+    pay one bucketed write, then every subsequent join is shuffle-free."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import CatalogManager
+    from _spark_multi_format_data_lake_pipeline_spark.registry import TableHandle
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.writer import write_tables
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    db = f"bkt_{uuid.uuid4().hex[:6]}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    handles = [
+        TableHandle(orders, "orders_b", "parquet", orders.count(), 3),
+        TableHandle(lineitem, "lineitem_b", "parquet", lineitem.count(), 3),
+    ]
+    try:
+        write_tables(
+            spark,
+            handles,
+            database=db,
+            bucket_by={"orders_b": (4, ["o_orderkey"]), "lineitem_b": (4, ["l_orderkey"])},
+        )
+        joined = (
+            spark.table(f"{db}.orders_b")
+            .hint("merge")  # force SMJ so broadcast can't mask the layout
+            .join(
+                spark.table(f"{db}.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = joined._jdf.queryExecution().explainString(em)
+        assert "SortMergeJoin" in plan
+        # bucket co-location: zero exchanges anywhere — the join consumes
+        # bucket layout directly and the groupBy inherits it.
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the result is right: revenue rows for every order with items
+        n = joined.count()
+        expected = lineitem.select("l_orderkey").distinct().count()
+        assert n == expected
+    finally:
+        CatalogManager(spark).drop_database(db)
