@@ -298,3 +298,61 @@ def q149_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nlp), 4).alias("avg_bigram_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — distributed k-means assignment (semantic clustering for curation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q150_kmeans_assign",
+    oracle=r"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 4),
+    d AS (
+        SELECT emb.vec_id, cents.cid,
+               list_sum(list_transform(list_zip(emb.v, cents.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+        FROM emb CROSS JOIN cents
+    ),
+    a AS (
+        SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d
+    )
+    SELECT cid AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(dist2), 3) AS sse
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    """,
+    doc="One Lloyd assignment pass of llm/clustering.py's distributed "
+        "k-means, from deterministic seeds (the 4 lowest vec_ids), "
+        "reporting per-cluster membership and SSE. Assignment is pure JVM "
+        "column math (zip_with squared distance, argmin via array_position "
+        "with lowest-index tie-break — mirrored by the oracle's ORDER BY "
+        "dist2, cid); the report shuffle moves k partial rows per "
+        "partition. The multi-iteration driver loop (centroid update = "
+        "k x dim literals, inertia monotonicity) is pinned by "
+        "tests/test_clustering.py — iteration count never changes the "
+        "per-iteration plan, so one pass is the honest oracle surface.",
+)
+def q150_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.clustering import assign_clusters
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    cluster, dist2 = assign_clusters("v", seeds)
+    return (
+        emb.select(cluster.alias("cluster"), dist2.alias("dist2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum("dist2"), 3).alias("sse"),
+        )
+    )

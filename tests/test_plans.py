@@ -149,6 +149,9 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # bigram window + bigram/unigram count tables + per-doc avg;
         # vocab scalar rides a 1-row broadcast NLJ
         ("q149_bigram_surprisal", 5),
+        # assignment is map-only column math; the one exchange is the
+        # k-row cluster report (centroid seeds are literals)
+        ("q150_kmeans_assign", 1),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
