@@ -1,0 +1,161 @@
+"""Retrieval & corpus-modeling operators: BM25 scoring, duplicate-span
+statistics, domain mixture weights, and bigram-LM surprisal.
+
+Query registrations live in ``queries/retrieval.py`` (q146-q149); these
+functions are the reusable surface a pipeline composes (scale notes in
+SCALING.md §"Retrieval & corpus modeling").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, bm25_score) — top-k documents for a term-set query under BM25
+    with the Lucene idf ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: the term filter lands BEFORE the tf groupBy so the explode
+    never shuffles non-query terms; doc length rides the explode (no
+    doc-length join); df (|terms| rows) and the (N, avgdl) scalar are
+    broadcasts; the final top-k is TakeOrdered — no global sort. Ties break
+    by id after 4-decimal rounding so the cut is deterministic. At index-
+    backed scale the same scorer runs over q120's posting lists; this is
+    the index-free scan form.
+    """
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("w"))
+    words = toks.select(
+        id_col, F.size("w").alias("dl"), F.explode("w").alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = words.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, (idf * F.col("tf") * (k1 + 1.0) / norm).alias("part"))
+        .groupBy(id_col)
+        .agg(F.sum("part").alias("s"))
+    )
+    return (
+        scored.select(id_col, F.round("s", 4).alias("bm25_score"))
+        .orderBy(F.col("bm25_score").desc(), id_col)
+        .limit(k)
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, n_distinct_shingles, dup_shingles, dup_frac) — per document, the
+    fraction of its distinct word n-grams that appear in >= 2 documents
+    (the exact-substring dedup signal from 'Deduplicating Training Data
+    Makes Language Models Better'). Docs shorter than n tokens drop out.
+
+    Shingles take the posexplode→lead() shape and immediately reduce to
+    sha256 — every downstream exchange moves fixed-width uniform keys.
+    """
+    tk = docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w0")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, n)]
+    leads = tk.select(id_col, "w0", *lead_cols)
+    gram_cols = [f"w{j}" for j in range(n)]
+    grams = leads.filter(F.col(f"w{n - 1}").isNotNull()).select(
+        id_col, F.sha2(F.concat_ws(" ", *gram_cols), 256).alias("g")
+    )
+    ds = grams.distinct()
+    freq = ds.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        ds.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_shingles"),
+            dup.cast("bigint").alias("dup_shingles"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(group_cols..., n_docs, n_tokens, token_share, mixture_weight) —
+    temperature-scaled sampling weights w_i ∝ share_i^alpha (alpha < 1
+    upweights rare domains, the standard multi-domain mixing rule). One
+    shuffle to the domain grain; the normalizing window runs over the
+    O(#domains) group table."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    g = docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    powered = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything), 6
+        ).alias("token_share"),
+        F.round(powered / F.sum(powered).over(everything), 6).alias("mixture_weight"),
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bigrams, avg_bigram_surprisal) — average add-1-smoothed
+    -ln p(w2|w1) under the corpus's own bigram model; the next step up
+    from unigram surprisal for perplexity-style quality filtering. Docs
+    with fewer than 2 tokens drop out.
+
+    Bigrams come from posexplode→lead(1); the corpus bigram/unigram count
+    tables shuffle once on the gram key (Zipf heads collapse map-side);
+    vocabulary size rides a 1-row broadcast cross join, keeping the whole
+    query lazy."""
+    tk = docs.select(F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    pairs = tk.select(id_col, "w1", F.lead("w1", 1).over(win).alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = tk.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tk.agg(F.countDistinct("w1").alias("vocab"))
+    nlp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nlp), 4).alias("avg_bigram_surprisal"),
+        )
+    )

@@ -1,23 +1,32 @@
 """Retrieval & corpus-modeling queries (round-5 additions): BM25 ranking,
 within-corpus duplicate-span detection, temperature-scaled domain mixture
-weights, and bigram-LM surprisal scoring.
+weights, bigram-LM surprisal scoring, and distributed k-means assignment.
 
 These extend the training-data-pipeline surface beyond the reference
 (whose aggregation surface is ``df.count()`` — SURVEY.md §2 A.4): a user
 curating a 100 TB corpus needs retrieval scoring for eval-set mining,
 substring-level dup pressure per document, mixture weights for data
-balancing, and an n-gram LM signal for perplexity-style filtering.
+balancing, an n-gram LM signal for perplexity-style filtering, and
+semantic clustering for SemDeDup-style prune-per-cluster curation.
 
-Every query here is fully oracle-paired (deterministic math, sha256-keyed
-shingles, explicit rounding + tie-breaks) — no rows-only entries.
+Operator implementations live in ``llm/retrieval.py`` and
+``llm/clustering.py``; every query here is fully oracle-paired
+(deterministic math, sha256-keyed shingles, explicit rounding +
+tie-breaks) — no rows-only entries. Differential property tests against
+pure-Python references: tests/test_retrieval.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from ..llm.retrieval import (
+    bigram_surprisal,
+    bm25_topk,
+    domain_mixture,
+    duplicate_span_stats,
+)
 from ..sources.lake import load_table
 from .registry import register
 
@@ -26,20 +35,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _toks(docs: DataFrame) -> DataFrame:
-    """(doc_id, w: array<string>) — lowercase whitespace tokens."""
-    return docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
-    )
-
-
 # ---------------------------------------------------------------------------
 # q146 — BM25 top-k retrieval
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ("spark", "hash", "window")
-_BM25_K1 = 1.2
-_BM25_B = 0.75
 
 
 @register(
@@ -72,50 +72,19 @@ _BM25_B = 0.75
     ORDER BY ROUND(s, 4) DESC, doc_id
     LIMIT 20
     """,
-    doc="BM25 (Lucene idf, k1=1.2, b=0.75) top-20 for a fixed 3-term query. "
-        "Scale shape: the term filter lands BEFORE the tf groupBy, so the "
-        "explode never shuffles non-query terms; doc length rides the "
-        "explode (no doc-length join); df and the (n_docs, avgdl) scalar "
-        "are broadcast (3 rows / 1 row); final top-k is TakeOrdered, no "
-        "global sort. Ties broken by doc_id after 4-decimal rounding so "
-        "the cut is deterministic across engines.",
+    doc="BM25 (Lucene idf, k1=1.2, b=0.75) top-20 for a fixed 3-term query "
+        "via llm/retrieval.py::bm25_topk. Scale shape: term filter before "
+        "the tf groupBy, doc length rides the explode, df/stats broadcast, "
+        "TakeOrdered top-k; ties break by doc_id after 4-decimal rounding "
+        "so the cut is deterministic across engines.",
 )
 def q146_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _toks(_t(spark, sf_dir, "documents"))
-    words = toks.select(
-        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
-    ).filter(F.col("term").isin(*_BM25_TERMS))
-    tf = words.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * F.col("tf") * (_BM25_K1 + 1.0) / norm).alias("part"))
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("s"))
-    )
-    return (
-        scored.select("doc_id", F.round("s", 4).alias("bm25_score"))
-        .orderBy(F.col("bm25_score").desc(), "doc_id")
-        .limit(20)
-    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
 
 
 # ---------------------------------------------------------------------------
 # q147 — within-corpus duplicate-span fraction (Lee et al. style signal)
 # ---------------------------------------------------------------------------
-
-_SPAN_N = 8
-
 
 @register(
     "q147_duplicate_spans",
@@ -139,46 +108,15 @@ _SPAN_N = 8
     FROM ds JOIN freq USING (g)
     GROUP BY doc_id
     """,
-    doc="Per-document duplicated-span pressure: fraction of a doc's distinct "
-        "8-gram shingles that also appear in at least one other document "
-        "(the exact-substring dedup signal from 'Deduplicating Training "
-        "Data Makes Language Models Better'). Shingles use the posexplode→"
-        "lead() shape (the gram string materializes once, straight into "
-        "sha256 — fixed-width 64-hex shuffle keys, no long-string "
-        "shuffles). Distinct + per-shingle frequency + rejoin are all "
-        "keyed on the uniform sha key: no skew at any corpus size.",
+    doc="Per-document duplicated-span pressure via llm/retrieval.py::"
+        "duplicate_span_stats: fraction of a doc's distinct 8-gram "
+        "shingles that also appear in at least one other document (the "
+        "exact-substring dedup signal from 'Deduplicating Training Data "
+        "Makes Language Models Better'). posexplode→lead() shingles reduce "
+        "straight to sha256 — fixed-width uniform shuffle keys throughout.",
 )
 def q147_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "w0"
-        ),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [
-        F.lead("w0", k).over(win).alias(f"w{k}") for k in range(1, _SPAN_N)
-    ]
-    leads = tk.select("doc_id", "w0", *lead_cols)
-    gram_cols = [f"w{k}" for k in range(_SPAN_N)]
-    grams = leads.filter(F.col(f"w{_SPAN_N - 1}").isNotNull()).select(
-        "doc_id", F.sha2(F.concat_ws(" ", *gram_cols), 256).alias("g")
-    )
-    ds = grams.distinct()
-    freq = ds.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
-    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-    return (
-        ds.join(freq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct_shingles"),
-            dup.cast("bigint").alias("dup_shingles"),
-            F.round(
-                dup.cast("double") / F.count(F.lit(1)), 4
-            ).alias("dup_frac"),
-        )
-    )
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
 # ---------------------------------------------------------------------------
@@ -202,34 +140,14 @@ def q147_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(toks) / SUM(SQRT(toks)) OVER (), 6) AS mixture_weight
     FROM g
     """,
-    doc="Data-mixing weights per (source, lang) domain: raw token share and "
-        "the temperature-scaled sampling weight w_i ∝ share_i^0.5 "
-        "(alpha=0.5 upweights rare domains, the standard multilingual/"
-        "multi-domain mixing rule). One shuffle to the domain grain; the "
-        "normalizing window runs over the domain table, which is "
-        "O(#domains) — tiny at any corpus scale.",
+    doc="Data-mixing weights per (source, lang) domain via llm/retrieval"
+        ".py::domain_mixture: raw token share and the temperature-scaled "
+        "sampling weight w_i ∝ share_i^0.5 (alpha=0.5 upweights rare "
+        "domains). One shuffle to the domain grain; the normalizing window "
+        "runs over the O(#domains) table.",
 )
 def q148_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    g = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(toks).cast("bigint").alias("n_tokens"),
-    )
-    everything = Window.partitionBy()
-    return g.select(
-        "source",
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.round(
-            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything), 6
-        ).alias("token_share"),
-        F.round(
-            F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(everything),
-            6,
-        ).alias("mixture_weight"),
-    )
+    return domain_mixture(_t(spark, sf_dir, "documents"), alpha=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -262,42 +180,13 @@ def q148_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     doc="Average add-1-smoothed bigram negative logprob per document under "
-        "the corpus's own bigram model — the next step up from q86's "
-        "unigram surprisal for perplexity-based quality filtering. Bigram "
-        "occurrences come from the posexplode→lead(1) shape (no HOF "
-        "lambdas); the corpus bigram/unigram tables are shuffle-keyed on "
-        "the gram itself (Zipf head words are hot but the per-key state is "
-        "one counter — partial aggregation absorbs the skew map-side); "
-        "vocab size rides a broadcast 1-row cross join, not a driver "
-        "action.",
+        "the corpus's own bigram model (llm/retrieval.py::bigram_surprisal) "
+        "— the next step up from q86's unigram surprisal for perplexity-"
+        "based quality filtering. posexplode→lead(1) bigrams; gram-keyed "
+        "count tables with map-side partials; vocab as a 1-row broadcast.",
 )
 def q149_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "pos", "w1"
-        ),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        tk.select("doc_id", "w1", F.lead("w1", 1).over(win).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = tk.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = tk.agg(F.countDistinct("w1").alias("vocab"))
-    nlp = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))
-    return (
-        pairs.join(big, ["w1", "w2"])
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(nlp), 4).alias("avg_bigram_surprisal"),
-        )
-    )
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

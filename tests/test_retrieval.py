@@ -124,3 +124,126 @@ def test_bigram_surprisal_add1_smoothing_exact(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, [("x y", "en", "s0")])
     row = QUERIES["q149_bigram_surprisal"].fn(spark, sf).collect()[0]
     assert row.avg_bigram_surprisal == pytest.approx(round(math.log(1.5), 4), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Differential property tests: Spark operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import (
+    bigram_surprisal,
+    bm25_topk,
+    duplicate_span_stats,
+)
+
+_WORDS = ["spark", "hash", "window", "pad", "x"]
+_CORPUS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+_DIFF_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _tok(t):
+    return re.split(r"\s+", t.strip().lower())
+
+
+@given(texts=_CORPUS)
+@_DIFF_SETTINGS
+def test_bm25_matches_python_reference(spark, texts):
+    terms = ("spark", "hash", "window")
+    k1, b = 1.2, 0.75
+    toks = [_tok(t) for t in texts]
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks) / n
+    df_t = {
+        t: sum(1 for w in toks if t in w) for t in terms
+    }
+    expected = {}
+    for i, w in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if s > 0:
+            expected[i] = round(s, 4)
+    rows = bm25_topk(_docs_df(spark, texts), terms, k=100).collect()
+    got = {r.doc_id: r.bm25_score for r in rows}
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i] == pytest.approx(expected[i], abs=2e-4)
+    # ranking: (score desc, doc_id asc)
+    keys = [(-r.bm25_score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+@given(texts=_CORPUS, n=st.integers(2, 4))
+@_DIFF_SETTINGS
+def test_duplicate_spans_match_python_reference(spark, texts, n):
+    toks = [_tok(t) for t in texts]
+    grams = [
+        {tuple(w[i : i + n]) for i in range(len(w) - n + 1)} for w in toks
+    ]
+    freq = {}
+    for gs in grams:
+        for g in gs:
+            freq[g] = freq.get(g, 0) + 1
+    expected = {
+        i: (
+            len(gs),
+            sum(1 for g in gs if freq[g] >= 2),
+        )
+        for i, gs in enumerate(grams)
+        if gs
+    }
+    rows = duplicate_span_stats(_docs_df(spark, texts), n=n).collect()
+    got = {r.doc_id: (r.n_distinct_shingles, r.dup_shingles) for r in rows}
+    assert got == expected
+
+
+@given(texts=_CORPUS)
+@_DIFF_SETTINGS
+def test_bigram_surprisal_matches_python_reference(spark, texts):
+    toks = [_tok(t) for t in texts]
+    big, uni = {}, {}
+    for w in toks:
+        for a in w:
+            uni[a] = uni.get(a, 0) + 1
+        for a, b2 in zip(w, w[1:]):
+            big[(a, b2)] = big.get((a, b2), 0) + 1
+    vocab = len(uni)
+    expected = {}
+    for i, w in enumerate(toks):
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            continue
+        nlp = [
+            -math.log((big[(a, b2)] + 1.0) / (uni[a] + vocab)) for a, b2 in pairs
+        ]
+        expected[i] = (len(pairs), round(sum(nlp) / len(nlp), 4))
+    rows = bigram_surprisal(_docs_df(spark, texts)).collect()
+    got = {r.doc_id: (r.n_bigrams, r.avg_bigram_surprisal) for r in rows}
+    assert set(got) == set(expected)
+    for i, (nb, s) in expected.items():
+        assert got[i][0] == nb
+        assert got[i][1] == pytest.approx(s, abs=2e-4)
