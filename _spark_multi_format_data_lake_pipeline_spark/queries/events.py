@@ -212,6 +212,44 @@ def q90_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# q151 — attribution incl. unconverted clicks (batch twin of leftOuter join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q151_attribution_with_unmatched",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS left_id,
+           p.event_id AS right_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+     AND p.event_type = 'purchase'
+    WHERE c.event_type = 'click'
+    """,
+    doc="q90's left-outer variant: every click appears, converted or not "
+        "(null right_id / lag_us when no purchase followed within 30 min) "
+        "— the dead-letter side of attribution. Batch twin of "
+        "streaming/events.py::stream_stream_join(how='leftOuter'); in "
+        "streaming the same plan emits unmatched rows on watermark "
+        "expiry (tests/test_streaming.py). Same one-shuffle-per-side "
+        "scale shape as q90.",
+)
+def q151_attribution_with_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return stream_stream_join(
+        clicks, purchases, within="30 minutes", how="leftOuter"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q97 — retention cohorts (signup-month cohort × month offset)
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,7 @@ def stream_stream_join(
     within: str = "30 minutes",
     left_watermark: str = "1 hour",
     right_watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with right events
     for the same key that occur in ``[left.ts, left.ts + within]``.
@@ -133,6 +134,14 @@ def stream_stream_join(
     ``left.ts + within`` (and vice versa) — without the time-range
     condition the state would grow forever. The batch twin is
     queries/events.py::q90 (click→purchase attribution).
+
+    ``how="leftOuter"`` additionally emits each unmatched left row once —
+    with null right columns — when the watermark passes its state-eviction
+    bound (the dead-letter side of attribution: clicks that never
+    converted). Spark requires exactly this watermark + time-range
+    combination for outer stream-stream joins; emission lags one
+    micro-batch behind the watermark commit, which the streaming test
+    drives with maxFilesPerTrigger=1. Batch twin: queries/events.py::q151.
 
     Precondition: ``spark.sql.session.timeZone`` must be UTC (asserted
     below; ``session.get_spark`` sets it). The NTZ→TIMESTAMP cast in
@@ -153,7 +162,7 @@ def stream_stream_join(
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{on}").alias(on),
         F.col("l.event_id").alias("left_id"),
         F.col("r.event_id").alias("right_id"),

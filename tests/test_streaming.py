@@ -413,3 +413,80 @@ def test_stream_cms_converges_and_replay_is_idempotent(spark, sf_dir, tmp_path):
     fold_cms_batch(spark, half_b, last_batch, tbl, "event_type")
     assert sorted(map(tuple, cms_stream_merged(spark, tbl).collect())) == batch
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_stream_left_outer_emits_unmatched_on_expiry(spark, tmp_path):
+    """leftOuter stream-stream interval join: a click with no purchase in
+    its 30-minute window must be emitted exactly once — with null right
+    columns — after the watermark passes its eviction bound. Four
+    maxFilesPerTrigger=1 micro-batches advance the watermark and absorb
+    the one-batch commit lag."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        stream_stream_join,
+    )
+
+    lsrc, rsrc = tmp_path / "clicks", tmp_path / "purchases"
+    lsrc.mkdir(), rsrc.mkdir()
+
+    def write(dirpath, fname, rows):  # rows: (event_id, ts, user_id, type)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, dirpath / fname)
+
+    # batch 1: user 1 converts at +10min; user 2 never converts
+    write(lsrc, "a.parquet", [(1, "2024-01-01 10:00:00", 1, "click"),
+                              (2, "2024-01-01 10:00:00", 2, "click")])
+    write(rsrc, "a.parquet", [(101, "2024-01-01 10:10:00", 1, "purchase")])
+    time.sleep(1.05)
+    # batches 2-4: both sides advance their watermarks well past
+    # 10:30 (user 2's eviction bound) + the 1h delay + commit lag
+    for i, hour in enumerate(("13", "15", "17")):
+        write(lsrc, f"{'bcd'[i]}.parquet",
+              [(3 + i, f"2024-01-01 {hour}:00:00", 90 + i, "click")])
+        write(rsrc, f"{'bcd'[i]}.parquet",
+              [(103 + i, f"2024-01-01 {hour}:00:00", 80 + i, "purchase")])
+        time.sleep(1.05)
+
+    def src(path):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(path))
+            .repartition(1)
+        )
+
+    joined = stream_stream_join(src(lsrc), src(rsrc), how="leftOuter")
+    name = f"oj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = _memtable(spark, name).collect()
+
+    matched = [r for r in rows if r.left_id == 1]
+    assert [(r.right_id, r.lag_us) for r in matched] == [(101, 600_000_000)]
+    unmatched_u2 = [r for r in rows if r.left_id == 2]
+    assert len(unmatched_u2) == 1, rows  # emitted exactly once
+    assert unmatched_u2[0].right_id is None and unmatched_u2[0].lag_us is None
