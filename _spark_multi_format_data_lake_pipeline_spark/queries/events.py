@@ -477,3 +477,61 @@ def q136_hll_register_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = hll_register_partials(ev, "user_id", F.to_date("ts"), p=6)
     return hll_merge_registers(daily)
+
+
+# ---------------------------------------------------------------------------
+# q152 — time-series gap-fill / daily resample (dense per-user activity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q152_daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(SUM(COALESCE(d.n, 0))
+                OVER (PARTITION BY s.user_id ORDER BY s.day) AS BIGINT) AS cum_events
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+    doc="Time-series resampling: densify each user's activity to one row "
+        "per calendar day between their first and last event (zero-filled "
+        "gaps) with a running cumulative count — the upsampling primitive "
+        "feeding forward-fill (q117) and drift monitors. The spine comes "
+        "from per-user min/max + sequence() explode, so its size is "
+        "user-days, never a cross join against a global calendar; every "
+        "stage (daily rollup, bounds, spine join, running sum) is keyed on "
+        "user_id — one logical co-partitioning at scale, no skew beyond "
+        "the busiest user's day range.",
+)
+def q152_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.sum("n").over(w).cast("bigint").alias("cum_events"),
+    )
