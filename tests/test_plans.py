@@ -186,11 +186,14 @@ def test_pair_queries_spread_the_nested_loop_stream_side(spark, sf_dir, name):
 
 
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
-    """The 100 TB co-location claim made by sinks/writer.py:59 — two fact
-    tables written bucketed on the join key must sort-merge-join with NO
-    Exchange on either side (bucket layout replaces the shuffle). This is
-    the strategy for repeatedly-joined fact pairs like orders⋈lineitem:
-    pay one bucketed write, then every subsequent join is shuffle-free."""
+    """Extends test_skew_bucketing.py::test_bucketed_join_avoids_shuffle
+    (synthetic ranges, join only) to the real fact pair: orders⋈lineitem
+    written bucketed on the order key must sort-merge-join with NO
+    Exchange anywhere in the plan — including the downstream groupBy,
+    which must INHERIT the bucket partitioning rather than re-shuffle.
+    That inheritance is the larger half of the 100 TB payoff: one
+    bucketed write amortizes over every subsequent join AND aggregation
+    on the same key."""
     import uuid
 
     from pyspark.sql import functions as F
