@@ -382,3 +382,56 @@ def decode_image_dims(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_dec, schema=DECODE_DIMS_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels int, "
+    "n_channel_bytes int, pixel_byte_sum bigint"
+)
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode: parses each payload with the
+    codec, strips the format's row padding (BMP rows are 4-byte aligned;
+    PPM P6 is contiguous), and reduces the TRUE channel bytes to an exact
+    integer sum. Unlike decode_image_dims (header-only), a bug anywhere in
+    the pixel path breaks q153's oracle hash: a wrong offset or truncated
+    row shifts ``pixel_byte_sum``; padding kept (pads are zero bytes, so
+    the SUM alone would not notice) inflates ``n_channel_bytes`` past
+    ``3*width*height``.
+
+    Python-side by necessity (this IS the media-decode hook); the stats
+    reduction keeps the emitted row at five scalars, so no pixel data
+    ever crosses back out of the Arrow batch."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, np_, nc, ps = [], [], [], [], []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                img = decode_media(bytes(p), mt)
+                raw = img.pixels if hasattr(img, "pixels") else img.tobytes()
+                row = img.width * 3
+                if img.mode == "BGR":  # BMP pixel array: stride-aligned rows
+                    stride = (row + 3) // 4 * 4
+                    body = b"".join(
+                        raw[r * stride : r * stride + row] for r in range(img.height)
+                    )
+                else:  # RGB (PPM / PIL): contiguous
+                    body = raw[: row * img.height]
+                w.append(img.width)
+                h.append(img.height)
+                np_.append(img.width * img.height)
+                nc.append(len(body))
+                ps.append(sum(body))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "n_pixels": pd.Series(np_, dtype="int32"),
+                    "n_channel_bytes": pd.Series(nc, dtype="int32"),
+                    "pixel_byte_sum": pd.Series(ps, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_dec, schema=PIXEL_STATS_SCHEMA)

@@ -1073,6 +1073,47 @@ def q139_bmp_decode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q153_bmp_pixel_sum",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               (4 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 61)::INT AS width,
+               (4 + CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8))
+                         AS BIGINT) % 45)::INT AS height,
+               sha256(CAST(doc_id AS VARCHAR) || ':px') AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, width, height, i,
+               CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS bv
+        FROM m, unnest(generate_series(0, 31)) AS t(i)
+    )
+    SELECT doc_id, width, height, (width * height)::INT AS n_pixels,
+           (width * 3 * height)::INT AS n_channel_bytes,
+           CAST((width * 3 * height) // 32 * SUM(bv)
+                + SUM(CASE WHEN i < (width * 3 * height) % 32 THEN bv ELSE 0 END)
+                AS BIGINT) AS pixel_byte_sum
+    FROM b GROUP BY doc_id, width, height
+    """,
+    doc="REAL pixel-content decode, hash-checked (extends q139's header "
+        "check to the pixel array): the generator tiles sha256(doc_id':px') "
+        "across w*3*h BGR bytes, the stdlib codec decodes the BMP and "
+        "strips the 4-byte row padding, and the EXACT integer sum of the "
+        "true channel bytes must equal the oracle's closed form (full-"
+        "digest repeats + hex-prefix remainder). A wrong offset or short "
+        "row shifts the sum; kept padding (zero bytes, invisible to the "
+        "sum) inflates n_channel_bytes past 3*w*h. Integer-exact: no "
+        "float rounding anywhere.",
+)
+def q153_bmp_pixel_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import attach_generated_bmp, decode_pixel_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_pixel_stats(attach_generated_bmp(docs))
+
+
+@register(
     "q89_frame_sample",
     oracle="""
     WITH m AS (

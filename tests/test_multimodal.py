@@ -188,3 +188,30 @@ class TestBuiltinCodec:
             assert r.width == 4 + int(hx[0:8], 16) % 61
             assert r.height == 4 + int(hx[8:16], 16) % 45
             assert r.n_pixel_bytes == ((3 * r.width + 3) // 4) * 4 * r.height
+
+
+def test_decode_pixel_stats_strips_bmp_padding(spark):
+    """width=3 forces 3 pad bytes per BMP row; the channel-byte count must
+    be exactly 3*w*h (padding stripped) and the sum must equal the sum of
+    the ORIGINAL pixel bytes, independent of padding zeros."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.multimodal import (
+        decode_pixel_stats,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    w, h = 3, 2
+    pix = bytes(range(10, 10 + w * 3 * h))  # 18 distinct bytes
+    rows = [
+        (1, "image/bmp", encode_bmp(w, h, pix)),
+        (2, "image/ppm", encode_ppm(w, h, pix)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary"
+    )
+    out = {r.doc_id: r for r in decode_pixel_stats(df).collect()}
+    for d in (1, 2):
+        r = out[d]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.n_channel_bytes == w * 3 * h  # padding stripped (BMP)
+        assert r.pixel_byte_sum == sum(pix)
