@@ -62,6 +62,9 @@ _RECHECK = (
     "q134_epoch_shuffle",
     "q96_curation_funnel",
     "q132_curation_prefix",
+    # r5 (this session) gave stream_stream_join a `how` param (default
+    # "inner" — q90's behavior identical); re-verify its green record.
+    "q90_click_purchase_attribution",
 )
 
 

@@ -535,3 +535,73 @@ def q152_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.sum("n").over(w).cast("bigint").alias("cum_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — DAU / trailing-7-day WAU / stickiness (sliding DISTINCT window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q154_dau_wau_stickiness",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM activity),
+    contrib AS (
+        SELECT a.user_id,
+               CAST(unnest(generate_series(a.day, a.day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS wday
+        FROM activity a
+    ),
+    wau AS (
+        SELECT c.wday AS day, COUNT(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN days d ON d.day = c.wday
+        GROUP BY 1
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM activity GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau::DOUBLE / wau.wau, 4) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    """,
+    doc="Product-analytics stickiness: daily actives, trailing-7-day "
+        "actives (a sliding COUNT DISTINCT — inexpressible as a window "
+        "frame since distinct does not decompose), and their ratio. The "
+        "scale trick is contribution-explode: each (user, day) activity "
+        "row fans out to the <=7 window-end days it supports, turning the "
+        "sliding distinct into a plain groupBy count-distinct keyed by "
+        "day. Cost is a bounded 7x of the DEDUPED activity table (users x "
+        "days, already tiny next to raw events), not of the event log; "
+        "every stage is day- or user-day-keyed, no skew.",
+)
+def q154_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    contrib = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6))
+        ).alias("wday"),
+    )
+    wau = (
+        contrib.join(days, contrib.wday == days.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = activity.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

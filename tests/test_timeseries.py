@@ -42,3 +42,38 @@ def test_gap_fill_densifies_and_zero_fills(spark, tmp_path):
     assert [r.cum_events for r in u7] == [2, 2, 2, 3]  # flat across gaps
     u8 = [r for r in out if r.user_id == 8]
     assert len(u8) == 1 and u8[0].n_events == 1 and u8[0].cum_events == 1
+
+
+def test_dau_wau_contribution_explode_matches_naive(spark, sf_dir):
+    """The contribution-explode sliding-distinct trick must equal the
+    naive range-join definition: WAU(day) = distinct users active in
+    [day-6, day]."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    got = {
+        r.day: (r.dau, r.wau)
+        for r in QUERIES["q154_dau_wau_stickiness"].fn(spark, sf_dir).collect()
+    }
+    activity = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = activity.select("day").distinct()
+    naive = (
+        days.alias("d")
+        .join(
+            activity.alias("a"),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy("d.day")
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    expected = {
+        r.day.isoformat(): r.wau for r in naive.collect()
+    }
+    assert {d: w for d, (_, w) in got.items()} == expected
