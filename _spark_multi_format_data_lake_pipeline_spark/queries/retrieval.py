@@ -245,3 +245,56 @@ def q150_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dist2"), 3).alias("sse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — lexical diversity: token entropy / type-token / hapax ratio
+# ---------------------------------------------------------------------------
+
+@register(
+    "q155_token_entropy",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+               AS hapax_ratio,
+           ROUND(-SUM((c::DOUBLE / n.n) * LN(c::DOUBLE / n.n)), 4)
+               AS token_entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id, n.n
+    """,
+    doc="Lexical-diversity quality signals: Shannon entropy of the "
+        "per-document token distribution (low = repetitive/boilerplate, "
+        "the information-theoretic cousin of q79's repetition rules), "
+        "type count, and hapax-legomenon ratio. One shuffle to the "
+        "(doc, token) grain; the per-doc total rides a window over the "
+        "SAME key (no second exchange) before the final doc rollup "
+        "inherits the partitioning.",
+)
+def q155_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    tfn = tf.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c").cast("double") / F.col("n")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tfn.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 4).alias("hapax_ratio"),
+        F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
+    )
