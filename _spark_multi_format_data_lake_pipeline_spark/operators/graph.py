@@ -152,3 +152,65 @@ def dedup_groups(
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over an edge list; returns (node, r).
+
+    Each iteration is one join of the current rank vector against the
+    out-weight-normalized edge list plus a dst-keyed aggregation — the
+    textbook edge-partitioned shape: state is O(nodes), the per-iteration
+    shuffle is O(edges), and nothing ever collects to the driver. The
+    plan chains ``iters`` joins with the small rank vector on the build
+    side; for high iteration counts on a real cluster, localCheckpoint
+    the rank vector every ~5 rounds like ``_cc_distributed`` does.
+
+    Nodes without in-edges get the (1-d)/N teleport mass via the left
+    join from the node set; mass from dangling nodes (no out-edges) is
+    NOT redistributed — both this and the q156 oracle leak it
+    identically, and the nation-trade graph has none.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    enorm = e.join(outw, "_src").select(
+        "_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("r")
+    )
+    for _ in range(max(iters, 0)):
+        contrib = (
+            enorm.join(ranks, enorm._src == ranks.node)
+            .select("_dst", (F.col("r") * F.col("_p")).alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib._dst, "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks

@@ -298,3 +298,89 @@ def q155_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hapax.cast("double") / F.count(F.lit(1)), 4).alias("hapax_ratio"),
         F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — weighted PageRank over the nation-trade graph (iterative)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q156_nation_trade_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS nation FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    edges_norm AS (
+        SELECT e.src, e.dst, e.w::DOUBLE / o.ow AS p
+        FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    r0 AS (SELECT nation, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+        SELECT n.nation, 0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * e.p), 0) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN edges_norm e ON e.dst = n.nation
+        LEFT JOIN r0 p ON p.nation = e.src
+        GROUP BY n.nation, nn.cnt
+    ),
+    r2 AS (
+        SELECT n.nation, 0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * e.p), 0) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN edges_norm e ON e.dst = n.nation
+        LEFT JOIN r1 p ON p.nation = e.src
+        GROUP BY n.nation, nn.cnt
+    ),
+    r3 AS (
+        SELECT n.nation, 0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * e.p), 0) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN edges_norm e ON e.dst = n.nation
+        LEFT JOIN r2 p ON p.nation = e.src
+        GROUP BY n.nation, nn.cnt
+    ),
+    r4 AS (
+        SELECT n.nation, 0.15 / nn.cnt + 0.85 * COALESCE(SUM(p.r * e.p), 0) AS r
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN edges_norm e ON e.dst = n.nation
+        LEFT JOIN r3 p ON p.nation = e.src
+        GROUP BY n.nation, nn.cnt
+    )
+    SELECT nt.n_name AS nation, ROUND(r4.r, 6) AS pagerank
+    FROM r4 JOIN nation nt ON nt.n_nationkey = r4.nation
+    """,
+    doc="Weighted PageRank (d=0.85, 4 iterations) over the supplier-nation "
+        "→ customer-nation trade graph, via operators/graph.py::pagerank — "
+        "the URL-authority primitive of web-corpus curation, exercised "
+        "here as a second distributed iterative algorithm next to k-means "
+        "and connected components. Per iteration: one O(edges) join + one "
+        "dst-keyed aggregation; rank state is O(nodes) and never leaves "
+        "the executors. The oracle unrolls the same four iterations as "
+        "chained CTEs — identical double math, rounded at the end only.",
+)
+def q156_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nt = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, weight="w", iters=4, damping=0.85)
+    return ranks.join(
+        F.broadcast(nt), ranks.node == nt.n_nationkey
+    ).select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))

@@ -323,3 +323,48 @@ def test_leakage_safe_split_never_straddles_duplicates(spark):
     n = len(splits)
     assert 0.6 < splits.count("train") / n < 0.95
     assert splits.count("val") > 0 and splits.count("test") > 0
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    """A→B→A is symmetric: both nodes hold rank 0.5 at every iteration."""
+    import pytest as _pt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r.node: r.r for r in pagerank(edges, iters=7).collect()}
+    assert got["a"] == _pt.approx(0.5, abs=1e-12)
+    assert got["b"] == _pt.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    """Star graph with a back-edge (no dangling nodes): total mass stays 1
+    and the hub outranks every spoke."""
+    import pytest as _pt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.graph import pagerank
+
+    spokes = ["s1", "s2", "s3", "s4"]
+    edges = spark.createDataFrame(
+        [(s, "hub") for s in spokes] + [("hub", s) for s in spokes],
+        "src string, dst string",
+    )
+    got = {r.node: r.r for r in pagerank(edges, iters=10).collect()}
+    assert sum(got.values()) == _pt.approx(1.0, abs=1e-9)
+    assert all(got["hub"] > got[s] for s in spokes)
+
+
+def test_pagerank_weights_shift_rank(spark):
+    """src splits mass 3:1 between b and c -> b must outrank c; the
+    unreferenced src holds exactly the teleport share (1-d)/N."""
+    import pytest as _pt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("src", "b", 3.0), ("src", "c", 1.0), ("b", "src", 1.0), ("c", "src", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.r for r in pagerank(edges, weight="w", iters=8).collect()}
+    assert got["b"] > got["c"]
+    assert sum(got.values()) == _pt.approx(1.0, abs=1e-9)
