@@ -274,10 +274,10 @@ def q150_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Lexical-diversity quality signals: Shannon entropy of the "
         "per-document token distribution (low = repetitive/boilerplate, "
         "the information-theoretic cousin of q79's repetition rules), "
-        "type count, and hapax-legomenon ratio. One shuffle to the "
-        "(doc, token) grain; the per-doc total rides a window over the "
-        "SAME key (no second exchange) before the final doc rollup "
-        "inherits the partitioning.",
+        "type count, and hapax-legomenon ratio. Two shuffles — the "
+        "(doc, token) tf grain, then the doc grain for the total-count "
+        "window, whose partitioning the final rollup inherits; that is "
+        "the floor for per-token-frequency entropy.",
 )
 def q155_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -76,6 +76,10 @@ HEADLINE = [
     "q146_bm25_topk",
     "q147_duplicate_spans",
     "q149_bigram_surprisal",
+    "q152_daily_gap_fill",
+    "q154_dau_wau_stickiness",
+    "q155_token_entropy",
+    "q156_nation_trade_pagerank",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

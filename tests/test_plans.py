@@ -152,6 +152,15 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # assignment is map-only column math; the one exchange is the
         # k-row cluster report (centroid seeds are literals)
         ("q150_kmeans_assign", 1),
+        # daily rollup + spine/bounds reuse; gap join broadcasts at test SF
+        ("q152_daily_gap_fill", 2),
+        # activity distinct + contribution explode + dau/wau aggs
+        ("q154_dau_wau_stickiness", 6),
+        # tf grain then doc grain (window + rollup share the second)
+        ("q155_token_entropy", 2),
+        # 4 unrolled PageRank iterations; growth here means a per-
+        # iteration stage was added (rank state must stay O(nodes))
+        ("q156_nation_trade_pagerank", 50),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
