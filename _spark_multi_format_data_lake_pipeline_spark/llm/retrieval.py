@@ -159,3 +159,58 @@ def bigram_surprisal(
             F.round(F.avg(nlp), 4).alias("avg_bigram_surprisal"),
         )
     )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) — the persistent index tables BM25 scores from
+    at scale: postings (term, id, tf) and doclens (id, dl). Build once,
+    write partitioned/bucketed by term, and every query afterwards scans
+    only its own terms' postings (partition pruning) instead of the
+    corpus. q120's inverted-index report is the capped human-readable
+    view of the same structure."""
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("w"))
+    doclens = toks.select(id_col, F.size("w").alias("dl"))
+    postings = (
+        toks.select(id_col, F.explode("w").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over a pre-built index — the 100 TB production shape:
+    the term filter prunes the postings scan (partition pruning when the
+    index is written partitioned by term), so query cost is
+    O(matching postings), independent of corpus size. Identical scores to
+    ``bm25_topk`` (equivalence pinned by tests/test_retrieval.py)."""
+    hits = postings.filter(F.col("term").isin(*terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, (idf * F.col("tf") * (k1 + 1.0) / norm).alias("part"))
+        .groupBy(id_col)
+        .agg(F.sum("part").alias("s"))
+    )
+    return (
+        scored.select(id_col, F.round("s", 4).alias("bm25_score"))
+        .orderBy(F.col("bm25_score").desc(), id_col)
+        .limit(k)
+    )

@@ -605,3 +605,54 @@ def q154_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — temporal train/test split with embargo window
+# ---------------------------------------------------------------------------
+
+@register(
+    "q157_temporal_split_embargo",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS day,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-20' THEN 'train'
+                    WHEN CAST(ts AS DATE) < DATE '2024-01-23' THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           strftime(MIN(day), '%Y-%m-%d') AS min_day,
+           strftime(MAX(day), '%Y-%m-%d') AS max_day
+    FROM tagged
+    GROUP BY split
+    """,
+    doc="Time-based train/test split with a 3-day embargo dropped between "
+        "them — the temporal complement of q144/q145's content-based "
+        "splits: models trained on pre-cutoff data must not be evaluated "
+        "on events their features could leak into, so the embargo absorbs "
+        "the feature-window overlap. Map-only tagging (the CASE costs "
+        "nothing, prunes at the scan when the cutoff is a partition "
+        "column) + one split-keyed rollup.",
+)
+def q157_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    split = (
+        F.when(day < F.lit("2024-01-20").cast("date"), "train")
+        .when(day < F.lit("2024-01-23").cast("date"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.select(split.alias("split"), day.alias("day"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("max_day"),
+        )
+    )

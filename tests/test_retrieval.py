@@ -247,3 +247,25 @@ def test_bigram_surprisal_matches_python_reference(spark, texts):
     for i, (nb, s) in expected.items():
         assert got[i][0] == nb
         assert got[i][1] == pytest.approx(s, abs=2e-4)
+
+
+def test_bm25_from_prebuilt_index_equals_scan_form(spark, sf_dir):
+    """The index-backed scorer (production shape: postings pruned by
+    term) must produce exactly the scan form's scores and ranking."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import (
+        build_postings,
+        bm25_topk_from_postings,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "hash", "window")
+    scan = [
+        (r.doc_id, r.bm25_score) for r in bm25_topk(docs, terms, k=50).collect()
+    ]
+    postings, doclens = build_postings(docs)
+    idx = [
+        (r.doc_id, r.bm25_score)
+        for r in bm25_topk_from_postings(postings, doclens, terms, k=50).collect()
+    ]
+    assert idx == scan
