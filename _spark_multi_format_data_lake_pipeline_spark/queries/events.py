@@ -656,3 +656,50 @@ def q157_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("day"), "yyyy-MM-dd").alias("max_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q158_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM t
+    """,
+    doc="First-order Markov chain over user event streams: row-normalized "
+        "transition probabilities between event types (the sequence-model "
+        "prior behind next-event prediction and anomaly scoring). "
+        "Deterministic ordering ties break on event_id in BOTH engines. "
+        "One user-keyed window + one (from, to)-keyed rollup; the "
+        "normalizing window runs over the |types|^2 transition table — "
+        "tiny at any event volume.",
+)
+def q158_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 4).alias("p"),
+    )

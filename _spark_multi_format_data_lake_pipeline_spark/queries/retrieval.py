@@ -384,3 +384,132 @@ def q156_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nt), ranks.node == nt.n_nationkey
     ).select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q159 — triangle counting / local clustering coefficient (nation graph)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q159_trade_clustering_coeff",
+    oracle="""
+    WITH pair AS MATERIALIZED (
+        SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+               GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (
+        SELECT a, b FROM pair
+        WHERE w > (SELECT quantile_cont(w, 0.5) FROM pair)
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+        SELECT n, COUNT(*) AS t FROM (
+            SELECT x AS n FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY n
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n, b FROM und UNION ALL SELECT b, a FROM und
+        ) GROUP BY n
+    )
+    SELECT nt.n_name AS nation,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(pern.t, 0) AS BIGINT) AS triangles,
+           ROUND(COALESCE(pern.t, 0) * 2.0 / (deg.d * (deg.d - 1)), 4)
+               AS clustering_coeff
+    FROM deg
+    LEFT JOIN pern ON pern.n = deg.n
+    JOIN nation nt ON nt.n_nationkey = deg.n
+    WHERE deg.d > 1
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+        "above-median-weight (SF-relative, so the graph stays half-dense "
+        "at every scale) undirected nation-trade graph — the third "
+        "distributed graph primitive next to connected components and "
+        "PageRank. Triangles use the canonical a<b<c ordered-edge double "
+        "join, which counts each triangle once and bounds the join "
+        "blowup by the arboricity (the standard distributed-triangle "
+        "shape); per-node counts and degrees then come from two UNION "
+        "ALL rollups. Nodes of degree <2 have no defined coefficient "
+        "and are excluded on both sides. The oracle's heavy CTEs are "
+        "MATERIALIZED — without it DuckDB re-executes the 4-way edge "
+        "build once per triangle leg (400 s at sf0.1 -> 4 s).",
+)
+def q159_trade_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nt = _t(spark, sf_dir, "nation")
+    sk, ck = F.col("s_nationkey"), F.col("c_nationkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(sk != ck)
+        .groupBy(
+            F.least(sk, ck).alias("a"), F.greatest(sk, ck).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thresh = pair.agg(F.expr("percentile(w, 0.5)").alias("thr"))
+    # O(nations^2) rows; persist so the 4-way edge build runs once, not
+    # once per triangle leg (the Spark twin of the oracle's MATERIALIZED)
+    und = (
+        pair.crossJoin(F.broadcast(thresh))
+        .filter(F.col("w") > F.col("thr"))
+        .select("a", "b")
+        .persist()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    pern = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    out = (
+        deg.join(pern, "n", "left")
+        .filter(F.col("d") > 1)
+        .join(F.broadcast(nt), F.col("n") == nt.n_nationkey)
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("d").cast("bigint").alias("degree"),
+        t.cast("bigint").alias("triangles"),
+        F.round(t * 2.0 / (F.col("d") * (F.col("d") - 1)), 4).alias(
+            "clustering_coeff"
+        ),
+    )

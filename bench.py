@@ -80,6 +80,8 @@ HEADLINE = [
     "q154_dau_wau_stickiness",
     "q155_token_entropy",
     "q156_nation_trade_pagerank",
+    "q158_event_transition_matrix",
+    "q159_trade_clustering_coeff",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",
