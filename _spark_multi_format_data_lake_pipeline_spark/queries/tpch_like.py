@@ -351,3 +351,116 @@ def q68_widget_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_items").alias("total_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — sole-blame suppliers (TPC-H Q21 shape: EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q160_sole_blame_suppliers",
+    oracle="""
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 50
+    """,
+    doc="TPC-H Q21 shape (returnflag standing in for the missing "
+        "receipt/commit dates): suppliers solely to blame for returns in "
+        "multi-supplier orders — a correlated EXISTS + NOT EXISTS pair. "
+        "The Spark side DECORRELATES it into one per-order aggregate "
+        "(distinct suppliers, distinct returning suppliers) joined back "
+        "to the returned rows: one groupBy + one key-join instead of two "
+        "correlated subquery scans — the shape that survives at 100 TB, "
+        "while the oracle keeps the declarative EXISTS form, proving the "
+        "rewrite's semantics, not just its plan.",
+)
+def q160_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nrs"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("ns") >= 2) & (F.col("nrs") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — large-volume orders (TPC-H Q18 shape: IN over grouped HAVING)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q161_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 250, with "
+        "their customers — an IN predicate over a grouped HAVING "
+        "subquery. Spark plans the IN as a left-semi join against the "
+        "pre-aggregated order totals (one lineitem groupBy reused as the "
+        "filter), so the fact table never scans twice at full width; the "
+        "final rollup rides the same orderkey partitioning.",
+)
+def q161_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
