@@ -2040,3 +2040,43 @@ def q144_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return leakage_safe_split(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q162 — LATERAL correlated subquery (per-customer top-2 orders)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q162_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, ROUND(l.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+    """,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT — per-customer "
+        "top-2 orders written the declarative per-row way (the same SQL "
+        "text runs on both engines). Catalyst rewrites the lateral into a "
+        "window-rank under the hood, so despite the correlated "
+        "formulation the plan is the q20-style WindowGroupLimit shape — "
+        "one customer-keyed shuffle, no per-row subquery execution.",
+)
+def q162_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql("""
+        SELECT c.c_custkey, l.o_orderkey, ROUND(l.o_totalprice, 2) AS o_totalprice
+        FROM customer_lat c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+    """)

@@ -161,6 +161,8 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # 4 unrolled PageRank iterations; growth here means a per-
         # iteration stage was added (rank state must stay O(nodes))
         ("q156_nation_trade_pagerank", 50),
+        # LATERAL must rewrite to WindowGroupLimit, not per-row subqueries
+        ("q162_lateral_top_orders", 2),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
