@@ -2080,3 +2080,68 @@ def q162_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) l
     """)
+
+
+# ---------------------------------------------------------------------------
+# q163 — custom Python Data Source under the hash gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q163_python_datasource",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS doc_id),
+    h AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM ids),
+    d AS (
+        SELECT doc_id, hx,
+               (['en','de','fr','es'])[1 + CAST(('0x' || substr(hx, 1, 1)) AS INT) % 4]
+                   AS lang,
+               'src' || (CAST(('0x' || substr(hx, 2, 1)) AS INT) % 3) AS source,
+               8 + CAST(('0x' || substr(hx, 3, 1)) AS INT) % 8 AS nw
+        FROM h
+    ),
+    txt AS (
+        SELECT doc_id, lang, source,
+               array_to_string(
+                   list_transform(generate_series(1, nw),
+                       i -> (['spark','table','hash','join','scan','merge',
+                              'batch','stream','row','value','sort','window',
+                              'part','key','agg','line'])
+                            [1 + CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT) % 16]),
+                   ' ') AS text
+        FROM d
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT)) AS BIGINT)
+               AS content_fingerprint
+    FROM txt
+    GROUP BY lang, source
+    """,
+    doc="Custom Python Data Source (Spark 4 pyspark.sql.datasource API, "
+        "sources/pydatasource.py): a synthetic-documents connector with "
+        "real partition planning — n rows split into input splits that "
+        "executors read independently, parallelizing like a parquet scan. "
+        "The oracle REGENERATES the same corpus from generate_series + "
+        "the sha-slice formula and compares an integer content "
+        "fingerprint (sum of sha256(text) hex prefixes) per domain: a "
+        "wrong split boundary, dropped row, or generation drift breaks "
+        "the hash. This is the bring-your-own-source extension point the "
+        "reference's fixed format list lacks.",
+)
+def q163_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("n", 2000)
+        .option("partitions", 16)
+        .load()
+    )
+    fp = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("bigint")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(fp).cast("bigint").alias("content_fingerprint"),
+    )

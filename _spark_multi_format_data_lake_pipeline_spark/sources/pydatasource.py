@@ -1,0 +1,89 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API) —
+a deterministic synthetic-documents connector.
+
+The reference ingests fixed file formats (SURVEY.md §2 A.1); this is the
+"bring your own source" extension point a 100 TB pipeline eventually
+needs (internal APIs, proprietary formats, synthetic data). The connector
+demonstrates the full surface: schema declaration, option handling, and
+PARTITION PLANNING — ``n`` rows split across ``partitions`` input splits
+that executors read independently, so generation parallelizes exactly
+like a parquet scan.
+
+Every value derives from sha256(doc_id), making the output reproducible
+across any partitioning AND recomputable by an ANSI oracle (q163 puts
+this connector under the driver's hash gate — a wrong split boundary,
+dropped row, or generation drift breaks the hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+VOCAB = (
+    "spark table hash join scan merge batch stream row value "
+    "sort window part key agg line"
+).split()  # 16 words — one hex digit pair mod 16 picks each token
+
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars int"
+
+_LANGS = ("en", "de", "fr", "es")
+
+
+def make_doc(doc_id: int) -> tuple[int, str, str, str, int]:
+    """The generation formula — deliberately hex-slice-simple so a SQL
+    oracle can recompute it verbatim (see q163)."""
+    hx = hashlib.sha256(str(doc_id).encode()).hexdigest()
+    lang = _LANGS[int(hx[0], 16) % len(_LANGS)]
+    source = f"src{int(hx[1], 16) % 3}"
+    n_words = 8 + int(hx[2], 16) % 8
+    words = [
+        VOCAB[int(hx[2 * i : 2 * i + 2], 16) % len(VOCAB)]
+        for i in range(1, n_words + 1)
+    ]
+    text = " ".join(words)
+    return doc_id, text, lang, source, len(text)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        step = -(-self.n // self.n_parts)  # ceil-div: no row lost at the tail
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield make_doc(doc_id)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("n", 2000).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is safe)."""
+    spark.dataSource.register(SyntheticDocsDataSource)

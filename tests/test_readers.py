@@ -305,3 +305,33 @@ def test_schema_diff_detects_nested_drift(spark):
     assert compatible_for_merge(old, added_only)
     assert not compatible_for_merge(old, added_only, allow_added=False)
     assert schema_diff(old, old) == []
+
+
+def test_python_datasource_partition_planning(spark):
+    """Custom Python Data Source (sources/pydatasource.py): ceil-div range
+    splits lose no rows at the tail, honor the requested parallelism, and
+    produce identical content under any partitioning."""
+    from _spark_multi_format_data_lake_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def load(n, parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n", n)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df = load(101, 7)  # 101 % 7 != 0 -> tail split is short, not dropped
+    assert df.count() == 101
+    assert df.rdd.getNumPartitions() == 7
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    a = sorted((r.doc_id, r.text) for r in df.collect())
+    b = sorted((r.doc_id, r.text) for r in load(101, 3).collect())
+    assert a == b  # partitioning never changes content
+    assert [i for i, _ in a] == list(range(101))  # every id exactly once
+    # generation matches the driver-side formula executors also run
+    assert a[0][1] == " ".join(
+        pydatasource.make_doc(0)[1].split()
+    )
