@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 VOCAB = (
     "spark table hash join scan merge batch stream row value "
@@ -83,7 +88,40 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is safe)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming read of the same deterministic corpus:
+    each micro-batch advances the doc_id cursor by ``rows_per_batch``.
+    Offsets are plain dicts checkpointed by the engine — replaying
+    (start, end) regenerates identical rows, which is exactly the
+    replayability contract Structured Streaming sources must honor
+    (tested: restart-from-checkpoint continuity, no dupes, no gaps)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.max_rows = int(options.get("max_rows", 10**6))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # lists, not generators: Spark's prefetch cache copy.copy()s the
+        # returned iterator, and generators are not copyable
+        return [make_doc(i) for i in range(lo, hi)], {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery — same formula, same rows
+        return [make_doc(i) for i in range(start["next"], end["next"])]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up: the source is a formula
