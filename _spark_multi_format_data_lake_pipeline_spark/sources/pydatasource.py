@@ -23,8 +23,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 VOCAB = (
@@ -125,3 +127,69 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up: the source is a formula
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, rows: int):
+        self.tmp_file = tmp_file
+        self.rows = rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Write side of the Python Data Source API, with the two-phase
+    commit protocol done right: every task writes to a uuid-named
+    ``.tmp`` file and reports it in its commit message; ``commit()``
+    renames all task files into place ONLY once every task succeeded,
+    and ``abort()`` deletes the orphans. A job that dies mid-write
+    therefore leaves no partial visible output — the same
+    staging+rename atomicity the batch writer uses for tables."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+
+    def write(self, iterator) -> "JsonlCommit":
+        import json as jsonlib
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.json.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(jsonlib.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.rows > 0:
+                os.rename(m.tmp_file, m.tmp_file[: -len(".tmp")])
+            elif m is not None:
+                os.remove(m.tmp_file)  # empty partition: no file
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", d).mode("append").save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

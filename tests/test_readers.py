@@ -335,3 +335,27 @@ def test_python_datasource_partition_planning(spark):
     assert a[0][1] == " ".join(
         pydatasource.make_doc(0)[1].split()
     )
+
+
+def test_python_datasource_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """Writer side of the Python Data Source API: task outputs stage as
+    .tmp files and only become visible on job commit; rows round-trip."""
+    import json as jsonlib
+    import os
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    out = str(tmp_path / "jsonl")
+    df = spark.range(0, 57).selectExpr("id", "concat('row', id) AS name")
+    df.repartition(4).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".json") for f in files)  # no .tmp left
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [jsonlib.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(57))
+    assert {r["name"] for r in rows} == {f"row{i}" for i in range(57)}
