@@ -63,7 +63,12 @@ def kmeans_lloyd(
     The returned assignment frame is a fresh lazy plan over ``df`` with
     the final centroids as literals — lineage does not grow with
     ``iters``, so no checkpointing is needed.
+
+    Rows with a null ``vec_col`` are dropped up front (a null vector has
+    no distance to anything; without the filter it would surface as an
+    opaque ``sse=None`` TypeError in the driver loop).
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if init_centroids is None:
         rows = (
             df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()

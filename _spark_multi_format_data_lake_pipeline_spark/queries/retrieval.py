@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm.retrieval import (
+    _tokens,
     bigram_surprisal,
     bm25_topk,
     domain_mixture,
@@ -283,10 +284,7 @@ def q155_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
-    )
+    words = docs.select("doc_id", F.explode(_tokens("text")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     tfn = tf.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
     p = F.col("c").cast("double") / F.col("n")
@@ -467,13 +465,19 @@ def q159_trade_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     thresh = pair.agg(F.expr("percentile(w, 0.5)").alias("thr"))
-    # O(nations^2) rows; persist so the 4-way edge build runs once, not
-    # once per triangle leg (the Spark twin of the oracle's MATERIALIZED)
-    und = (
+    # The sparsified edge list is bounded by #nations^2 (<=625 rows), so
+    # materialize it driver-side once instead of persist() (which the
+    # CacheManager would hold for the session lifetime) or lazy reuse
+    # (which re-runs the 4-way edge build once per triangle leg). For a
+    # general large graph, keep it distributed and localCheckpoint.
+    edge_rows = (
         pair.crossJoin(F.broadcast(thresh))
         .filter(F.col("w") > F.col("thr"))
         .select("a", "b")
-        .persist()
+        .collect()
+    )
+    und = spark.createDataFrame(
+        [(r.a, r.b) for r in edge_rows], "a bigint, b bigint"
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (

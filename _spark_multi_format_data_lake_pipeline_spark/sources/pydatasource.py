@@ -66,6 +66,8 @@ class SyntheticDocsReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.n <= 0:  # legitimately empty source, not a crash
+            return [_RangePartition(0, 0)]
         step = -(-self.n // self.n_parts)  # ceil-div: no row lost at the tail
         return [
             _RangePartition(lo, min(lo + step, self.n))
@@ -136,13 +138,17 @@ class JsonlCommit(WriterCommitMessage):
 
 
 class JsonlWriter(DataSourceWriter):
-    """Write side of the Python Data Source API, with the two-phase
-    commit protocol done right: every task writes to a uuid-named
-    ``.tmp`` file and reports it in its commit message; ``commit()``
-    renames all task files into place ONLY once every task succeeded,
-    and ``abort()`` deletes the orphans. A job that dies mid-write
-    therefore leaves no partial visible output — the same
-    staging+rename atomicity the batch writer uses for tables."""
+    """Write side of the Python Data Source API with two-phase commit:
+    every task writes to a dot-prefixed ``.{uuid}.tmp`` staging file
+    (hidden from Hadoop-style readers) and reports it in its commit
+    message; ``commit()`` renames files to visible ``part-{uuid}.json``
+    names ONLY once every task succeeded, then drops a ``_SUCCESS``
+    marker; ``abort()`` deletes the orphans. A job that dies during the
+    WRITE phase leaves no visible output. The rename loop itself is not
+    atomic across files — a driver crash mid-commit can leave a visible
+    subset, which is why ``_SUCCESS`` is written last: consumers that
+    gate on the marker (the Hadoop convention) never read a partial
+    commit."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -155,7 +161,7 @@ class JsonlWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.json.tmp")
+        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
@@ -168,9 +174,15 @@ class JsonlWriter(DataSourceWriter):
 
         for m in messages:
             if m is not None and m.rows > 0:
-                os.rename(m.tmp_file, m.tmp_file[: -len(".tmp")])
+                base = os.path.basename(m.tmp_file)[1 : -len(".tmp")]
+                os.rename(
+                    m.tmp_file,
+                    os.path.join(self.path, f"part-{base}.json"),
+                )
             elif m is not None:
                 os.remove(m.tmp_file)  # empty partition: no file
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass  # marker last: its presence certifies a complete commit
 
     def abort(self, messages) -> None:
         import os

@@ -352,10 +352,18 @@ def test_python_datasource_jsonl_writer_two_phase_commit(spark, tmp_path):
         "append"
     ).save()
     files = sorted(os.listdir(out))
-    assert files and all(f.endswith(".json") for f in files)  # no .tmp left
+    assert "_SUCCESS" in files  # commit marker written last
+    data = [f for f in files if f != "_SUCCESS"]
+    assert data and all(
+        f.startswith("part-") and f.endswith(".json") for f in data
+    )  # visible names — no .tmp, no hidden dot-prefix Spark would skip
     rows = []
-    for f in files:
+    for f in data:
         with open(os.path.join(out, f)) as fh:
             rows += [jsonlib.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == list(range(57))
     assert {r["name"] for r in rows} == {f"row{i}" for i in range(57)}
+    # and the engine that wrote it can read it back (the real contract)
+    back = spark.read.json(out)
+    assert back.count() == 57
+    assert sorted(r.id for r in back.collect()) == list(range(57))

@@ -535,7 +535,9 @@ def test_python_datasource_stream_reader_exactly_once(spark, tmp_path):
     assert sorted(r.doc_id for r in seen) == list(range(120))
     # raising the bound after full drain appends exactly the new rows
     allrows = drain(150)
-    while len(allrows) < 150:
+    for _ in range(4):  # bounded: a stuck offset must fail, not hang CI
+        if len(allrows) >= 150:
+            break
         allrows = drain(150)
     assert sorted(r.doc_id for r in allrows) == list(range(150))
     # content equals the batch formula
