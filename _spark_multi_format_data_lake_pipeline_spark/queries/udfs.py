@@ -7,6 +7,7 @@ first/last)."""
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
 
@@ -195,4 +196,107 @@ def q127_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             stats, schema="user_id bigint, n_events bigint, n_orders bigint"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — mapInArrow (RecordBatch-level Python, no pandas materialization)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q164_mapinarrow_norms",
+    oracle="""
+    SELECT vec_id,
+           label,
+           ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="mapInArrow: the lowest-overhead Python hook — the UDF receives "
+        "pyarrow RecordBatches directly (no pandas conversion, no index "
+        "allocation, zero-copy into numpy) and computes per-vector L2 "
+        "norms with one vectorized einsum per batch. Same Arrow transfer "
+        "as mapInPandas (q60/q88) minus the pandas layer: the right API "
+        "when the Python side is pure-numpy math over columnar data. "
+        "Oracle recomputes the norm with DuckDB list lambdas at double "
+        "precision, rounded to 4.",
+)
+def q164_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def norms(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+
+        for batch in batches:
+            emb = batch.column("embedding")
+            # FixedSizeList/List of float -> (n, dim) numpy without pandas
+            flat = np.asarray(emb.values.to_numpy(zero_copy_only=False))
+            n = len(batch)
+            mat = flat.reshape(n, -1).astype("float64")
+            l2 = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            # parquet often hands label over dictionary-encoded; cast to
+            # the plain types the declared schema promises
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").cast(pa.int64()),
+                    batch.column("label").cast(pa.int32()),
+                    pa.array(np.round(l2, 4), type=pa.float64()),
+                ],
+                names=["vec_id", "label", "l2_norm"],
+            )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.mapInArrow(norms, schema="vec_id bigint, label int, l2_norm double")
+
+
+# ---------------------------------------------------------------------------
+# q165 — applyInArrow (grouped-map at the RecordBatch level)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q165_applyinarrow_label_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS l2
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(l2), 4) AS avg_norm,
+           ROUND(MAX(l2) - MIN(l2), 4) AS norm_range
+    FROM n GROUP BY label
+    """,
+    doc="applyInArrow: grouped-map where each label's vectors arrive as "
+        "one pyarrow Table — the Arrow-native sibling of applyInPandas "
+        "(q59). Per-group numpy reduces norms to (count, mean, range); "
+        "only k rows return. Group sizes must fit an executor (same "
+        "contract as every grouped-map); the label key here is "
+        "low-cardinality with uniform sizes.",
+)
+def q165_applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        flat = np.asarray(table.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False))
+        n = table.num_rows
+        mat = flat.reshape(n, -1).astype("float64")
+        l2 = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return pa.table(
+            {
+                "label": pa.array([table.column("label")[0].as_py()], type=pa.int32()),
+                "n_vecs": pa.array([n], type=pa.int64()),
+                "avg_norm": pa.array([round(float(l2.mean()), 4)], type=pa.float64()),
+                "norm_range": pa.array(
+                    [round(float(l2.max() - l2.min()), 4)], type=pa.float64()
+                ),
+            }
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInArrow(
+        stats, schema="label int, n_vecs bigint, avg_norm double, norm_range double"
     )
