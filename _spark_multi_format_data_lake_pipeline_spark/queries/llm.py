@@ -1401,3 +1401,56 @@ def q131_embedding_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFram
 
     corpus, new = _incremental_batches(spark, sf_dir)
     return cosine_incremental_filter(corpus, new, threshold=0.9, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# q166 — prefix-filtered exact Jaccard near-dup degree (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q166_prefix_filter_neardup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS toks
+        FROM documents
+        WHERE doc_id < 800 AND LENGTH(TRIM(text)) > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ),
+    und AS (
+        SELECT id_a AS doc_id, jaccard FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id, jaccard FROM pairs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_neighbors,
+           ROUND(MAX(jaccard), 4) AS best_jaccard
+    FROM und GROUP BY doc_id
+    """,
+    doc="Per-doc near-dup degree from an EXACT Jaccard >= 0.8 self-join. "
+        "The Spark side prunes candidates with PPJoin-style prefix "
+        "filtering (rarest-token prefixes, equi-join — lossless by the "
+        "prefix-filter lemma); the oracle brute-forces all pairs. Hash "
+        "equality proves the pruning drops no pair. Bounded to doc_id < "
+        "800 so the ORACLE'S O(n^2) side stays feasible — the Spark path "
+        "is the scale formulation (dedup.py::prefix_filter_jaccard_pairs).",
+)
+def q166_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    und = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
+    )
+    return und.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+    )

@@ -61,3 +61,53 @@ def q37_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.count(F.lit(1)).over(w).alias("orders_last_90d"),
     )
+
+
+@register(
+    "q167_groups_frame_rolling",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice / 10000) AS INT) AS price_bucket,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS bucket_total
+        FROM orders
+        GROUP BY o_orderpriority, CAST(FLOOR(o_totalprice / 10000) AS INT)
+    )
+    SELECT o_orderpriority, price_bucket,
+           CAST(SUM(bucket_total) OVER (
+               PARTITION BY o_orderpriority ORDER BY price_bucket
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+    FROM g
+    """,
+    doc="GROUPS-mode window frame semantics (rolling sum over the current "
+        "plus 2 preceding PEER GROUPS, all tie rows included). Neither "
+        "Spark nor DuckDB implements the SQL:2011 GROUPS frame natively, "
+        "so the two sides prove each other through INDEPENDENT rewrites: "
+        "Spark stays at row grain — dense_rank() as the frame ordinal, "
+        "then a RANGE BETWEEN 2 PRECEDING frame over it (the canonical "
+        "GROUPS-to-RANGE rewrite, every peer row counted) — while the "
+        "oracle pre-aggregates to group grain and uses a ROWS frame. "
+        "DECIMAL(18,2) sums keep the arithmetic exact so the two "
+        "summation orders cannot drift in floating point.",
+)
+def q167_groups_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 10000).cast("int").alias("price_bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    dr = Window.partitionBy("o_orderpriority").orderBy("price_bucket")
+    frame = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("ordinal")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return (
+        rows.withColumn("ordinal", F.dense_rank().over(dr))
+        .withColumn(
+            "rolling3", F.sum("price").over(frame).cast("double")
+        )
+        .select("o_orderpriority", "price_bucket", "rolling3")
+        .distinct()
+    )

@@ -368,3 +368,77 @@ def test_pagerank_weights_shift_rank(spark):
     got = {r.node: r.r for r in pagerank(edges, weight="w", iters=8).collect()}
     assert got["b"] > got["c"]
     assert sum(got.values()) == _pt.approx(1.0, abs=1e-9)
+
+
+def test_prefix_filter_jaccard_equals_brute_force(spark):
+    """Lossless-pruning contract: prefix-filtered output == all-pairs, on a
+    corpus built to hit the traps — identical docs, whitespace-only docs,
+    df ties, a planted near-dup, and sizes (5, 10, 15, 20, 25) where a
+    float ceil(0.8*sz) would round up across the integer boundary and
+    silently shorten the prefix."""
+    import itertools
+    import random
+    import re
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),              # sz=5: ceil trap
+        (1, "alpha beta gamma delta zeta"),                  # J=4/6 with doc 0
+        (2, "alpha beta gamma delta epsilon"),               # identical to 0
+        (3, "   "),                                          # whitespace-only
+        (4, "alpha  beta   gamma  delta"),                   # multi-space runs
+    ] + [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.choice((5, 10, 15, 20, 25)))))
+        for i in range(5, 60)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+    for t in (0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold=t).collect()
+        }
+        sets = {
+            i: set(re.split(r"\s+", s.strip().lower()))
+            for i, s in rows
+            if s.strip()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                want.add((a, b, round(inter / union, 6)))
+        assert got == want, f"threshold {t}: {got ^ want}"
+    # the planted exact pair and the planted 4/6 near-pair both survive 0.5
+    assert any(p[:2] == (0, 2) for p in got | want)
+
+
+def test_groups_frame_rewrite_semantics(spark):
+    """dense_rank + RANGE(-2, 0) implements the SQL:2011 GROUPS frame: the
+    frame covers the current peer GROUP and the 2 preceding groups, with
+    every tie row of each group counted, and gaps in the order key do NOT
+    shrink the frame (where RANGE over the raw key would)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 1, 5.0), ("x", 2, 7.0), ("x", 9, 3.0), ("x", 50, 1.0)],
+        schema="part string, bucket int, v double",
+    )
+    dr = Window.partitionBy("part").orderBy("bucket")
+    frame = Window.partitionBy("part").orderBy("ordinal").rangeBetween(-2, Window.currentRow)
+    out = {
+        r.bucket: r.s
+        for r in df.withColumn("ordinal", F.dense_rank().over(dr))
+        .withColumn("s", F.sum("v").over(frame))
+        .select("bucket", "s")
+        .distinct()
+        .collect()
+    }
+    # bucket 9 (3rd group): ties of bucket 1 (15) + 7 + 3 = 25 — a RANGE
+    # frame over the raw bucket (9-2..9) would have returned just 3.
+    # bucket 50 (4th group): groups 2,3,4 = 7 + 3 + 1 = 11.
+    assert out == {1: 15.0, 2: 22.0, 9: 25.0, 50: 11.0}
