@@ -82,6 +82,8 @@ HEADLINE = [
     "q156_nation_trade_pagerank",
     "q158_event_transition_matrix",
     "q159_trade_clustering_coeff",
+    "q166_prefix_filter_neardup",
+    "q167_groups_frame_rolling",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

@@ -163,6 +163,13 @@ def _simple_plan(spark, sf_dir, name) -> str:
         ("q156_nation_trade_pagerank", 50),
         # LATERAL must rewrite to WindowGroupLimit, not per-row subqueries
         ("q162_lateral_top_orders", 2),
+        # vocab df groupBy + per-doc position window + prefix join pair +
+        # candidate distinct + rescore joins + degree groupBy; the vocab
+        # ranking window is SinglePartition over |V| rows, not counted
+        ("q166_prefix_filter_neardup", 9),
+        # one shuffle to (priority, bucket-ordinal) grain; both windows
+        # share it
+        ("q167_groups_frame_rolling", 1),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
