@@ -299,3 +299,44 @@ def test_hll_register_merge_is_grouping_invariant(spark, values, cut):
         )
     )
     assert split_regs == whole_regs
+
+
+@given(
+    texts=st.lists(
+        # tiny alphabet + short docs → dense token collisions, many ties
+        st.text(alphabet="ab c", min_size=0, max_size=20),
+        min_size=2,
+        max_size=18,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.65, 0.8, 0.9]),
+)
+@_SETTINGS
+def test_prefix_filter_jaccard_is_lossless(spark, texts, threshold):
+    """Prefix pruning must NEVER drop a qualifying pair at any threshold —
+    the exactness contract that separates it from LSH (q166)."""
+    import itertools
+    import re
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    sets = {
+        i: set(re.split(r"\s+", t.strip().lower()))
+        for i, t in enumerate(texts)
+        if t.strip()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if len(sets[a] | sets[b])
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
+    }
+    assert got == want
