@@ -510,13 +510,24 @@ def prefix_filter_jaccard_pairs(
         words.join(vocab_ranked, "w")
         .withColumn("pos", F.row_number().over(Window.partitionBy("id").orderBy("r")))
         .filter(F.col("pos") <= F.col("sz") - alpha + 1)
-        .select("id", "w")
+        .select("id", "sz", "w")
     )
 
+    # Length filter (the second classic SSJoin pruning, equally lossless):
+    # J(x,y) >= t forces |x∩y| >= t*|x∪y|, and with |x∩y| <= min(|x|,|y|),
+    # |x∪y| >= max(|x|,|y|) that means min/max >= t — checked in exact
+    # integer arithmetic (den*min >= num*max) before the distinct, where
+    # it prunes candidate VOLUME, not just pairs.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "w")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (
+                F.lit(den) * F.least("a.sz", "b.sz")
+                >= F.lit(num) * F.greatest("a.sz", "b.sz")
+            )
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
