@@ -229,8 +229,10 @@ def q164_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             emb = batch.column("embedding")
-            # FixedSizeList/List of float -> (n, dim) numpy without pandas
-            flat = np.asarray(emb.values.to_numpy(zero_copy_only=False))
+            # FixedSizeList/List of float -> (n, dim) numpy without pandas.
+            # flatten() (not .values) so a sliced batch's list offset is
+            # honored — .values returns the UNsliced child buffer.
+            flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False))
             n = len(batch)
             mat = flat.reshape(n, -1).astype("float64")
             l2 = np.sqrt(np.einsum("ij,ij->i", mat, mat))
@@ -281,7 +283,9 @@ def q165_applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     def stats(table: "pa.Table") -> "pa.Table":
         import numpy as np
 
-        flat = np.asarray(table.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False))
+        flat = np.asarray(
+            table.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
         n = table.num_rows
         mat = flat.reshape(n, -1).astype("float64")
         l2 = np.sqrt(np.einsum("ij,ij->i", mat, mat))
