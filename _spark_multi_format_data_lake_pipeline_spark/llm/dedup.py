@@ -439,11 +439,31 @@ def minhash_incremental_filter(
     return new_df.join(dup_ids, id_col, "left_anti")
 
 
+def token_rank_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, r) rarest-first token ranking for ``prefix_filter_jaccard_pairs``.
+
+    Precompute once on the corpus, persist as a table, and pass to every
+    subsequent prefix-filter run (incremental crawls, repeated audits) —
+    the ranking's only job is to be ONE consistent total order, so a
+    stale ranking stays LOSSLESS; it only drifts away from the
+    bucket-minimizing rarest-first ideal as the corpus distribution moves."""
+    words = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
+    return vocab.withColumn(
+        "r", F.row_number().over(Window.orderBy("df_w", "w"))
+    ).select("w", "r")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    token_rank: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     SSJoin/PPJoin candidate-pruning family) — the deterministic sibling of
@@ -497,18 +517,33 @@ def prefix_filter_jaccard_pairs(
     )
 
     words = toks.select("id", "sz", F.explode("toks").alias("w"))
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
-    # Global rarest-first order; ties broken by the token itself so the
-    # ranking is deterministic (soundness never depends on tie order, but
-    # determinism keeps candidate counts reproducible run-to-run).
-    vocab_ranked = vocab.withColumn(
-        "r", F.row_number().over(Window.orderBy("df_w", "w"))
-    ).select("w", "r")
+    if token_rank is None:
+        # Global rarest-first order; ties broken by the token itself so
+        # the ranking is deterministic (soundness never depends on tie
+        # order, but determinism keeps candidate counts reproducible).
+        vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
+        vocab_ranked = vocab.withColumn(
+            "r", F.row_number().over(Window.orderBy("df_w", "w"))
+        ).select("w", "r")
+        ranked = words.join(vocab_ranked, "w")
+    else:
+        # Precomputed (possibly STALE) ranking: tokens it never saw get
+        # rank -1 — unseen tokens are almost certainly rare, so rarest-
+        # first is the right guess. A left join is mandatory: an inner
+        # join would DROP unranked tokens and silently shorten prefixes.
+        ranked = words.join(
+            token_rank.select("w", "r"), "w", "left"
+        ).withColumn("r", F.coalesce("r", F.lit(-1)))
 
     alpha = F.ceil(F.lit(num) * F.col("sz") / F.lit(den))
+    # Position order is (r, w), not r alone: a precomputed ranking may
+    # carry duplicate ranks (or the -1 fallback), and the prefix lemma
+    # needs ONE total order shared by every document — the token string
+    # tie-break restores totality.
     prefix = (
-        words.join(vocab_ranked, "w")
-        .withColumn("pos", F.row_number().over(Window.partitionBy("id").orderBy("r")))
+        ranked.withColumn(
+            "pos", F.row_number().over(Window.partitionBy("id").orderBy("r", "w"))
+        )
         .filter(F.col("pos") <= F.col("sz") - alpha + 1)
         .select("id", "sz", "w")
     )

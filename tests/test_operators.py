@@ -442,3 +442,41 @@ def test_groups_frame_rewrite_semantics(spark):
     # frame over the raw bucket (9-2..9) would have returned just 3.
     # bucket 50 (4th group): groups 2,3,4 = 7 + 3 + 1 = 11.
     assert out == {1: 15.0, 2: 22.0, 9: 25.0, 50: 11.0}
+
+
+def test_prefix_filter_reuses_stale_token_ranking_losslessly(spark):
+    """Incremental posture (SCALING.md): a token ranking precomputed on an
+    OLD corpus half — missing every token the new half introduced — must
+    still produce exactly the brute-force pairs, because any one total
+    order is sound; only bucket sizes (performance) depend on freshness."""
+    import itertools
+    import re
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import (
+        prefix_filter_jaccard_pairs,
+        token_rank_table,
+    )
+
+    old = [(i, f"alpha beta gamma tok{i} tok{i+1}") for i in range(0, 10)]
+    new = [(i, f"alpha beta NEW{i} NEW{i+1} gamma") for i in range(10, 20)]
+    full = spark.createDataFrame(old + new, "doc_id bigint, text string")
+    stale_rank = token_rank_table(
+        spark.createDataFrame(old, "doc_id bigint, text string"), "text"
+    )
+
+    for rank in (None, stale_rank):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in prefix_filter_jaccard_pairs(
+                full, "doc_id", "text", threshold=0.5, token_rank=rank
+            ).collect()
+        }
+        sets = {
+            i: set(re.split(r"\s+", t.strip().lower())) for i, t in old + new
+        }
+        want = {
+            (a, b, round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6))
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+        }
+        assert got == want, f"rank={'stale' if rank is not None else 'self'}"
