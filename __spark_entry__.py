@@ -36,35 +36,34 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # record.  Keep in sync when editing query bodies: add the name here, remove
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
-    # r5 ADVICE fixes touched helper modules after these queries' green
-    # records: lsh_bucket_bits null-vector guard (similarity.py) feeds
-    # q58/q129/q131; connected_components persist-before-probe (graph.py)
-    # feeds q75; epoch_shard_order collision guard (sampling.py) feeds
-    # q134; curate_corpus cache posture (curation.py) feeds q96/q132
-    # (q132's body also changed: cache_cleaned=False).
-    "q58_ann_lsh_bucket",
-    # r5 oracle-twin work re-touched these rows-only queries' registrations
-    # (doc now cites the hash-green twin; q73/q111/q101 pipelines unchanged).
-    "q73_ivf_ann",
-    "q101_hll_partial_union",
-    "q111_cms_token_freq",
-    # r5 added the sha256 shingle lane to shingle_hashes (helper edit;
-    # default-lane behavior identical) and re-touched q54's registration
-    # to cite the q141 twin. q54 is _ALWAYS_ON; q87 consumes the helper.
+    # Hash-green queries whose bodies or consumed helpers changed after
+    # their latest green record:
+    # - q87: r5 added the sha256 shingle lane to shingle_hashes (helper
+    #   edit; default-lane behavior identical); q87 consumes the helper.
     "q87_incremental_dedup",
-    # r5 factored simhash through simhash_from_hashes and added the
-    # winnowing sha lane (helper edits; default behavior identical).
-    "q55_simhash_fingerprints",
-    "q74_winnowing_fingerprints",
-    "q129_embedding_near_dup_lsh",
-    "q131_embedding_incremental_lsh",
+    # - q75: connected_components persist-before-probe (graph.py, r5
+    #   ADVICE fix).
     "q75_dedup_groups",
+    # - q134: epoch_shard_order collision guard (sampling.py, r5 ADVICE).
     "q134_epoch_shuffle",
+    # - q96/q132: curate_corpus cache posture (curation.py, r5 ADVICE);
+    #   q132's body also changed (cache_cleaned=False).
     "q96_curation_funnel",
     "q132_curation_prefix",
-    # r5 (this session) gave stream_stream_join a `how` param (default
-    # "inner" — q90's behavior identical); re-verify its green record.
+    # - q90: stream_stream_join gained a `how` param (default "inner" —
+    #   q90's behavior identical); re-verify its green record.
     "q90_click_purchase_attribution",
+    # NOT re-listed (slot economics: the 50-query driver window must also
+    # fit this round's never-verified backlog): the ROWS-ONLY queries
+    # touched by the same helper edits — q58/q129/q131 (lsh_bucket_bits
+    # null guard), q55/q74 (fingerprint sha lanes), q73/q101/q111
+    # (registration-doc-only edits). A rows-only driver row only proves
+    # "ran, produced N rows"; that exact signal is already refreshed this
+    # round by their hash-green sha-twins sitting in the fresh backlog
+    # (q137 exercises lsh_bucket_bits, q142/q143 the fingerprint lanes,
+    # q138/q136/q135 the IVF/HLL/CMS pipelines), and every one of them
+    # executes under pytest (test_queries_smoke). Re-add any of them here
+    # the moment their own pipeline code changes.
 )
 
 

@@ -161,6 +161,58 @@ def bigram_surprisal(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — corpus-level collocation strength for every
+    adjacent bigram seen at least ``min_count`` times:
+
+        pmi = ln( P(w1,w2) / (P(w1)·P(w2)) )
+            = ln( c12 · Nu · Nu / (Nb · c1 · c2) )
+
+    with bigram probability over bigram slots (Nb) and unigram
+    probabilities over tokens (Nu). High-PMI pairs are multi-word
+    expressions — the units a tokenizer or a phrase-aware dedup shingle
+    should not split. Same machinery as :func:`bigram_surprisal` (gram-
+    keyed count shuffles with map-side partials; Nb/Nu as a 1-row
+    broadcast); the ``min_count`` filter applies to exact integer counts
+    so the output set is reproducible across engines, and the pmi double
+    is computed in one mirrored expression shape for the q170 oracle."""
+    tk = docs.select(F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "w1"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    pairs = tk.select(id_col, "w1", F.lead("w1", 1).over(win).alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = tk.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    totals = pairs.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        tk.agg(F.count(F.lit(1)).alias("nu"))
+    )
+    u1 = uni.select(F.col("w1"), F.col("c1"))
+    u2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+        / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        big.filter(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            # + 0.0 normalizes IEEE -0.0 (a near-1 ratio rounded to zero
+            # keeps its sign bit, and the engines disagree on it)
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )
+
+
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,114 @@
+"""Distributed 2-D Pareto frontier (skyline) operator.
+
+A row dominates another when it is no worse on both criteria and strictly
+better on at least one.  The classic SQL formulation is a ``NOT EXISTS``
+dominance anti-join — O(n²) and useless at scale.  For two dimensions the
+frontier has a sequential structure that admits a fully parallel plan:
+
+1. collapse to one candidate per ``minimize`` value (the group max of
+   ``maximize`` — anything below it at the same cost is dominated),
+2. range-partition the candidates by ``minimize`` and sort within each
+   partition (one shuffle, every partition works),
+3. collect ONE max per partition (P doubles, independent of n) and
+   exclusive-prefix-max them on the driver — the same O(partitions)
+   driver step as ``operators/ids.py::assign_contiguous_ids``,
+4. in a single ``mapInPandas`` pass, a candidate survives iff its
+   ``maximize`` value strictly exceeds the running max of every strictly
+   cheaper candidate (partition prefix ⊕ in-partition exclusive cummax),
+5. join survivors back to recover ties (rows sharing both coordinates all
+   survive — with ≤/≥ + one-strict dominance, exact duplicates do not
+   dominate each other).
+
+Equivalent to the O(n²) dominance definition — the q172 oracle proves it
+cross-engine — while no stage ever concentrates more than one partition's
+rows in one task.  Rows with NULL in either criterion are excluded (NULL
+cannot be ordered against either side of a dominance test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rows of ``df`` not dominated under (lower ``minimize``, higher
+    ``maximize``) preference. Returns the full original rows."""
+    from pyspark import StorageLevel
+
+    sess = df.sparkSession
+    parts = int(
+        num_partitions or sess.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    clean = df.filter(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
+    # 1. one candidate point per cost value (map-side partial agg)
+    cand = clean.groupBy(minimize).agg(F.max(maximize).alias("_best"))
+
+    # 2. range-partition + sort by cost; persist so the per-partition max
+    # job and the survivor pass read the same sampled range boundaries
+    ordered = (
+        cand.repartitionByRange(parts, minimize)
+        .sortWithinPartitions(minimize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # 3. per-partition max of _best → exclusive prefix max on the driver
+    pmax = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.max("_best").alias("_m"))
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["_m"] for r in pmax}
+    prefix: dict[int, float] = {}
+    acc = float("-inf")
+    for pid in sorted(by_pid):
+        prefix[pid] = acc
+        acc = max(acc, by_pid[pid])
+    bprefix = sess.sparkContext.broadcast(prefix)
+
+    # 4. survivor pass: strict exclusive running max within the partition,
+    # seeded with the prefix from all cheaper partitions
+    def _survivors(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = bprefix.value.get(pid, float("-inf"))
+        for pdf in it:
+            keep = []
+            for v in pdf["_best"]:
+                keep.append(v > run)
+                if v > run:
+                    run = v
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    # Materialize the survivor pass (eager localCheckpoint, same posture as
+    # operators/graph.py) so `ordered` can be unpersisted HERE instead of
+    # leaking a cached frame into the caller's session (the r5-advice
+    # curation.py lesson).
+    frontier_pts = ordered.mapInPandas(
+        _survivors, schema=ordered.schema
+    ).localCheckpoint(eager=True)
+    ordered.unpersist()
+
+    # 5. recover ties: every original row sitting exactly on a frontier
+    # point survives. Frontier points are few → broadcast semi-join.
+    fp = frontier_pts.select(
+        F.col(minimize).alias("_fmin"), F.col("_best").alias("_fmax")
+    )
+    out = clean.join(
+        F.broadcast(fp),
+        (F.col(minimize) == F.col("_fmin")) & (F.col(maximize) == F.col("_fmax")),
+        "left_semi",
+    )
+    return out

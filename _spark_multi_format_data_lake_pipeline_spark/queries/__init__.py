@@ -16,5 +16,6 @@ from . import windows_extra  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import cleaning  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
+from . import affinity  # noqa: F401,E402
 
 __all__ = ["QUERIES", "Query", "register"]

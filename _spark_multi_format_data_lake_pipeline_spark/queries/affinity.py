@@ -1,0 +1,336 @@
+"""Behavioral-analytics & data-quality depth: gap-and-islands streaks,
+market-basket affinity, PMI collocations, weighted median, Pareto
+frontier, and a declarative expectations report.
+
+These complete analytics families the catalog did not yet exercise:
+islands detection (q168) is the window idiom behind retention/streak
+product metrics; basket lift (q169) is the A-priori co-occurrence core of
+recommendation pipelines; PMI (q170) detects multi-word expressions for
+tokenizer/shingle design; weighted median (q171) is the order-statistic
+aggregations family's weighted completion; the skyline operator (q172)
+shows a sequential-looking computation parallelized with the same
+range-partition + O(P) driver prefix trick as ``operators/ids.py``; the
+expectations suite (q173) generalizes the reference's only runtime
+verification (SHOW TABLES + counts, ``utils/spark_write_iceberg.py:
+88-132``) into a composable rule engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm.retrieval import pmi_collocations
+from ..operators.expectations import (
+    expect,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+from ..operators.skyline import pareto_frontier_2d
+from ..sources.lake import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q168 — gap-and-islands: consecutive-day activity streaks per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "q168_activity_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (SELECT user_id, d,
+            d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+            FROM days),
+    st AS (SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM st GROUP BY 1 HAVING MAX(len) >= 3
+    """,
+    doc="Gap-and-islands via the date-minus-row_number anchor: consecutive "
+        "active days share one anchor, so streaks fall out of a groupBy. "
+        "Everything is keyed by user_id — the distinct, the window, and "
+        "both aggregations reuse ONE hash partitioning (the (user_id, "
+        "anchor) groupBy is satisfied by the user_id exchange), so the "
+        "whole query is a single shuffle of the deduped day list.",
+)
+def q168_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("max_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("active_days"),
+        )
+        .filter(F.col("max_streak") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — market-basket brand affinity (co-occurrence lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q169_basket_brand_lift",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lines),
+    bc AS (SELECT p_brand, COUNT(*) AS c FROM lines GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS c_ab
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(c_ab AS BIGINT) AS n_co,
+           ROUND(CAST(c_ab AS DOUBLE) * n_orders / (ca.c * cb.c), 4) AS lift
+    FROM pairs
+    JOIN bc ca ON pairs.brand_a = ca.p_brand
+    JOIN bc cb ON pairs.brand_b = cb.p_brand
+    CROSS JOIN n
+    WHERE c_ab >= 20
+    """,
+    doc="A-priori-style item co-occurrence: distinct (order, brand) "
+        "baskets (broadcast dim join), pair generation by an orderkey "
+        "self-equi-join with brand_a < brand_b (fan-out bounded by "
+        "per-basket item count k: sum k(k-1)/2 pairs — never all-pairs "
+        "across orders), lift from per-brand counts + the 1-row order "
+        "total as broadcasts. At 100 TB, prune to frequent items first "
+        "(support threshold semi-join) — same plan, smaller fan-out; "
+        "the c_ab floor here is that support filter applied post-count.",
+)
+def q169_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = lines.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bc = lines.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = lines.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = lines.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("_ca"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("_cb"))
+    lift = (F.col("c_ab").cast("double") * F.col("n_orders")) / (
+        F.col("_ca") * F.col("_cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").cast("bigint").alias("n_co"),
+            F.round(lift, 4).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — PMI collocations (multi-word expression mining)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q170_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+    words AS (SELECT unnest(w) AS word FROM toks),
+    uni AS (SELECT word, COUNT(*) AS c1 FROM words GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM pairs) AS nb,
+                   (SELECT COUNT(*) FROM words) AS nu)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair,
+           -- + 0 normalizes -0.0 (both engines keep the sign bit when a
+           -- near-1 ratio rounds to zero, but not consistently)
+           ROUND(LN((CAST(c12 AS DOUBLE) * nu * nu)
+                    / (CAST(nb AS DOUBLE) * u1.c1 * u2.c1)), 4) + 0 AS pmi
+    FROM big
+    JOIN uni u1 ON big.w1 = u1.word
+    JOIN uni u2 ON big.w2 = u2.word
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    """,
+    doc="Pointwise mutual information for every adjacent bigram with "
+        "count >= 5 (llm/retrieval.py::pmi_collocations) — the corpus-"
+        "level collocation complement of q149's per-doc surprisal. The "
+        "membership filter is on exact integer counts (reproducible "
+        "across engines); the pmi double is one mirrored expression on "
+        "both sides so IEEE evaluation order is identical.",
+)
+def q170_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# q171 — weighted median (order statistic with weights)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q171_weighted_median",
+    oracle="""
+    WITH wp AS (
+      SELECT l_returnflag, l_extendedprice AS price, SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wp
+    )
+    SELECT l_returnflag, ROUND(MIN(price), 2) AS weighted_median
+    FROM c WHERE cw >= tw / 2 GROUP BY 1
+    """,
+    doc="Quantity-weighted median price per return flag: pre-aggregate "
+        "weights per (group, value) — the shuffle collapses duplicates "
+        "map-side and makes the cumulative sum tie-free — then the "
+        "classic cumweight >= total/2 pick via a cumulative window. "
+        "Quantities are integer-valued doubles, so every cumulative sum "
+        "is exact and the cross-engine comparison is bit-stable. The "
+        "window partition count equals the group count; the frame it "
+        "orders is the pre-aggregated (group, value) set, not raw rows.",
+)
+def q171_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wp = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("price")
+    wt = Window.partitionBy("l_returnflag")
+    c = wp.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — Pareto frontier (skyline) of parts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q172_pareto_parts",
+    oracle="""
+    SELECT p_partkey, ROUND(p_retailprice, 2) AS price, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+    doc="2-D skyline — parts where no other part is cheaper-or-equal AND "
+        "bigger-or-equal with one strict. operators/skyline.py replaces "
+        "the O(n²) dominance anti-join (which the oracle deliberately "
+        "keeps, as an independent formulation) with group-max per price "
+        "+ range-partitioned exclusive prefix-max: one shuffle, an O(P) "
+        "driver step, a mapInPandas sweep — no global sort, no task ever "
+        "holds more than one partition.",
+)
+def q172_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part")
+    return pareto_frontier_2d(pt, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        "p_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — declarative expectations report
+# ---------------------------------------------------------------------------
+
+@register(
+    "q173_expectations_report",
+    oracle="""
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked
+    FROM (VALUES
+      ('orderkey_not_null',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL),
+       (SELECT COUNT(*) FROM orders)),
+      ('price_range',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 400000)),
+       (SELECT COUNT(*) FROM orders)),
+      ('status_open_closed',
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')),
+       (SELECT COUNT(*) FROM orders)),
+      ('priority_urgent_fmt',
+       (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')),
+       (SELECT COUNT(*) FROM orders)),
+      ('orderkey_unique',
+       (SELECT COALESCE(SUM(c - 1), 0)
+          FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+       (SELECT COUNT(*) FROM orders)),
+      ('custkey_small_fk',
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_custkey < 1000)),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL))
+    ) AS t(rule, n_violations, n_checked)
+    """,
+    doc="operators/expectations.py rule suite over orders. Thresholds are "
+        "deliberately tight (price cap 400k, status {O,F}, priority 1-3, "
+        "FK against custkey<1000) so every counting path produces NONZERO "
+        "violations — an all-green suite would not distinguish a correct "
+        "validator from one that counts nothing. All four row-level rules "
+        "share ONE full scan (conditional sums, map-side partials); "
+        "unique adds one keyed groupBy; the FK adds one broadcast "
+        "anti-join.",
+)
+def q173_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    rules = [
+        not_null("orderkey_not_null", "o_orderkey"),
+        in_range("price_range", "o_totalprice", 0, 400000),
+        in_set("status_open_closed", "o_orderstatus", ["O", "F"]),
+        matches("priority_urgent_fmt", "o_orderpriority", "^[1-3]-"),
+        unique("orderkey_unique", "o_orderkey"),
+        foreign_key("custkey_small_fk", "o_custkey", cu, "c_custkey"),
+    ]
+    return expect(od, rules)

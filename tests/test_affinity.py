@@ -1,0 +1,296 @@
+"""Unit tests for the round-5 depth operators: skyline, expectations,
+PMI collocations, streaks, weighted median (queries/affinity.py,
+operators/skyline.py, operators/expectations.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+    expect,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+from _spark_multi_format_data_lake_pipeline_spark.operators.skyline import pareto_frontier_2d
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+def _brute_frontier(pts):
+    out = []
+    for a in pts:
+        dominated = any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in pts
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    rng = random.Random(42)
+    pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "cost int, gain int")
+    got = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_frontier_2d(df, "cost", "gain", num_partitions=7).collect()
+    )
+    assert got == _brute_frontier(pts)
+
+
+def test_skyline_keeps_exact_duplicates(spark):
+    # duplicates of a frontier point do not dominate each other: all kept
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 5)], "cost int, gain int"
+    )
+    got = sorted(
+        (r["cost"], r["gain"]) for r in pareto_frontier_2d(df, "cost", "gain").collect()
+    )
+    assert got == [(1, 10), (1, 10)]
+
+
+def test_skyline_excludes_null_coordinates(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99), (0, None)], "cost int, gain int"
+    )
+    got = [
+        (r["cost"], r["gain"]) for r in pareto_frontier_2d(df, "cost", "gain").collect()
+    ]
+    assert got == [(1, 10)]
+
+
+def test_skyline_single_partition_equivalent(spark):
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(120)]
+    df = spark.createDataFrame(pts, "cost int, gain int")
+    one = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_frontier_2d(df, "cost", "gain", num_partitions=1).collect()
+    )
+    many = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_frontier_2d(df, "cost", "gain", num_partitions=13).collect()
+    )
+    assert one == many == _brute_frontier(pts)
+
+
+# ---------------------------------------------------------------------------
+# expectations
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        # (id, price, status, code)
+        (1, 10.0, "O", "1-A"),
+        (1, 20.0, "F", "2-B"),      # duplicate id
+        (2, -5.0, "O", "3-C"),      # price below range
+        (3, 999.0, "X", "bad"),     # status out of set, code mismatch
+        (None, 50.0, "F", "1-D"),   # null id
+        (4, None, None, None),      # nulls: not violations except not_null(id)
+    ]
+    return spark.createDataFrame(
+        rows, "id int, price double, status string, code string"
+    )
+
+
+def test_expectations_row_rules(spark, dirty):
+    rules = [
+        not_null("id_not_null", "id"),
+        in_range("price_range", "price", 0, 100),
+        in_set("status_domain", "status", ["O", "F"]),
+        matches("code_format", "code", "^[1-9]-"),
+    ]
+    got = {r["rule"]: (r["n_violations"], r["n_checked"]) for r in expect(dirty, rules).collect()}
+    assert got == {
+        "id_not_null": (1, 6),
+        "price_range": (2, 6),   # -5 and 999
+        "status_domain": (1, 6),  # X (null not counted)
+        "code_format": (1, 6),    # 'bad'
+    }
+
+
+def test_expectations_unique_and_fk(spark, dirty):
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    rules = [
+        unique("id_unique", "id"),
+        foreign_key("id_fk", "id", ref, "k"),
+    ]
+    got = {r["rule"]: (r["n_violations"], r["n_checked"]) for r in expect(dirty, rules).collect()}
+    # unique: id=1 appears twice -> 1 surplus row; checked counts all rows
+    assert got["id_unique"] == (1, 6)
+    # fk: non-null ids are 1,1,2,3,4 -> 4 misses ref -> 1 violation of 5 checked
+    assert got["id_fk"] == (1, 5)
+
+
+def test_expectations_report_order_is_rule_order(spark, dirty):
+    rules = [
+        unique("z_first", "id"),
+        not_null("a_second", "id"),
+    ]
+    names = [r["rule"] for r in expect(dirty, rules).collect()]
+    assert names == ["z_first", "a_second"]
+
+
+def test_expectations_all_clean(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    rules = [
+        not_null("nn", "id"),
+        in_range("rr", "v", 0, 10),
+        unique("uu", "id"),
+    ]
+    got = {r["rule"]: r["n_violations"] for r in expect(df, rules).collect()}
+    assert got == {"nn": 0, "rr": 0, "uu": 0}
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_detects_planted_collocation(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import pmi_collocations
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(30)]
+        # plant "new york" often; its parts never occur alone
+        for _ in range(3):
+            j = rng.randrange(0, len(words) - 1)
+            words[j : j + 2] = ["new", "york"]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert ("new", "york") in by_pair
+    # the planted collocation has the highest PMI in the corpus
+    assert by_pair[("new", "york")] == max(by_pair.values())
+    # and PMI ~ ln(N_u) - ish positive; unrelated pairs sit near 0
+    assert by_pair[("new", "york")] > 1.0
+
+
+def test_pmi_counts_are_exact(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b a b a b")], "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): r["n_pair"] for r in pmi_collocations(df, min_count=1).collect()}
+    assert out[("a", "b")] == 5
+    assert out[("b", "a")] == 4
+
+
+# ---------------------------------------------------------------------------
+# streaks + weighted median (query-level, crafted frames)
+# ---------------------------------------------------------------------------
+
+def test_streak_islands_logic(spark):
+    import datetime as dt
+
+    rows = []
+    # user 1: days 1,2,3 then 5,6 -> max streak 3, 2 streaks, 5 active days
+    for d in (1, 2, 3, 5, 6):
+        rows.append((1, dt.datetime(2024, 1, d)))
+    # duplicate events on the same day must not break the streak
+    rows.append((1, dt.datetime(2024, 1, 2, 12)))
+    # user 2: isolated days -> max streak 1 (filtered out by >= 3)
+    for d in (1, 3, 5):
+        rows.append((2, dt.datetime(2024, 1, d)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    st = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    out = {
+        r["user_id"]: (r["max_streak"], r["n_streaks"], r["active_days"])
+        for r in st.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("max_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("active_days"),
+        )
+        .filter(F.col("max_streak") >= 3)
+        .collect()
+    }
+    assert out == {1: (3, 2, 5)}
+
+
+def test_weighted_median_definition(spark):
+    # values 1..4 with weights 1,1,1,7: total 10, half 5 ->
+    # cum weights 1,2,3,10 -> first cum >= 5 is value 4
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)],
+        "grp string, price double, w double",
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("grp").orderBy("price")
+    wt = Window.partitionBy("grp")
+    c = df.select(
+        "grp",
+        "price",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    got = (
+        c.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("grp")
+        .agg(F.min("price").alias("wm"))
+        .head()["wm"]
+    )
+    assert got == 4.0
+    # unweighted sanity: equal weights -> lower median of 1..4 is 2
+    eq = df.withColumn("w", F.lit(1.0))
+    c2 = eq.select(
+        "grp", "price",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    got2 = (
+        c2.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("grp")
+        .agg(F.min("price").alias("wm"))
+        .head()["wm"]
+    )
+    assert got2 == 2.0
+
+
+def test_basket_lift_independent_items_near_one(spark):
+    # orders each containing both items A and B with item universe of 2:
+    # perfectly dependent items -> lift = n_orders / (n_a * n_b) * c_ab
+    rows = []
+    for ok in range(10):
+        rows.append((ok, "A"))
+        rows.append((ok, "B"))
+    lines = spark.createDataFrame(rows, "l_orderkey long, brand string")
+    n = lines.select("l_orderkey").distinct().count()
+    bc = {r["brand"]: r["c"] for r in lines.groupBy("brand").agg(F.count(F.lit(1)).alias("c")).collect()}
+    a = lines.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = lines.select(F.col("l_orderkey").alias("_ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .collect()
+    )
+    assert len(pairs) == 1
+    c_ab = pairs[0]["c_ab"]
+    lift = c_ab * n / (bc["A"] * bc["B"])
+    assert c_ab == 10
+    assert math.isclose(lift, 1.0)  # co-occur in every order: lift = 10*10/(10*10)
