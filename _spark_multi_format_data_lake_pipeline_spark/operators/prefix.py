@@ -1,0 +1,98 @@
+"""Distributed grouped running sum for LOW-CARDINALITY groups.
+
+``SUM(v) OVER (PARTITION BY g ORDER BY o)`` parallelizes across groups —
+which is useless when there are 3 groups and 100 TB of rows: the window
+funnels everything through |groups| tasks.  This operator keeps every
+partition working regardless of group count, with the same
+range-partition + O(P) driver prefix recipe as ``operators/ids.py``
+(prefix-sum) and ``operators/skyline.py`` (prefix-max):
+
+1. range-partition + sort by (group…, order) — one shuffle, all
+   partitions work; each group occupies a contiguous partition span,
+2. one tiny job: per-(partition, group) value sums — the driver receives
+   O(P + groups-that-straddle-boundaries) rows, not data rows,
+3. exclusive per-group prefix on the driver, broadcast,
+4. one ``mapInPandas`` pass: vectorized per-group cumsum + the
+   partition's group offset.
+
+Bit-identical to the single-task window (both accumulate in the same
+order — the q171 oracle proves it cross-engine for exact-valued
+weights).  For HIGH-cardinality groups the plain window is already
+parallel and cheaper — use it; this exists for the few-groups regime.
+
+Like ``assign_contiguous_ids``, the sorted stage stays persisted
+(range boundaries come from sampling; both jobs must read the same
+materialization) — the caller unpersists via the returned frame's
+lineage when done, or lets the session's LRU evict it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = cumulative sum of ``value_col`` within each
+    ``group_cols`` group in ``order_col`` order. (group…, order) must be
+    unique per row (ties would make the running sum order-dependent —
+    pre-aggregate to that grain first, which is also what bounds the
+    data volume)."""
+    from pyspark import StorageLevel, TaskContext
+
+    sess = df.sparkSession
+    parts = int(num_partitions or sess.conf.get("spark.sql.shuffle.partitions"))
+    gcols = list(group_cols)
+
+    ordered = (
+        df.repartitionByRange(parts, *gcols, order_col)
+        .sortWithinPartitions(*gcols, order_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    partials = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", *gcols)
+        .agg(F.sum(value_col).alias("_s"))
+        .collect()
+    )
+    acc: dict[tuple, float] = {}
+    prefix: dict[int, dict[tuple, float]] = {}
+    for row in sorted(partials, key=lambda r: r["_pid"]):
+        g = tuple(row[c] for c in gcols)
+        prefix.setdefault(row["_pid"], {})[g] = acc.get(g, 0.0)
+        acc[g] = acc.get(g, 0.0) + row["_s"]
+    bprefix = sess.sparkContext.broadcast(prefix)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(ordered.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+
+    def _running(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        offs = dict(bprefix.value.get(pid, {}))
+        for pdf in it:
+            keys = pd.Series(list(zip(*(pdf[c] for c in gcols))), index=pdf.index)
+            cum = pdf.groupby(keys, sort=False)[value_col].cumsum()
+            start = keys.map(lambda k: offs.get(k, 0.0))
+            pdf[out_col] = (cum + start).astype("float64")
+            # carry the per-group running total into the next Arrow batch
+            ends = pdf.groupby(keys, sort=False)[out_col].last()
+            for k, v in ends.items():
+                offs[k] = v
+            yield pdf
+
+    return ordered.mapInPandas(_running, schema=out_schema)

@@ -219,27 +219,26 @@ def q170_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quantity-weighted median price per return flag: pre-aggregate "
         "weights per (group, value) — the shuffle collapses duplicates "
         "map-side and makes the cumulative sum tie-free — then the "
-        "classic cumweight >= total/2 pick via a cumulative window. "
-        "Quantities are integer-valued doubles, so every cumulative sum "
-        "is exact and the cross-engine comparison is bit-stable. The "
-        "window partition count equals the group count; the frame it "
-        "orders is the pre-aggregated (group, value) set, not raw rows.",
+        "classic cumweight >= total/2 pick. The cumulative sum does NOT "
+        "use a PARTITION BY group window (3 groups would funnel all "
+        "rows through 3 tasks at 100 TB) — it uses operators/prefix.py's "
+        "range-partitioned grouped running sum, which keeps every "
+        "partition working and accumulates in the same order as the "
+        "oracle's window, so integer-valued quantity sums stay exact "
+        "and the cross-engine comparison is bit-stable.",
 )
 def q171_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import grouped_running_sum
+
     li = _t(spark, sf_dir, "lineitem")
     wp = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     ).agg(F.sum("l_quantity").alias("w"))
-    wo = Window.partitionBy("l_returnflag").orderBy("price")
-    wt = Window.partitionBy("l_returnflag")
-    c = wp.select(
-        "l_returnflag",
-        "price",
-        F.sum("w").over(wo).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
-    )
+    totals = wp.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    rs = grouped_running_sum(wp, ["l_returnflag"], "price", "w", out_col="cw")
     return (
-        c.filter(F.col("cw") >= F.col("tw") / 2)
+        rs.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(F.round(F.min("price"), 2).alias("weighted_median"))
     )
@@ -334,3 +333,199 @@ def q173_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key("custkey_small_fk", "o_custkey", cu, "c_custkey"),
     ]
     return expect(od, rules)
+
+
+# ---------------------------------------------------------------------------
+# q174 — funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q174_funnel_time_percentiles",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+    ),
+    d AS (
+      SELECT t1.user_id,
+             CAST(epoch_us(t2.t2) - epoch_us(t1.t1) AS BIGINT) AS d12,
+             CAST(epoch_us(t3.t3) - epoch_us(t2.t2) AS BIGINT) AS d23
+      FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+              JOIN t3 ON t1.user_id = t3.user_id
+    )
+    SELECT 'view_to_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(d12, 0.25) / 1e6, 3) AS p25_s,
+           ROUND(quantile_cont(d12, 0.5) / 1e6, 3) AS p50_s,
+           ROUND(quantile_cont(d12, 0.75) / 1e6, 3) AS p75_s
+    FROM d
+    UNION ALL
+    SELECT 'click_to_purchase', CAST(COUNT(*) AS BIGINT),
+           ROUND(quantile_cont(d23, 0.25) / 1e6, 3),
+           ROUND(quantile_cont(d23, 0.5) / 1e6, 3),
+           ROUND(quantile_cont(d23, 0.75) / 1e6, 3)
+    FROM d
+    """,
+    doc="q98's ordered funnel (view -> first click after it -> first "
+        "purchase after that) extended with per-step time-to-convert "
+        "percentiles for fully-converting users — the composition the r5 "
+        "pickup list promised (q98 staging + q133 exact interpolated "
+        "percentiles). Deltas are integer microseconds (epoch_us on both "
+        "engines — no sub-second truncation), percentiles interpolate in "
+        "doubles the same way (quantile_cont == Spark percentile). Each "
+        "stage is a user-keyed groupBy; the progressive joins stay on "
+        "user_id so every exchange is reusable.",
+)
+def q174_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = (
+        t1.join(t2, "user_id")
+        .join(t3, "user_id")
+        .select(
+            # ts is TIMESTAMP_NTZ; session tz is UTC (sources/lake.py), so
+            # the cast to TIMESTAMP is an identity reinterpretation and
+            # unix_micros yields the same integers as DuckDB's epoch_us
+            (
+                F.unix_micros(F.col("t2").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp"))
+            ).alias("d12"),
+            (
+                F.unix_micros(F.col("t3").cast("timestamp"))
+                - F.unix_micros(F.col("t2").cast("timestamp"))
+            ).alias("d23"),
+        )
+    )
+
+    def _step(col: str, label: str) -> DataFrame:
+        return d.agg(
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.percentile(F.col(col), F.lit(0.25)) / 1e6, 3).alias("p25_s"),
+            F.round(F.percentile(F.col(col), F.lit(0.5)) / 1e6, 3).alias("p50_s"),
+            F.round(F.percentile(F.col(col), F.lit(0.75)) / 1e6, 3).alias("p75_s"),
+        )
+
+    return _step("d12", "view_to_click").unionByName(
+        _step("d23", "click_to_purchase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — group-aware k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q175_group_kfold_report",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(TRIM(text))[i:i+2] for i in range(1, LENGTH(TRIM(text)) - 1)])
+                   AS grams
+        FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.65
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    groups AS (
+        SELECT node AS doc_id, MIN(label) AS canonical_id
+        FROM reach GROUP BY node
+    ),
+    full_map AS (
+        SELECT d.doc_id, COALESCE(g.canonical_id, d.doc_id) AS canonical_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN groups g ON g.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, canonical_id,
+               CAST(('0x' || substr(sha256(CAST(canonical_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 5 AS fold
+        FROM full_map
+    ),
+    g2 AS (
+        SELECT fold, canonical_id, COUNT(*) AS gsz FROM b GROUP BY 1, 2
+    )
+    SELECT fold, CAST(SUM(gsz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(gsz) AS BIGINT) AS max_group_size
+    FROM g2 GROUP BY fold
+    """,
+    doc="Group-aware k-fold CV assignment (k=5): fold = portable sha "
+        "bucket of the near-dup component's canonical id, so no near-"
+        "duplicate pair can straddle folds BY CONSTRUCTION (fold is a "
+        "function of the group). Same component machinery as q145 "
+        "(dedup_groups over exact-Jaccard pairs, bounded window), but "
+        "the output is the fold-level report an experimenter reads: "
+        "docs, groups, and the largest group per fold. At scale the "
+        "group map comes from the persisted dedup output and the fold "
+        "step stays map-only.",
+)
+def q175_group_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hash_bucket, with_char_ngrams
+    from ..operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = with_char_ngrams(docs, "text", "grams", 3).select("doc_id", "grams")
+    a = sh.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union.cast("double") >= 0.65)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    full = (
+        docs.select("doc_id")
+        .join(dedup_groups(pairs), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    folded = full.withColumn("fold", hash_bucket(F.col("canonical_id"), 5))
+    per_group = folded.groupBy("fold", "canonical_id").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return per_group.groupBy("fold").agg(
+        F.sum("gsz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("gsz").cast("bigint").alias("max_group_size"),
+    )

@@ -84,6 +84,12 @@ HEADLINE = [
     "q159_trade_clustering_coeff",
     "q166_prefix_filter_neardup",
     "q167_groups_frame_rolling",
+    "q168_activity_streaks",
+    "q169_basket_brand_lift",
+    "q170_pmi_collocations",
+    "q171_weighted_median",
+    "q173_expectations_report",
+    "q174_funnel_time_percentiles",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

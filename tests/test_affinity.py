@@ -271,6 +271,63 @@ def test_weighted_median_definition(spark):
     assert got2 == 2.0
 
 
+def test_grouped_running_sum_matches_window(spark):
+    from pyspark.sql import Window
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rng = random.Random(11)
+    rows = []
+    seen = set()
+    for _ in range(500):
+        g = rng.choice(["a", "b", "c"])
+        o = rng.randint(0, 10_000)
+        if (g, o) in seen:
+            continue
+        seen.add((g, o))
+        rows.append((g, o, float(rng.randint(1, 9))))
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+
+    w = Window.partitionBy("g").orderBy("o")
+    expected = {
+        (r["g"], r["o"]): r["cw"]
+        for r in df.select("g", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    for parts in (1, 7, 64):
+        got = {
+            (r["g"], r["o"]): r["cw"]
+            for r in grouped_running_sum(
+                df, ["g"], "o", "v", out_col="cw", num_partitions=parts
+            ).collect()
+        }
+        assert got == expected, f"num_partitions={parts}"
+
+
+def test_grouped_running_sum_multi_group_cols(spark):
+    from pyspark.sql import Window
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [
+        ("x", 1, 1, 2.0),
+        ("x", 1, 2, 3.0),
+        ("x", 2, 1, 5.0),
+        ("y", 1, 1, 7.0),
+        ("y", 1, 3, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, o int, v double")
+    w = Window.partitionBy("g1", "g2").orderBy("o")
+    expected = {
+        (r["g1"], r["g2"], r["o"]): r["cw"]
+        for r in df.select("g1", "g2", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    got = {
+        (r["g1"], r["g2"], r["o"]): r["cw"]
+        for r in grouped_running_sum(
+            df, ["g1", "g2"], "o", "v", out_col="cw", num_partitions=3
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_basket_lift_independent_items_near_one(spark):
     # orders each containing both items A and B with item universe of 2:
     # perfectly dependent items -> lift = n_orders / (n_a * n_b) * c_ab

@@ -170,6 +170,31 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # one shuffle to (priority, bucket-ordinal) grain; both windows
         # share it
         ("q167_groups_frame_rolling", 1),
+        # distinct day-list shuffle + user window; both groupBys reuse
+        # the user_id exchange (anchor key is a superset)
+        ("q168_activity_streaks", 2),
+        # 5 static references to the distinct-baskets subtree (a/b sides,
+        # brand counts x2, order total) + pair groupBy + joins; AQE
+        # reuses the materialized basket stage at runtime (12 reused
+        # stages observed), so the fact is scanned/shuffled once per
+        # distinct shuffle SHAPE, not per reference
+        ("q169_basket_brand_lift", 8),
+        # bigram window + bigram/unigram count tables + two gram joins;
+        # totals ride a 1-row broadcast (same family as q149)
+        ("q170_pmi_collocations", 5),
+        # (flag, price) pre-agg feeding BOTH the totals agg and the
+        # range-partitioned running-sum stage (operators/prefix.py; its
+        # sorted stage is persisted, so the pre-agg lineage in the static
+        # plan executes once at runtime) + final report groupBy; the
+        # cumulative sum itself is two RANGE exchanges + mapInPandas,
+        # never a 3-partition window
+        ("q171_weighted_median", 5),
+        # row-level rules fold into ONE scan (SinglePartition aggs);
+        # unique adds the only keyed groupBy; FK is a broadcast anti-join
+        ("q173_expectations_report", 2),
+        # three user-keyed stage groupBys + the progressive user_id
+        # joins; AQE reuses the per-stage exchanges at runtime
+        ("q174_funnel_time_percentiles", 10),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
