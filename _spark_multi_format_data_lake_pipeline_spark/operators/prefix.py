@@ -67,10 +67,11 @@ def grouped_running_sum(
         .agg(F.sum(value_col).alias("_s"))
         .collect()
     )
-    acc: dict[tuple, float] = {}
-    prefix: dict[int, dict[tuple, float]] = {}
+    single = len(gcols) == 1
+    acc: dict = {}
+    prefix: dict[int, dict] = {}
     for row in sorted(partials, key=lambda r: r["_pid"]):
-        g = tuple(row[c] for c in gcols)
+        g = row[gcols[0]] if single else tuple(row[c] for c in gcols)
         prefix.setdefault(row["_pid"], {})[g] = acc.get(g, 0.0)
         acc[g] = acc.get(g, 0.0) + row["_s"]
     bprefix = sess.sparkContext.broadcast(prefix)
@@ -85,9 +86,16 @@ def grouped_running_sum(
         pid = TaskContext.get().partitionId()
         offs = dict(bprefix.value.get(pid, {}))
         for pdf in it:
-            keys = pd.Series(list(zip(*(pdf[c] for c in gcols))), index=pdf.index)
+            if single:
+                # vectorized dict-map; avoids building per-row tuples
+                keys = pdf[gcols[0]]
+                start = keys.map(offs).fillna(0.0)
+            else:
+                keys = pd.Series(
+                    list(zip(*(pdf[c] for c in gcols))), index=pdf.index
+                )
+                start = keys.map(lambda k: offs.get(k, 0.0))
             cum = pdf.groupby(keys, sort=False)[value_col].cumsum()
-            start = keys.map(lambda k: offs.get(k, 0.0))
             pdf[out_col] = (cum + start).astype("float64")
             # carry the per-group running total into the next Arrow batch
             ends = pdf.groupby(keys, sort=False)[out_col].last()

@@ -112,9 +112,11 @@ def q168_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "self-equi-join with brand_a < brand_b (fan-out bounded by "
         "per-basket item count k: sum k(k-1)/2 pairs — never all-pairs "
         "across orders), lift from per-brand counts + the 1-row order "
-        "total as broadcasts. At 100 TB, prune to frequent items first "
-        "(support threshold semi-join) — same plan, smaller fan-out; "
-        "the c_ab floor here is that support filter applied post-count.",
+        "total as broadcasts. The A-priori prune is applied BEFORE "
+        "pairing: c_ab >= 20 implies both brands' supports are >= 20 "
+        "(anti-monotonicity), so the frequent-brand semi-join shrinks "
+        "the self-join input losslessly — the oracle, which filters "
+        "post-count only, hash-proves the prune drops nothing.",
 )
 def q169_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -127,8 +129,12 @@ def q169_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = lines.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     bc = lines.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
-    a = lines.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = lines.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b"))
+    # A-priori support prune: a pair seen in >= 20 baskets needs both
+    # brands in >= 20 baskets, so infrequent brands cannot contribute
+    frequent = bc.filter(F.col("c") >= 20).select("p_brand")
+    pruned = lines.join(F.broadcast(frequent), "p_brand", "left_semi")
+    a = pruned.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = pruned.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b"))
     pairs = (
         a.join(b, (a.l_orderkey == b._ok) & (F.col("brand_a") < F.col("brand_b")))
         .groupBy("brand_a", "brand_b")

@@ -173,12 +173,13 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # distinct day-list shuffle + user window; both groupBys reuse
         # the user_id exchange (anchor key is a superset)
         ("q168_activity_streaks", 2),
-        # 5 static references to the distinct-baskets subtree (a/b sides,
-        # brand counts x2, order total) + pair groupBy + joins; AQE
-        # reuses the materialized basket stage at runtime (12 reused
-        # stages observed), so the fact is scanned/shuffled once per
-        # distinct shuffle SHAPE, not per reference
-        ("q169_basket_brand_lift", 8),
+        # static references to the distinct-baskets subtree (a/b pruned
+        # sides, brand counts x2, the frequent-brand prune, order total)
+        # + pair groupBy + joins; AQE reuses the materialized basket
+        # stage at runtime (ReusedExchange observed), so the fact is
+        # scanned/shuffled once per distinct shuffle SHAPE, not per
+        # reference
+        ("q169_basket_brand_lift", 12),
         # bigram window + bigram/unigram count tables + two gram joins;
         # totals ride a 1-row broadcast (same family as q149)
         ("q170_pmi_collocations", 5),
