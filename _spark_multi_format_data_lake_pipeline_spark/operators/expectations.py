@@ -10,8 +10,10 @@ minimum number of Spark jobs:
   over the table regardless of rule count, all map-side partials, no
   shuffle beyond the 1-row final agg;
 - each ``unique`` rule is one groupBy on its key counting surplus rows;
-- each ``foreign_key`` rule is one left-anti join (broadcast when the
-  reference side is a dimension).
+- each ``foreign_key`` rule is ONE left join over the fact side that
+  counts checked and unmatched rows together (broadcast by default;
+  pass ``broadcast_ref=False`` for fact-sized references so the check
+  shuffles instead of shipping a huge key set to every executor).
 
 Result: one row per rule — ``(rule, n_violations, n_checked)`` — the
 shape a CI gate or a freshness dashboard consumes.  The q173 oracle
@@ -46,6 +48,10 @@ class Rule:
     pattern: str | None = None
     ref: DataFrame | None = field(default=None, compare=False)
     ref_cols: tuple[str, ...] = ()
+    # broadcast the reference key set (right for dimension-sized refs);
+    # pass False for fact-to-fact FKs so the check runs as a shuffled
+    # join instead of collecting a huge key set to every executor
+    broadcast_ref: bool = True
 
 
 def not_null(name: str, col: str) -> Rule:
@@ -68,8 +74,17 @@ def unique(name: str, *cols: str) -> Rule:
     return Rule(name, "unique", tuple(cols))
 
 
-def foreign_key(name: str, col: str, ref: DataFrame, ref_col: str) -> Rule:
-    return Rule(name, "foreign_key", (col,), ref=ref, ref_cols=(ref_col,))
+def foreign_key(
+    name: str, col: str, ref: DataFrame, ref_col: str, broadcast_ref: bool = True
+) -> Rule:
+    return Rule(
+        name,
+        "foreign_key",
+        (col,),
+        ref=ref,
+        ref_cols=(ref_col,),
+        broadcast_ref=broadcast_ref,
+    )
 
 
 def _violation_expr(r: Rule) -> F.Column:
@@ -86,23 +101,41 @@ def _violation_expr(r: Rule) -> F.Column:
     raise ValueError(f"not a row-level rule: {r.kind}")
 
 
+_ROW_KINDS = ("not_null", "in_range", "in_set", "matches")
+_ALL_KINDS = _ROW_KINDS + ("unique", "foreign_key")
+
+
 def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → one row per rule:
     ``rule: string, n_violations: long, n_checked: long``.
 
     Row-level rules share one scan; unique/foreign_key rules add one
     keyed job each. Output row order is the rule-list order (stable for
-    reporting); the frame is tiny (|rules| rows).
+    reporting); the frame is tiny (|rules| rows). A gate must be able to
+    trust that every rule it declared was evaluated, so an empty suite,
+    a duplicate rule name, or an unrecognized ``kind`` raises instead of
+    silently dropping rows from the report.
     """
-    spark = df.sparkSession
-    row_rules = [r for r in rules if r.kind in ("not_null", "in_range", "in_set", "matches")]
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in suite: {names}")
+    unknown = [r.name for r in rules if r.kind not in _ALL_KINDS]
+    if unknown:
+        raise ValueError(f"unrecognized rule kind for: {unknown}")
+
+    row_rules = [r for r in rules if r.kind in _ROW_KINDS]
     results: list[DataFrame] = []
 
     if row_rules:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for r in row_rules:
             aggs.append(
-                F.sum(F.when(_violation_expr(r), 1).otherwise(0))
+                # coalesce: SUM over zero rows is NULL — an empty table
+                # must report 0 violations, not NULL (same posture as the
+                # unique branch below)
+                F.coalesce(F.sum(F.when(_violation_expr(r), 1).otherwise(0)), F.lit(0))
                 .cast("long")
                 .alias(r.name)
             )
@@ -143,19 +176,29 @@ def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             results.append(dup)
         elif r.kind == "foreign_key":
             col, ref_col = r.cols[0], r.ref_cols[0]
-            ref_keys = r.ref.select(F.col(ref_col).alias(col)).distinct()
-            miss = (
-                df.filter(F.col(col).isNotNull())
-                .join(F.broadcast(ref_keys), col, "left_anti")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            ref_keys = (
+                r.ref.select(F.col(ref_col).alias(col))
+                .distinct()
+                .withColumn("_hit", F.lit(1))
             )
-            checked = df.filter(F.col(col).isNotNull()).agg(
-                F.count(F.lit(1)).cast("long").alias("n_checked")
-            )
+            if r.broadcast_ref:
+                ref_keys = F.broadcast(ref_keys)
+            # ONE pass over the fact side: a left join counts checked rows
+            # and unmatched rows together (the old anti-join + separate
+            # count scanned the table twice per FK rule)
             results.append(
-                miss.join(checked).select(
-                    F.lit(r.name).alias("rule"), "n_violations", "n_checked"
+                df.filter(F.col(col).isNotNull())
+                .join(ref_keys, col, "left")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_violations"),
+                    F.count(F.lit(1)).cast("long").alias("n_checked"),
                 )
+                .select(F.lit(r.name).alias("rule"), "n_violations", "n_checked")
             )
 
     out = results[0]

@@ -15,15 +15,21 @@ range-partition + O(P) driver prefix recipe as ``operators/ids.py``
 4. one ``mapInPandas`` pass: vectorized per-group cumsum + the
    partition's group offset.
 
-Bit-identical to the single-task window (both accumulate in the same
-order — the q171 oracle proves it cross-engine for exact-valued
-weights).  For HIGH-cardinality groups the plain window is already
-parallel and cheaper — use it; this exists for the few-groups regime.
+Numerically: values are summed as doubles. For exactly-representable
+sums (integer-valued weights like q171's quantities) the result is
+bit-identical to the single-task window — the q171 oracle hash-proves
+it cross-engine. For inexact doubles the partial-sum association
+differs from the window's strict left-to-right fold, so low-order bits
+can differ (as with any parallel sum); DECIMAL inputs are coerced to
+double (use the window if you need exact decimal arithmetic). For
+HIGH-cardinality groups the plain window is already parallel and
+cheaper — use it; this exists for the few-groups regime.
 
-Like ``assign_contiguous_ids``, the sorted stage stays persisted
-(range boundaries come from sampling; both jobs must read the same
-materialization) — the caller unpersists via the returned frame's
-lineage when done, or lets the session's LRU evict it.
+The sorted stage is persisted while the two passes run (range
+boundaries come from sampling; both jobs must read the same
+materialization), then the result is eagerly localCheckpoint-ed and the
+cache dropped — same leak-free posture as ``operators/skyline.py``; the
+checkpoint blocks live exactly as long as the returned frame.
 """
 
 from __future__ import annotations
@@ -48,15 +54,28 @@ def grouped_running_sum(
     ``group_cols`` group in ``order_col`` order. (group…, order) must be
     unique per row (ties would make the running sum order-dependent —
     pre-aggregate to that grain first, which is also what bounds the
-    data volume)."""
+    data volume). NULL group keys raise: SQL windows treat NULL as a
+    normal partition but pandas groupby and the driver prefix dict
+    disagree on NULL identity, so rather than return silently wrong
+    sums the operator refuses (filter or fillna the group column
+    first)."""
     from pyspark import StorageLevel, TaskContext
 
     sess = df.sparkSession
     parts = int(num_partitions or sess.conf.get("spark.sql.shuffle.partitions"))
     gcols = list(group_cols)
+    # fail loudly instead of silently overwriting caller data (the
+    # epoch_shard_order lesson, r4 ADVICE)
+    taken = {c for c in ("_gv", "_pid", out_col) if c in df.columns}
+    if taken:
+        raise ValueError(f"grouped_running_sum: column(s) {sorted(taken)} already exist")
 
+    # internal double lane: makes DECIMAL/int value columns safe for the
+    # pandas cumsum and the driver float accumulation (precision note in
+    # the module docstring)
     ordered = (
-        df.repartitionByRange(parts, *gcols, order_col)
+        df.withColumn("_gv", F.col(value_col).cast("double"))
+        .repartitionByRange(parts, *gcols, order_col)
         .sortWithinPartitions(*gcols, order_col)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -64,9 +83,15 @@ def grouped_running_sum(
     partials = (
         ordered.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid", *gcols)
-        .agg(F.sum(value_col).alias("_s"))
+        .agg(F.sum("_gv").alias("_s"))
         .collect()
     )
+    if any(any(row[c] is None for c in gcols) for row in partials):
+        ordered.unpersist()
+        raise ValueError(
+            f"grouped_running_sum: NULL values in group column(s) {gcols}; "
+            "fill or filter them first"
+        )
     single = len(gcols) == 1
     acc: dict = {}
     prefix: dict[int, dict] = {}
@@ -79,7 +104,8 @@ def grouped_running_sum(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     out_schema = StructType(
-        list(ordered.schema.fields) + [StructField(out_col, DoubleType(), True)]
+        [f for f in ordered.schema.fields if f.name != "_gv"]
+        + [StructField(out_col, DoubleType(), True)]
     )
 
     def _running(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,12 +121,16 @@ def grouped_running_sum(
                     list(zip(*(pdf[c] for c in gcols))), index=pdf.index
                 )
                 start = keys.map(lambda k: offs.get(k, 0.0))
-            cum = pdf.groupby(keys, sort=False)[value_col].cumsum()
+            cum = pdf.groupby(keys, sort=False)["_gv"].cumsum()
             pdf[out_col] = (cum + start).astype("float64")
             # carry the per-group running total into the next Arrow batch
             ends = pdf.groupby(keys, sort=False)[out_col].last()
             for k, v in ends.items():
                 offs[k] = v
-            yield pdf
+            yield pdf.drop(columns=["_gv"])
 
-    return ordered.mapInPandas(_running, schema=out_schema)
+    out = ordered.mapInPandas(_running, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    ordered.unpersist()
+    return out

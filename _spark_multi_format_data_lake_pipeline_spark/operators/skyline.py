@@ -49,6 +49,10 @@ def pareto_frontier_2d(
     parts = int(
         num_partitions or sess.conf.get("spark.sql.shuffle.partitions")
     )
+    # fail loudly instead of silently overwriting caller data
+    taken = {c for c in ("_best", "_pid", "_fmin", "_fmax") if c in df.columns}
+    if taken:
+        raise ValueError(f"pareto_frontier_2d: column(s) {sorted(taken)} already exist")
 
     clean = df.filter(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
     # 1. one candidate point per cost value (map-side partial agg)
@@ -78,19 +82,20 @@ def pareto_frontier_2d(
     bprefix = sess.sparkContext.broadcast(prefix)
 
     # 4. survivor pass: strict exclusive running max within the partition,
-    # seeded with the prefix from all cheaper partitions
+    # seeded with the prefix from all cheaper partitions — vectorized
+    # (np.maximum.accumulate over [seed, v0..vn-1] gives each row the max
+    # of everything strictly before it)
     def _survivors(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         run = bprefix.value.get(pid, float("-inf"))
         for pdf in it:
-            keep = []
-            for v in pdf["_best"]:
-                keep.append(v > run)
-                if v > run:
-                    run = v
-            yield pdf[pd.Series(keep, index=pdf.index)]
+            vals = pdf["_best"].to_numpy(dtype="float64")
+            excl = np.maximum.accumulate(np.concatenate(([run], vals)))
+            yield pdf[vals > excl[:-1]]
+            run = excl[-1]
 
     # Materialize the survivor pass (eager localCheckpoint, same posture as
     # operators/graph.py) so `ordered` can be unpersisted HERE instead of

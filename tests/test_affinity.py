@@ -144,6 +144,36 @@ def test_expectations_report_order_is_rule_order(spark, dirty):
     assert names == ["z_first", "a_second"]
 
 
+def test_expectations_contract_violations_raise(spark, dirty):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import Rule
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        expect(dirty, [])
+    with pytest.raises(ValueError, match="unrecognized rule kind"):
+        expect(dirty, [Rule("typo", "in_rnge", ("price",))])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        expect(dirty, [not_null("same", "id"), unique("same", "id")])
+
+
+def test_expectations_empty_table_reports_zero_not_null(spark):
+    df = spark.createDataFrame([], "id int, v double")
+    rules = [not_null("nn", "id"), in_range("rr", "v", 0, 10)]
+    got = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in expect(df, rules).collect()
+    }
+    assert got == {"nn": (0, 0), "rr": (0, 0)}
+
+
+def test_expectations_fk_shuffled_path_matches_broadcast(spark, dirty):
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    b = expect(dirty, [foreign_key("fk", "id", ref, "k")]).collect()
+    s = expect(
+        dirty, [foreign_key("fk", "id", ref, "k", broadcast_ref=False)]
+    ).collect()
+    assert [tuple(r) for r in b] == [tuple(r) for r in s]
+
+
 def test_expectations_all_clean(spark):
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
     rules = [
@@ -326,6 +356,44 @@ def test_grouped_running_sum_multi_group_cols(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_grouped_running_sum_null_group_key_raises(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), (None, 2, 2.0)], "g string, o int, v double"
+    )
+    with pytest.raises(ValueError, match="NULL values in group"):
+        grouped_running_sum(df, ["g"], "o", "v")
+
+
+def test_grouped_running_sum_column_collision_raises(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.createDataFrame([("a", 1, 1.0, 0.0)], "g string, o int, v double, cw double")
+    with pytest.raises(ValueError, match="already exist"):
+        grouped_running_sum(df, ["g"], "o", "v", out_col="cw")
+
+
+def test_grouped_running_sum_decimal_values(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.sql(
+        "SELECT * FROM VALUES ('a', 1, CAST(1.50 AS DECIMAL(15,2))), "
+        "('a', 2, CAST(2.25 AS DECIMAL(15,2))) AS t(g, o, v)"
+    )
+    got = {
+        r["o"]: r["cw"]
+        for r in grouped_running_sum(df, ["g"], "o", "v", out_col="cw", num_partitions=2).collect()
+    }
+    assert got == {1: 1.5, 2: 3.75}
+
+
+def test_skyline_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "cost int, gain int, _best int")
+    with pytest.raises(ValueError, match="already exist"):
+        pareto_frontier_2d(df, "cost", "gain")
 
 
 def test_basket_lift_independent_items_near_one(spark):
