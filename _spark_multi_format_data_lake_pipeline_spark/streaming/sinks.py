@@ -278,3 +278,88 @@ def stream_cms_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_expectations_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    rules,
+) -> None:
+    """Fold one micro-batch's data-quality report into a persisted
+    monitor table, exactly once. Violation/checked counts ADD across
+    batches (like CMS counters, unlike HLL's idempotent MAX), so the
+    fold uses the same partition-per-batch design as ``fold_cms_batch``:
+    each batch's |rules|-row report lands in its ``batch_id`` partition
+    via dynamic partition overwrite — a foreachBatch replay rewrites the
+    same partition with identical content. Module-level so tests can
+    drive a replay directly."""
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import expect
+
+    report = expect(batch_df, rules).withColumn("batch_id", F.lit(batch_id))
+    if not batch_spark.catalog.tableExists(target_table):
+        report.write.partitionBy("batch_id").format("parquet").saveAsTable(
+            target_table
+        )
+        return
+    prev = batch_spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        report.write.mode("overwrite").insertInto(target_table)
+    finally:
+        if prev is None:
+            batch_spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def expectations_stream_merged(spark, target_table: str) -> DataFrame:
+    """The queryable monitor: per-rule totals over all folded batches —
+    the exact report ``expect()`` would produce on the full history,
+    without rescanning it (proven by the converges-to-batch test)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(target_table)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_violations").cast("long").alias("n_violations"),
+            F.sum("n_checked").cast("long").alias("n_checked"),
+        )
+    )
+
+
+def stream_expectations_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    rules,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch incremental data-quality monitor: every micro-batch
+    is validated by ``operators/expectations.py::expect`` (all row-level
+    rules in one scan of the BATCH, never the history) and folded into
+    ``target_table``. Caveat vs the batch semantics, by design:
+    ``unique`` rules count duplicates WITHIN each batch only — a key
+    seen once per batch in two batches is not flagged (cross-batch
+    uniqueness needs stateful dedup, streaming/events.py, or a
+    post-ingest batch audit); additive rules (not_null / in_range /
+    in_set / matches / foreign_key against a static dim) aggregate
+    exactly."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_expectations_batch(
+            batch_df.sparkSession, batch_df, batch_id, target_table, rules
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -543,3 +543,64 @@ def test_python_datasource_stream_reader_exactly_once(spark, tmp_path):
     # content equals the batch formula
     by_id = {r.doc_id: r.text for r in allrows}
     assert by_id[7] == pydatasource.make_doc(7)[1]
+
+
+def test_stream_expectations_converges_and_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Data-quality monitoring under micro-batch ingestion: per-batch
+    expect() reports folded partition-per-batch must (a) sum to the
+    one-pass batch report for additive rules, and (b) be a no-op under a
+    foreachBatch replay (counts ADD — same trap as CMS)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+        expect,
+        in_range,
+        in_set,
+        not_null,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        expectations_stream_merged,
+        fold_expectations_batch,
+        stream_expectations_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = tmp_path / "exp_src"
+    ev.filter(F.pmod(F.xxhash64("event_type"), F.lit(2)) == 0).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    ev.filter(F.pmod(F.xxhash64("event_type"), F.lit(2)) == 1).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    rules = [
+        not_null("type_not_null", "event_type"),
+        in_set("type_domain", "event_type", ["click", "view", "purchase"]),
+        in_range("value_range", "value", 0, 50),
+    ]
+    tbl = f"exp_monitor_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_expectations_sink(stream, tbl, str(tmp_path / "exp_ckpt"), rules)
+    q.awaitTermination()
+
+    merged = sorted(map(tuple, expectations_stream_merged(spark, tbl).collect()))
+    batch = sorted(map(tuple, expect(ev, rules).collect()))
+    assert merged == batch
+    # the suite must have actually fired: signup/error are out of domain
+    by_rule = dict((r[0], r[1]) for r in merged)
+    assert by_rule["type_domain"] > 0
+
+    # replay the last folded batch: partition overwrite must be a no-op
+    last_batch = spark.table(tbl).agg(F.max("batch_id")).collect()[0][0]
+    half_b = spark.read.parquet(str(src / "b"))
+    fold_expectations_batch(spark, half_b, last_batch, tbl, rules)
+    assert sorted(map(tuple, expectations_stream_merged(spark, tbl).collect())) == batch
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
