@@ -50,10 +50,13 @@ _RECHECK = (
     #   q132's body also changed (cache_cleaned=False).
     "q96_curation_funnel",
     "q132_curation_prefix",
-    # - q90: stream_stream_join gained a `how` param (default "inner" —
-    #   q90's behavior identical); re-verify its green record.
-    "q90_click_purchase_attribution",
-    # NOT re-listed (slot economics: the 50-query driver window must also
+    # NOT re-listed: q90 — stream_stream_join gained a `how` param whose
+    # default ("inner") leaves q90's plan byte-identical; the new
+    # left-outer path has its own expiry-emission test and q151 driver
+    # row, and q90's batch-twin equivalence pytest re-executes the
+    # default path every run. Slot given to q176 (this round's new
+    # query) so the never-verified backlog still fits the 50-row window.
+    # Also NOT re-listed (slot economics: the 50-query driver window must also
     # fit this round's never-verified backlog): the ROWS-ONLY queries
     # touched by the same helper edits — q58/q129/q131 (lsh_bucket_bits
     # null guard), q55/q74 (fingerprint sha lanes), q73/q101/q111

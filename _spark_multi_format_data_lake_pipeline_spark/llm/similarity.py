@@ -412,3 +412,89 @@ def ann_search_multiprobe(
     )
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    lo: int,
+    hi: int,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k over the candidate
+    window ``lo <= id <= hi`` against the ``query_id`` vector:
+
+        pick_1 = argmax rel(c)
+        pick_i = argmax  lam*rel(c) - mu*max_{p in picked} sim(c, p)
+
+    ``mu`` is an explicit weight rather than computed ``1 - lam``: the
+    IEEE double ``1 - 0.7`` is 0.30000000000000004, not the literal 0.3
+    a SQL twin would use, and the greedy must be bit-reproducible.
+
+    ties broken by lowest id. Relevance and the candidate pairwise-sim
+    matrix are computed JVM-side (``functions/vectors.py`` cosine — the
+    same expression the q56/q128 oracles hash-match) and ROUNDED TO 6
+    DECIMALS before the greedy: sub-1e-6 cross-engine float drift then
+    cannot flip an argmax, which is what makes the q176 recursive-CTE
+    oracle exactly reproducible. The greedy itself runs driver-side over
+    the collected candidate set — bounded by construction (a rerank head
+    is ≤ a few hundred rows; the SCALE path is the LSH/IVF candidate
+    pruning that produced the window, q58/q73), the same division of
+    labor as the bounded exact rescorers q53/q57.
+
+    Returns (rank, id) with rank 1..k in selection order.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    qrow = embeddings.filter(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    qarr = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
+
+    cand = embeddings.filter(
+        (F.col(id_col) >= lo) & (F.col(id_col) <= hi)
+    ).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), qarr), 6).alias("rel"),
+        F.col(vec_col),
+    )
+    base = cand.select(F.col(id_col), F.col(vec_col))
+    a = base.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    pair_sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"),
+        )
+        .collect()
+    )
+    rel = {r[id_col]: r["rel"] for r in cand.select(id_col, "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in pair_sims}
+
+    picked: list = []
+    remaining = set(rel)
+    while remaining and len(picked) < k:
+        if not picked:
+            # DESC by rel, ties by lowest id
+            nxt = min(remaining, key=lambda c: (-rel[c], c))
+        else:
+            nxt = min(
+                remaining,
+                key=lambda c: (
+                    -(lam * rel[c] - mu * max(sim[(c, p)] for p in picked)),
+                    c,
+                ),
+            )
+        picked.append(nxt)
+        remaining.discard(nxt)
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(picked)], f"rank bigint, {id_col} bigint"
+    )

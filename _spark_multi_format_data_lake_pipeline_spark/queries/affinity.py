@@ -535,3 +535,68 @@ def q175_group_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.max("gsz").cast("bigint").alias("max_group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — MMR diversified top-k (re-ranking for retrieval-augmented corpora)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q176_mmr_rerank",
+    oracle=r"""
+    WITH RECURSIVE cand AS (
+        SELECT e.vec_id,
+               CAST(e.embedding AS DOUBLE[]) AS v,
+               ROUND(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.v),
+                        p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+                    * sqrt(list_sum(list_transform(q.v, x -> x*x)))), 6) AS rel
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id BETWEEN 1 AND 60
+    ),
+    sim AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel(step, picked) AS (
+        SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+        UNION ALL
+        SELECT step + 1,
+               list_append(picked, (
+                   SELECT c.vec_id
+                   FROM cand c
+                   WHERE NOT list_contains(sel.picked, c.vec_id)
+                   ORDER BY 0.7 * c.rel - 0.3 * (
+                       SELECT MAX(s.s) FROM sim s
+                       WHERE s.ia = c.vec_id AND list_contains(sel.picked, s.ib)
+                   ) DESC, c.vec_id
+                   LIMIT 1
+               ))
+        FROM sel WHERE step < 10
+    )
+    SELECT CAST(u.i AS BIGINT) AS rank, CAST(u.vec_id AS BIGINT) AS vec_id
+    FROM (SELECT picked FROM sel WHERE step = 10) f,
+         LATERAL (SELECT generate_subscripts(f.picked, 1) AS i,
+                         unnest(f.picked) AS vec_id) u
+    """,
+    doc="Greedy maximal-marginal-relevance re-rank of a 60-candidate "
+        "window (llm/similarity.py::mmr_rerank, lam=0.7 mu=0.3, k=10) — "
+        "the diversity-aware final stage of a retrieval pipeline. "
+        "Relevance + the pairwise-sim matrix are computed JVM-side with "
+        "the same cosine the q56/q128 oracles hash-match and rounded to "
+        "6 decimals BEFORE the greedy, so no sub-ulp drift can flip an "
+        "argmax; the oracle replays the identical greedy as a recursive "
+        "CTE with LATERAL argmax steps. The greedy is driver-side over "
+        "the bounded rerank head by design — the scale path is the "
+        "LSH/IVF pruning (q58/q73) that produces the candidate window.",
+)
+def q176_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, query_id=0, lo=1, hi=60, k=10, lam=0.7, mu=0.3)

@@ -358,6 +358,95 @@ def test_grouped_running_sum_multi_group_cols(spark):
     assert got == expected
 
 
+# ---------------------------------------------------------------------------
+# MMR re-rank
+# ---------------------------------------------------------------------------
+
+def _numpy_mmr(rel, sim, k, lam, mu):
+    picked, remaining = [], set(rel)
+    while remaining and len(picked) < k:
+        if not picked:
+            nxt = min(remaining, key=lambda c: (-rel[c], c))
+        else:
+            nxt = min(
+                remaining,
+                key=lambda c: (-(lam * rel[c] - mu * max(sim[(c, p)] for p in picked)), c),
+            )
+        picked.append(nxt)
+        remaining.discard(nxt)
+    return picked
+
+
+def test_mmr_demotes_planted_duplicate(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import mmr_rerank
+
+    rng = random.Random(5)
+    dim = 8
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]  # query along e0
+    # id 1: near-perfect match; id 2: EXACT clone of id 1; ids 3..12 random
+    close = [0.99] + [0.01 * rng.random() for _ in range(dim - 1)]
+    rows.append((1, close))
+    rows.append((2, list(close)))
+    for i in range(3, 13):
+        rows.append((i, [rng.random() for _ in range(dim)]))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    # diversity-heavy weights: with lam=0.7 a perfect clone still wins
+    # (0.7*rel - 0.3*1.0 beats mediocre candidates); at lam=0.3/mu=0.7
+    # the sim=1.0 penalty is decisive
+    out = [
+        r["vec_id"]
+        for r in mmr_rerank(emb, 0, 1, 12, k=3, lam=0.3, mu=0.7).orderBy("rank").collect()
+    ]
+    # pure top-k would pick the clone second; MMR must NOT
+    assert out[0] == 1
+    assert out[1] != 2
+    # ...but plain relevance ranking does pick it second (sanity of the planting)
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import topk_cosine
+    q = [1.0] + [0.0] * (dim - 1)
+    top = [r["vec_id"] for r in topk_cosine(emb.filter(F.col("vec_id") > 0), q, k=2).collect()]
+    assert set(top) == {1, 2}
+
+
+def test_mmr_matches_reference_greedy(spark, sf_dir):
+    from _spark_multi_format_data_lake_pipeline_spark.functions.vectors import cosine_similarity
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import mmr_rerank
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(emb, 0, 1, 40, k=8).orderBy("rank").collect()
+    ]
+    # independent reference: recompute rel/sim through the same Spark
+    # expressions, then run the textbook greedy in plain Python
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    cand = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 40)).select(
+        "vec_id", F.round(cosine_similarity(F.col("embedding"), qarr), 6).alias("rel"), "embedding"
+    )
+    rel = {r["vec_id"]: r["rel"] for r in cand.collect()}
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    sim = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"))
+        .collect()
+    }
+    expected = list(enumerate(_numpy_mmr(rel, sim, 8, 0.7, 0.3), start=1))
+    assert got == expected
+
+
+def test_mmr_missing_query_raises(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import mmr_rerank
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="not found"):
+        mmr_rerank(emb, 99, 1, 10)
+
+
 def test_grouped_running_sum_null_group_key_raises(spark):
     from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
 
