@@ -214,3 +214,36 @@ def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         .orderBy("_o")
         .drop("_o")
     )
+
+
+def observe(df: DataFrame, rules: Sequence[Rule], name: str = "expectations"):
+    """Attach the suite's ROW-LEVEL rules as Spark observation metrics:
+    they are evaluated DURING the caller's own action (write, count,
+    collect) at zero extra passes — the piggyback form of :func:`expect`
+    for pipelines that already materialize the frame anyway.
+
+    Returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` yields ``{"n_checked": ...,
+    "<rule>": violations, ...}``. Only row-level rules qualify (unique /
+    foreign_key need their own shuffles/joins — run those via
+    :func:`expect`); passing one raises, so a suite cannot silently
+    lose a rule.
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("observe() needs at least one rule")
+    bad = [r.name for r in rules if r.kind not in _ROW_KINDS]
+    if bad:
+        raise ValueError(
+            f"observe() only supports row-level rules; use expect() for: {bad}"
+        )
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_checked")]
+    for r in rules:
+        metrics.append(
+            F.coalesce(F.sum(F.when(_violation_expr(r), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(r.name)
+        )
+    return df.observe(obs, *metrics), obs

@@ -508,3 +508,29 @@ def test_basket_lift_independent_items_near_one(spark):
     lift = c_ab * n / (bc["A"] * bc["B"])
     assert c_ab == 10
     assert math.isclose(lift, 1.0)  # co-occur in every order: lift = 10*10/(10*10)
+
+
+def test_observed_expectations_piggyback_on_action(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+        in_range,
+        not_null,
+        observe,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 50.0), (3, -1.0)], "id int, v double"
+    )
+    rules = [not_null("id_nn", "id"), in_range("v_rng", "v", 0, 10)]
+    observed, obs = observe(df, rules)
+    # the metrics ride the caller's own action — here a parquet write
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_checked"] == 3
+    assert got["id_nn"] == 1
+    assert got["v_rng"] == 2  # 50.0 above range, -1.0 below
+
+    with pytest.raises(ValueError, match="only supports row-level"):
+        observe(df, [unique("u", "id")])
+    with pytest.raises(ValueError, match="at least one rule"):
+        observe(df, [])
