@@ -340,3 +340,75 @@ def test_prefix_filter_jaccard_is_lossless(spark, texts, threshold):
         and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
     }
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(1, 9),
+)
+@_SETTINGS
+def test_skyline_equals_dominance_definition(spark, pts, parts):
+    """pareto_frontier_2d == the O(n²) dominance definition for ANY point
+    multiset and ANY partition count (partition-invariance is the load-
+    bearing claim: the prefix-max handoff must not depend on where range
+    boundaries land)."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame(pts, "cost int, gain int")
+    got = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_frontier_2d(df, "cost", "gain", num_partitions=parts).collect()
+    )
+    brute = sorted(
+        a
+        for a in pts
+        if not any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in pts
+        )
+    )
+    assert got == brute
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 50),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    parts=st.integers(1, 7),
+)
+@_SETTINGS
+def test_grouped_running_sum_equals_window(spark, rows, parts):
+    """grouped_running_sum == SUM OVER (PARTITION BY g ORDER BY o) for any
+    unique-(group, order) multiset and any partition count — integer
+    weights, so sums are exact and equality is bitwise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [(g, o, float(v)) for g, o, v in rows], "g string, o int, v double"
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    expected = {
+        (r["g"], r["o"]): r["cw"]
+        for r in df.select("g", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["cw"]
+        for r in grouped_running_sum(
+            df, ["g"], "o", "v", out_col="cw", num_partitions=parts
+        ).collect()
+    }
+    assert got == expected
