@@ -130,32 +130,40 @@ def q169_basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = lines.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     bc = lines.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
     # A-priori support prune: a pair seen in >= 20 baskets needs both
-    # brands in >= 20 baskets, so infrequent brands cannot contribute
-    frequent = bc.filter(F.col("c") >= 20).select("p_brand")
-    pruned = lines.join(F.broadcast(frequent), "p_brand", "left_semi")
-    a = pruned.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = pruned.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b"))
+    # brands in >= 20 baskets, so infrequent brands cannot contribute.
+    # The prune join CARRIES each brand's support, so the pair rows
+    # arrive with both counts attached and no per-brand join is needed
+    # after the aggregation (support is functional on the group key —
+    # the max() is just how a carried constant exits a groupBy).
+    pruned = lines.join(
+        F.broadcast(bc.filter(F.col("c") >= 20)), "p_brand"
+    )
+    a = pruned.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a"), F.col("c").alias("_ca")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("c").alias("_cb"),
+    )
     pairs = (
         a.join(b, (a.l_orderkey == b._ok) & (F.col("brand_a") < F.col("brand_b")))
         .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.max("_ca").alias("_ca"),
+            F.max("_cb").alias("_cb"),
+        )
         .filter(F.col("c_ab") >= 20)
     )
-    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("_ca"))
-    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("_cb"))
     lift = (F.col("c_ab").cast("double") * F.col("n_orders")) / (
         F.col("_ca") * F.col("_cb")
     )
-    return (
-        pairs.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "brand_a",
-            "brand_b",
-            F.col("c_ab").cast("bigint").alias("n_co"),
-            F.round(lift, 4).alias("lift"),
-        )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "brand_a",
+        "brand_b",
+        F.col("c_ab").cast("bigint").alias("n_co"),
+        F.round(lift, 4).alias("lift"),
     )
 
 
