@@ -450,10 +450,31 @@ def mmr_rerank(
     """
     from ..functions.vectors import cosine_similarity
 
+    from ..functions.vectors import l2_norm
+
     qrow = embeddings.filter(F.col(id_col) == query_id).head()
     if qrow is None:
         raise ValueError(f"query vector {id_col}={query_id} not found")
+    if not any(float(x) != 0.0 for x in qrow[vec_col]):
+        raise ValueError(f"query vector {id_col}={query_id} has zero norm")
     qarr = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
+
+    # zero-norm candidates make cosine 0/0 — under ANSI that is an opaque
+    # DIVIDE_BY_ZERO mid-job, under non-ANSI a NULL that silently diverges
+    # from the oracle's NULLS LAST ordering; pre-check and name the ids
+    zero_ids = [
+        r[id_col]
+        for r in embeddings.filter(
+            (F.col(id_col) >= lo) & (F.col(id_col) <= hi) & (l2_norm(F.col(vec_col)) == 0)
+        )
+        .select(id_col)
+        .collect()
+    ]
+    if zero_ids:
+        raise ValueError(
+            f"mmr_rerank: zero-norm embeddings in candidate window: {sorted(zero_ids)}; "
+            "filter them out first"
+        )
 
     cand = embeddings.filter(
         (F.col(id_col) >= lo) & (F.col(id_col) <= hi)
@@ -465,8 +486,10 @@ def mmr_rerank(
     base = cand.select(F.col(id_col), F.col(vec_col))
     a = base.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
     b = base.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    # ia < ib: cosine is symmetric, so compute each pair once JVM-side
+    # and mirror the dict driver-side — halves the n(n-1) expression work
     pair_sims = (
-        a.join(b, F.col("ia") != F.col("ib"))
+        a.join(b, F.col("ia") < F.col("ib"))
         .select(
             "ia",
             "ib",
@@ -475,7 +498,22 @@ def mmr_rerank(
         .collect()
     )
     rel = {r[id_col]: r["rel"] for r in cand.select(id_col, "rel").collect()}
-    sim = {(r["ia"], r["ib"]): r["s"] for r in pair_sims}
+    sim: dict = {}
+    for r in pair_sims:
+        sim[(r["ia"], r["ib"])] = r["s"]
+        sim[(r["ib"], r["ia"])] = r["s"]
+
+    # a zero-norm vector makes cosine NULL (0/0) — fail with the cause
+    # rather than an opaque NoneType error mid-greedy, and rather than
+    # silently diverging from the oracle's NULLS LAST ordering
+    bad_rel = sorted(c for c, v in rel.items() if v is None)
+    bad_sim = sorted({i for (i, j), v in sim.items() if v is None})
+    if bad_rel or bad_sim:
+        raise ValueError(
+            "mmr_rerank: zero-norm or invalid embeddings make cosine NULL "
+            f"(rel NULL for ids {bad_rel}, pair-sim NULL involving ids "
+            f"{bad_sim}); filter them out of the candidate window first"
+        )
 
     picked: list = []
     remaining = set(rel)

@@ -233,6 +233,11 @@ def observe(df: DataFrame, rules: Sequence[Rule], name: str = "expectations"):
 
     if not rules:
         raise ValueError("observe() needs at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in suite: {names}")
+    if "n_checked" in names:
+        raise ValueError("'n_checked' is the reserved row-count metric name")
     bad = [r.name for r in rules if r.kind not in _ROW_KINDS]
     if bad:
         raise ValueError(

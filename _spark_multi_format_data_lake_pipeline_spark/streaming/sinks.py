@@ -189,6 +189,34 @@ def stream_hll_register_sink(
     return writer.start()
 
 
+def _fold_partitioned(batch_spark, partial: DataFrame, target_table: str) -> None:
+    """Shared exactly-once fold for ADDITIVE per-batch partials (CMS
+    cells, expectations counts, any future sufficient-stats sink):
+    ``partial`` must carry a trailing ``batch_id`` column; it lands in
+    its own partition via dynamic partition overwrite, so a foreachBatch
+    REPLAY rewrites the same partition with identical content —
+    idempotent by construction. A read-merge-overwrite fold would
+    double-count on replay, and a batch-id ledger doesn't fix it: a
+    crash between the state write and the ledger write replays against
+    state that already contains the batch."""
+    if not batch_spark.catalog.tableExists(target_table):
+        partial.write.partitionBy("batch_id").format("parquet").saveAsTable(
+            target_table
+        )
+        return
+    prev = batch_spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # insertInto is position-based; the partial's column order with the
+        # trailing partition column matches the create order above
+        partial.write.mode("overwrite").insertInto(target_table)
+    finally:
+        if prev is None:
+            batch_spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def fold_cms_batch(
     batch_spark,
     batch_df: DataFrame,
@@ -199,17 +227,11 @@ def fold_cms_batch(
     width: int = 1024,
 ) -> None:
     """Fold one micro-batch into a persisted count-min sketch, exactly
-    once. Unlike the HLL register fold (MAX, idempotent), CMS counters ADD
-    — so a read-merge-overwrite fold would double-count on a foreachBatch
-    REPLAY (and a batch-id ledger doesn't fix it: a crash between the
-    sketch write and the ledger write replays against a state that
-    already contains the batch). Instead each batch's OWN sketch lands in
-    its ``batch_id`` partition via dynamic partition overwrite: a replay
-    rewrites the same partition with identical content, which is
-    idempotent by construction. The queryable sketch is the cell-wise sum
-    over partitions (``cms_stream_merged``); at scale a periodic
-    compaction collapses old partitions. Module-level (not a closure) so
-    tests can drive a replay directly."""
+    once (see ``_fold_partitioned`` — CMS counters ADD, unlike the HLL
+    register fold's idempotent MAX). The queryable sketch is the
+    cell-wise sum over partitions (``cms_stream_merged``); at scale a
+    periodic compaction collapses old partitions. Module-level (not a
+    closure) so tests can drive a replay directly."""
     from pyspark.sql import functions as F
 
     from ..functions.sketches import cms_build
@@ -217,22 +239,7 @@ def fold_cms_batch(
     sketch = cms_build(batch_df, col, depth=depth, width=width).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    if not batch_spark.catalog.tableExists(target_table):
-        sketch.write.partitionBy("batch_id").format("parquet").saveAsTable(
-            target_table
-        )
-        return
-    prev = batch_spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    try:
-        batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # insertInto is position-based; cms_build's (d, pos, cnt) + trailing
-        # partition column matches the create order above
-        sketch.write.mode("overwrite").insertInto(target_table)
-    finally:
-        if prev is None:
-            batch_spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _fold_partitioned(batch_spark, sketch, target_table)
 
 
 def cms_stream_merged(spark, target_table: str) -> DataFrame:
@@ -289,31 +296,15 @@ def fold_expectations_batch(
 ) -> None:
     """Fold one micro-batch's data-quality report into a persisted
     monitor table, exactly once. Violation/checked counts ADD across
-    batches (like CMS counters, unlike HLL's idempotent MAX), so the
-    fold uses the same partition-per-batch design as ``fold_cms_batch``:
-    each batch's |rules|-row report lands in its ``batch_id`` partition
-    via dynamic partition overwrite — a foreachBatch replay rewrites the
-    same partition with identical content. Module-level so tests can
-    drive a replay directly."""
+    batches (like CMS counters, unlike HLL's idempotent MAX) — shared
+    machinery in ``_fold_partitioned``. Module-level so tests can drive
+    a replay directly."""
     from pyspark.sql import functions as F
 
     from ..operators.expectations import expect
 
     report = expect(batch_df, rules).withColumn("batch_id", F.lit(batch_id))
-    if not batch_spark.catalog.tableExists(target_table):
-        report.write.partitionBy("batch_id").format("parquet").saveAsTable(
-            target_table
-        )
-        return
-    prev = batch_spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    try:
-        batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        report.write.mode("overwrite").insertInto(target_table)
-    finally:
-        if prev is None:
-            batch_spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            batch_spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _fold_partitioned(batch_spark, report, target_table)
 
 
 def expectations_stream_merged(spark, target_table: str) -> DataFrame:

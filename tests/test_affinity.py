@@ -410,7 +410,14 @@ def test_mmr_demotes_planted_duplicate(spark):
 
 
 def test_mmr_matches_reference_greedy(spark, sf_dir):
-    from _spark_multi_format_data_lake_pipeline_spark.functions.vectors import cosine_similarity
+    """Fully independent reference: cosines recomputed in numpy from the
+    raw vectors (not through the engine's Spark expressions), rounded to
+    the same 6 decimals, then the textbook greedy in plain Python. A
+    formula error in the engine's cosine OR a selection-rule bug both
+    break this equality (the 6-decimal pre-round is what makes numpy's
+    different summation order agree with the JVM fold)."""
+    import numpy as np
+
     from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import mmr_rerank
     from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
 
@@ -419,21 +426,21 @@ def test_mmr_matches_reference_greedy(spark, sf_dir):
         (r["rank"], r["vec_id"])
         for r in mmr_rerank(emb, 0, 1, 40, k=8).orderBy("rank").collect()
     ]
-    # independent reference: recompute rel/sim through the same Spark
-    # expressions, then run the textbook greedy in plain Python
-    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    qarr = F.array(*[F.lit(float(x)) for x in qv])
-    cand = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 40)).select(
-        "vec_id", F.round(cosine_similarity(F.col("embedding"), qarr), 6).alias("rel"), "embedding"
-    )
-    rel = {r["vec_id"]: r["rel"] for r in cand.collect()}
-    a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in emb.filter(F.col("vec_id") <= 40).collect()
+    }
+    qv = rows[0]
+
+    def cos(u, v):
+        return round(float(np.dot(u, v)) / (float(np.linalg.norm(u)) * float(np.linalg.norm(v))), 6)
+
+    rel = {i: cos(v, qv) for i, v in rows.items() if i >= 1}
     sim = {
-        (r["ia"], r["ib"]): r["s"]
-        for r in a.join(b, F.col("ia") != F.col("ib"))
-        .select("ia", "ib", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"))
-        .collect()
+        (i, j): cos(rows[i], rows[j])
+        for i in rel
+        for j in rel
+        if i != j
     }
     expected = list(enumerate(_numpy_mmr(rel, sim, 8, 0.7, 0.3), start=1))
     assert got == expected
@@ -534,3 +541,28 @@ def test_observed_expectations_piggyback_on_action(spark, tmp_path):
         observe(df, [unique("u", "id")])
     with pytest.raises(ValueError, match="at least one rule"):
         observe(df, [])
+
+
+def test_mmr_zero_norm_vector_raises(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        mmr_rerank(emb, 0, 1, 2, k=2)
+
+
+def test_observe_rejects_duplicate_and_reserved_names(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+        in_range,
+        not_null,
+        observe,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        observe(df, [not_null("x", "id"), in_range("x", "v", 0, 1)])
+    with pytest.raises(ValueError, match="reserved"):
+        observe(df, [not_null("n_checked", "id")])
