@@ -354,3 +354,102 @@ def stream_expectations_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_kmeans_stats_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold one micro-batch's per-cluster sufficient statistics — (count,
+    per-dimension sums) under a FIXED centroid assignment — into a
+    persisted stats table, exactly once (``_fold_partitioned``; sums and
+    counts ADD). Fixing the assignment centroids is what makes the fold
+    order-independent and replay-idempotent: assignment depends only on
+    the batch's own vectors, never on evolving state. The merged stats
+    yield refreshed centroids (``kmeans_stats_merged``) — the mini-batch
+    k-means maintenance loop: periodically re-fit, swap the centroid
+    list, keep folding. Module-level so tests can drive a replay."""
+    from pyspark.sql import functions as F
+
+    from ..llm.clustering import assign_clusters
+
+    cluster, _ = assign_clusters(F.col(vec_col), centroids)
+    dim = len(centroids[0])
+    assigned = batch_df.select(
+        cluster.alias("cluster"), F.col(vec_col).alias("_v")
+    )
+    partial = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.array(
+                *[
+                    F.sum(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"_s{i}")
+                    for i in range(dim)
+                ]
+            ).alias("sums"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    _fold_partitioned(batch_spark, partial, target_table)
+
+
+def kmeans_stats_merged(spark, target_table: str) -> DataFrame:
+    """(cluster, n, centroid): totals over all folded batches; centroid =
+    element-wise sum/​count — the refreshed mean under the fixed
+    assignment, identical to a one-pass batch computation over the full
+    history (converges-to-batch test)."""
+    from pyspark.sql import functions as F
+
+    totals = (
+        spark.table(target_table)
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.array(
+                *[
+                    F.sum(F.element_at("sums", i + 1)).alias(f"_t{i}")
+                    for i in range(
+                        len(spark.table(target_table).select("sums").head()["sums"])
+                    )
+                ]
+            ).alias("sums"),
+        )
+    )
+    return totals.select(
+        "cluster",
+        "n",
+        F.transform("sums", lambda s: s / F.col("n")).alias("centroid"),
+    )
+
+
+def stream_kmeans_stats_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    centroids: list,
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch incremental mini-batch k-means sufficient statistics
+    under a fixed quantizer — per-batch cluster (count, sum) partials
+    folded partition-per-batch (additive → same exactly-once design as
+    the CMS and expectations sinks)."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_kmeans_stats_batch(
+            batch_df.sparkSession, batch_df, batch_id, target_table, centroids, vec_col
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

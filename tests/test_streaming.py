@@ -604,3 +604,77 @@ def test_stream_expectations_converges_and_replay_is_idempotent(
     fold_expectations_batch(spark, half_b, last_batch, tbl, rules)
     assert sorted(map(tuple, expectations_stream_merged(spark, tbl).collect())) == batch
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_kmeans_stats_converges_and_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Mini-batch k-means sufficient statistics under a FIXED quantizer:
+    the partition-per-batch fold must (a) yield the same per-cluster
+    counts and mean centroids as a one-pass batch computation, and (b) be
+    a no-op under a foreachBatch replay (sums/counts ADD)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.clustering import assign_clusters
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        fold_kmeans_stats_batch,
+        kmeans_stats_merged,
+        stream_kmeans_stats_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fixed quantizer: the 4 lowest-id vectors (same seeds as q150)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    src = tmp_path / "km_src"
+    emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    tbl = f"km_stats_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_kmeans_stats_sink(stream, tbl, str(tmp_path / "km_ckpt"), cents)
+    q.awaitTermination()
+
+    def rounded(df):
+        return sorted(
+            (r["cluster"], r["n"], tuple(round(x, 6) for x in r["centroid"]))
+            for r in df.collect()
+        )
+
+    merged = rounded(kmeans_stats_merged(spark, tbl))
+
+    cluster, _ = assign_clusters(F.col("embedding"), cents)
+    dim = len(cents[0])
+    batch = rounded(
+        emb.select(cluster.alias("cluster"), F.col("embedding").alias("_v"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.array(
+                *[
+                    (F.sum(F.element_at(F.col("_v"), i + 1).cast("double")) / F.count(F.lit(1)))
+                    for i in range(dim)
+                ]
+            ).alias("centroid"),
+        )
+    )
+    assert merged == batch
+
+    # replay the last folded batch: partition overwrite must be a no-op
+    last_batch = spark.table(tbl).agg(F.max("batch_id")).collect()[0][0]
+    half_b = spark.read.parquet(str(src / "b"))
+    fold_kmeans_stats_batch(spark, half_b, last_batch, tbl, cents)
+    assert rounded(kmeans_stats_merged(spark, tbl)) == batch
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
