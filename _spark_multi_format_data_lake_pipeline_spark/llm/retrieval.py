@@ -266,3 +266,88 @@ def bm25_topk_from_postings(
         .orderBy(F.col("bm25_score").desc(), id_col)
         .limit(k)
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Distributed ranking-quality evaluation: per-query NDCG@k, MRR@k
+    (reciprocal rank of the first relevant hit), and recall@k, averaged
+    over queries — the metrics that gate a retrieval/rerank stage before
+    its output feeds a training-data mixture.
+
+    ``results``: (query, doc, rank 1-based) system output;
+    ``qrels``: (query, doc, graded relevance >= 0). Join on (query, doc)
+    is the only data-sized shuffle; DCG/IDCG are per-query aggregates of
+    the joined top-k — everything else is column math. Only queries WITH
+    at least one relevant document are scored (n_queries counts those);
+    a scored query the system found nothing for contributes 0 to all
+    three averages. IDCG truncates the ideal ranking at k like DCG
+    (standard NDCG@k); recall@k uses the attainable-at-k denominator
+    min(n_rel, k), so a perfect ranking scores 1 even when n_rel > k.
+
+    Returns ONE row: (n_queries, ndcg_at_k, mrr_at_k, recall_at_k),
+    rounded to 6.
+    """
+    topk = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(id_col), F.col(rank_col)
+    )
+    rel = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col), F.col(id_col), F.col(rel_col)
+    )
+
+    # per-query DCG and first-relevant rank over the system's top-k
+    hits = topk.join(rel, [query_col, id_col])
+    per_q_hits = hits.groupBy(query_col).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col(rel_col)) - 1.0)
+            / F.log2(F.col(rank_col) + 1.0)
+        ).alias("dcg"),
+        (1.0 / F.min(rank_col)).alias("rr"),
+        F.count(F.lit(1)).cast("long").alias("hits_at_k"),
+    )
+
+    # per-query IDCG: ideal ordering of ALL relevant docs, truncated at k
+    wq = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    ideal = (
+        rel.withColumn("_irank", F.row_number().over(wq))
+        .filter(F.col("_irank") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(rel_col)) - 1.0)
+                / F.log2(F.col("_irank") + 1.0)
+            ).alias("idcg"),
+        )
+    )
+    n_rel = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+
+    per_q = (
+        n_rel.join(ideal, query_col)
+        .join(per_q_hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg"),
+            F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr"),
+            (
+                F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+                / F.least(F.col("n_rel"), F.lit(k)).cast("double")
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
+        F.round(F.avg("rr"), 6).alias("mrr_at_k"),
+        F.round(F.avg("recall"), 6).alias("recall_at_k"),
+    )

@@ -269,3 +269,53 @@ def test_bm25_from_prebuilt_index_equals_scan_form(spark, sf_dir):
         for r in bm25_topk_from_postings(postings, doclens, terms, k=50).collect()
     ]
     assert idx == scan
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import ranking_metrics
+
+    # q1: docs a(rel 2) at rank 1, c(rel 1) at rank 3; b irrelevant at 2.
+    # qrels also has d(rel 3) which the system missed entirely.
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 2), ("q1", "c", 1), ("q1", "d", 3)],
+        "query_id string, doc_id string, relevance int",
+    )
+    row = ranking_metrics(results, qrels, k=3).head()
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert row["n_queries"] == 1
+    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+    assert row["mrr_at_k"] == 1.0  # first hit at rank 1
+    assert row["recall_at_k"] == round(2 / 3, 6)  # 2 of 3 relevant found
+
+
+def test_ranking_metrics_perfect_and_empty(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import ranking_metrics
+
+    # perfect ranking, n_rel > k: recall uses the attainable-at-k denom
+    results = spark.createDataFrame(
+        [("q", f"d{i}", i) for i in range(1, 4)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", f"d{i}", 5 - i) for i in range(1, 6)],  # 5 relevant, graded desc
+        "query_id string, doc_id string, relevance int",
+    )
+    row = ranking_metrics(results, qrels, k=3).head()
+    assert row["ndcg_at_k"] == 1.0
+    assert row["mrr_at_k"] == 1.0
+    assert row["recall_at_k"] == 1.0
+
+    # a query whose top-k has NO relevant docs scores 0 across the board
+    miss = spark.createDataFrame(
+        [("q", "x", 1)], "query_id string, doc_id string, rank int"
+    )
+    row2 = ranking_metrics(miss, qrels, k=3).head()
+    assert row2["n_queries"] == 1
+    assert (row2["ndcg_at_k"], row2["mrr_at_k"], row2["recall_at_k"]) == (0.0, 0.0, 0.0)
