@@ -295,11 +295,19 @@ def ranking_metrics(
     Returns ONE row: (n_queries, ndcg_at_k, mrr_at_k, recall_at_k),
     rounded to 6.
     """
-    topk = results.filter(F.col(rank_col) <= k).select(
-        F.col(query_col), F.col(id_col), F.col(rank_col)
+    # canonicalize both inputs to one row per (query, doc): merged qrels
+    # files commonly repeat judgments (keep the max grade), and a
+    # malformed run listing a doc twice must not double-count its DCG
+    # contribution (keep the best rank)
+    topk = (
+        results.filter(F.col(rank_col) <= k)
+        .groupBy(query_col, id_col)
+        .agg(F.min(rank_col).alias(rank_col))
     )
-    rel = qrels.filter(F.col(rel_col) > 0).select(
-        F.col(query_col), F.col(id_col), F.col(rel_col)
+    rel = (
+        qrels.filter(F.col(rel_col) > 0)
+        .groupBy(query_col, id_col)
+        .agg(F.max(rel_col).alias(rel_col))
     )
 
     # per-query DCG and first-relevant rank over the system's top-k
@@ -345,9 +353,11 @@ def ranking_metrics(
             ).alias("recall"),
         )
     )
+    # coalesce: with zero scorable queries AVG is NULL — report 0.0 so a
+    # numeric gate comparison never meets None
     return per_q.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
-        F.round(F.avg("rr"), 6).alias("mrr_at_k"),
-        F.round(F.avg("recall"), 6).alias("recall_at_k"),
+        F.coalesce(F.round(F.avg("ndcg"), 6), F.lit(0.0)).alias("ndcg_at_k"),
+        F.coalesce(F.round(F.avg("rr"), 6), F.lit(0.0)).alias("mrr_at_k"),
+        F.coalesce(F.round(F.avg("recall"), 6), F.lit(0.0)).alias("recall_at_k"),
     )

@@ -379,7 +379,9 @@ def fold_kmeans_stats_batch(
 
     cluster, _ = assign_clusters(F.col(vec_col), centroids)
     dim = len(centroids[0])
-    assigned = batch_df.select(
+    # null vectors would assign to a spurious cluster=NULL group (squared
+    # distance is null-propagating) — drop them like kmeans_lloyd does
+    assigned = batch_df.filter(F.col(vec_col).isNotNull()).select(
         cluster.alias("cluster"), F.col(vec_col).alias("_v")
     )
     partial = (
@@ -398,11 +400,14 @@ def fold_kmeans_stats_batch(
     _fold_partitioned(batch_spark, partial, target_table)
 
 
-def kmeans_stats_merged(spark, target_table: str) -> DataFrame:
+def kmeans_stats_merged(spark, target_table: str, dim: int) -> DataFrame:
     """(cluster, n, centroid): totals over all folded batches; centroid =
-    element-wise sum/​count — the refreshed mean under the fixed
+    element-wise sum/count — the refreshed mean under the fixed
     assignment, identical to a one-pass batch computation over the full
-    history (converges-to-batch test)."""
+    history (converges-to-batch test). ``dim`` is the vector dimension
+    the caller already knows from its centroid list (deriving it with a
+    head() probe would cost an extra driver job per re-fit and break on
+    an empty stats table)."""
     from pyspark.sql import functions as F
 
     totals = (
@@ -411,12 +416,7 @@ def kmeans_stats_merged(spark, target_table: str) -> DataFrame:
         .agg(
             F.sum("n").cast("long").alias("n"),
             F.array(
-                *[
-                    F.sum(F.element_at("sums", i + 1)).alias(f"_t{i}")
-                    for i in range(
-                        len(spark.table(target_table).select("sums").head()["sums"])
-                    )
-                ]
+                *[F.sum(F.element_at("sums", i + 1)).alias(f"_t{i}") for i in range(dim)]
             ).alias("sums"),
         )
     )

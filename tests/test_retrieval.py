@@ -304,7 +304,7 @@ def test_ranking_metrics_perfect_and_empty(spark):
         "query_id string, doc_id string, rank int",
     )
     qrels = spark.createDataFrame(
-        [("q", f"d{i}", 5 - i) for i in range(1, 6)],  # 5 relevant, graded desc
+        [("q", f"d{i}", 5 - i) for i in range(1, 6)],  # d1..d4 relevant (d5 grade 0)
         "query_id string, doc_id string, relevance int",
     )
     row = ranking_metrics(results, qrels, k=3).head()

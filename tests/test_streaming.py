@@ -653,7 +653,7 @@ def test_stream_kmeans_stats_converges_and_replay_is_idempotent(
             for r in df.collect()
         )
 
-    merged = rounded(kmeans_stats_merged(spark, tbl))
+    merged = rounded(kmeans_stats_merged(spark, tbl, len(cents[0])))
 
     cluster, _ = assign_clusters(F.col("embedding"), cents)
     dim = len(cents[0])
@@ -676,5 +676,5 @@ def test_stream_kmeans_stats_converges_and_replay_is_idempotent(
     last_batch = spark.table(tbl).agg(F.max("batch_id")).collect()[0][0]
     half_b = spark.read.parquet(str(src / "b"))
     fold_kmeans_stats_batch(spark, half_b, last_batch, tbl, cents)
-    assert rounded(kmeans_stats_merged(spark, tbl)) == batch
+    assert rounded(kmeans_stats_merged(spark, tbl, len(cents[0]))) == batch
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
