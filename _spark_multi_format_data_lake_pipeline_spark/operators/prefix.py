@@ -7,13 +7,20 @@ partition working regardless of group count, with the same
 range-partition + O(P) driver prefix recipe as ``operators/ids.py``
 (prefix-sum) and ``operators/skyline.py`` (prefix-max):
 
-1. range-partition + sort by (group…, order) — one shuffle, all
+1. range-partition + sort by (group…, order), stamp each row with its
+   frozen partition id, eagerly localCheckpoint — one shuffle, all
    partitions work; each group occupies a contiguous partition span,
 2. one tiny job: per-(partition, group) value sums — the driver receives
    O(P + groups-that-straddle-boundaries) rows, not data rows,
-3. exclusive per-group prefix on the driver, broadcast,
-4. one ``mapInPandas`` pass: vectorized per-group cumsum + the
-   partition's group offset.
+3. exclusive per-group prefix on the driver → a tiny (pid, group…,
+   offset) table, broadcast-joined back,
+4. the running sum itself is a JVM window over (pid, group…) — within
+   one physical partition, so parallelism is P×|local groups| and no
+   task ever holds more than one partition's rows — plus the offset.
+
+Entirely JVM-side: no Python/Arrow round-trip in the data path (an
+earlier mapInPandas formulation paid ~2x the runtime in Arrow
+serialization alone).
 
 Numerically: values are summed as doubles. For exactly-representable
 sums (integer-valued weights like q171's quantities) the result is
@@ -25,20 +32,20 @@ double (use the window if you need exact decimal arithmetic). For
 HIGH-cardinality groups the plain window is already parallel and
 cheaper — use it; this exists for the few-groups regime.
 
-The sorted stage is persisted while the two passes run (range
-boundaries come from sampling; both jobs must read the same
-materialization), then the result is eagerly localCheckpoint-ed and the
-cache dropped — same leak-free posture as ``operators/skyline.py``; the
-checkpoint blocks live exactly as long as the returned frame.
+The sorted+stamped stage is eagerly localCheckpoint-ed (range-partition
+boundaries come from sampling AND spark_partition_id is
+execution-dependent; the partials job and the window pass must read the
+same frozen materialization) — one input-sized materialization whose
+blocks live exactly as long as the returned frame's lineage, nothing
+persisted into the session cache. Same posture as
+``operators/skyline.py``.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
-import pandas as pd
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,82 +62,59 @@ def grouped_running_sum(
     unique per row (ties would make the running sum order-dependent —
     pre-aggregate to that grain first, which is also what bounds the
     data volume). NULL group keys raise: SQL windows treat NULL as a
-    normal partition but pandas groupby and the driver prefix dict
+    normal partition but the driver prefix map and the offset join
     disagree on NULL identity, so rather than return silently wrong
     sums the operator refuses (filter or fillna the group column
     first)."""
-    from pyspark import StorageLevel, TaskContext
-
     sess = df.sparkSession
     parts = int(num_partitions or sess.conf.get("spark.sql.shuffle.partitions"))
     gcols = list(group_cols)
     # fail loudly instead of silently overwriting caller data (the
     # epoch_shard_order lesson, r4 ADVICE)
-    taken = {c for c in ("_gv", "_pid", out_col) if c in df.columns}
+    taken = {c for c in ("_gv", "_pid", "_off", out_col) if c in df.columns}
     if taken:
         raise ValueError(f"grouped_running_sum: column(s) {sorted(taken)} already exist")
 
     # internal double lane: makes DECIMAL/int value columns safe for the
-    # pandas cumsum and the driver float accumulation (precision note in
-    # the module docstring)
+    # window sum and the driver float accumulation (precision note in the
+    # module docstring). The partition id is stamped BEFORE the
+    # checkpoint so both downstream jobs see the same frozen row→pid map.
     ordered = (
         df.withColumn("_gv", F.col(value_col).cast("double"))
         .repartitionByRange(parts, *gcols, order_col)
         .sortWithinPartitions(*gcols, order_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
-    partials = (
-        ordered.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid", *gcols)
-        .agg(F.sum("_gv").alias("_s"))
-        .collect()
-    )
+    partials = ordered.groupBy("_pid", *gcols).agg(F.sum("_gv").alias("_s")).collect()
     if any(any(row[c] is None for c in gcols) for row in partials):
-        ordered.unpersist()
         raise ValueError(
             f"grouped_running_sum: NULL values in group column(s) {gcols}; "
             "fill or filter them first"
         )
-    single = len(gcols) == 1
     acc: dict = {}
-    prefix: dict[int, dict] = {}
+    offsets: list[tuple] = []
     for row in sorted(partials, key=lambda r: r["_pid"]):
-        g = row[gcols[0]] if single else tuple(row[c] for c in gcols)
-        prefix.setdefault(row["_pid"], {})[g] = acc.get(g, 0.0)
+        g = tuple(row[c] for c in gcols)
+        offsets.append((row["_pid"], *g, acc.get(g, 0.0)))
         acc[g] = acc.get(g, 0.0) + row["_s"]
-    bprefix = sess.sparkContext.broadcast(prefix)
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    out_schema = StructType(
-        [f for f in ordered.schema.fields if f.name != "_gv"]
-        + [StructField(out_col, DoubleType(), True)]
+    gfields = [f for f in ordered.schema.fields if f.name in gcols]
+    off_schema = StructType(
+        [StructField("_pid", ordered.schema["_pid"].dataType, False)]
+        + gfields
+        + [StructField("_off", DoubleType(), False)]
     )
+    off_df = sess.createDataFrame(offsets, off_schema)
 
-    def _running(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        offs = dict(bprefix.value.get(pid, {}))
-        for pdf in it:
-            if single:
-                # vectorized dict-map; avoids building per-row tuples
-                keys = pdf[gcols[0]]
-                start = keys.map(offs).fillna(0.0)
-            else:
-                keys = pd.Series(
-                    list(zip(*(pdf[c] for c in gcols))), index=pdf.index
-                )
-                start = keys.map(lambda k: offs.get(k, 0.0))
-            cum = pdf.groupby(keys, sort=False)["_gv"].cumsum()
-            pdf[out_col] = (cum + start).astype("float64")
-            # carry the per-group running total into the next Arrow batch
-            ends = pdf.groupby(keys, sort=False)[out_col].last()
-            for k, v in ends.items():
-                offs[k] = v
-            yield pdf.drop(columns=["_gv"])
-
-    out = ordered.mapInPandas(_running, schema=out_schema).localCheckpoint(
-        eager=True
+    # JVM window WITHIN the frozen partition: parallelism P x local
+    # groups, each window partition bounded by one physical partition
+    w = Window.partitionBy("_pid", *gcols).orderBy(order_col)
+    return (
+        ordered.join(F.broadcast(off_df), ["_pid", *gcols])
+        .withColumn(out_col, F.sum("_gv").over(w) + F.col("_off"))
+        .drop("_gv", "_pid", "_off")
     )
-    ordered.unpersist()
-    return out

@@ -43,8 +43,6 @@ def pareto_frontier_2d(
 ) -> DataFrame:
     """Rows of ``df`` not dominated under (lower ``minimize``, higher
     ``maximize``) preference. Returns the full original rows."""
-    from pyspark import StorageLevel
-
     sess = df.sparkSession
     parts = int(
         num_partitions or sess.conf.get("spark.sql.shuffle.partitions")
@@ -58,12 +56,15 @@ def pareto_frontier_2d(
     # 1. one candidate point per cost value (map-side partial agg)
     cand = clean.groupBy(minimize).agg(F.max(maximize).alias("_best"))
 
-    # 2. range-partition + sort by cost; persist so the per-partition max
-    # job and the survivor pass read the same sampled range boundaries
+    # 2. range-partition + sort by cost; eager localCheckpoint so the
+    # per-partition-max job and the survivor pass read the SAME sampled
+    # range boundaries — one candidate-sized materialization whose blocks
+    # live as long as the returned frame's lineage, nothing left in the
+    # session cache (the r5-advice curation.py lesson)
     ordered = (
         cand.repartitionByRange(parts, minimize)
         .sortWithinPartitions(minimize)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     # 3. per-partition max of _best → exclusive prefix max on the driver
@@ -97,14 +98,9 @@ def pareto_frontier_2d(
             yield pdf[vals > excl[:-1]]
             run = excl[-1]
 
-    # Materialize the survivor pass (eager localCheckpoint, same posture as
-    # operators/graph.py) so `ordered` can be unpersisted HERE instead of
-    # leaking a cached frame into the caller's session (the r5-advice
-    # curation.py lesson).
-    frontier_pts = ordered.mapInPandas(
-        _survivors, schema=ordered.schema
-    ).localCheckpoint(eager=True)
-    ordered.unpersist()
+    # lazy: any recomputation replays deterministically from the frozen
+    # checkpointed partitioning
+    frontier_pts = ordered.mapInPandas(_survivors, schema=ordered.schema)
 
     # 5. recover ties: every original row sitting exactly on a frontier
     # point survives. Frontier points are few → broadcast semi-join.
