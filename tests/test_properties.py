@@ -412,3 +412,88 @@ def test_grouped_running_sum_equals_window(spark, rows, parts):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 20)),
+            st.one_of(st.none(), st.floats(-5, 25, allow_nan=False)),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_expectations_match_pandas_reference(spark, rows):
+    """expect()'s counting semantics == a plain-Python reference for any
+    (nullable id, nullable value) table: null handling, range bounds,
+    uniqueness surplus."""
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+        expect,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(rows or [(None, None)], "id int, v double")
+    data = rows or [(None, None)]
+    got = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in expect(
+            df,
+            [
+                not_null("nn", "id"),
+                in_range("rng", "v", 0.0, 10.0),
+                unique("uq", "id"),
+            ],
+        ).collect()
+    }
+    n = len(data)
+    nn = sum(1 for i, _ in data if i is None)
+    rng = sum(1 for _, v in data if v is not None and (v < 0.0 or v > 10.0))
+    from collections import Counter
+
+    uq = sum(c - 1 for c in Counter(i for i, _ in data).values())
+    assert got == {"nn": (nn, n), "rng": (rng, n), "uq": (uq, n)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 40),
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@_SETTINGS
+def test_grouped_running_sum_float_weights_close_to_window(spark, rows):
+    """For INEXACT doubles the operator's partial-sum association may
+    differ from the window's strict fold in low-order bits (documented);
+    assert closeness, not bit-equality — the bitwise guarantee is scoped
+    to exactly-representable sums and pinned by the integer-weight
+    property above."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    w = Window.partitionBy("g").orderBy("o")
+    expected = {
+        (r["g"], r["o"]): r["cw"]
+        for r in df.select("g", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["cw"]
+        for r in grouped_running_sum(df, ["g"], "o", "v", out_col="cw", num_partitions=5).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-9, abs_tol=1e-9), k
