@@ -8,7 +8,7 @@ pattern the reference's batch-only design points toward.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import CatalogManager
