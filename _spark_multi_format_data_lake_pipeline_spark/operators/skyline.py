@@ -98,9 +98,13 @@ def pareto_frontier_2d(
             yield pdf[vals > excl[:-1]]
             run = excl[-1]
 
-    # lazy: any recomputation replays deterministically from the frozen
-    # checkpointed partitioning
-    frontier_pts = ordered.mapInPandas(_survivors, schema=ordered.schema)
+    # non-eager checkpoint: materializes at the FIRST action over the
+    # result and is reused by later actions, so a multi-action consumer
+    # does not re-run the Python survivor pass per action; recomputation
+    # before that point replays deterministically from the frozen input
+    frontier_pts = ordered.mapInPandas(
+        _survivors, schema=ordered.schema
+    ).localCheckpoint(eager=False)
 
     # 5. recover ties: every original row sitting exactly on a frontier
     # point survives. Frontier points are few → broadcast semi-join.

@@ -470,6 +470,53 @@ def test_grouped_running_sum_column_collision_raises(spark):
     df = spark.createDataFrame([("a", 1, 1.0, 0.0)], "g string, o int, v double, cw double")
     with pytest.raises(ValueError, match="already exist"):
         grouped_running_sum(df, ["g"], "o", "v", out_col="cw")
+    # out_col colliding with an INTERNAL name would be silently dropped
+    with pytest.raises(ValueError, match="out_col may not"):
+        grouped_running_sum(df.drop("cw"), ["g"], "o", "v", out_col="_off")
+
+
+def test_grouped_running_sum_group_cols_reversed_order(spark):
+    """Multi-column groups passed in a DIFFERENT order than the DataFrame
+    schema must still work (regression: the offset-table schema was built
+    in df-schema order while tuples were in gcols order — mixed-type
+    groups crashed, same-type groups silently returned empty)."""
+    from pyspark.sql import Window
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [("x", 1, 1, 2.0), ("x", 1, 2, 3.0), ("y", 2, 1, 5.0)]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, o int, v double")
+    w = Window.partitionBy("g1", "g2").orderBy("o")
+    expected = {
+        (r["g1"], r["g2"], r["o"]): r["cw"]
+        for r in df.select("g1", "g2", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    got = {
+        (r["g1"], r["g2"], r["o"]): r["cw"]
+        for r in grouped_running_sum(
+            df, ["g2", "g1"], "o", "v", out_col="cw", num_partitions=3
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_grouped_running_sum_all_null_value_slice(spark):
+    """A group whose values are entirely NULL must not crash the driver
+    accumulation; NULL values contribute nothing (window SUM skips them)."""
+    from pyspark.sql import Window
+    from _spark_multi_format_data_lake_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [("a", 1, None), ("a", 2, 3.0), ("b", 1, None), ("b", 2, None)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    w = Window.partitionBy("g").orderBy("o")
+    expected = {
+        (r["g"], r["o"]): r["cw"]
+        for r in df.select("g", "o", F.sum("v").over(w).alias("cw")).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["cw"]
+        for r in grouped_running_sum(df, ["g"], "o", "v", out_col="cw", num_partitions=2).collect()
+    }
+    assert got == expected
 
 
 def test_grouped_running_sum_decimal_values(spark):

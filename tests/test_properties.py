@@ -436,8 +436,10 @@ def test_expectations_match_pandas_reference(spark, rows):
         unique,
     )
 
-    df = spark.createDataFrame(rows or [(None, None)], "id int, v double")
-    data = rows or [(None, None)]
+    # genuinely empty frame for rows=[] — the SUM-over-zero-rows
+    # coalesce branch must be exercised, not substituted away
+    df = spark.createDataFrame(rows, "id int, v double")
+    data = rows
     got = {
         r["rule"]: (r["n_violations"], r["n_checked"])
         for r in expect(
