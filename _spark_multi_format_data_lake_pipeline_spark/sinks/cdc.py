@@ -55,3 +55,69 @@ def apply_cdc_batch(
     survivors = target.join(latest.select(*keys), keys, "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
     return survivors.unionByName(upserts)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """The INVERSE of :func:`apply_cdc_batch`: compare two versions of a
+    table and emit the minimal I/U/D change set that transforms ``old``
+    into ``new`` — snapshot-based CDC for sources without a change log,
+    replication verification, and backfill validation.
+
+    - I: key in new only (row payload = new row)
+    - U: key in both, any non-key column differs (payload = new row)
+    - D: key in old only (payload = old row — consumers often need the
+      deleted values for audit)
+    Unchanged rows emit nothing, so ``diff`` of identical tables is
+    empty. Null-safe comparison: a column changing NULL→value or
+    value→NULL counts as a change; NULL==NULL does not (eqNullSafe).
+
+    Round-trip law, property-tested:
+        apply_cdc_batch(old, table_diff(old, new, keys), keys) == new
+
+    Scale shape: ONE full-outer join on the key — both sides shuffle
+    once (bucketed tables join shuffle-free); change classification is
+    pure column math on the joined row. Schemas must match (raises
+    otherwise — a schema change is migration, not CDC).
+    """
+    keys = list(key_cols)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"table_diff: schemas differ (old={sorted(old.columns)}, "
+            f"new={sorted(new.columns)}); migrate schemas before diffing"
+        )
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in payload],
+        *keys,
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in payload],
+        *keys,
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_payload = [
+        F.when(op == "D", F.col(f"_o_{c}")).otherwise(F.col(f"_n_{c}")).alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*keys, *out_payload, op_col)
+    )

@@ -80,3 +80,53 @@ def test_stream_cdc_sink_converges_to_batch_apply(spark, tmp_path):
         assert got == {1: "a", 2: "B", 4: "d"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_table_diff_classifies_and_round_trips(spark):
+    """table_diff emits minimal I/U/D and apply(old, diff) == new."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> no row
+         (2, "b2", 20.0),     # U (name)
+         (3, "c", 30.0),      # U (NULL -> value)
+         (5, "e", 50.0)],     # I; id 4 deleted
+        "id int, name string, v double",
+    )
+    diff = table_diff(old, new, ["id"])
+    got = {r["id"]: r["op"] for r in diff.collect()}
+    assert got == {2: "U", 3: "U", 4: "D", 5: "I"}
+    # D rows carry the old payload for audit
+    d4 = diff.filter("id = 4").head()
+    assert (d4["name"], d4["v"]) == ("d", 40.0)
+
+    applied = apply_cdc_batch(old, diff, ["id"])
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+    # diff of identical tables is empty; schema mismatch raises
+    assert table_diff(new, new, ["id"]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schemas differ"):
+        table_diff(old.drop("v"), new, ["id"])
+
+
+def test_table_diff_round_trip_property(spark):
+    """Randomized round-trip: apply(old, diff(old, new)) == new for
+    arbitrary disjoint/overlapping key sets and payload churn."""
+    import random
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch, table_diff
+
+    rng = random.Random(17)
+    for trial in range(3):
+        old_rows = [(i, rng.choice("xyz"), float(rng.randint(0, 5))) for i in rng.sample(range(30), 12)]
+        new_rows = [(i, rng.choice("xyz"), float(rng.randint(0, 5))) for i in rng.sample(range(30), 12)]
+        old = spark.createDataFrame(old_rows, "id int, s string, v double")
+        new = spark.createDataFrame(new_rows, "id int, s string, v double")
+        applied = apply_cdc_batch(old, table_diff(old, new, ["id"]), ["id"])
+        assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new_rows)), trial

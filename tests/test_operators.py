@@ -480,3 +480,73 @@ def test_prefix_filter_reuses_stale_token_ranking_losslessly(spark):
             if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
         }
         assert got == want, f"rank={'stale' if rank is not None else 'self'}"
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+def _merge_ref(iv):
+    """Python reference: sort, sweep, merge overlapping-or-touching."""
+    out = []
+    for s, e in sorted(iv):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return sorted((s, e, n) for s, e, n in out)
+
+
+def test_merge_intervals_basic_and_touching(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.intervals import merge_intervals
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 12),   # overlap -> [0,12]
+        ("u", 12, 15),                # touching -> merges into [0,15]
+        ("u", 20, 25),                # gap -> own island
+        ("v", 3, 4),                  # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert got == [("u", 0, 15, 3), ("u", 20, 25, 1), ("v", 3, 4, 1)]
+
+
+def test_merge_intervals_matches_reference_random(spark):
+    import random
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.intervals import merge_intervals
+
+    rng = random.Random(23)
+    rows = []
+    per_key = {}
+    for k in ("a", "b", "c"):
+        iv = []
+        for _ in range(40):
+            s = rng.randint(0, 200)
+            e = s + rng.randint(0, 30)
+            iv.append((s, e))
+            rows.append((k, s, e))
+        per_key[k] = iv
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {}
+    for r in merge_intervals(df, ["k"], "s", "e").collect():
+        got.setdefault(r["k"], []).append((r["s"], r["e"], r["n_merged"]))
+    for k, iv in per_key.items():
+        assert sorted(got[k]) == _merge_ref(iv), k
+
+
+def test_merge_intervals_rejects_malformed(spark):
+    import pytest as _pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame([("u", 5, 3)], "k string, s int, e int")
+    with _pytest.raises(ValueError, match="inverted"):
+        merge_intervals(df, ["k"], "s", "e")
+    df2 = spark.createDataFrame([("u", None, 3)], "k string, s int, e int")
+    with _pytest.raises(ValueError, match="NULL or inverted"):
+        merge_intervals(df2, ["k"], "s", "e")
