@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from _spark_multi_format_data_lake_pipeline_spark.operators.joins import asof_join
@@ -550,3 +552,92 @@ def test_merge_intervals_rejects_malformed(spark):
     df2 = spark.createDataFrame([("u", None, 3)], "k string, s int, e int")
     with _pytest.raises(ValueError, match="NULL or inverted"):
         merge_intervals(df2, ["k"], "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (operators/attribution.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def touch_events(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: view, click, view -> purchase (3 touches)
+        (1, base + dt.timedelta(hours=0), 1, "view"),
+        (2, base + dt.timedelta(hours=1), 1, "click"),
+        (3, base + dt.timedelta(hours=2), 1, "view"),
+        (4, base + dt.timedelta(hours=3), 1, "purchase"),
+        # user 2: single click -> purchase
+        (5, base + dt.timedelta(hours=0), 2, "click"),
+        (6, base + dt.timedelta(hours=1), 2, "purchase"),
+        # user 3: touch OUTSIDE the lookback + purchase with no valid touch
+        (7, base - dt.timedelta(days=30), 3, "view"),
+        (8, base, 3, "purchase"),
+        # user 4: touch AFTER the conversion never counts
+        (9, base + dt.timedelta(hours=1), 4, "purchase"),
+        (10, base + dt.timedelta(hours=2), 4, "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_attribution_linear_and_first_last(spark, touch_events):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import multi_touch_credits
+
+    lin = {
+        r["channel"]: (r["n_touches"], r["credit"])
+        for r in multi_touch_credits(touch_events, "linear").collect()
+    }
+    # user1: view 2/3, click 1/3; user2: click 1 -> view 0.666667, click 1.333333
+    assert lin["view"] == (2, round(2 / 3, 6))
+    assert lin["click"] == (2, round(1 / 3 + 1.0, 6))
+
+    first = {
+        r["channel"]: r["credit"]
+        for r in multi_touch_credits(touch_events, "first").collect()
+    }
+    # user1 first touch = view; user2 first = click
+    assert first == {"view": 1.0, "click": 1.0}
+
+    last = {
+        r["channel"]: r["credit"]
+        for r in multi_touch_credits(touch_events, "last").collect()
+    }
+    # user1 last touch = view; user2 last = click
+    assert last == {"view": 1.0, "click": 1.0}
+
+
+def test_attribution_u_shaped_and_credit_conservation(spark, touch_events):
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import multi_touch_credits
+
+    u = {
+        r["channel"]: r["credit"]
+        for r in multi_touch_credits(touch_events, "u").collect()
+    }
+    # user1 (3 touches): first view 0.4, middle click 0.2, last view 0.4
+    # user2 (1 touch): click 1.0
+    assert u["view"] == 0.8
+    assert u["click"] == round(0.2 + 1.0, 6)
+
+    # credit conservation: every model's total == attributed conversions (2)
+    for model in ("first", "last", "linear", "u"):
+        total = (
+            multi_touch_credits(touch_events, model)
+            .agg(F.sum("credit").alias("t"))
+            .head()["t"]
+        )
+        assert abs(total - 2.0) < 1e-9, model
+
+
+def test_attribution_unknown_model_raises(spark, touch_events):
+    import pytest as _pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import multi_touch_credits
+
+    with _pytest.raises(ValueError, match="unknown attribution model"):
+        multi_touch_credits(touch_events, "shapley")
