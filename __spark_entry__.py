@@ -70,6 +70,21 @@ _RECHECK = (
 )
 
 
+# Queries registered AFTER this round's 50-slot window was already full
+# of never-verified backlog: they deliberately wait exactly one round
+# (first driver row in the next CORRECTNESS file). The backlog-fits test
+# allows overflow ONLY for names listed here, so queueing stays an
+# explicit decision, never silent. Each is already oracle-proven locally
+# at sf0.01 AND sf0.1 (tools/check.py; PLANS.md round-5 records). Remove
+# a name once a CORRECTNESS file shows it verified.
+_QUEUED = (
+    "q177_ranking_metrics",
+    "q179_table_diff",
+    "q180_merged_activity_spans",
+    "q181_attribution_linear",
+)
+
+
 def _is_verified(name: str, rec: dict) -> bool:
     if rec.get("err") == "no_oracle":
         rows_only = QUERIES[name].oracle is None

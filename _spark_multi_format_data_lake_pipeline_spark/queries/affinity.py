@@ -608,3 +608,233 @@ def q176_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, query_id=0, lo=1, hi=60, k=10, lam=0.7, mu=0.3)
+
+
+# ---------------------------------------------------------------------------
+# q177-q181 — registered after this round's driver window filled: their
+# first driver row lands next round (see __spark_entry__._QUEUED);
+# correctness is already proven by tools/check.py at sf0.01 AND sf0.1.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q177_ranking_metrics",
+    oracle="""
+    WITH results AS (
+      SELECT 'q1' AS query_id, doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+    ),
+    qrels AS (
+      SELECT 'q1' AS query_id, doc_id,
+             CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1 ELSE 0 END
+               AS relevance
+      FROM documents
+    ),
+    rel AS (SELECT query_id, doc_id, relevance FROM qrels WHERE relevance > 0),
+    hits AS (
+      SELECT r.query_id,
+             SUM((POW(2.0, rel.relevance) - 1.0) / LOG2(r.rank + 1.0)) AS dcg,
+             1.0 / MIN(r.rank) AS rr,
+             CAST(COUNT(*) AS BIGINT) AS hits_at_k
+      FROM results r JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+      WHERE r.rank <= 10
+      GROUP BY r.query_id
+    ),
+    ideal AS (
+      SELECT query_id, SUM((POW(2.0, relevance) - 1.0) / LOG2(irank + 1.0)) AS idcg
+      FROM (SELECT query_id, relevance,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, doc_id) AS irank
+            FROM rel) t
+      WHERE irank <= 10 GROUP BY query_id
+    ),
+    nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY query_id),
+    per_q AS (
+      SELECT nr.query_id,
+             COALESCE(hits.dcg / ideal.idcg, 0.0) AS ndcg,
+             COALESCE(hits.rr, 0.0) AS rr,
+             CAST(COALESCE(hits.hits_at_k, 0) AS DOUBLE) / LEAST(nr.n_rel, 10) AS recall
+      FROM nr JOIN ideal ON nr.query_id = ideal.query_id
+              LEFT JOIN hits ON nr.query_id = hits.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           COALESCE(ROUND(AVG(ndcg), 6), 0.0) AS ndcg_at_k,
+           COALESCE(ROUND(AVG(rr), 6), 0.0) AS mrr_at_k,
+           COALESCE(ROUND(AVG(recall), 6), 0.0) AS recall_at_k
+    FROM per_q
+    """,
+    doc="llm/retrieval.py::ranking_metrics over a deterministic system "
+        "run (top-10 docs by n_chars, id tie-break) and graded qrels "
+        "(lang en=2 / de=1) — NDCG@10, MRR@10, recall@10 with the "
+        "attainable-at-k denominator, the evaluation gate a retrieval "
+        "stage passes before feeding a training mixture. One (query, "
+        "doc) join is the only data-sized shuffle; the oracle replays "
+        "the identical log2 arithmetic.",
+)
+def q177_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.retrieval import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    results = (
+        docs.select("doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+        .withColumn("query_id", F.lit("q1"))
+    )
+    qrels = docs.select(
+        F.lit("q1").alias("query_id"),
+        "doc_id",
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 1)
+        .otherwise(0)
+        .alias("relevance"),
+    )
+    return ranking_metrics(results, qrels, k=10)
+
+
+@register(
+    "q179_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      -- mutation is an exact IEEE add, NOT a decimal round: Spark's
+      -- HALF_UP-on-BigDecimal and DuckDB's C-double rounding disagree
+      -- on last-cent boundaries of x*1.1
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             o.o_orderstatus AS os, o.o_totalprice AS opr,
+             n.o_orderstatus AS ns, n.o_totalprice AS npr
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_new THEN os ELSE ns END AS o_orderstatus,
+           CASE WHEN NOT in_new THEN opr ELSE npr END AS o_totalprice,
+           CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D'
+                WHEN os IS DISTINCT FROM ns OR opr IS DISTINCT FROM npr
+                THEN 'U' END AS op
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new)
+       OR os IS DISTINCT FROM ns OR opr IS DISTINCT FROM npr
+    """,
+    doc="sinks/cdc.py::table_diff between two deterministic snapshots of "
+        "orders (old: keys %7<>0; new: keys %5<>0 with a 10% price bump "
+        "on %3==0) — the minimal I/U/D change set, snapshot-based CDC "
+        "for sources without a change log. ONE full-outer key join; "
+        "eqNullSafe change detection == the oracle's IS DISTINCT FROM; "
+        "the round-trip law (apply(old, diff) == new) is property-"
+        "tested in tests/test_cdc.py.",
+)
+def q179_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.cdc import table_diff
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = od.filter(F.col("o_orderkey") % 7 != 0)
+    new = od.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+@register(
+    "q180_merged_activity_spans",
+    oracle="""
+    WITH iv AS (
+      -- explicit FLOOR everywhere: DuckDB CAST(double AS BIGINT) rounds
+      -- to nearest while Spark's cast truncates — floor agrees on both
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+             CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+               + CAST(FLOOR(value * 60) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    o AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM o
+    )
+    SELECT user_id, MIN(s) AS s, MAX(e) AS e,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+    doc="operators/intervals.py::merge_intervals over per-event activity "
+        "spans [ts, ts + value minutes] in integer epoch seconds — "
+        "overlapping or touching spans coalesce into maximal runs per "
+        "user (the gaps-and-islands idiom generalized from q168's unit "
+        "days to arbitrary ranges). One shuffle to the user grain; the "
+        "window parallelism is the user cardinality.",
+)
+def q180_merged_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    s = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast(
+        "bigint"
+    )
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * 60).cast("bigint")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+@register(
+    "q181_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS cu, ts AS cts, event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS tu, ts AS tts, event_id AS tid, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT cid, channel
+      FROM conv JOIN touch ON cu = tu AND tts < cts
+           AND tts >= cts - INTERVAL 604800 SECONDS
+    ),
+    wgt AS (
+      SELECT channel, 1.0 / COUNT(*) OVER (PARTITION BY cid) AS w FROM j
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(w), 6) AS credit
+    FROM wgt GROUP BY channel
+    """,
+    doc="operators/attribution.py::multi_touch_credits with the linear "
+        "model: every purchase splits one unit of credit equally over "
+        "its 7-day lookback touches — the multi-touch generalization of "
+        "q90's single-touch attribution join. Per-user bounded range "
+        "join + per-conversion count window; credit conservation "
+        "(total == attributed conversions) is property-tested across "
+        "all four models in tests/test_operators.py.",
+)
+def q181_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import multi_touch_credits
+
+    return multi_touch_credits(_t(spark, sf_dir, "events"), model="linear")

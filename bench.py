@@ -90,6 +90,10 @@ HEADLINE = [
     "q171_weighted_median",
     "q173_expectations_report",
     "q174_funnel_time_percentiles",
+    "q177_ranking_metrics",
+    "q179_table_diff",
+    "q180_merged_activity_spans",
+    "q181_attribution_linear",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

@@ -196,6 +196,16 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # three user-keyed stage groupBys + the progressive user_id
         # joins; AQE reuses the per-stage exchanges at runtime
         ("q174_funnel_time_percentiles", 10),
+        # results/qrels canonicalization groupBys + the (query, doc)
+        # metric joins; the report is two 1-row aggs
+        ("q177_ranking_metrics", 5),
+        # ONE full-outer key join (sort-merge; bucketed tables make it
+        # shuffle-free) — both snapshot scans shuffle once
+        ("q179_table_diff", 2),
+        # one shuffle to the user grain; window + island groupBy share it
+        ("q180_merged_activity_spans", 1),
+        # per-user conversions⋈touches + the channel rollup
+        ("q181_attribution_linear", 2),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
