@@ -37,36 +37,14 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record:
-    # - q87: r5 added the sha256 shingle lane to shingle_hashes (helper
-    #   edit; default-lane behavior identical); q87 consumes the helper.
-    "q87_incremental_dedup",
-    # - q75: connected_components persist-before-probe (graph.py, r5
-    #   ADVICE fix).
-    "q75_dedup_groups",
-    # - q134: epoch_shard_order collision guard (sampling.py, r5 ADVICE).
-    "q134_epoch_shuffle",
-    # - q96/q132: curate_corpus cache posture (curation.py, r5 ADVICE);
-    #   q132's body also changed (cache_cleaned=False).
-    "q96_curation_funnel",
-    "q132_curation_prefix",
-    # NOT re-listed: q90 — stream_stream_join gained a `how` param whose
-    # default ("inner") leaves q90's plan byte-identical; the new
-    # left-outer path has its own expiry-emission test and q151 driver
-    # row, and q90's batch-twin equivalence pytest re-executes the
-    # default path every run. Slot given to q176 (this round's new
-    # query) so the never-verified backlog still fits the 50-row window.
-    # Also NOT re-listed (slot economics: the 50-query driver window must also
-    # fit this round's never-verified backlog): the ROWS-ONLY queries
-    # touched by the same helper edits — q58/q129/q131 (lsh_bucket_bits
-    # null guard), q55/q74 (fingerprint sha lanes), q73/q101/q111
-    # (registration-doc-only edits). A rows-only driver row only proves
-    # "ran, produced N rows"; that exact signal is already refreshed this
-    # round by their hash-green sha-twins sitting in the fresh backlog
-    # (q137 exercises lsh_bucket_bits, q142/q143 the fingerprint lanes,
-    # q138/q136/q135 the IVF/HLL/CMS pipelines), and every one of them
-    # executes under pytest (test_queries_smoke). Re-add any of them here
-    # the moment their own pipeline code changes.
+    # their latest green record (all five r5 _RECHECK entries — q87, q75,
+    # q134, q96, q132 — came back green in CORRECTNESS_r05 and left):
+    # - q166: the r6 vocab-ranking fix (llm/dedup.py — the inline
+    #   prefix-filter path now orders by the (df_w, w) pair instead of a
+    #   global row_number rank; token_rank_table moved to the
+    #   range-partitioned assign_contiguous_ids recipe). Candidate
+    #   generation order changed, output contract identical — re-prove.
+    "q166_prefix_filter_neardup",
 )
 
 
@@ -77,12 +55,11 @@ _RECHECK = (
 # explicit decision, never silent. Each is already oracle-proven locally
 # at sf0.01 AND sf0.1 (tools/check.py; PLANS.md round-5 records). Remove
 # a name once a CORRECTNESS file shows it verified.
-_QUEUED = (
-    "q177_ranking_metrics",
-    "q179_table_diff",
-    "q180_merged_activity_spans",
-    "q181_attribution_linear",
-)
+#
+# r6: drained — the four r5-queued names (q177/q179/q180/q181) are still
+# never-verified so they sit at the head of the fresh backlog and get
+# their first driver rows this round without queueing.
+_QUEUED = ()
 
 
 def _is_verified(name: str, rec: dict) -> bool:

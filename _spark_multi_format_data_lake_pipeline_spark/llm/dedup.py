@@ -446,16 +446,23 @@ def token_rank_table(df: DataFrame, text_col: str) -> DataFrame:
     subsequent prefix-filter run (incremental crawls, repeated audits) —
     the ranking's only job is to be ONE consistent total order, so a
     stale ranking stays LOSSLESS; it only drifts away from the
-    bucket-minimizing rarest-first ideal as the corpus distribution moves."""
+    bucket-minimizing rarest-first ideal as the corpus distribution moves.
+
+    The dense rank is assigned with the range-partition + O(P)
+    driver-prefix recipe (``operators/ids.py::assign_contiguous_ids``),
+    NOT ``row_number() OVER (ORDER BY ...)``: a web-corpus vocabulary is
+    10^8-10^9 tokens and the unpartitioned window would sort all of it in
+    ONE task. The recipe is bit-identical to the window (q110 oracle) with
+    every partition working."""
+    from ..operators.ids import assign_contiguous_ids
+
     words = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("w")
     )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
-    return vocab.withColumn(
-        "r", F.row_number().over(Window.orderBy("df_w", "w"))
-    ).select("w", "r")
+    return assign_contiguous_ids(vocab, ["df_w", "w"], id_col="r").select("w", "r")
 
 
 def prefix_filter_jaccard_pairs(
@@ -475,8 +482,10 @@ def prefix_filter_jaccard_pairs(
 
     1. token sets + sizes (map-only);
     2. document frequency per token (one shuffle, vocab-sized);
-    3. rank tokens globally by ascending df (window over the VOCAB table —
-       |V| rows through a single partition, not the corpus);
+    3. order tokens globally by ascending (df, token) — the pair itself is
+       the total order, so no rank column (and no vocabulary-wide sort) is
+       ever materialized; a precomputed ``token_rank`` table substitutes
+       its dense rank here;
     4. each doc keeps only its ``sz - ceil(t*sz) + 1`` rarest tokens (its
        *prefix*); prefix-filter lemma (Chaudhuri et al., SSJoin; Xiao et
        al., PPJoin Lemma 1): any pair with Jaccard >= t must share a
@@ -521,11 +530,15 @@ def prefix_filter_jaccard_pairs(
         # Global rarest-first order; ties broken by the token itself so
         # the ranking is deterministic (soundness never depends on tie
         # order, but determinism keeps candidate counts reproducible).
+        # No dense rank is ever materialized: the prefix lemma only needs
+        # ONE total order shared by every document, and (df_w ASC, w ASC)
+        # already is one — so the per-doc position window below orders by
+        # the (df_w, w) PAIR directly. The r4/r5 formulation ranked the
+        # vocabulary with an unpartitioned row_number first, which sorts
+        # the whole 10^8-10^9-token web-corpus vocabulary in ONE task for
+        # a value the algorithm never needed.
         vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
-        vocab_ranked = vocab.withColumn(
-            "r", F.row_number().over(Window.orderBy("df_w", "w"))
-        ).select("w", "r")
-        ranked = words.join(vocab_ranked, "w")
+        ranked = words.join(vocab.withColumnRenamed("df_w", "r"), "w")
     else:
         # Precomputed (possibly STALE) ranking: tokens it never saw get
         # rank -1 — unseen tokens are almost certainly rare, so rarest-

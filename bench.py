@@ -231,6 +231,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    ingest = {k: v for k, v in timings.items() if k.startswith("ingest_")}
+    detail = {
+        "metric": "headline_suite_seconds_detail",
+        "value": total if not errors else None,
+        "unit": "sec",
+        "complete": not errors,
+        "queries": timings,
+        "cold_queries": cold,
+        "cold_total": cold_total if not errors else None,
+        "errors": errors,
+        "sf": sf,
+    }
+    # Per-query dicts go to a side file + an EARLIER stdout line; the
+    # LAST line stays compact. The driver's tail capture truncated the
+    # single giant JSON line two rounds running (BENCH_r04/r05 both
+    # recorded "parsed": null, silently dropping the steady timings and
+    # every ingest number the BASELINE comparison needs — r5 VERDICT).
+    # `queries` on the final line carries only the 4 ingest probes, so
+    # the driver contract shape ({"metric", "value", "unit", "queries",
+    # "sf"}) still holds while the line stays a few hundred bytes.
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(side, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        side = None
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -240,10 +267,11 @@ def main() -> None:
                 "value": total if not errors else None,
                 "unit": "sec",
                 "complete": not errors,
-                "queries": timings,
-                "cold_queries": cold,
+                "queries": ingest,
+                "n_headline": len(timings) - len(ingest),
                 "cold_total": cold_total if not errors else None,
-                "errors": errors,
+                "n_errors": len(errors),
+                "detail_file": side,
                 "sf": sf,
             }
         )

@@ -164,8 +164,8 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # LATERAL must rewrite to WindowGroupLimit, not per-row subqueries
         ("q162_lateral_top_orders", 2),
         # vocab df groupBy + per-doc position window + prefix join pair +
-        # candidate distinct + rescore joins + degree groupBy; the vocab
-        # ranking window is SinglePartition over |V| rows, not counted
+        # candidate distinct + rescore joins + degree groupBy; r6 removed
+        # the vocab ranking window entirely (order by the (df_w, w) pair)
         ("q166_prefix_filter_neardup", 9),
         # one shuffle to (priority, bucket-ordinal) grain; both windows
         # share it
@@ -196,9 +196,12 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # three user-keyed stage groupBys + the progressive user_id
         # joins; AQE reuses the per-stage exchanges at runtime
         ("q174_funnel_time_percentiles", 10),
-        # results/qrels canonicalization groupBys + the (query, doc)
-        # metric joins; the report is two 1-row aggs
-        ("q177_ranking_metrics", 5),
+        # per-lang WindowGroupLimit system run + results/qrels
+        # canonicalization groupBys + the (query, doc) metric joins; the
+        # report is the one sanctioned 1-row agg (r6: +2 vs r5 because
+        # the system run is now COMPUTED distributed — WindowGroupLimit
+        # over lang — instead of injected as a driver literal)
+        ("q177_ranking_metrics", 7),
         # ONE full-outer key join (sort-merge; bucketed tables make it
         # shuffle-free) — both snapshot scans shuffle once
         ("q179_table_diff", 2),
@@ -296,3 +299,24 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         assert n == expected
     finally:
         CatalogManager(spark).drop_database(db)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q166_prefix_filter_neardup", "q177_ranking_metrics"],
+)
+def test_no_single_partition_funnel_in_fact_sized_paths(spark, sf_dir, name):
+    """r6 regression guard for the two r5 VERDICT perf findings: q166's
+    vocabulary ranking used to be ``row_number() OVER (ORDER BY df_w, w)``
+    — a single-task sort of the whole vocabulary (10^8-10^9 tokens on a
+    web corpus) — and q177's harness built its system run with an
+    unpartitioned ranking window over every document. Both paths are now
+    funnel-free: q166 orders prefixes by the (df_w, w) pair directly and
+    q177 is a per-language WindowGroupLimit top-k. Any reappearing
+    ``Exchange SinglePartition`` below a Window/Sort is a structural
+    regression. (q177's FINAL one-row aggregate is the sole sanctioned
+    single-partition exchange — a k-row reduce, not a data funnel.)"""
+    plan = _simple_plan(spark, sf_dir, name)
+    n_single = plan.count("Exchange SinglePartition")
+    allowed = 1 if name == "q177_ranking_metrics" else 0
+    assert n_single <= allowed, f"{name}: {n_single} single-partition exchanges"
