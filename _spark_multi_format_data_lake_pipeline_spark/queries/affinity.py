@@ -851,3 +851,112 @@ def q181_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.attribution import multi_touch_credits
 
     return multi_touch_credits(_t(spark, sf_dir, "events"), model="linear")
+
+
+# ---------------------------------------------------------------------------
+# q182 — U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q182_attribution_u",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS cu, ts AS cts, event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS tu, ts AS tts, event_id AS tid, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT cid, tts, tid, channel
+      FROM conv JOIN touch ON cu = tu AND tts < cts
+           AND tts >= cts - INTERVAL 604800 SECONDS
+    ),
+    wgt AS (
+      SELECT channel,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, tid) AS pos,
+             COUNT(*) OVER (PARTITION BY cid) AS n
+      FROM j
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN pos = 1 THEN 0.4
+                          WHEN pos = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END), 6) AS credit
+    FROM wgt GROUP BY channel
+    """,
+    doc="operators/attribution.py::multi_touch_credits with the U-shaped "
+        "(position-based) model: 40% of each purchase's credit to the "
+        "first touch, 40% to the last, 20% spread over the middle "
+        "(degenerating to 100%/50-50 for 1/2 touches). Same bounded "
+        "per-user range join + per-conversion position window as q181's "
+        "linear model; the oracle replays the identical weight CASE in "
+        "the same literal doubles (0.4 / 0.2/(n-2) — both engines parse "
+        "the same IEEE values, and the 6-decimal round absorbs "
+        "association drift in the channel sums). Credit conservation "
+        "across all four models is property-tested in "
+        "tests/test_affinity.py.",
+)
+def q182_attribution_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import multi_touch_credits
+
+    return multi_touch_credits(_t(spark, sf_dir, "events"), model="u")
+
+
+# ---------------------------------------------------------------------------
+# q185 — GLOBAL interval coalescing (key-less gaps-and-islands, two-prefix)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q185_global_busy_spans",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+             CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+               + CAST(FLOOR(value * 5) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    o AS (
+      SELECT s, e,
+             MAX(e) OVER (ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ),
+    isl AS (
+      SELECT s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (ORDER BY s, e) AS island
+      FROM o
+    )
+    SELECT MIN(s) AS s, MAX(e) AS e, CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY island
+    """,
+    doc="operators/intervals.py::merge_intervals with key_cols=[] — the "
+        "system-wide busy timeline (spans [ts, ts + 5*value seconds] "
+        "across ALL users coalesced into maximal runs). The oracle is "
+        "the global-ORDER-BY gaps-and-islands window; the engine runs "
+        "the range-partition + O(P) driver two-prefix recipe instead "
+        "(prefix-MAX of ends for the island-start flag, prefix-SUM of "
+        "flags for the island id — operators/ids.py's handoff applied "
+        "twice over one frozen range partitioning), because the SQL "
+        "form funnels every interval through ONE window task. "
+        "Partition-count invariance is property-tested in "
+        "tests/test_operators.py; q180 is the per-key sibling.",
+)
+def q185_global_busy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    s = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast(
+        "bigint"
+    )
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * 5).cast("bigint")).alias("e"),
+    )
+    return merge_intervals(iv, [], "s", "e")

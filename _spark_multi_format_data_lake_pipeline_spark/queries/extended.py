@@ -2145,3 +2145,40 @@ def q163_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.sum(fp).cast("bigint").alias("content_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — df.stat.crosstab contingency table (DataFrame stat-function family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q183_crosstab_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS "1-URGENT",
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+             AS "2-HIGH",
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS "3-MEDIUM",
+           CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+             AS "4-NOT SPECIFIED",
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+             AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="``df.stat.crosstab`` (pairwise frequency / contingency table — "
+        "the DataFrameStatFunctions member of the pivot family, q31/q115) "
+        "over orders status x priority. Spark computes it as ONE "
+        "pair-count aggregation then pivots the <=  card(A) x card(B) "
+        "count table on the driver; the oracle is the equivalent "
+        "conditional aggregation with each distinct priority value as an "
+        "identically-named count column. Guards both the counts and "
+        "crosstab's value-to-column naming contract. The 3x5 result is "
+        "dim-sized; the only data-sized cost is the pair groupBy "
+        "(map-side combined).",
+)
+def q183_crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").stat.crosstab(
+        "o_orderstatus", "o_orderpriority"
+    )

@@ -517,3 +517,75 @@ def q159_trade_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — streaming k-means sufficient-stats fold, batch-split twin
+# ---------------------------------------------------------------------------
+
+@register(
+    "q184_kmeans_stats_merged_twin",
+    oracle=r"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 4),
+    d AS (
+        SELECT emb.vec_id, cents.cid,
+               list_sum(list_transform(list_zip(emb.v, cents.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+        FROM emb CROSS JOIN cents
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d
+    )
+    SELECT a.cid AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(emb.v[1]) / COUNT(*), 6) AS c0,
+           ROUND(SUM(emb.v[17]) / COUNT(*), 6) AS c16,
+           ROUND(SUM(emb.v[42]) / COUNT(*), 6) AS c41,
+           ROUND(SUM(emb.v[64]) / COUNT(*), 6) AS c63
+    FROM a JOIN emb ON a.vec_id = emb.vec_id
+    WHERE a.rn = 1
+    GROUP BY a.cid
+    """,
+    doc="streaming/sinks.py::kmeans_partials + merge_kmeans_stats driven "
+        "batch-side: the embedding table is split into 3 'micro-batches' "
+        "(vec_id mod 3), each batch's per-cluster (count, per-dim sums) "
+        "partials are computed with the SAME code the "
+        "stream_kmeans_stats_sink foreachBatch fold runs, unioned, and "
+        "merged to refreshed centroids — hash-proving the mergeable-"
+        "partials algebra (sums and counts ADD) against a direct "
+        "one-pass per-cluster mean oracle. Assignment uses q150's "
+        "deterministic seeds (4 lowest vec_ids); 4 probe dimensions of "
+        "the 64-dim centroid are reported rounded to 6 (the round "
+        "absorbs partial-vs-one-pass summation association). The "
+        "replay-idempotency and converges-to-batch properties of the "
+        "actual streaming fold are pinned by tests/test_streaming.py.",
+)
+def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..streaming.sinks import kmeans_partials, merge_kmeans_stats
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    partials = reduce(
+        lambda x, y: x.unionByName(y),
+        [kmeans_partials(b, seeds, vec_col="v") for b in batches],
+    )
+    merged = merge_kmeans_stats(partials, dim=64)
+    return merged.select(
+        "cluster",
+        "n",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.round(F.element_at("centroid", 17), 6).alias("c16"),
+        F.round(F.element_at("centroid", 42), 6).alias("c41"),
+        F.round(F.element_at("centroid", 64), 6).alias("c63"),
+    )

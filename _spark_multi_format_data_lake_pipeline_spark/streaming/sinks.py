@@ -356,23 +356,15 @@ def stream_expectations_sink(
     return writer.start()
 
 
-def fold_kmeans_stats_batch(
-    batch_spark,
-    batch_df: DataFrame,
-    batch_id: int,
-    target_table: str,
-    centroids: list,
-    vec_col: str = "embedding",
-) -> None:
-    """Fold one micro-batch's per-cluster sufficient statistics — (count,
-    per-dimension sums) under a FIXED centroid assignment — into a
-    persisted stats table, exactly once (``_fold_partitioned``; sums and
-    counts ADD). Fixing the assignment centroids is what makes the fold
-    order-independent and replay-idempotent: assignment depends only on
-    the batch's own vectors, never on evolving state. The merged stats
-    yield refreshed centroids (``kmeans_stats_merged``) — the mini-batch
-    k-means maintenance loop: periodically re-fit, swap the centroid
-    list, keep folding. Module-level so tests can drive a replay."""
+def kmeans_partials(
+    batch_df: DataFrame, centroids: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """One batch's per-cluster sufficient statistics — (cluster, n,
+    per-dimension sums) under a FIXED centroid assignment. Counts and
+    sums are ADDITIVE, so partials from any batch split merge to the
+    one-pass batch answer (``merge_kmeans_stats``; q184 hash-proves the
+    algebra against a direct per-cluster mean oracle). Shared by the
+    streaming fold sink and the batch twin."""
     from pyspark.sql import functions as F
 
     from ..llm.clustering import assign_clusters
@@ -384,18 +376,57 @@ def fold_kmeans_stats_batch(
     assigned = batch_df.filter(F.col(vec_col).isNotNull()).select(
         cluster.alias("cluster"), F.col(vec_col).alias("_v")
     )
-    partial = (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.array(
-                *[
-                    F.sum(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"_s{i}")
-                    for i in range(dim)
-                ]
-            ).alias("sums"),
-        )
-        .withColumn("batch_id", F.lit(batch_id))
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"_s{i}")
+                for i in range(dim)
+            ]
+        ).alias("sums"),
+    )
+
+
+def merge_kmeans_stats(stats: DataFrame, dim: int) -> DataFrame:
+    """(cluster, n, centroid) from any pile of additive partial rows:
+    totals per cluster, centroid = element-wise sum/count — identical to
+    a one-pass batch computation over the union of the batches."""
+    from pyspark.sql import functions as F
+
+    totals = stats.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.array(
+            *[F.sum(F.element_at("sums", i + 1)).alias(f"_t{i}") for i in range(dim)]
+        ).alias("sums"),
+    )
+    return totals.select(
+        "cluster",
+        "n",
+        F.transform("sums", lambda s: s / F.col("n")).alias("centroid"),
+    )
+
+
+def fold_kmeans_stats_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold one micro-batch's per-cluster sufficient statistics
+    (``kmeans_partials``) into a persisted stats table, exactly once
+    (``_fold_partitioned``; sums and counts ADD). Fixing the assignment
+    centroids is what makes the fold order-independent and
+    replay-idempotent: assignment depends only on the batch's own
+    vectors, never on evolving state. The merged stats yield refreshed
+    centroids (``kmeans_stats_merged``) — the mini-batch k-means
+    maintenance loop: periodically re-fit, swap the centroid list, keep
+    folding. Module-level so tests can drive a replay."""
+    from pyspark.sql import functions as F
+
+    partial = kmeans_partials(batch_df, centroids, vec_col).withColumn(
+        "batch_id", F.lit(batch_id)
     )
     _fold_partitioned(batch_spark, partial, target_table)
 
@@ -408,23 +439,7 @@ def kmeans_stats_merged(spark, target_table: str, dim: int) -> DataFrame:
     the caller already knows from its centroid list (deriving it with a
     head() probe would cost an extra driver job per re-fit and break on
     an empty stats table)."""
-    from pyspark.sql import functions as F
-
-    totals = (
-        spark.table(target_table)
-        .groupBy("cluster")
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.array(
-                *[F.sum(F.element_at("sums", i + 1)).alias(f"_t{i}") for i in range(dim)]
-            ).alias("sums"),
-        )
-    )
-    return totals.select(
-        "cluster",
-        "n",
-        F.transform("sums", lambda s: s / F.col("n")).alias("centroid"),
-    )
+    return merge_kmeans_stats(spark.table(target_table), dim)
 
 
 def stream_kmeans_stats_sink(

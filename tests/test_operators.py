@@ -641,3 +641,66 @@ def test_attribution_unknown_model_raises(spark, touch_events):
 
     with _pytest.raises(ValueError, match="unknown attribution model"):
         multi_touch_credits(touch_events, "shapley")
+
+
+# ---------------------------------------------------------------------------
+# global (key-less) interval coalescing — the two-prefix recipe
+# ---------------------------------------------------------------------------
+
+
+def test_merge_intervals_global_matches_window_and_is_partition_invariant(spark):
+    """merge_intervals(key_cols=[]) must equal the single-task window
+    formulation (run here via a constant key) for ANY partition count —
+    the partition-invariance property that proves the two driver-prefix
+    handoffs (prefix-max of ends, prefix-sum of island flags) compose
+    correctly across range-partition boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.intervals import (
+        _merge_intervals_global,
+        merge_intervals,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(3000):
+        s = rng.randint(0, 150000)
+        rows.append((s, s + rng.randint(0, 40)))
+    df = spark.createDataFrame(rows, "s long, e long")
+    ref = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(
+            df.withColumn("k", F.lit(1)), ["k"], "s", "e"
+        ).collect()
+    )
+    assert len(ref) > 100  # sparse enough that islands actually exist
+    for parts in (1, 3, 32):
+        got = sorted(
+            (r["s"], r["e"], r["n_merged"])
+            for r in _merge_intervals_global(
+                df, "s", "e", num_partitions=parts
+            ).collect()
+        )
+        assert got == ref, f"partition count {parts} changed the islands"
+    # the public dispatch takes the same path
+    via_api = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, [], "s", "e").collect()
+    )
+    assert via_api == ref
+
+
+def test_merge_intervals_global_touching_and_empty(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [(0, 10), (5, 12), (12, 15), (20, 25)], "s int, e int"
+    )
+    got = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, [], "s", "e").collect()
+    )
+    assert got == [(0, 15, 3), (20, 25, 1)]
+    assert merge_intervals(df.filter("s < 0"), [], "s", "e").count() == 0
