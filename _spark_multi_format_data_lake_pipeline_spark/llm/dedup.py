@@ -591,3 +591,53 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    n: int = 8,
+    min_shared: int = 1,
+    lane: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share word
+    ``n``-grams with a held-out evaluation set — the screen every
+    pretraining corpus runs so eval answers don't leak into training
+    (the GPT-3/Llama n-gram-overlap protocol; n=8..13 word grams is the
+    published range). Returns one row per contaminated (train, bench)
+    pair: (train_id, bench_id, n_shared, train_grams,
+    contamination_frac = shared / train's distinct grams).
+
+    Shape: distinct (id, gram-hash) sets on both sides (``shingle_hashes``
+    — the n-gram never materializes in the production lane), equi-join on
+    the gram hash, count per pair. The join is bucketed by gram hash —
+    the bench side is tiny (eval sets are thousands of docs, broadcast-
+    able), so at 100 TB this is a map-side broadcast probe of the train
+    shingle stream; no all-pairs anything. ``lane="sha256"`` swaps in
+    the hex-prefix hash an ANSI oracle can recompute (q193 hash-checks
+    the full pipeline cross-engine, like q141 does for MinHash)."""
+    tg = shingle_hashes(train, id_col, text_col, n=n, lane=lane).distinct()
+    bg = (
+        shingle_hashes(bench, bench_id_col or id_col, text_col, n=n, lane=lane)
+        .distinct()
+        .select(F.col("id").alias("_bid"), "_gh")
+    )
+    train_sizes = tg.groupBy("id").agg(F.count(F.lit(1)).alias("train_grams"))
+    pairs = (
+        tg.join(F.broadcast(bg), "_gh")
+        .groupBy("id", "_bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.join(train_sizes, "id").select(
+        F.col("id").alias("train_id"),
+        F.col("_bid").alias("bench_id"),
+        "n_shared",
+        F.col("train_grams").cast("long").alias("train_grams"),
+        F.round(
+            F.col("n_shared").cast("double") / F.col("train_grams"), 6
+        ).alias("contamination_frac"),
+    )

@@ -145,3 +145,37 @@ def leakage_safe_split(
         canonical.alias("canonical_id"),
         split.alias("split"),
     )
+
+
+def deterministic_negative_samples(
+    candidates: DataFrame,
+    positives: DataFrame,
+    query_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """k hard-to-argue-with negatives per query for contrastive training:
+    from ``candidates`` (query, candidate-id pairs the caller already
+    blocked/filtered — NEVER an unconstrained cross join at scale; use a
+    shard/ANN-bucket pre-filter), drop every (query, id) in ``positives``
+    (anti-join — a positive must never leak in as a negative), then keep
+    the k candidates with the smallest sha256(query:id) — a deterministic,
+    seedless, engine-independent draw (same family as ``aes_key`` /
+    ``hash_bucket``: re-running on any cluster, any partitioning, any
+    engine reproduces the exact sample, which is what makes training
+    data auditable). Returns (query, id, neg_rank 1..k).
+
+    Scale shape: anti-join on (query, id) + one per-query top-k window
+    (WindowGroupLimit pushes k below the shuffle); parallelism = query
+    cardinality."""
+    key = F.sha2(
+        F.concat_ws(":", F.col(query_col).cast("string"), F.col(id_col).cast("string")),
+        256,
+    )
+    neg = candidates.join(positives.select(query_col, id_col), [query_col, id_col], "left_anti")
+    w = Window.partitionBy(query_col).orderBy(key, id_col)
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_col, id_col, F.col("neg_rank").cast("int"))
+    )

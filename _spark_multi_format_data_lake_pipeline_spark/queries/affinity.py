@@ -960,3 +960,271 @@ def q185_global_busy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s + F.floor(F.col("value") * 5).cast("bigint")).alias("e"),
     )
     return merge_intervals(iv, [], "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# q187 — SCD type-2 dimension history from a change log
+# ---------------------------------------------------------------------------
+
+@register(
+    "q187_scd2_user_state",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, epoch_us(ts) AS o, event_type AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, o, state,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY o) AS rn,
+             LAG(state) OVER (PARTITION BY user_id ORDER BY o) AS prev
+      FROM log
+    ),
+    versions AS (
+      SELECT user_id, o, state
+      FROM chg WHERE rn = 1 OR state IS DISTINCT FROM prev
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY o) AS BIGINT)
+             AS version,
+           state,
+           o AS valid_from,
+           LEAD(o) OVER (PARTITION BY user_id ORDER BY o) AS valid_to,
+           LEAD(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL AS is_current
+    FROM versions
+    """,
+    doc="operators/scd.py::scd2_from_change_log — Kimball type-2 history "
+        "of each user's activity state (event_type) with no-op update "
+        "suppression (consecutive identical states collapse into one "
+        "version; null-safe change detection), half-open "
+        "[valid_from, valid_to) validity in integer epoch-microseconds, "
+        "open current version. The warehouse layout for point-in-time "
+        "dimension joins — the WHEN-sibling of q179's snapshot diff. One "
+        "shuffle to the user grain; every window (lag, row_number, lead) "
+        "reuses it. Oracle replays the identical IS DISTINCT FROM "
+        "suppression.",
+)
+def q187_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_change_log
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("o"),
+        F.col("event_type").alias("state"),
+    )
+    return scd2_from_change_log(ev, ["user_id"], "o", ["state"])
+
+
+# ---------------------------------------------------------------------------
+# q188 — fuzzy entity matching: blocked edit-distance near-miss pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "q188_fuzzy_part_names",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 3
+     AND a.p_name <> b.p_name
+    """,
+    doc="operators/fuzzy.py::blocked_edit_distance_pairs — entity-"
+        "resolution candidate pairs: part names within the same brand "
+        "block whose Levenshtein distance is 1..3 (exact duplicates are "
+        "q50's job). Blocking bounds the pair fan-out to per-block "
+        "k*(k-1)/2 — the prune-then-score shape of the near-dup family "
+        "applied to short strings; the distance runs JVM-side with the "
+        "3-arg early-exit form (DP bails once the running minimum "
+        "exceeds the threshold). Both engines implement the same "
+        "textbook edit distance, so the pair set hash-matches exactly.",
+)
+def q188_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import blocked_edit_distance_pairs
+
+    return blocked_edit_distance_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_brand"],
+        max_distance=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — robust outlier detection: median/MAD per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "q189_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, med.m,
+             ABS(o.o_totalprice - med.m) AS d
+      FROM orders o JOIN med USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad_v
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT dev.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(dev.m), 2) AS median_price,
+           ROUND(MAX(mad.mad_v), 2) AS mad,
+           CAST(COUNT(*) FILTER (dev.d > 3 * 1.4826 * mad.mad_v) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (o_orderpriority)
+    GROUP BY dev.o_orderpriority
+    """,
+    doc="Robust per-group outlier screen — median + median-absolute-"
+        "deviation (the estimator that survives the very outliers a "
+        "mean/stddev z-score would absorb), flagging rows beyond "
+        "3 robust sigmas (1.4826*MAD). The data-quality family's robust "
+        "completion of q19's moment statistics. Two grouped exact-"
+        "percentile aggregations with the group medians riding back on "
+        "broadcast joins (5 groups); the threshold comparison is the "
+        "same IEEE expression on both engines (Spark percentile == "
+        "DuckDB quantile_cont, proven by q133), so the boundary "
+        "classification hash-matches without rounding tricks.",
+)
+def q189_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "d", F.abs(F.col("o_totalprice") - F.col("m"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("m"), 2).alias("median_price"),
+            F.round(F.max("mad_v"), 2).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad_v"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q190_cohort_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(w) AS cw FROM weeks GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cw, COUNT(*) AS cohort_n FROM cohort GROUP BY cw
+    ),
+    ret AS (
+      SELECT cohort.cw, CAST((weeks.w - cohort.cw) / 7 AS INT) AS week_offset,
+             COUNT(DISTINCT weeks.user_id) AS n_active
+      FROM weeks JOIN cohort USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT STRFTIME(ret.cw, '%Y-%m-%d') AS cohort_week,
+           ret.week_offset,
+           CAST(ret.n_active AS BIGINT) AS n_active,
+           CAST(sizes.cohort_n AS BIGINT) AS cohort_n,
+           ROUND(CAST(ret.n_active AS DOUBLE) / sizes.cohort_n, 4)
+             AS retention
+    FROM ret JOIN sizes USING (cw)
+    """,
+    doc="Weekly cohort retention — users grouped by first-activity week, "
+        "counted per subsequent week offset, normalized by cohort size: "
+        "the canonical product-analytics retention matrix (q154's DAU/"
+        "WAU stickiness aggregated to cohort grain). Everything is keyed "
+        "by user_id through the cohort join, then by the tiny (cohort, "
+        "offset) grain; the distinct week list (not raw events) is what "
+        "shuffles. Weeks are Monday-truncated dates in BOTH engines; "
+        "day-difference / 7 is exact integer math.",
+)
+def q190_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_n"))
+    ret = (
+        weeks.join(cohort, "user_id")
+        .groupBy("cw", (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cw").select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 4).alias(
+            "retention"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — equi-width histogram (distributed binning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q191_price_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) AS bucket,
+           CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) * 30000.0
+             AS lo,
+           (CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) + 1)
+             * 30000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_in_bucket,
+           ROUND(MAX(o_totalprice), 2) AS max_in_bucket
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width histogram of order totals: 20 fixed 30k-wide buckets "
+        "with the overflow clamped into the top bucket — the profiling "
+        "primitive behind range-partition boundary picking, skew "
+        "detection, and UI distributions. Binning is pure map-side "
+        "column math (one floor/least per row) followed by a 20-group "
+        "aggregation that combines map-side — the cheapest possible "
+        "distributed shape, no sort, no percentile state. The "
+        "FLOOR(x / width) both engines evaluate is the same IEEE "
+        "division, so bucket assignment agrees exactly.",
+)
+def q191_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast("int")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_in_bucket"),
+            F.round(F.max("o_totalprice"), 2).alias("max_in_bucket"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 30000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 30000.0).alias("hi"),
+            "n",
+            "min_in_bucket",
+            "max_in_bucket",
+        )
+    )

@@ -1454,3 +1454,116 @@ def q166_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_neighbors"),
         F.round(F.max("jaccard"), 4).alias("best_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — deterministic negative sampling for contrastive training
+# ---------------------------------------------------------------------------
+
+@register(
+    "q192_negative_samples",
+    oracle="""
+    WITH cand AS (SELECT lang AS query_id, doc_id FROM documents),
+    pos AS (
+      SELECT lang AS query_id, doc_id FROM documents
+      WHERE CAST(SUBSTR(source, 4) AS INT) % 5 IN (0, 1, 2)
+    ),
+    neg AS (
+      SELECT c.query_id, c.doc_id
+      FROM cand c ANTI JOIN pos p
+        ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+    ),
+    r AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY sha256(query_id || ':' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS neg_rank
+      FROM neg
+    )
+    SELECT query_id, doc_id, CAST(neg_rank AS INT) AS neg_rank
+    FROM r WHERE neg_rank <= 5
+    """,
+    doc="operators/sampling.py::deterministic_negative_samples — 5 "
+        "negatives per query (query = lang, candidates blocked to the "
+        "query's own language, positives = the q177 relevance rule) "
+        "drawn as the smallest sha256(query:id) after an anti-join "
+        "guarantees no positive leaks in. Seedless and engine-"
+        "independent: any cluster, any partitioning, any engine redraws "
+        "the identical sample — what makes contrastive training data "
+        "auditable. Anti-join + per-query WindowGroupLimit top-k; "
+        "parallelism = query cardinality.",
+)
+def q192_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.select(F.col("lang").alias("query_id"), "doc_id")
+    src_num = F.substring("source", 4, 10).cast("int")
+    pos = docs.filter((src_num % 5).isin(0, 1, 2)).select(
+        F.col("lang").alias("query_id"), "doc_id"
+    )
+    return deterministic_negative_samples(cand, pos, "query_id", "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q193 — benchmark decontamination (n-gram overlap screen), sha lane
+# ---------------------------------------------------------------------------
+
+@register(
+    "q193_decontamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+3], ' ')
+                       for i in range(1, len(t) - 2)]) AS gram
+        FROM toks WHERE len(t) >= 4
+    ),
+    gh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(sha256(gram), 1, 8)) AS BIGINT)
+                 % 2147483647 AS hv
+        FROM g
+    ),
+    tg AS (SELECT doc_id, hv FROM gh WHERE doc_id % 11 <> 0),
+    bg AS (SELECT doc_id AS bid, hv FROM gh WHERE doc_id % 11 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS train_grams FROM tg GROUP BY doc_id),
+    pairs AS (
+      SELECT tg.doc_id, bg.bid, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM tg JOIN bg USING (hv) GROUP BY 1, 2
+    )
+    SELECT pairs.doc_id AS train_id, pairs.bid AS bench_id,
+           pairs.n_shared,
+           CAST(sizes.train_grams AS BIGINT) AS train_grams,
+           ROUND(CAST(pairs.n_shared AS DOUBLE) / sizes.train_grams, 6)
+             AS contamination_frac
+    FROM pairs JOIN sizes USING (doc_id)
+    """,
+    doc="llm/dedup.py::contamination_report — the GPT-3/Llama n-gram "
+        "overlap decontamination screen: which training documents share "
+        "word 4-grams with the held-out slice (doc_id mod 11 — standing "
+        "in for an eval benchmark), reported as (train, bench, shared "
+        "grams, contamination fraction). Distinct gram-hash sets each "
+        "side, bench side broadcast (eval sets are thousands of docs), "
+        "equi-join on the gram hash, count per pair — a map-side "
+        "broadcast probe of the train shingle stream at 100 TB. Runs "
+        "the sha256-hex-prefix lane so the oracle rebuilds the exact "
+        "hash space (collisions included), same protocol as q141; "
+        "production uses the ~5x cheaper xxhash64 lane.",
+)
+def q193_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 11 != 0),
+        docs.filter(F.col("doc_id") % 11 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=4,
+        lane="sha256",
+    )

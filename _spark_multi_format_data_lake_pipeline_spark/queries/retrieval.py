@@ -589,3 +589,51 @@ def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.element_at("centroid", 42), 6).alias("c41"),
         F.round(F.element_at("centroid", 64), 6).alias("c63"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — sequence packing: packed-pretraining token-offset index
+# ---------------------------------------------------------------------------
+
+@register(
+    "q186_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id % 32 AS shard, doc_id,
+             CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    offs AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+      FROM toks WHERE n_tokens > 0
+    )
+    SELECT shard, doc_id, n_tokens,
+           end_off - n_tokens AS start_off,
+           CAST(FLOOR((end_off - n_tokens) / 512) AS BIGINT) AS first_seq,
+           CAST(FLOOR((end_off - 1) / 512) AS BIGINT) AS last_seq,
+           CAST(FLOOR((end_off - 1) / 512)
+                - FLOOR((end_off - n_tokens) / 512) + 1 AS BIGINT) AS n_seqs,
+           FLOOR((end_off - 1) / 512)
+             > FLOOR((end_off - n_tokens) / 512) AS straddles
+    FROM offs
+    """,
+    doc="llm/packing.py::sequence_offsets — the packed-pretraining data "
+        "layout index: each shard (doc_id mod 32) concatenates its "
+        "documents' token streams and chops them into 512-token training "
+        "sequences; per doc the index records its global start offset "
+        "and the [first_seq, last_seq] range it occupies (docs straddle "
+        "boundaries, the GPT/Llama packing convention). One shuffle to "
+        "the shard grain + a per-shard JVM prefix-sum window; shard "
+        "count is the parallelism knob (10^4-10^5 at 100 TB), so no "
+        "few-groups funnel. The oracle replays the identical integer "
+        "prefix-sum and floor arithmetic.",
+)
+def q186_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.packing import sequence_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_offsets(
+        docs, "doc_id", "text", seq_len=512, shard=F.col("doc_id") % 32
+    )

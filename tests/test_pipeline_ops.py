@@ -1,0 +1,163 @@
+"""Unit tests for the r6 training-pipeline operators: sequence packing,
+SCD2 history, fuzzy blocking, negative sampling, decontamination."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_sequence_offsets_handcrafted(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.packing import sequence_offsets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens -> [0, 3)
+            (2, "d e f g"),        # 4 tokens -> [3, 7)  straddles T=4? see below
+            (3, "   "),            # whitespace-only -> excluded
+            (4, "h i"),            # 2 tokens -> [7, 9)
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sequence_offsets(
+            docs, "doc_id", "text", seq_len=4, shard=F.lit(0)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["start_off"], out[1]["first_seq"], out[1]["last_seq"]) == (0, 0, 0)
+    # doc 2 spans offsets 3..6 -> sequences 0 and 1 (straddles)
+    assert (out[2]["start_off"], out[2]["first_seq"], out[2]["last_seq"]) == (3, 0, 1)
+    assert out[2]["straddles"] and out[2]["n_seqs"] == 2
+    # doc 4 spans 7..8 -> sequence 1 and 2 (7//4=1, 8//4=2)
+    assert (out[4]["start_off"], out[4]["first_seq"], out[4]["last_seq"]) == (7, 1, 2)
+    with pytest.raises(ValueError, match="seq_len"):
+        sequence_offsets(docs, "doc_id", "text", seq_len=0, shard=F.lit(0))
+
+
+def test_sequence_offsets_shards_are_independent(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.packing import sequence_offsets
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(20)], "doc_id int, text string"
+    )
+    out = sequence_offsets(
+        docs, "doc_id", "text", seq_len=8, shard=F.col("doc_id") % 4
+    ).collect()
+    # per shard: offsets tile exactly (start = previous end, no gaps)
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        prev_end = by_shard.get(r["shard"], 0)
+        assert r["start_off"] == prev_end
+        by_shard[r["shard"]] = r["start_off"] + r["n_tokens"]
+
+
+def test_scd2_suppresses_noops_and_tiles(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.scd import scd2_from_change_log
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "a"),   # no-op -> suppressed
+            (1, 30, "b"),
+            (1, 40, None),  # a -> NULL is a change
+            (1, 50, None),  # NULL -> NULL is a no-op
+            (1, 60, "b"),
+            (2, 5, "x"),
+        ],
+        "k int, o int, state string",
+    )
+    rows = sorted(
+        scd2_from_change_log(log, ["k"], "o", ["state"]).collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    u1 = [(r["version"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+          for r in rows if r["k"] == 1]
+    assert u1 == [
+        (1, "a", 10, 30, False),
+        (2, "b", 30, 40, False),
+        (3, None, 40, 60, False),
+        (4, "b", 60, None, True),
+    ]
+    u2 = [(r["version"], r["state"], r["is_current"]) for r in rows if r["k"] == 2]
+    assert u2 == [(1, "x", True)]
+    with pytest.raises(ValueError, match="attribute"):
+        scd2_from_change_log(log, ["k"], "o", [])
+
+
+def test_blocked_edit_distance_pairs(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.fuzzy import blocked_edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "red widget"),
+            (2, "B1", "red widgit"),   # distance 1
+            (3, "B1", "red widget"),   # exact dup of 1 -> excluded
+            (4, "B2", "red widgets"),  # other block -> never paired with B1
+            (5, "B1", "blue cog"),     # too far
+        ],
+        "id int, blk string, name string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_edit_distance_pairs(df, "id", "name", ["blk"], 2).collect()
+    )
+    assert got == [(1, 2, 1), (2, 3, 1)]
+
+
+def test_negative_samples_exclude_positives_and_are_deterministic(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.operators.sampling import (
+        deterministic_negative_samples,
+    )
+
+    cand = spark.createDataFrame(
+        [("q1", i) for i in range(50)] + [("q2", i) for i in range(50)],
+        "q string, id int",
+    )
+    pos = spark.createDataFrame(
+        [("q1", i) for i in range(0, 50, 2)], "q string, id int"
+    )
+    out = deterministic_negative_samples(cand, pos, "q", "id", k=7)
+    rows = out.collect()
+    got = {(r["q"], r["id"]) for r in rows}
+    assert len(rows) == 14  # 7 per query
+    assert all(i % 2 == 1 for (q, i) in got if q == "q1")  # positives excluded
+    assert {r["neg_rank"] for r in rows} == set(range(1, 8))
+    # partitioning must not change the draw
+    again = {
+        (r["q"], r["id"], r["neg_rank"])
+        for r in deterministic_negative_samples(
+            cand.repartition(13), pos, "q", "id", k=7
+        ).collect()
+    }
+    assert again == {(r["q"], r["id"], r["neg_rank"]) for r in rows}
+
+
+def test_contamination_report_exact_copy_scores_full(spark):
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no shared grams at all"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    rows = contamination_report(train, bench, "doc_id", "text", n=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["train_id"], r["bench_id"]) == (1, 100)
+    assert r["contamination_frac"] == 1.0
+    # both hash lanes agree on WHICH pairs are contaminated
+    sha_rows = contamination_report(
+        train, bench, "doc_id", "text", n=8, lane="sha256"
+    ).collect()
+    assert [(r["train_id"], r["bench_id"], r["n_shared"]) for r in sha_rows] == [
+        (1, 100, rows[0]["n_shared"])
+    ]
