@@ -1027,7 +1027,7 @@ def q187_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand
      AND a.p_partkey < b.p_partkey
-     AND levenshtein(a.p_name, b.p_name) <= 3
+     AND levenshtein(a.p_name, b.p_name) <= 2
      AND a.p_name <> b.p_name
     """,
     doc="operators/fuzzy.py::blocked_edit_distance_pairs — entity-"
@@ -1035,8 +1035,10 @@ def q187_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block whose Levenshtein distance is 1..3 (exact duplicates are "
         "q50's job). Blocking bounds the pair fan-out to per-block "
         "k*(k-1)/2 — the prune-then-score shape of the near-dup family "
-        "applied to short strings; the distance runs JVM-side with the "
-        "3-arg early-exit form (DP bails once the running minimum "
+        "applied to short strings (q93 is the distinct-vocabulary sibling "
+        "for tiny label spaces; this operator works on full ROWS, where "
+        "distinct-projecting first is impossible); the distance runs "
+        "JVM-side with the 3-arg early-exit form (DP bails once the running minimum "
         "exceeds the threshold). Both engines implement the same "
         "textbook edit distance, so the pair set hash-matches exactly.",
 )
@@ -1048,137 +1050,7 @@ def q188_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         name_col="p_name",
         block_cols=["p_brand"],
-        max_distance=3,
-    )
-
-
-# ---------------------------------------------------------------------------
-# q189 — robust outlier detection: median/MAD per group
-# ---------------------------------------------------------------------------
-
-@register(
-    "q189_mad_outliers",
-    oracle="""
-    WITH med AS (
-      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
-      FROM orders GROUP BY o_orderpriority
-    ),
-    dev AS (
-      SELECT o.o_orderpriority, o.o_totalprice, med.m,
-             ABS(o.o_totalprice - med.m) AS d
-      FROM orders o JOIN med USING (o_orderpriority)
-    ),
-    mad AS (
-      SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad_v
-      FROM dev GROUP BY o_orderpriority
-    )
-    SELECT dev.o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MAX(dev.m), 2) AS median_price,
-           ROUND(MAX(mad.mad_v), 2) AS mad,
-           CAST(COUNT(*) FILTER (dev.d > 3 * 1.4826 * mad.mad_v) AS BIGINT)
-             AS n_outliers
-    FROM dev JOIN mad USING (o_orderpriority)
-    GROUP BY dev.o_orderpriority
-    """,
-    doc="Robust per-group outlier screen — median + median-absolute-"
-        "deviation (the estimator that survives the very outliers a "
-        "mean/stddev z-score would absorb), flagging rows beyond "
-        "3 robust sigmas (1.4826*MAD). The data-quality family's robust "
-        "completion of q19's moment statistics. Two grouped exact-"
-        "percentile aggregations with the group medians riding back on "
-        "broadcast joins (5 groups); the threshold comparison is the "
-        "same IEEE expression on both engines (Spark percentile == "
-        "DuckDB quantile_cont, proven by q133), so the boundary "
-        "classification hash-matches without rounding tricks.",
-)
-def q189_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    med = o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
-    )
-    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
-        "d", F.abs(F.col("o_totalprice") - F.col("m"))
-    )
-    mad = dev.groupBy("o_orderpriority").agg(
-        F.percentile("d", F.lit(0.5)).alias("mad_v")
-    )
-    return (
-        dev.join(F.broadcast(mad), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.max("m"), 2).alias("median_price"),
-            F.round(F.max("mad_v"), 2).alias("mad"),
-            F.sum(
-                F.when(F.col("d") > 3 * 1.4826 * F.col("mad_v"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# q190 — weekly cohort retention matrix
-# ---------------------------------------------------------------------------
-
-@register(
-    "q190_cohort_retention",
-    oracle="""
-    WITH weeks AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
-      FROM events
-    ),
-    cohort AS (
-      SELECT user_id, MIN(w) AS cw FROM weeks GROUP BY user_id
-    ),
-    sizes AS (
-      SELECT cw, COUNT(*) AS cohort_n FROM cohort GROUP BY cw
-    ),
-    ret AS (
-      SELECT cohort.cw, CAST((weeks.w - cohort.cw) / 7 AS INT) AS week_offset,
-             COUNT(DISTINCT weeks.user_id) AS n_active
-      FROM weeks JOIN cohort USING (user_id)
-      GROUP BY 1, 2
-    )
-    SELECT STRFTIME(ret.cw, '%Y-%m-%d') AS cohort_week,
-           ret.week_offset,
-           CAST(ret.n_active AS BIGINT) AS n_active,
-           CAST(sizes.cohort_n AS BIGINT) AS cohort_n,
-           ROUND(CAST(ret.n_active AS DOUBLE) / sizes.cohort_n, 4)
-             AS retention
-    FROM ret JOIN sizes USING (cw)
-    """,
-    doc="Weekly cohort retention — users grouped by first-activity week, "
-        "counted per subsequent week offset, normalized by cohort size: "
-        "the canonical product-analytics retention matrix (q154's DAU/"
-        "WAU stickiness aggregated to cohort grain). Everything is keyed "
-        "by user_id through the cohort join, then by the tiny (cohort, "
-        "offset) grain; the distinct week list (not raw events) is what "
-        "shuffles. Weeks are Monday-truncated dates in BOTH engines; "
-        "day-difference / 7 is exact integer math.",
-)
-def q190_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    weeks = ev.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
-    ).distinct()
-    cohort = weeks.groupBy("user_id").agg(F.min("w").alias("cw"))
-    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_n"))
-    ret = (
-        weeks.join(cohort, "user_id")
-        .groupBy("cw", (F.datediff("w", "cw") / 7).cast("int").alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    return ret.join(F.broadcast(sizes), "cw").select(
-        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
-        "week_offset",
-        F.col("n_active").cast("bigint").alias("n_active"),
-        F.col("cohort_n").cast("bigint").alias("cohort_n"),
-        F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 4).alias(
-            "retention"
-        ),
+        max_distance=2,
     )
 
 
@@ -1226,5 +1098,186 @@ def q191_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "min_in_bucket",
             "max_in_bucket",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — point-in-time dimension join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+@register(
+    "q194_point_in_time_state",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, epoch_us(ts) AS o, event_type AS state
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    chg AS (
+      SELECT user_id, o, state,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY o) AS rn,
+             LAG(state) OVER (PARTITION BY user_id ORDER BY o) AS prev
+      FROM log
+    ),
+    versions AS (
+      SELECT user_id, o, state
+      FROM chg WHERE rn = 1 OR state IS DISTINCT FROM prev
+    ),
+    scd AS (
+      SELECT user_id, state, o AS valid_from,
+             LEAD(o) OVER (PARTITION BY user_id ORDER BY o) AS valid_to
+      FROM versions
+    ),
+    probes AS (
+      SELECT user_id, epoch_us(ts) AS pt, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT scd.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(probes.value), 4) AS total_value
+    FROM probes JOIN scd
+      ON probes.user_id = scd.user_id
+     AND probes.pt >= scd.valid_from
+     AND (scd.valid_to IS NULL OR probes.pt < scd.valid_to)
+    GROUP BY scd.state
+    """,
+    doc="The query SCD2 exists to serve: a point-in-time dimension join. "
+        "Purchases probe the q187-style user-state history (built from "
+        "non-purchase events) for the version valid AT the purchase "
+        "instant — valid_from <= t < valid_to with the open current "
+        "version — answering 'what was the user doing when they bought'. "
+        "Per-user equi-join with a range predicate (fan-out bounded by "
+        "versions-per-user, never cross-user — the half-open tiling "
+        "q187 guarantees means every probe matches AT MOST one "
+        "version); rollup to per-state purchase counts and value. "
+        "Purchases with no prior state (user's first event) drop out, "
+        "as in any warehouse PIT join.",
+)
+def q194_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_change_log
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("o"),
+        F.col("event_type").alias("state"),
+    )
+    scd = scd2_from_change_log(log, ["user_id"], "o", ["state"]).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("pt"),
+        "value",
+    )
+    j = probes.join(
+        scd,
+        (probes.user_id == scd.user_id)
+        & (F.col("pt") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("pt") < F.col("valid_to"))),
+    )
+    return j.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — smoothed + leave-one-out target encoding (categorical ML features)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q196_target_encoding",
+    oracle="""
+    WITH g AS (SELECT SUM(o_totalprice) / COUNT(*) AS gmean FROM orders),
+    cat AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(o_totalprice) AS s,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority AS category,
+           CAST(n AS BIGINT) AS n,
+           ROUND(s / n, 4) AS mean_target,
+           ROUND((s + 50 * gmean) / (n + 50), 4) AS smoothed,
+           ROUND((s - mx) / (n - 1), 4) AS loo_min,
+           ROUND((s - mn) / (n - 1), 4) AS loo_max
+    FROM cat CROSS JOIN g
+    """,
+    doc="Target encoding, the workhorse categorical feature for gradient "
+        "boosting / tabular ML: per-category target mean shrunk toward "
+        "the global mean with m=50 pseudo-observations (the Micci-"
+        "Barreca smoothing that keeps rare categories from memorizing "
+        "noise), plus the leave-one-out envelope — every row's LOO "
+        "encoding (sum - y)/(n-1) lies in [loo_min, loo_max], the "
+        "closed form that makes LOO an aggregate instead of a per-row "
+        "join. One map-side-combined groupBy; the global mean rides a "
+        "1-row broadcast. Sums mirror textually; round-4 absorbs "
+        "double-association drift (~1e-7 absolute here).",
+)
+def q196_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    g = o.agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("gmean"))
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    return cat.crossJoin(F.broadcast(g)).select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s") / F.col("n"), 4).alias("mean_target"),
+        F.round((F.col("s") + 50 * F.col("gmean")) / (F.col("n") + 50), 4).alias(
+            "smoothed"
+        ),
+        F.round((F.col("s") - F.col("mx")) / (F.col("n") - 1), 4).alias("loo_min"),
+        F.round((F.col("s") - F.col("mn")) / (F.col("n") - 1), 4).alias("loo_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — per-partition additive row checksums (lake integrity audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q197_partition_checksums",
+    oracle="""
+    SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(sha256(
+                  CAST(l_orderkey AS VARCHAR) || ':' ||
+                  CAST(l_partkey AS VARCHAR) || ':' ||
+                  CAST(l_suppkey AS VARCHAR) || ':' ||
+                  CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT))
+             AS BIGINT) AS checksum
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Order-independent per-partition content checksums: each row "
+        "hashes its business key (sha256 hex prefix -> 32-bit int) and "
+        "the partition checksum is the plain SUM — commutative, so any "
+        "partitioning/engine/replay computes the same value, and two "
+        "copies of a partition can be compared by exchanging ONE number "
+        "instead of re-reading rows (the cheap layer of a Merkle-style "
+        "lake audit; q179's table_diff is the row-level layer you "
+        "escalate to when a month mismatches). Pure map + one "
+        "month-grain groupBy, map-side combined; sums of 32-bit values "
+        "over month partitions stay far below int64.",
+)
+def q197_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    h = F.conv(F.substring(F.sha2(key, 256), 1, 8), 16, 10).cast("bigint")
+    return (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("checksum"),
         )
     )

@@ -94,6 +94,15 @@ HEADLINE = [
     "q179_table_diff",
     "q180_merged_activity_spans",
     "q181_attribution_linear",
+    # r6 additions (fact-sized inputs only; dim-sized rows like q183/
+    # q184/q191/q196 are excluded — their cost is fixed by design)
+    "q185_global_busy_spans",
+    "q186_sequence_packing",
+    "q187_scd2_user_state",
+    "q188_fuzzy_part_names",
+    "q193_decontamination",
+    "q194_point_in_time_state",
+    "q197_partition_checksums",
     # super-linear-risk tail: iterative / join-heavy pipelines whose cost
     # could regress quietly if left unbenched
     "q75_dedup_groups",

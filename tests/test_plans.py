@@ -209,6 +209,22 @@ def _simple_plan(spark, sf_dir, name) -> str:
         ("q180_merged_activity_spans", 1),
         # per-user conversions⋈touches + the channel rollup
         ("q181_attribution_linear", 2),
+        # same join shape as q181; the weight CASE is column math
+        ("q182_attribution_u", 2),
+        # post-checkpoint plan: pid window exchange + island groupBy (the
+        # range shuffle is inside the eager localCheckpoint)
+        ("q185_global_busy_spans", 2),
+        # ONE shuffle to the shard grain; offsets/floors are column math
+        ("q186_sequence_packing", 1),
+        # one shuffle to the user grain; lag + row_number + lead share it
+        ("q187_scd2_user_state", 1),
+        # per-side distinct gram sets + the pair groupBy; the bench side
+        # and the train-size table ride broadcasts
+        ("q193_decontamination", 3),
+        # SCD build (user grain) + probe join reuses it; state rollup
+        ("q194_point_in_time_state", 2),
+        # business-key sha is map math; one month-grain groupBy
+        ("q197_partition_checksums", 1),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
