@@ -992,7 +992,7 @@ def q185_global_busy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL AS is_current
     FROM versions
     """,
-    doc="operators/scd.py::scd2_from_change_log — Kimball type-2 history "
+    doc="sinks/scd.py::scd2_from_change_log — Kimball type-2 history "
         "of each user's activity state (event_type) with no-op update "
         "suppression (consecutive identical states collapse into one "
         "version; null-safe change detection), half-open "
@@ -1004,7 +1004,7 @@ def q185_global_busy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppression.",
 )
 def q187_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scd import scd2_from_change_log
+    from ..sinks.scd import scd2_from_change_log
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -1154,7 +1154,7 @@ def q191_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as in any warehouse PIT join.",
 )
 def q194_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scd import scd2_from_change_log
+    from ..sinks.scd import scd2_from_change_log
 
     ev = _t(spark, sf_dir, "events")
     log = ev.filter(F.col("event_type") != "purchase").select(

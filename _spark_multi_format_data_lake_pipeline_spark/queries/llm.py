@@ -1544,7 +1544,11 @@ def q192_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs JOIN sizes USING (doc_id)
     """,
     doc="llm/dedup.py::contamination_report — the GPT-3/Llama n-gram "
-        "overlap decontamination screen: which training documents share "
+        "overlap decontamination screen, PAIR-ATTRIBUTED (q112 is the "
+        "pooled sibling: it scores each train doc against the union of "
+        "all bench grams; this operator reports WHICH bench document "
+        "leaked into which train document — the form you act on when "
+        "pruning): which training documents share "
         "word 4-grams with the held-out slice (doc_id mod 11 — standing "
         "in for an eval benchmark), reported as (train, bench, shared "
         "grams, contamination fraction). Distinct gram-hash sets each "

@@ -596,7 +596,7 @@ def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 @register(
-    "q186_sequence_packing",
+    "q186_packing_offsets",
     oracle=r"""
     WITH toks AS (
       SELECT doc_id % 32 AS shard, doc_id,
@@ -620,7 +620,11 @@ def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM offs
     """,
     doc="llm/packing.py::sequence_offsets — the packed-pretraining data "
-        "layout index: each shard (doc_id mod 32) concatenates its "
+        "layout INDEX (q113 is the coarse sibling: it reports bin-level "
+        "doc/token totals per shard, this emits the per-DOCUMENT offset "
+        "row that makes the packed layout random-accessible — which "
+        "sequences a document occupies, where it starts, whether it "
+        "straddles): each shard (doc_id mod 32) concatenates its "
         "documents' token streams and chops them into 512-token training "
         "sequences; per doc the index records its global start offset "
         "and the [first_seq, last_seq] range it occupies (docs straddle "
@@ -630,7 +634,7 @@ def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         "few-groups funnel. The oracle replays the identical integer "
         "prefix-sum and floor arithmetic.",
 )
-def q186_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q186_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.packing import sequence_offsets
 
     docs = _t(spark, sf_dir, "documents")

@@ -97,7 +97,7 @@ HEADLINE = [
     # r6 additions (fact-sized inputs only; dim-sized rows like q183/
     # q184/q191/q196 are excluded — their cost is fixed by design)
     "q185_global_busy_spans",
-    "q186_sequence_packing",
+    "q186_packing_offsets",
     "q187_scd2_user_state",
     "q188_fuzzy_part_names",
     "q193_decontamination",

@@ -55,7 +55,7 @@ def test_sequence_offsets_shards_are_independent(spark):
 
 
 def test_scd2_suppresses_noops_and_tiles(spark):
-    from _spark_multi_format_data_lake_pipeline_spark.operators.scd import scd2_from_change_log
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.scd import scd2_from_change_log
 
     log = spark.createDataFrame(
         [

@@ -215,7 +215,7 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # range shuffle is inside the eager localCheckpoint)
         ("q185_global_busy_spans", 2),
         # ONE shuffle to the shard grain; offsets/floors are column math
-        ("q186_sequence_packing", 1),
+        ("q186_packing_offsets", 1),
         # one shuffle to the user grain; lag + row_number + lead share it
         ("q187_scd2_user_state", 1),
         # per-side distinct gram sets + the pair groupBy; the bench side
