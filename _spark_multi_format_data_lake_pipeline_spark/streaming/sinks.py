@@ -468,3 +468,89 @@ def stream_kmeans_stats_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_scd2_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    key: str,
+    attrs: list,
+    ts_col: str,
+) -> None:
+    """Apply one micro-batch of attribute updates to a persisted SCD2
+    dimension (``sinks/scd.py::scd2_apply``) with the stage+rename swap
+    the merge engine uses (a dimension can't be overwritten while its
+    scan is live). Replay-safe WITHOUT the partition-per-batch machinery:
+    scd2_apply's no-op suppression makes re-applying an already-applied
+    batch the identity (the current row already carries the update's
+    attribute hash, so every row classifies as unchanged) — the
+    exactly-once argument is idempotence of the transformation, same as
+    the CDC sink, not additivity of partials. Module-level so tests can
+    drive a replay directly."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.scd import scd2_apply
+
+    cat = CatalogManager(batch_spark)
+    if cat.table_exists(target_table):
+        dim = batch_spark.table(target_table)
+        first = False
+    else:
+        # empty dimension with the target schema: scd2_apply then routes
+        # every batch key through its insert branch
+        dim = batch_df.select(
+            key,
+            *attrs,
+            F.col(ts_col).cast("timestamp").alias("valid_from"),
+            F.col(ts_col).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        ).filter(F.lit(False))
+        first = True
+    nxt = scd2_apply(dim, batch_df, key, list(attrs), ts_col)
+    if first:
+        nxt.write.mode("overwrite").format("parquet").saveAsTable(target_table)
+    else:
+        stage = f"{target_table}__stage"
+        nxt.write.mode("overwrite").format("parquet").saveAsTable(stage)
+        batch_spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+        batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+    batch_spark.catalog.refreshTable(target_table)
+
+
+def stream_scd2_sink(
+    updates: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    key: str,
+    attrs: list,
+    ts_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming dimension maintenance: each micro-batch of (key, attrs,
+    ts) updates folds into a persisted SCD2 dimension — changed keys
+    close their current version and open a new one, unchanged updates
+    are no-ops, new keys insert (``sinks/scd.py::scd2_apply``). The
+    streaming member of the SCD2 family: ``scd2_from_change_log``
+    rebuilds history from a full log, this MAINTAINS it as updates
+    arrive, and ``scd2_as_of`` serves point-in-time reads from either.
+    Batches must arrive in event-time order for faithful history (the
+    same contract as batch scd2_apply); within a batch the latest update
+    per key wins."""
+    outer_spark = updates.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_scd2_batch(
+            batch_df.sparkSession, batch_df, batch_id, target_table, key, attrs, ts_col
+        )
+        outer_spark.catalog.refreshTable(target_table)
+
+    writer = updates.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

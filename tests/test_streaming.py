@@ -678,3 +678,84 @@ def test_stream_kmeans_stats_converges_and_replay_is_idempotent(
     fold_kmeans_stats_batch(spark, half_b, last_batch, tbl, cents)
     assert rounded(kmeans_stats_merged(spark, tbl, len(cents[0]))) == batch
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stream_scd2_sink_builds_history_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """Streaming SCD2 dimension maintenance: two in-order micro-batches of
+    user-state updates must produce exactly the history that batch
+    scd2_apply produces applied sequentially, and re-folding the last
+    batch (foreachBatch replay) must be the identity — the no-op
+    suppression IS the exactly-once mechanism (idempotent transformation,
+    like the CDC sink; NOT additive partials like CMS/kmeans)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.scd import scd2_apply
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        fold_scd2_batch,
+        stream_scd2_sink,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00"), (2, "silver", "2024-01-01 00:00:00")],
+        "user_id int, tier string, ts string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "gold", "2024-02-01 00:00:00"),    # change -> close + reopen
+            (2, "silver", "2024-02-01 00:00:00"),  # no-op
+            (3, "bronze", "2024-02-01 00:00:00"),  # insert
+        ],
+        "user_id int, tier string, ts string",
+    )
+    src = tmp_path / "scd_src"
+    b1.coalesce(1).write.parquet(str(src / "a"), mode="overwrite")
+    b2.coalesce(1).write.parquet(str(src / "b"), mode="overwrite")
+    # FileStreamSource orders candidate files oldest-modTime-first; pin
+    # the order explicitly so batch 1 precedes batch 2 deterministically
+    for i, d in enumerate(("a", "b")):
+        for root, _, files in os.walk(src / d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    tbl = f"scd2_dim_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("user_id int, tier string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_scd2_sink(
+        stream, tbl, str(tmp_path / "scd_ckpt"), key="user_id",
+        attrs=["tier"], ts_col="ts",
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["tier"], str(r["valid_from"]), str(r["valid_to"]),
+             r["is_current"])
+            for r in df.collect()
+        )
+
+    # reference: sequential batch application to an empty dimension
+    empty = b1.select(
+        "user_id", "tier",
+        F.col("ts").cast("timestamp").alias("valid_from"),
+        F.col("ts").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).filter(F.lit(False))
+    ref = canon(scd2_apply(scd2_apply(empty, b1, "user_id", ["tier"], "ts"),
+                           b2, "user_id", ["tier"], "ts"))
+    got = canon(spark.table(tbl))
+    assert got == ref
+    # user 1 has a closed v1 + open v2; users 2 and 3 one current row each
+    assert sum(1 for r in got if r[0] == 1) == 2
+
+    # replay the second batch: must be the identity
+    fold_scd2_batch(spark, b2, 1, tbl, "user_id", ["tier"], "ts")
+    assert canon(spark.table(tbl)) == ref
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
