@@ -45,6 +45,10 @@ _RECHECK = (
     #   range-partitioned assign_contiguous_ids recipe). Candidate
     #   generation order changed, output contract identical — re-prove.
     "q166_prefix_filter_neardup",
+    # - q110: assign_contiguous_ids switched from persist to the eager
+    #   localCheckpoint posture (operators/ids.py, r6) — same ids, no
+    #   session-cache leak; q110 consumes the helper directly.
+    "q110_stable_ids",
 )
 
 

@@ -38,23 +38,27 @@ def assign_contiguous_ids(
     therefore the ids, nondeterministic). Step 3 collects one count per
     partition to the driver — P longs, independent of table size.
 
-    The sorted stage is persisted (MEMORY_AND_DISK) before counting:
+    The sorted stage is eagerly localCheckpoint-ed before counting:
     range-partition boundaries come from sampling, and a re-compiled plan
     re-samples with a different seed, so the count job and the numbering
-    job MUST read the same materialized partitioning. The counts job is
-    what materializes the cache. Caller unpersists when done; on a real
-    cluster where executor loss could drop cached blocks mid-query,
-    checkpoint/write the sorted stage instead.
+    job MUST read the same materialized partitioning. (r6: switched from
+    persist+caller-unpersists to the checkpoint posture the rest of the
+    two-pass family settled on — operators/prefix.py, skyline.py,
+    intervals.py — because the persist registered in the session
+    CacheManager and LEAKED until an explicit unpersist no caller ever
+    issued; checkpoint blocks die with the returned frame's lineage. On
+    a real multi-executor cluster where executor loss could drop
+    localCheckpoint blocks mid-query, use reliable checkpoint/write
+    instead.)
     """
-    from pyspark import StorageLevel
-
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    ordered = df.repartitionByRange(int(parts), *order_cols).sortWithinPartitions(
-        *order_cols
+    ordered = (
+        df.repartitionByRange(int(parts), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
     )
-    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = (
         ordered.withColumn("_pid", F.spark_partition_id())
