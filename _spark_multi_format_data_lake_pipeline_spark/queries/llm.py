@@ -1571,3 +1571,56 @@ def q193_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=4,
         lane="sha256",
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — distributed BPE training: first-iteration merge candidates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q199_bpe_merge_candidates",
+    oracle=r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE LENGTH(word) > 0 GROUP BY word
+    ),
+    p AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+      FROM wf, unnest(range(1, LENGTH(word))) t(i)
+      WHERE LENGTH(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 10
+    """,
+    doc="llm/bpe.py — the distributed core of BPE tokenizer training "
+        "(Sennrich et al.): corpus reduced once to the (distinct word, "
+        "frequency) table (Zipf head collapses map-side), adjacent "
+        "symbol pairs weighted by word frequency, top merge candidates "
+        "by (count DESC, pair) — the argmax the first merge iteration "
+        "consumes. Character-level symbols make the pair a 2-char "
+        "substring, so the oracle replays it exactly in SQL. The "
+        "multi-iteration trainer (train_bpe: JVM higher-order merge "
+        "fold, 1-row driver argmax per iteration, vocab-sized not "
+        "corpus-sized work) matches a sequential Python reference on "
+        "the textbook corpus in tests/test_pipeline_ops.py; "
+        "functions/text.py::bpe_ish_tokens remains the counting-side "
+        "heuristic for token budgeting.",
+)
+def q199_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.bpe import chars_of, pair_counts, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_frequencies(docs, "text").select(
+        "freq", chars_of("word").alias("syms")
+    )
+    return (
+        pair_counts(vocab)
+        .select(F.concat("a", "b").alias("pair"), "cnt")
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(10)
+    )

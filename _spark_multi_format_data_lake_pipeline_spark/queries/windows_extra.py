@@ -111,3 +111,53 @@ def q167_groups_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "price_bucket", "rolling3")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — running COUNT(DISTINCT …) OVER rewrite (first-occurrence flags)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q198_running_distinct_types",
+    oracle="""
+    SELECT e.user_id,
+           epoch_us(e.ts) AS ts_us,
+           e.event_type,
+           CAST((SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+                 WHERE e2.user_id = e.user_id AND e2.ts <= e.ts) AS BIGINT)
+             AS distinct_types_so_far
+    FROM events e
+    """,
+    doc="Running COUNT(DISTINCT) over an ordered per-user window — an "
+        "aggregate NO engine supports as a native windowed DISTINCT "
+        "(Spark rejects it outright), rewritten as the classic "
+        "first-occurrence-flag sum: row_number() over (user, type) "
+        "marks each type's first sighting, a running SUM of the flags "
+        "over the user timeline is the distinct count so far (per-user "
+        "novelty accumulation — 'how many behaviors has this user "
+        "exhibited yet', the engagement-breadth curve). Two windows, "
+        "both keyed by user (the (user,type) exchange is a refinement "
+        "of the user exchange). The oracle is an INDEPENDENT "
+        "formulation — a correlated COUNT(DISTINCT) subquery per row — "
+        "so the hash check proves the rewrite, not just the "
+        "arithmetic. Completes the SQL-rewrite family beside q167's "
+        "GROUPS-frame and q162's LATERAL.",
+)
+def q198_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+    w_run = Window.partitionBy("user_id").orderBy("ts_us")
+    first = F.row_number().over(w_first) == 1
+    return ev.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.sum(F.when(first, 1).otherwise(0))
+        .over(w_run)
+        .cast("bigint")
+        .alias("distinct_types_so_far"),
+    )

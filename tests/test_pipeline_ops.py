@@ -161,3 +161,74 @@ def test_contamination_report_exact_copy_scores_full(spark):
     assert [(r["train_id"], r["bench_id"], r["n_shared"]) for r in sha_rows] == [
         (1, 100, rows[0]["n_shared"])
     ]
+
+
+def test_bpe_trainer_matches_sequential_reference(spark):
+    """train_bpe (distributed: vocab-sized pair counting + JVM merge
+    fold + 1-row driver argmax per iteration) must reproduce the
+    sequential reference BPE (Sennrich et al.) merge-for-merge on the
+    textbook corpus, including counts and deterministic tie-breaks."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.bpe import merge_pair, train_bpe
+
+    corpus = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    )
+    docs = spark.createDataFrame([(1, corpus)], "id int, text string")
+    got = train_bpe(docs, "text", num_merges=6)
+
+    def ref_bpe(words, k):
+        from collections import Counter
+
+        vocab = Counter(tuple(w) for w in words)
+        out = []
+        for _ in range(k):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            m = max(pc.values())
+            a, b = sorted(p for p, c in pc.items() if c == m)[0]
+            out.append((a, b, m))
+            nxt: dict = {}
+            for syms, f in vocab.items():
+                merged, skip = [], False
+                for i, s in enumerate(syms):
+                    if skip:
+                        skip = False
+                        continue
+                    if s == a and i + 1 < len(syms) and syms[i + 1] == b:
+                        merged.append(a + b)
+                        skip = True
+                    else:
+                        merged.append(s)
+                nxt[tuple(merged)] = nxt.get(tuple(merged), 0) + f
+            vocab = nxt
+        return out
+
+    assert got == ref_bpe(corpus.split(), 6)
+    # the classic result: es, est, lo, low, then the ew/newest chain
+    assert [(a, b) for a, b, _ in got[:4]] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")
+    ]
+
+
+def test_bpe_merge_fold_no_overlap(spark):
+    """aaa with merge (a,a) must produce [aa, a] — left-to-right,
+    non-overlapping, the canonical BPE application order."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.bpe import chars_of, merge_pair
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("baab",)], "w string")
+    out = {
+        r["w"]: r["m"]
+        for r in df.withColumn("syms", chars_of("w"))
+        .select("w", merge_pair("syms", "a", "a").alias("m"))
+        .collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["baab"] == ["b", "aa", "b"]
