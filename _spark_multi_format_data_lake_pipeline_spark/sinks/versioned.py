@@ -1,0 +1,189 @@
+"""Versioned parquet tables: snapshot manifests, time travel, atomic
+commit — the table-format mechanism (Iceberg/Delta's core ideas) built
+jar-free on plain parquet + JSON manifests.
+
+The reference targets Iceberg format-version 2 (reference
+utils/spark_write_iceberg.py:10-84: snapshots, SHOW TABLES audit); this
+sandbox has no Iceberg jars (PLANS.md environment probes r4-r6), so the
+production writer degrades to ``saveAsTable``. This module closes the
+CONCEPTUAL half of that gap with the minimal honest implementation of
+what a table format actually is:
+
+- data files are immutable parquet files under ``<path>/data/``, each
+  written once under a UUID name and never rewritten;
+- a snapshot is a JSON manifest under ``<path>/_manifests/v{N}.json``
+  listing exactly the data files (+ row count, schema) visible at
+  version N;
+- a commit is the CREATION of the next manifest — staged to a temp name
+  and atomically renamed with O_EXCL semantics, so of two concurrent
+  committers exactly one wins and the loser gets a clean
+  ``ConcurrentCommitError`` to retry on (optimistic concurrency, the
+  Delta/Iceberg protocol); readers never see a partial commit because
+  they only ever list files through a manifest that exists;
+- time travel = reading through an older manifest; rollback = COMMITTING
+  a new version whose file list equals the old one (history is never
+  destroyed — same as Iceberg rollback);
+- appends add files, overwrites start a fresh file list; either way old
+  versions stay readable until an explicit ``vacuum`` drops files no
+  retained manifest references.
+
+Deliberate divergences from the real formats, documented: no column
+stats / file pruning in manifests (Spark's parquet footers still give
+row-group pruning), no partition transforms, no row-level deletes (the
+engine's MERGE path stages whole tables instead — sinks/merge.py), and
+the atomic rename relies on a rename-if-absent filesystem primitive
+(true on POSIX/HDFS; on S3 use a conditional-put or a commit service,
+exactly as Delta-on-S3 does)."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — reread and retry."""
+
+
+def _manifest_dir(path: str) -> Path:
+    return Path(path) / "_manifests"
+
+
+def versions(path: str) -> list[int]:
+    """Committed versions, ascending. Version numbers are the manifest
+    file names — listing is one directory read, no file opens."""
+    d = _manifest_dir(path)
+    if not d.is_dir():
+        return []
+    out = []
+    for f in d.iterdir():
+        name = f.name
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    return json.loads((_manifest_dir(path) / f"v{version}.json").read_text())
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Atomic commit: write to a temp name, link into place with
+    fail-if-exists semantics. ``os.link`` (and the rename on the POSIX
+    fallback) raises FileExistsError if a concurrent writer won."""
+    d = _manifest_dir(path)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    target = d / f"v{version}.json"
+    try:
+        os.link(tmp, target)  # atomic, fails if target exists
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} of {path} was committed concurrently"
+        ) from e
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def versioned_write(
+    df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as the next snapshot of the table at ``path``;
+    returns the committed version (1-based). ``mode="append"`` keeps the
+    previous snapshot's files and adds new ones; ``mode="overwrite"``
+    starts a fresh file list (old files stay on disk for time travel
+    until ``vacuum``). Raises ``ConcurrentCommitError`` if another
+    writer commits the same version first — callers retry by re-invoking
+    (the data files written by the losing attempt are orphans that
+    ``vacuum`` collects; they were never visible)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"versioned_write: unknown mode {mode!r}")
+    data_dir = Path(path) / "data" / uuid.uuid4().hex
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        str(p.relative_to(path))
+        for p in data_dir.rglob("*.parquet")
+        if p.is_file()
+    )
+    vs = versions(path)
+    prev = _read_manifest(path, vs[-1]) if vs else {"files": [], "row_count": 0}
+    files = new_files if mode == "overwrite" else prev["files"] + new_files
+    n_new = df.sparkSession.read.parquet(str(data_dir)).count()
+    manifest = {
+        "version": (vs[-1] + 1) if vs else 1,
+        "mode": mode,
+        "files": files,
+        "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
+        "schema": df.schema.jsonValue(),
+    }
+    _commit(path, manifest["version"], manifest)
+    return manifest["version"]
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table AS OF ``version`` (default: latest).
+    Reads exactly the manifest's file list — a half-finished writer is
+    invisible because its files are in no manifest."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*[str(Path(path) / f) for f in m["files"]])
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Commit a NEW version whose visible state equals ``to_version`` —
+    history is append-only, like Iceberg's rollback snapshot."""
+    m = _read_manifest(path, to_version)
+    vs = versions(path)
+    nxt = vs[-1] + 1
+    _commit(
+        path,
+        nxt,
+        {**m, "version": nxt, "mode": f"rollback:{to_version}"},
+    )
+    return nxt
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Drop data files referenced by NO retained manifest (the last
+    ``keep_last`` versions survive; earlier manifests are removed).
+    Returns the deleted file list. The one deliberately destructive
+    operation in the module — time travel before the retention horizon
+    is gone after this, which is exactly Iceberg/Delta VACUUM."""
+    vs = versions(path)
+    if not vs:
+        return []
+    keep = vs[-keep_last:] if keep_last > 0 else []
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    deleted = []
+    data_root = Path(path) / "data"
+    if data_root.is_dir():
+        for p in sorted(data_root.rglob("*.parquet")):
+            rel = str(p.relative_to(path))
+            if rel not in live:
+                p.unlink()
+                deleted.append(rel)
+    for v in vs:
+        if v not in keep:
+            (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
+    return deleted

@@ -1,0 +1,95 @@
+"""Versioned parquet tables (sinks/versioned.py): snapshot manifests,
+time travel, atomic optimistic commits, rollback, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+    ConcurrentCommitError,
+    _commit,
+    read_version,
+    rollback,
+    vacuum,
+    versioned_write,
+    versions,
+)
+
+
+def _rows(df):
+    return sorted((r["id"], r["v"]) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), t
+    )
+    v2 = versioned_write(
+        spark.createDataFrame([(3, "c")], "id int, v string"), t, mode="append"
+    )
+    v3 = versioned_write(
+        spark.createDataFrame([(9, "z")], "id int, v string"), t, mode="overwrite"
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert versions(t) == [1, 2, 3]
+    # latest = the overwrite
+    assert _rows(read_version(spark, t)) == [(9, "z")]
+    # time travel: every prior snapshot still reads exactly
+    assert _rows(read_version(spark, t, 1)) == [(1, "a"), (2, "b")]
+    assert _rows(read_version(spark, t, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="version 7"):
+        read_version(spark, t, 7)
+
+
+def test_rollback_is_append_only_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    versioned_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"), t, mode="overwrite"
+    )
+    v3 = rollback(t, 1)
+    assert v3 == 3 and versions(t) == [1, 2, 3]
+    assert _rows(read_version(spark, t)) == [(1, "a")]
+    # the rolled-back-over version is still readable (history preserved)
+    assert _rows(read_version(spark, t, 2)) == [(2, "b")]
+
+
+def test_concurrent_commit_exactly_one_winner(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    # simulate the race: two writers both target version 2
+    _commit(t, 2, {"version": 2, "mode": "append", "files": [], "row_count": 0,
+                   "schema": {"type": "struct", "fields": []}})
+    with pytest.raises(ConcurrentCommitError):
+        _commit(t, 2, {"version": 2, "mode": "append", "files": [],
+                       "row_count": 0,
+                       "schema": {"type": "struct", "fields": []}})
+    assert versions(t) == [1, 2]
+
+
+def test_half_finished_write_is_invisible(spark, tmp_path):
+    """Data files with no manifest must not be readable through the
+    table — the reader's file list comes from the manifest only."""
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    # orphan files: a writer that crashed before committing
+    spark.createDataFrame([(99, "ghost")], "id int, v string").write.parquet(
+        str(tmp_path / "tbl" / "data" / "orphan")
+    )
+    assert _rows(read_version(spark, t)) == [(1, "a")]
+
+
+def test_vacuum_drops_unreferenced_files_and_old_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    versioned_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"), t, mode="overwrite"
+    )
+    deleted = vacuum(t, keep_last=1)
+    assert deleted  # v1's files are gone
+    assert versions(t) == [2]
+    assert _rows(read_version(spark, t)) == [(2, "b")]
+    # time travel before the horizon is gone — by design
+    with pytest.raises(ValueError):
+        read_version(spark, t, 1)
