@@ -187,3 +187,50 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
     return deleted
+
+
+def last_txn_id(path: str) -> str | None:
+    """The app-level transaction id recorded by the most recent commit
+    (None when the table is empty or the last commit carried none)."""
+    vs = versions(path)
+    if not vs:
+        return None
+    return _read_manifest(path, vs[-1]).get("txn_id")
+
+
+def versioned_write_txn(
+    df: DataFrame, path: str, txn_id: str, mode: str = "append"
+) -> int | None:
+    """``versioned_write`` with an application transaction id — the
+    Delta ``txn`` / Iceberg snapshot-property mechanism that makes
+    at-least-once producers (foreachBatch replays!) exactly-once: the
+    txn id is recorded in the committed manifest, and a write whose
+    ``txn_id`` equals the LAST commit's id is skipped (returns None) —
+    the replayed batch already landed. Only the latest id is checked:
+    foreachBatch replays are always of the most recent batch (Spark
+    never re-runs batch N after N+1 committed), so a one-deep ledger is
+    sufficient and stays O(1). Concurrent-commit losers retry through
+    the same check and discover their batch landed."""
+    if last_txn_id(path) == txn_id:
+        return None
+    data_dir = Path(path) / "data" / uuid.uuid4().hex
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        str(p.relative_to(path))
+        for p in data_dir.rglob("*.parquet")
+        if p.is_file()
+    )
+    vs = versions(path)
+    prev = _read_manifest(path, vs[-1]) if vs else {"files": [], "row_count": 0}
+    files = new_files if mode == "overwrite" else prev["files"] + new_files
+    n_new = df.sparkSession.read.parquet(str(data_dir)).count()
+    manifest = {
+        "version": (vs[-1] + 1) if vs else 1,
+        "mode": mode,
+        "txn_id": txn_id,
+        "files": files,
+        "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
+        "schema": df.schema.jsonValue(),
+    }
+    _commit(path, manifest["version"], manifest)
+    return manifest["version"]

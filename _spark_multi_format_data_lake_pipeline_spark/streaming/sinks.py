@@ -554,3 +554,35 @@ def stream_scd2_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_versioned_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream into a versioned parquet table (sinks/versioned.py): each
+    micro-batch commits one snapshot, so the landing zone gets time
+    travel and atomic visibility for free. Exactly-once comes from the
+    transaction-id ledger, the Delta ``txn`` design: the batch id is the
+    txn id, a foreachBatch replay finds its id on the last committed
+    manifest and skips — no partition-overwrite machinery, no
+    idempotent-transformation argument, just the commit log refusing the
+    duplicate. The third exactly-once mechanism in this module, each
+    matched to its sink's algebra (additive partials -> partition
+    overwrite; idempotent transformations -> re-apply; plain appends ->
+    txn ledger)."""
+    from ..sinks.versioned import versioned_write_txn
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned_write_txn(batch_df, table_path, txn_id=f"stream-{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

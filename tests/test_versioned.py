@@ -93,3 +93,44 @@ def test_vacuum_drops_unreferenced_files_and_old_versions(spark, tmp_path):
     # time travel before the horizon is gone — by design
     with pytest.raises(ValueError):
         read_version(spark, t, 1)
+
+
+def test_stream_versioned_sink_commits_snapshots_and_replay_skips(
+    spark, tmp_path
+):
+    """Each micro-batch commits one snapshot; a foreachBatch replay of
+    the last batch finds its txn id on the head manifest and commits
+    NOTHING (the Delta txn-ledger exactly-once design)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versioned_write_txn,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_versioned_sink
+
+    src = tmp_path / "vsrc"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(3, "c")], "id int, v string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    t = str(tmp_path / "vtbl")
+    stream = (
+        spark.readStream.schema("id int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_versioned_sink(stream, t, str(tmp_path / "vckpt"))
+    q.awaitTermination()
+
+    assert versions(t) == [1, 2]
+    got = sorted((r["id"], r["v"]) for r in read_version(spark, t).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # replay of the LAST batch: same txn id -> skipped, no new version
+    last = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert versioned_write_txn(last, t, txn_id="stream-1") is None
+    assert versions(t) == [1, 2]
+    # a NEW txn id commits normally
+    assert versioned_write_txn(last, t, txn_id="stream-2") == 3
