@@ -1281,3 +1281,98 @@ def q197_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(h).cast("bigint").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — time-weighted average (piecewise-constant integral per user)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q200_time_weighted_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               AS t_next
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, value * (t_next - t) AS area, t_next - t AS dur
+      FROM s WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(SUM(area) / SUM(dur), 6) AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+    doc="Time-weighted average: each observation holds until the next "
+        "one (piecewise-constant), so the mean is integral/duration — "
+        "sum(v_i * dt_i) / sum(dt_i) — the correct aggregate for "
+        "irregularly-sampled series (billing meters, sensor gauges, "
+        "position marks) where the row-mean over-weights bursts. One "
+        "shuffle to the user grain; the lead window and the rollup "
+        "share it. Durations are exact integer microseconds (epoch_us "
+        "both engines); the 6-decimal round absorbs the double "
+        "area-sum association.",
+)
+def q200_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    s = ev.select("user_id", t.alias("t"), "value").withColumn(
+        "t_next", F.lead("t").over(w)
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    return (
+        s.select("user_id", (F.col("value") * dur).alias("area"), dur.alias("dur"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.round(F.sum("area") / F.sum("dur"), 6).alias("twa_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — OHLC bars (open/high/low/close resample via min_by/max_by)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q201_hourly_ohlc",
+    oracle="""
+    SELECT user_id,
+           STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H') AS bar,
+           ROUND(arg_min(value, printf('%016d', epoch_us(ts))), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, printf('%016d', epoch_us(ts))), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="OHLC bar resample — the candlestick aggregation every metrics/"
+        "finance stack needs: per (user, hour), the first and last "
+        "observation (min_by/max_by on a zero-padded time key — ONE "
+        "aggregation pass, no rank windows, no self-joins; q116's "
+        "argmax pattern applied to temporal first/last) plus the "
+        "extremes. (user, ts) is unique so the time key is already a "
+        "total order. Map-side combinable like any min/max family — "
+        "the cheapest possible shape for a resample at 100 TB, and the "
+        "gap-fill spine (q152) composes downstream for empty bars.",
+)
+def q201_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.format_string("%016d", F.unix_micros(F.col("ts").cast("timestamp")))
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )

@@ -586,3 +586,66 @@ def stream_versioned_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quarantine_sink(
+    stream: DataFrame,
+    rules: list,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Dead-letter routing for streaming ingest: rows violating any
+    row-level expectation rule (operators/expectations.py — not_null /
+    in_range / in_set / matches) land in a quarantine table carrying a
+    ``_violated`` column naming the failed rules; clean rows land in the
+    good table. Both sides commit as versioned-table snapshots under ONE
+    txn id per batch (sinks/versioned.py), so a foreachBatch replay
+    skips both sides together — a replay can never route the same batch
+    into good twice or split it inconsistently. The split itself is one
+    scan: each rule's violation predicate becomes a when() label,
+    rows aggregate their failed-rule names into an array. Unique/FK
+    rules are batch-relative in a stream and deliberately rejected —
+    run them as a post-ingest expectations audit instead (the same
+    reasoning as the streaming expectations sink's within-batch-unique
+    caveat)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import _ROW_KINDS, _violation_expr
+    from ..sinks.versioned import versioned_write_txn
+
+    bad_kinds = [r.name for r in rules if r.kind not in _ROW_KINDS]
+    if bad_kinds:
+        raise ValueError(
+            f"stream_quarantine_sink: only row-level rules are streamable; "
+            f"move {bad_kinds} to a batch expectations audit"
+        )
+    if not rules:
+        raise ValueError("stream_quarantine_sink: need at least one rule")
+
+    violated = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation_expr(r), F.lit(r.name)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        )
+    )
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tagged = batch_df.withColumn("_violated", violated)
+        txn = f"quarantine-{batch_id}"
+        good = tagged.filter(F.size("_violated") == 0).drop("_violated")
+        bad = tagged.filter(F.size("_violated") > 0)
+        versioned_write_txn(good, good_path, txn_id=txn)
+        versioned_write_txn(bad, quarantine_path, txn_id=txn)
+
+    writer = stream.writeStream.foreachBatch(_route).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

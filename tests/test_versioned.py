@@ -134,3 +134,53 @@ def test_stream_versioned_sink_commits_snapshots_and_replay_skips(
     assert versions(t) == [1, 2]
     # a NEW txn id commits normally
     assert versioned_write_txn(last, t, txn_id="stream-2") == 3
+
+
+def test_stream_quarantine_sink_routes_and_replays_safely(spark, tmp_path):
+    """Violating rows carry the failed-rule names into quarantine, clean
+    rows land in good, and a replayed batch is skipped on BOTH sides
+    (shared txn id)."""
+    import pytest as _pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version, versions
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_quarantine_sink
+
+    rows = [(1, 10.0), (2, None), (3, 999.0), (4, 50.0)]
+    src = tmp_path / "qsrc"
+    spark.createDataFrame(rows, "id int, v double").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    rules = [not_null("v_present", "v"), in_range("v_sane", "v", 0, 100)]
+    good_t, bad_t = str(tmp_path / "good"), str(tmp_path / "bad")
+    stream = spark.readStream.schema("id int, v double").parquet(str(src / "*"))
+    q = stream_quarantine_sink(
+        stream, rules, good_t, bad_t, str(tmp_path / "qckpt")
+    )
+    q.awaitTermination()
+
+    good = sorted(r["id"] for r in read_version(spark, good_t).collect())
+    bad = {
+        r["id"]: sorted(r["_violated"])
+        for r in read_version(spark, bad_t).collect()
+    }
+    assert good == [1, 4]
+    assert bad == {2: ["v_present"], 3: ["v_sane"]}
+    assert versions(good_t) == [1] and versions(bad_t) == [1]
+
+    # replaying the same batch id commits nothing on either side
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write_txn
+
+    again = spark.createDataFrame(rows, "id int, v double")
+    assert versioned_write_txn(again, good_t, txn_id="quarantine-0") is None
+    assert versions(good_t) == [1]
+
+    # non-row-level rules are rejected up front
+    with _pytest.raises(ValueError, match="row-level"):
+        stream_quarantine_sink(
+            stream, [unique("u", "id")], good_t, bad_t, str(tmp_path / "x")
+        )
