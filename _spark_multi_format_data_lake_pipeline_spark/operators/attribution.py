@@ -102,3 +102,146 @@ def multi_touch_credits(
             F.round(F.sum("_w"), 6).alias("credit"),
         )
     )
+
+
+def journey_transitions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_state, to_state, n) — first-order journey transitions with
+    the Markov-attribution pseudo-states: each user's event stream is
+    segmented into JOURNEYS (a conversion ends one), every journey
+    contributes START -> first touch, touch -> touch, and last touch ->
+    CONV (journey converted) or -> NULL (stream ended unconverted; the
+    standard non-conversion absorbing state). Touchless conversions
+    contribute START -> CONV. Event types outside touch/conversion are
+    ignored. One shuffle to the user grain — the window that orders each
+    user's stream is the only data-sized work; the output is
+    (|channels|+2)^2 rows at most.
+
+    This is the distributed core of ``markov_attribution`` — split out
+    so a SQL oracle can hash-check it (q203); q158's plain transition
+    matrix has no journey segmentation and no absorbing states."""
+    keep = events.filter(
+        F.col(type_col).isin([conversion_type, *touch_types])
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    is_conv = (F.col("_t") == conversion_type).cast("int")
+    # journey id = number of conversions STRICTLY BEFORE this event, so a
+    # conversion terminates its own journey
+    journey = F.sum(is_conv).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = keep.withColumn("_j", F.coalesce(journey, F.lit(0)))
+
+    wj = Window.partitionBy("_u", "_j").orderBy("_ts", "_id")
+    nxt = F.lead("_t").over(wj)
+    prv = F.lag("_t").over(wj)
+    frm = F.when(prv.isNull(), F.lit("START")).otherwise(prv)
+    to = F.col("_t")
+    # per event: (prev-or-START -> me); plus for the LAST event of a
+    # journey that is a TOUCH, (me -> NULL) — an unconverted dead end
+    steps = tagged.select(frm.alias("from_state"), to.alias("to_state"))
+    dead_ends = (
+        tagged.withColumn("_nxt", nxt)
+        .filter(F.col("_nxt").isNull() & (F.col("_t") != conversion_type))
+        .select(
+            F.col("_t").alias("from_state"), F.lit("NULL").alias("to_state")
+        )
+    )
+    return (
+        steps.withColumn(
+            "to_state",
+            F.when(F.col("to_state") == conversion_type, F.lit("CONV")).otherwise(
+                F.col("to_state")
+            ),
+        )
+        .unionByName(dead_ends)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def markov_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Data-driven multi-touch attribution via Markov removal effects
+    (Anderl et al. 2016) — the model-based alternative to the q181/q182
+    position heuristics: fit the first-order journey chain
+    (``journey_transitions``), compute the absorption probability of
+    CONV from START, then for each channel remove it (transitions into
+    it re-route to the NULL absorber) and measure how much conversion
+    probability disappears. credit_c = removal_effect_c normalized over
+    channels.
+
+    Division of labor: Spark counts transitions (the data-sized pass,
+    one user-keyed window); the absorption solves are numpy over a
+    (|channels|+1)^2 matrix on the driver — k is a handful of channels,
+    never data-sized. Returns (channel, removal_effect, credit) rounded
+    to 6."""
+    import numpy as np
+
+    rows = journey_transitions(
+        events, conversion_type, touch_types,
+        user_col, ts_col, type_col, id_col,
+    ).collect()
+    counts: dict[tuple[str, str], int] = {
+        (r["from_state"], r["to_state"]): int(r["n"]) for r in rows
+    }
+    channels = sorted({f for f, _ in counts} - {"START"})
+    transient = ["START", *channels]
+    idx = {s: i for i, s in enumerate(transient)}
+
+    def absorption_p(removed: str | None) -> float:
+        k = len(transient)
+        Q = np.zeros((k, k))
+        r_conv = np.zeros(k)
+        for (f, t), n in counts.items():
+            if f == removed:
+                continue
+            i = idx[f]
+            if t == removed:
+                continue  # re-routed to NULL: simply absent from Q and R
+            if t == "CONV":
+                r_conv[i] += n
+            elif t in idx:
+                Q[i, idx[t]] += n
+        # row-normalize by the ORIGINAL out-degree (including removed /
+        # NULL targets) so removed mass becomes NULL absorption
+        for f_state in transient:
+            i = idx[f_state]
+            tot = sum(n for (f, _), n in counts.items() if f == f_state)
+            if tot:
+                Q[i] /= tot
+                r_conv[i] /= tot
+        b = np.linalg.solve(np.eye(k) - Q, r_conv)
+        return float(b[idx["START"]])
+
+    p_all = absorption_p(None)
+    effects = []
+    for c in channels:
+        p_wo = absorption_p(c) if p_all > 0 else 0.0
+        re = 0.0 if p_all == 0 else max(0.0, 1.0 - p_wo / p_all)
+        effects.append((c, re))
+    total = sum(re for _, re in effects)
+    out = [
+        (c, round(re, 6), round(re / total, 6) if total > 0 else 0.0)
+        for c, re in effects
+    ]
+    return events.sparkSession.createDataFrame(
+        out, "channel string, removal_effect double, credit double"
+    )

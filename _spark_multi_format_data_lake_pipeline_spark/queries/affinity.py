@@ -1376,3 +1376,77 @@ def q201_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q202/q203 — data-driven (Markov removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q202_markov_attribution",
+    oracle=None,
+    doc="operators/attribution.py::markov_attribution — data-driven "
+        "multi-touch attribution (Anderl et al.): fit the first-order "
+        "journey chain, then per channel measure how much absorption "
+        "probability into CONV disappears when the channel is removed "
+        "(graph surgery re-routing its inbound mass to the NULL "
+        "absorber); credit = normalized removal effects. Spark does the "
+        "data-sized pass (journey transition counts, one user-keyed "
+        "window); the absorption solves are numpy over a "
+        "(channels+1)^2 matrix on the driver. rows-only BY DESIGN: the "
+        "matrix inversion has no tractable ANSI form — q203 is the "
+        "hash-green twin of the distributed core, and the driver math "
+        "is pinned by a hand-solved chain + conservation tests in "
+        "tests/test_pipeline_ops.py (same twin protocol as q54/q141).",
+)
+def q202_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import markov_attribution
+
+    return markov_attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q203_journey_transitions",
+    oracle="""
+    WITH keep AS (
+      SELECT user_id AS u, ts, event_id AS id, event_type AS t
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    tagged AS (
+      SELECT u, ts, id, t,
+             COALESCE(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY u ORDER BY ts, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS j
+      FROM keep
+    ),
+    steps AS (
+      SELECT COALESCE(LAG(t) OVER (PARTITION BY u, j ORDER BY ts, id),
+                      'START') AS from_state,
+             CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS to_state
+      FROM tagged
+    ),
+    dead AS (
+      SELECT t AS from_state, 'NULL' AS to_state
+      FROM (SELECT t, LEAD(t) OVER (PARTITION BY u, j ORDER BY ts, id) AS nx
+            FROM tagged) x
+      WHERE nx IS NULL AND t <> 'purchase'
+    )
+    SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT * FROM steps UNION ALL SELECT * FROM dead)
+    GROUP BY 1, 2
+    """,
+    doc="operators/attribution.py::journey_transitions — the distributed "
+        "core q202 consumes, exposed as its oracle-paired twin: per-user "
+        "streams segmented into journeys (a conversion ends one; the "
+        "journey id is a running conversion count, EXCLUSIVE so the "
+        "purchase terminates its own journey), with the Markov pseudo-"
+        "states START / CONV / NULL. Differs from q158's plain "
+        "transition matrix exactly by the journey segmentation and "
+        "absorbing states. One user-keyed window; output is at most "
+        "(channels+2)^2 rows.",
+)
+def q203_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import journey_transitions
+
+    return journey_transitions(_t(spark, sf_dir, "events"))

@@ -232,3 +232,93 @@ def test_bpe_merge_fold_no_overlap(spark):
     assert out["aaa"] == ["aa", "a"]
     assert out["aaaa"] == ["aa", "aa"]
     assert out["baab"] == ["b", "aa", "b"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_markov_attribution_hand_solved_chain(spark):
+    """3 journeys: view->conv, view->drop, click->conv. By hand:
+    P(conv) = 2/3*1/2 + 1/3*1 = 2/3; removing either channel leaves
+    P = 1/3, so both removal effects are 1/2 and credit splits 50/50."""
+    from datetime import datetime as dt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import (
+        journey_transitions,
+        markov_attribution,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 1, "view"),
+        (2, dt(2024, 1, 1, 0, 1), 1, "purchase"),
+        (3, dt(2024, 1, 1, 0, 0), 2, "view"),
+        (4, dt(2024, 1, 1, 0, 0), 3, "click"),
+        (5, dt(2024, 1, 1, 0, 1), 3, "purchase"),
+    ]
+    ev = _ev(spark, rows)
+    tr = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in journey_transitions(ev).collect()
+    }
+    assert tr == {
+        ("START", "view"): 2,
+        ("START", "click"): 1,
+        ("view", "CONV"): 1,
+        ("view", "NULL"): 1,
+        ("click", "CONV"): 1,
+    }
+    got = {
+        r["channel"]: (r["removal_effect"], r["credit"])
+        for r in markov_attribution(ev).collect()
+    }
+    assert got == {"view": (0.5, 0.5), "click": (0.5, 0.5)}
+
+
+def test_markov_attribution_journey_segmentation_and_unused_channel(spark):
+    """A conversion terminates its journey: view,conv,click,conv is TWO
+    one-touch journeys (no view->click transition). A channel absent
+    from every converting path gets removal effect 0; credits of the
+    rest still normalize to 1."""
+    from datetime import datetime as dt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import (
+        journey_transitions,
+        markov_attribution,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 1, "view"),
+        (2, dt(2024, 1, 1, 0, 1), 1, "purchase"),
+        (3, dt(2024, 1, 1, 0, 2), 1, "click"),
+        (4, dt(2024, 1, 1, 0, 3), 1, "purchase"),
+        # user 2: only a dangling view (unconverted journey)
+        (5, dt(2024, 1, 1, 0, 0), 2, "view"),
+    ]
+    ev = _ev(spark, rows)
+    tr = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in journey_transitions(ev).collect()
+    }
+    assert ("view", "click") not in tr  # journeys split at the conversion
+    assert tr[("START", "view")] == 2 and tr[("START", "click")] == 1
+
+    got = {r["channel"]: r for r in markov_attribution(ev).collect()}
+    credits = sum(r["credit"] for r in got.values())
+    assert abs(credits - 1.0) < 1e-9
+    # both channels convert here, both carry positive effect
+    assert got["view"]["removal_effect"] > 0
+    assert got["click"]["removal_effect"] > 0
+
+
+def test_markov_attribution_no_conversions_is_all_zero(spark):
+    from datetime import datetime as dt
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.attribution import markov_attribution
+
+    ev = _ev(spark, [(1, dt(2024, 1, 1), 1, "view"), (2, dt(2024, 1, 1), 2, "click")])
+    got = {r["channel"]: (r["removal_effect"], r["credit"])
+           for r in markov_attribution(ev).collect()}
+    assert got == {"view": (0.0, 0.0), "click": (0.0, 0.0)}
