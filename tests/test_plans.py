@@ -225,6 +225,17 @@ def _simple_plan(spark, sf_dir, name) -> str:
         ("q194_point_in_time_state", 2),
         # business-key sha is map math; one month-grain groupBy
         ("q197_partition_checksums", 1),
+        # (user,type) first-flag window refines the user running window
+        ("q198_running_distinct_types", 2),
+        # word-freq groupBy + pair groupBy; top-10 is TakeOrdered
+        ("q199_bpe_merge_candidates", 2),
+        # one shuffle to the user grain; lead window + rollup share it
+        ("q200_time_weighted_value", 1),
+        # single (user, bar) aggregation, map-side combinable
+        ("q201_hourly_ohlc", 1),
+        # user window (journey tag + lag/lead reuse it) + the pseudo-
+        # state rollup; the union adds one exchange at the count grain
+        ("q203_journey_transitions", 3),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):
