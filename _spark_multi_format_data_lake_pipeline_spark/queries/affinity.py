@@ -1450,3 +1450,57 @@ def q203_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.attribution import journey_transitions
 
     return journey_transitions(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# q204 — concentration / inequality metrics (Gini + HHI per segment)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q204_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_orderpriority AS pri, o_custkey, SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT pri, x,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY x, o_custkey) AS r
+      FROM cust
+    )
+    SELECT pri AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(r * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+           ROUND(SUM(x * x) / (SUM(x) * SUM(x)), 6) AS hhi
+    FROM ranked GROUP BY pri
+    """,
+    doc="Concentration metrics per order-priority segment: the Gini "
+        "coefficient of customer revenue (rank-weighted closed form "
+        "2*sum(r*x)/(n*sum(x)) - (n+1)/n over ascending ranks — one "
+        "window + one aggregation, no O(n^2) pairwise differences) and "
+        "the Herfindahl-Hirschman index (sum of squared shares = "
+        "sum(x^2)/sum(x)^2, pure aggregation). The inequality family "
+        "behind data-mixture diversity audits ('is 90% of this domain's "
+        "token mass 10 crawls?') and market-share reporting. The rank "
+        "window partitions by segment over the CUSTOMER grain (already "
+        "one aggregation down from facts); for billion-member groups "
+        "hand the ranking to the operators/ids.py range-partition "
+        "recipe, as q171 does for running sums.",
+)
+def q204_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("segment"), "o_custkey"
+    ).agg(F.sum("o_totalprice").alias("x"))
+    w = Window.partitionBy("segment").orderBy("x", "o_custkey")
+    ranked = cust.withColumn("r", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum("x")
+    return ranked.groupBy("segment").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("r") * F.col("x")) / (n * tot) - (n + 1.0) / n, 6
+        ).alias("gini"),
+        F.round(F.sum(F.col("x") * F.col("x")) / (tot * tot), 6).alias("hhi"),
+    )
