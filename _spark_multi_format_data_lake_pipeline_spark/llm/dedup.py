@@ -602,6 +602,7 @@ def contamination_report(
     n: int = 8,
     min_shared: int = 1,
     lane: str = "xxhash64",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: which training documents share word
     ``n``-grams with a held-out evaluation set — the screen every
@@ -618,7 +619,12 @@ def contamination_report(
     able), so at 100 TB this is a map-side broadcast probe of the train
     shingle stream; no all-pairs anything. ``lane="sha256"`` swaps in
     the hex-prefix hash an ANSI oracle can recompute (q193 hash-checks
-    the full pipeline cross-engine, like q141 does for MinHash)."""
+    the full pipeline cross-engine, like q141 does for MinHash).
+    ``broadcast_bench`` (default True) forces the broadcast because
+    planner size estimates for a derived distinct aggregate are
+    unreliable — pass False when the "bench" side is NOT eval-set-sized
+    (a forced broadcast of a corpus-scale gram set would OOM the
+    executors; the shuffle hash join is the correct plan there)."""
     tg = shingle_hashes(train, id_col, text_col, n=n, lane=lane).distinct()
     bg = (
         shingle_hashes(bench, bench_id_col or id_col, text_col, n=n, lane=lane)
@@ -626,8 +632,9 @@ def contamination_report(
         .select(F.col("id").alias("_bid"), "_gh")
     )
     train_sizes = tg.groupBy("id").agg(F.count(F.lit(1)).alias("train_grams"))
+    bench_side = F.broadcast(bg) if broadcast_bench else bg
     pairs = (
-        tg.join(F.broadcast(bg), "_gh")
+        tg.join(bench_side, "_gh")
         .groupBy("id", "_bid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -1292,7 +1292,8 @@ def q197_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id, epoch_us(ts) AS t, value,
-             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
                AS t_next
       FROM events WHERE value IS NOT NULL
     ),
@@ -1318,8 +1319,10 @@ def q197_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q200_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("t")
-    s = ev.select("user_id", t.alias("t"), "value").withColumn(
+    # event_id tie-break: two same-instant observations would otherwise
+    # make segment attribution (and the oracle comparison) run-dependent
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = ev.select("user_id", t.alias("t"), "event_id", "value").withColumn(
         "t_next", F.lead("t").over(w)
     ).filter(F.col("t_next").isNotNull())
     dur = F.col("t_next") - F.col("t")

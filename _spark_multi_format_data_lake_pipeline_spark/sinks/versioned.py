@@ -93,19 +93,15 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
-def versioned_write(
-    df: DataFrame, path: str, mode: str = "append"
+def _write_snapshot(
+    df: DataFrame, path: str, mode: str, txn_id: str | None = None
 ) -> int:
-    """Write ``df`` as the next snapshot of the table at ``path``;
-    returns the committed version (1-based). ``mode="append"`` keeps the
-    previous snapshot's files and adds new ones; ``mode="overwrite"``
-    starts a fresh file list (old files stay on disk for time travel
-    until ``vacuum``). Raises ``ConcurrentCommitError`` if another
-    writer commits the same version first — callers retry by re-invoking
-    (the data files written by the losing attempt are orphans that
-    ``vacuum`` collects; they were never visible)."""
+    """Shared body of versioned_write / versioned_write_txn: write the
+    data files, list them, extend or replace the previous manifest's
+    file list, commit the next version (one code path so file-listing /
+    row-count semantics can never diverge between the two entries)."""
     if mode not in ("append", "overwrite"):
-        raise ValueError(f"versioned_write: unknown mode {mode!r}")
+        raise ValueError(f"versioned snapshot write: unknown mode {mode!r}")
     data_dir = Path(path) / "data" / uuid.uuid4().hex
     df.write.mode("error").parquet(str(data_dir))
     new_files = sorted(
@@ -124,8 +120,24 @@ def versioned_write(
         "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
         "schema": df.schema.jsonValue(),
     }
+    if txn_id is not None:
+        manifest["txn_id"] = txn_id
     _commit(path, manifest["version"], manifest)
     return manifest["version"]
+
+
+def versioned_write(
+    df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as the next snapshot of the table at ``path``;
+    returns the committed version (1-based). ``mode="append"`` keeps the
+    previous snapshot's files and adds new ones; ``mode="overwrite"``
+    starts a fresh file list (old files stay on disk for time travel
+    until ``vacuum``). Raises ``ConcurrentCommitError`` if another
+    writer commits the same version first — callers retry by re-invoking
+    (the data files written by the losing attempt are orphans that
+    ``vacuum`` collects; they were never visible)."""
+    return _write_snapshot(df, path, mode)
 
 
 def read_version(
@@ -211,26 +223,10 @@ def versioned_write_txn(
     never re-runs batch N after N+1 committed), so a one-deep ledger is
     sufficient and stays O(1). Concurrent-commit losers retry through
     the same check and discover their batch landed."""
+    if not isinstance(txn_id, str) or not txn_id:
+        # None == None against a ledger-less head manifest would silently
+        # SKIP the write — refuse ambiguous ids outright
+        raise ValueError("versioned_write_txn: txn_id must be a non-empty string")
     if last_txn_id(path) == txn_id:
         return None
-    data_dir = Path(path) / "data" / uuid.uuid4().hex
-    df.write.mode("error").parquet(str(data_dir))
-    new_files = sorted(
-        str(p.relative_to(path))
-        for p in data_dir.rglob("*.parquet")
-        if p.is_file()
-    )
-    vs = versions(path)
-    prev = _read_manifest(path, vs[-1]) if vs else {"files": [], "row_count": 0}
-    files = new_files if mode == "overwrite" else prev["files"] + new_files
-    n_new = df.sparkSession.read.parquet(str(data_dir)).count()
-    manifest = {
-        "version": (vs[-1] + 1) if vs else 1,
-        "mode": mode,
-        "txn_id": txn_id,
-        "files": files,
-        "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
-        "schema": df.schema.jsonValue(),
-    }
-    _commit(path, manifest["version"], manifest)
-    return manifest["version"]
+    return _write_snapshot(df, path, mode, txn_id=txn_id)

@@ -107,6 +107,14 @@ def stream_cdc_sink(
             return
         batch_spark = batch_df.sparkSession
         cat = CatalogManager(batch_spark)
+        # finish/undo any crash-interrupted swap BEFORE the exists check —
+        # a half-done swap must not read as "first batch" (state loss)
+        stage, old = f"{target_table}__stage", f"{target_table}__old"
+        if not cat.table_exists(target_table) and cat.table_exists(old):
+            if cat.table_exists(stage):
+                batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+            else:
+                batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
         if not cat.table_exists(target_table):
             from pyspark.sql import functions as F
 
@@ -130,10 +138,7 @@ def stream_cdc_sink(
         nxt = apply_cdc_batch(
             target_df, batch_df, key_cols, op_col=op_col, seq_col=seq_col
         )
-        stage = f"{target_table}__stage"
-        nxt.write.mode("overwrite").format("parquet").saveAsTable(stage)
-        batch_spark.sql(f"DROP TABLE IF EXISTS {target_table}")
-        batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        _recover_and_swap(batch_spark, nxt, target_table)
         batch_spark.catalog.refreshTable(target_table)
         outer_spark.catalog.refreshTable(target_table)
 
@@ -470,6 +475,46 @@ def stream_kmeans_stats_sink(
     return writer.start()
 
 
+def _recover_and_swap(batch_spark, nxt: DataFrame, target_table: str) -> None:
+    """Crash-recoverable stage+rename table swap for the stateful
+    streaming sinks (CDC, SCD2). The naive DROP TABLE + RENAME pair has
+    a window where the target does not exist; a driver crash inside it
+    would make the NEXT foreachBatch replay see "no table" and rebuild
+    state from ONE batch — silent history loss for a read-modify-write
+    sink. This swap (a) keeps the previous state under ``__old`` until
+    the new state is in place and (b) starts every call with a recovery
+    step that can finish (or undo) a swap a crash left half-done:
+
+        recovery: target missing + __old present
+                    -> __stage present: previous swap had fully staged the
+                       new state; finish it (rename __stage -> target)
+                    -> else: restore __old -> target
+        swap:     write __stage (full new state)
+                  target -> __old        (target briefly missing)
+                  __stage -> target
+                  drop __old
+
+    Every crash point replays into a state where target exists and holds
+    either the old or the new COMPLETE dimension — never one batch's.
+    The stray-__stage drop at the top also collects an incomplete stage
+    write from a crash mid-save."""
+    stage, old = f"{target_table}__stage", f"{target_table}__old"
+    exists = batch_spark.catalog.tableExists
+    if not exists(target_table) and exists(old):
+        if exists(stage):
+            batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        else:
+            batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
+    batch_spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    batch_spark.sql(f"DROP TABLE IF EXISTS {old}")
+
+    nxt.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    if exists(target_table):
+        batch_spark.sql(f"ALTER TABLE {target_table} RENAME TO {old}")
+    batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+    batch_spark.sql(f"DROP TABLE IF EXISTS {old}")
+
+
 def fold_scd2_batch(
     batch_spark,
     batch_df: DataFrame,
@@ -494,6 +539,14 @@ def fold_scd2_batch(
     from ..sinks.scd import scd2_apply
 
     cat = CatalogManager(batch_spark)
+    # finish/undo any crash-interrupted swap BEFORE deciding whether the
+    # dimension exists — a half-done swap must not read as "first batch"
+    stage, old = f"{target_table}__stage", f"{target_table}__old"
+    if not cat.table_exists(target_table) and cat.table_exists(old):
+        if cat.table_exists(stage):
+            batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        else:
+            batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
     if cat.table_exists(target_table):
         dim = batch_spark.table(target_table)
         first = False
@@ -512,10 +565,7 @@ def fold_scd2_batch(
     if first:
         nxt.write.mode("overwrite").format("parquet").saveAsTable(target_table)
     else:
-        stage = f"{target_table}__stage"
-        nxt.write.mode("overwrite").format("parquet").saveAsTable(stage)
-        batch_spark.sql(f"DROP TABLE IF EXISTS {target_table}")
-        batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        _recover_and_swap(batch_spark, nxt, target_table)
     batch_spark.catalog.refreshTable(target_table)
 
 

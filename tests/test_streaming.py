@@ -759,3 +759,58 @@ def test_stream_scd2_sink_builds_history_and_replay_is_idempotent(
     fold_scd2_batch(spark, b2, 1, tbl, "user_id", ["tier"], "ts")
     assert canon(spark.table(tbl)) == ref
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_scd2_swap_crash_window_recovers_not_rebuilds(spark):
+    """Simulate a driver crash INSIDE the table swap (target renamed to
+    __old, fully-staged new state sitting in __stage): the next fold must
+    FINISH the swap — not mistake the missing target for a first batch
+    and rebuild the dimension from one batch (the silent-history-loss
+    failure the recoverable swap exists to prevent). Also: crash BEFORE
+    staging (only __old present) must restore the old state."""
+    import uuid
+
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import fold_scd2_batch
+
+    tbl = f"scd2_crash_{uuid.uuid4().hex[:8]}"
+    b1 = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00"), (2, "silver", "2024-01-01 00:00:00")],
+        "user_id int, tier string, ts string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "gold", "2024-02-01 00:00:00")], "user_id int, tier string, ts string"
+    )
+    fold_scd2_batch(spark, b1, 0, tbl, "user_id", ["tier"], "ts")
+    fold_scd2_batch(spark, b2, 1, tbl, "user_id", ["tier"], "ts")
+    full = sorted(
+        (r["user_id"], r["tier"], r["is_current"]) for r in spark.table(tbl).collect()
+    )
+    assert len(full) == 3  # u1 v1 closed + u1 v2 current + u2 current
+
+    # crash point A: target renamed away, staged state present
+    spark.table(tbl).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{tbl}__stage"
+    )
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__old")
+    b3 = spark.createDataFrame(
+        [(2, "gold", "2024-03-01 00:00:00")], "user_id int, tier string, ts string"
+    )
+    fold_scd2_batch(spark, b3, 2, tbl, "user_id", ["tier"], "ts")
+    rows = sorted(
+        (r["user_id"], r["tier"], r["is_current"]) for r in spark.table(tbl).collect()
+    )
+    # u1's FULL history survived (2 rows) + u2 closed + u2 new current
+    assert len(rows) == 4
+    assert (1, "gold", True) in rows and (2, "gold", True) in rows
+
+    # crash point B: only __old exists (crash before staging completed)
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__old")
+    b4 = spark.createDataFrame(
+        [(3, "bronze", "2024-04-01 00:00:00")], "user_id int, tier string, ts string"
+    )
+    fold_scd2_batch(spark, b4, 3, tbl, "user_id", ["tier"], "ts")
+    rows = sorted(
+        (r["user_id"], r["tier"]) for r in spark.table(tbl).collect()
+    )
+    assert len(rows) == 5 and (3, "bronze") in rows
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
