@@ -1507,3 +1507,72 @@ def q204_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.sum(F.col("x") * F.col("x")) / (tot * tot), 6).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — A/B experiment readout with CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q205_cuped_ab_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             COALESCE(SUM(value) FILTER (ts < TIMESTAMP '2024-01-16'), 0.0) AS x,
+             COALESCE(SUM(value) FILTER (ts >= TIMESTAMP '2024-01-16'), 0.0) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_samp(x, y) / var_samp(x) AS th, AVG(x) AS mx FROM per_user
+    ),
+    adj AS (
+      SELECT arm, y, y - theta.th * (x - theta.mx) AS y_adj
+      FROM per_user CROSS JOIN theta
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 4) AS mean_raw,
+           ROUND(AVG(y_adj), 4) AS mean_cuped,
+           ROUND(var_samp(y), 4) AS var_raw,
+           ROUND(var_samp(y_adj), 4) AS var_cuped
+    FROM adj GROUP BY arm
+    """,
+    doc="Experimentation readout with CUPED (controlled-experiment using "
+        "pre-experiment data, Deng et al. 2013): each user's post-period "
+        "metric is adjusted by theta*(pre - mean(pre)) with theta = "
+        "cov(pre, post)/var(pre), which strictly shrinks variance "
+        "without biasing the arm difference — how every large "
+        "experimentation platform tightens confidence intervals. One "
+        "user-grain aggregation (both periods as conditional sums in "
+        "the SAME pass), a 1-row theta broadcast, then per-arm moments "
+        "— two map-side-combined shuffles total. Arms are the "
+        "deterministic user_id parity so the oracle replays the split "
+        "exactly; covar_samp/var_samp match across engines (q19's "
+        "stats battery proved the estimator family).",
+)
+def q205_cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)
+        ).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    theta = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).withColumn(
+        "y_adj", F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("y"), 4).alias("mean_raw"),
+        F.round(F.avg("y_adj"), 4).alias("mean_cuped"),
+        F.round(F.var_samp("y"), 4).alias("var_raw"),
+        F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
+    )
