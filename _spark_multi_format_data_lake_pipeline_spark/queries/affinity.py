@@ -1576,3 +1576,54 @@ def q205_cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("y"), 4).alias("var_raw"),
         F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — Neyman optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q206_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             ROUND(stddev_samp(o_totalprice), 6) AS sd
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (SELECT SUM(n_pop * sd) AS denom FROM s)
+    SELECT stratum, n_pop, sd,
+           CAST(FLOOR(1000 * (s.n_pop * s.sd) / t.denom) AS BIGINT)
+             AS n_sample,
+           ROUND(FLOOR(1000 * (s.n_pop * s.sd) / t.denom) / s.n_pop, 6)
+             AS sampling_frac
+    FROM s CROSS JOIN t
+    """,
+    doc="Neyman optimal allocation for a stratified sample of 1000: "
+        "n_h proportional to N_h * S_h, the allocation that minimizes "
+        "the variance of the estimated population mean for a fixed "
+        "budget — what a profiling/labeling pipeline uses to decide how "
+        "many rows to draw per segment before q106/q121's samplers "
+        "actually draw them. One map-side-combined moments pass + a "
+        "1-row denominator broadcast. Determinism across engines: the "
+        "per-stratum stddev is pre-rounded to 6 BEFORE any downstream "
+        "arithmetic, so both engines run the identical IEEE expression "
+        "and FLOOR cannot straddle a boundary; counts use FLOOR, not "
+        "ROUND (Spark's HALF_UP BigDecimal rounding and DuckDB's C "
+        "rounding disagree at .5 boundaries).",
+)
+def q206_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    )
+    t = s.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("denom"))
+    n_sample = F.floor(1000 * (F.col("n_pop") * F.col("sd")) / F.col("denom"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        "n_pop",
+        "sd",
+        n_sample.cast("bigint").alias("n_sample"),
+        F.round(n_sample / F.col("n_pop"), 6).alias("sampling_frac"),
+    )
