@@ -361,3 +361,94 @@ def ranking_metrics(
         F.coalesce(F.round(F.avg("rr"), 6), F.lit(0.0)).alias("mrr_at_k"),
         F.coalesce(F.round(F.avg("recall"), 6), F.lit(0.0)).alias("recall_at_k"),
     )
+
+
+def waterfill_allocation(
+    domains: DataFrame,
+    weight_col: str,
+    avail_col: str,
+    budget: float,
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Allocate a token budget across domains respecting availability —
+    the mixture-PLANNING step between ``domain_mixture``'s weights and
+    the samplers that draw the data: target_i = min(avail_i,
+    lambda * w_i) with one global water level lambda chosen so the
+    targets sum to the budget (all-available when the budget exceeds the
+    corpus). The classic waterfilling solution, computed with windows
+    over the DOMAIN table (never data-sized): sort by the binding ratio
+    avail/weight ascending; for a prefix of k binding domains the
+    candidate level is lambda_k = (B - cum_avail_k) / (total_w -
+    cum_w_k); the correct prefix is the unique row where
+    r_k <= lambda_k <= r_{k+1} (lambda_0 = B/total_w when nothing
+    binds). Returns (key…, weight, avail, allocation, binding).
+
+    Determinism: one total order (ratio, key…); all arithmetic is the
+    same IEEE expression both engines, so an ANSI oracle replays the
+    pick exactly. Zero-weight domains get 0 (their ratio is +inf; they
+    never bind and lambda*0 = 0)."""
+    keys = list(key_cols)
+    w = F.col(weight_col).cast("double")
+    a = F.col(avail_col).cast("double")
+    d = domains.select(*keys, w.alias("_w"), a.alias("_a")).withColumn(
+        "_r", F.when(F.col("_w") > 0, F.col("_a") / F.col("_w"))
+    )
+    win = Window.orderBy(F.col("_r").asc_nulls_last(), *keys)
+    cum = (
+        d.withColumn("_ca", F.sum("_a").over(win))
+        .withColumn("_cw", F.sum("_w").over(win))
+        .withColumn("_nr", F.lead("_r").over(win))
+    )
+    tot = d.agg(
+        F.sum("_w").alias("_tw"), F.sum("_a").alias("_ta")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # lambda if THIS row is the last binding one; the all-domains-bind
+    # row (zero remaining weight) is the budget >= total-avail case the
+    # output handles separately — NULL here, and ANSI division stays safe
+    rem_w = F.col("_tw") - F.col("_cw")
+    lam_k = F.when(rem_w > 0, (F.lit(budget) - F.col("_ca")) / rem_w)
+    # lambda with NO binding rows at all
+    lam_0 = F.lit(budget) / F.col("_tw")
+    # the chosen level: max over { lam_0 if it clears every ratio } and
+    # the valid prefix row's lam_k — expressed as a global agg of the
+    # per-row candidates that satisfy their bracketing condition
+    cand = j.select(
+        F.when(
+            (F.col("_r").isNotNull())
+            & (F.col("_r") <= lam_k)
+            & (F.col("_nr").isNull() | (lam_k <= F.col("_nr"))),
+            lam_k,
+        ).alias("_lam"),
+        F.when(
+            lam_0 <= F.coalesce(
+                F.min("_r").over(Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )),
+                F.lit(float("inf")),
+            ),
+            lam_0,
+        ).alias("_lam0"),
+        F.col("_ta"),
+    )
+    lam_row = cand.agg(
+        F.coalesce(F.max("_lam"), F.max("_lam0")).alias("_lam"),
+        F.max("_ta").alias("_ta"),
+    )
+    out = d.crossJoin(F.broadcast(lam_row)).select(
+        *keys,
+        F.round("_w", 6).alias("weight"),
+        F.col("_a").cast("bigint").alias("avail_tokens"),
+        F.floor(
+            F.when(F.lit(budget) >= F.col("_ta"), F.col("_a")).otherwise(
+                F.least(F.col("_a"), F.col("_lam") * F.col("_w"))
+            )
+        )
+        .cast("bigint")
+        .alias("allocation"),
+        (
+            (F.lit(budget) < F.col("_ta"))
+            & (F.col("_a") <= F.col("_lam") * F.col("_w"))
+        ).alias("binding"),
+    )
+    return out

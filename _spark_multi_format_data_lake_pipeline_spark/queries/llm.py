@@ -1624,3 +1624,84 @@ def q199_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — vocabulary growth curve (Heaps' law audit over ingest order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q208_vocab_growth",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, doc_id % 10 AS batch,
+             unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    first_seen AS (
+      SELECT w, MIN(batch) AS fb FROM words GROUP BY w
+    ),
+    new_types AS (
+      SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY fb
+    ),
+    tok AS (
+      SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM words GROUP BY batch
+    )
+    SELECT tok.batch,
+           tok.n_tokens,
+           COALESCE(new_types.new_types, 0) AS new_types,
+           SUM(tok.n_tokens) OVER (ORDER BY tok.batch) AS cum_tokens,
+           SUM(COALESCE(new_types.new_types, 0)) OVER (ORDER BY tok.batch)
+             AS cum_types,
+           ROUND(CAST(SUM(COALESCE(new_types.new_types, 0))
+                        OVER (ORDER BY tok.batch) AS DOUBLE)
+                 / SUM(tok.n_tokens) OVER (ORDER BY tok.batch), 6)
+             AS type_token_ratio
+    FROM tok LEFT JOIN new_types USING (batch)
+    """,
+    doc="Vocabulary growth curve over ingest batches (doc_id mod 10 as "
+        "the arrival order): per batch, new-type count (tokens whose "
+        "FIRST sighting is that batch — one min-aggregation over the "
+        "vocab, the same first-occurrence idiom as q198 applied to the "
+        "corpus grain) and cumulative types vs cumulative tokens — the "
+        "Heaps'-law diagnostic that tells a crawl operator whether new "
+        "data still adds vocabulary or the corpus has saturated (and "
+        "sizes the BPE vocab q199 trains). Token streams shuffle once "
+        "to the word grain and once to the 10-row batch grain; the "
+        "cumulative window runs over |batches| rows.",
+)
+def q208_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            (F.col("doc_id") % 10).alias("batch"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+    )
+    first_seen = words.groupBy("w").agg(F.min("batch").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    tok = words.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("batch")
+    out = tok.join(new_types, "batch", "left").withColumn(
+        "new_types", F.coalesce("new_types", F.lit(0))
+    )
+    return out.select(
+        "batch",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+        F.round(
+            F.sum("new_types").over(w).cast("double") / F.sum("n_tokens").over(w),
+            6,
+        ).alias("type_token_ratio"),
+    )

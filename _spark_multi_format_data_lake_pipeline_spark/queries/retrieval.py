@@ -641,3 +641,77 @@ def q186_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_offsets(
         docs, "doc_id", "text", seq_len=512, shard=F.col("doc_id") % 32
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — waterfilling token-budget allocation across domains
+# ---------------------------------------------------------------------------
+
+@register(
+    "q207_waterfill_budget",
+    oracle=r"""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(len(string_split_regex(TRIM(text), '\s+'))) AS toks
+      FROM documents GROUP BY source
+    ),
+    d AS (
+      SELECT source,
+             ROUND(SQRT(toks) / SUM(SQRT(toks)) OVER (), 6) AS w,
+             CAST(toks AS DOUBLE) AS a
+      FROM g
+    ),
+    r AS (SELECT source, w, a,
+                 CASE WHEN w > 0 THEN a / w END AS ratio FROM d),
+    cum AS (
+      SELECT source, w, a, ratio,
+             SUM(a) OVER win AS ca, SUM(w) OVER win AS cw,
+             LEAD(ratio) OVER win AS nr
+      FROM r WINDOW win AS (ORDER BY ratio ASC NULLS LAST, source)
+    ),
+    tot AS (SELECT SUM(w) AS tw, SUM(a) AS ta FROM d),
+    lam AS (
+      SELECT COALESCE(
+               MAX(CASE WHEN ratio IS NOT NULL AND (tw - cw) > 0
+                        AND ratio <= (24000 - ca) / (tw - cw)
+                        AND (nr IS NULL OR (24000 - ca) / (tw - cw) <= nr)
+                   THEN (24000 - ca) / (tw - cw) END),
+               MAX(CASE WHEN 24000 / tw <= (SELECT MIN(ratio) FROM r)
+                   THEN 24000 / tw END)
+             ) AS lam,
+             MAX(ta) AS ta
+      FROM cum CROSS JOIN tot
+    )
+    SELECT d.source,
+           d.w AS weight,
+           CAST(d.a AS BIGINT) AS avail_tokens,
+           CAST(FLOOR(CASE WHEN 24000 >= lam.ta THEN d.a
+                           ELSE LEAST(d.a, lam.lam * d.w) END) AS BIGINT)
+             AS allocation,
+           (24000 < lam.ta AND d.a <= lam.lam * d.w) AS binding
+    FROM d CROSS JOIN lam
+    """,
+    doc="llm/retrieval.py::waterfill_allocation — the mixture-PLANNING "
+        "step between q148's temperature-scaled weights and the "
+        "samplers: allocate a 24k-token budget as min(avail, "
+        "lambda * w) with one global water level so targets sum to the "
+        "budget; availability-capped domains are 'binding' and their "
+        "shortfall flows to the rest. The classic waterfilling solve, "
+        "done with windows over the 20-row DOMAIN table (the corpus is "
+        "touched once for token counts). Engine-exact: weights are "
+        "pre-rounded to 6 (q148's convention), every downstream "
+        "expression mirrors textually, and the water level is picked by "
+        "a bracketing condition on identical IEEE doubles; verified "
+        "against a bisection reference on random cases in "
+        "tests/test_pipeline_ops.py.",
+)
+def q207_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.retrieval import domain_mixture, waterfill_allocation
+
+    mix = domain_mixture(
+        _t(spark, sf_dir, "documents"), group_cols=("source",), alpha=0.5
+    )
+    return waterfill_allocation(
+        mix, "mixture_weight", "n_tokens", budget=24000.0, key_cols=["source"]
+    )

@@ -322,3 +322,48 @@ def test_markov_attribution_no_conversions_is_all_zero(spark):
     got = {r["channel"]: (r["removal_effect"], r["credit"])
            for r in markov_attribution(ev).collect()}
     assert got == {"view": (0.0, 0.0), "click": (0.0, 0.0)}
+
+
+def test_waterfill_matches_bisection_reference(spark):
+    """waterfill_allocation's window-derived water level must agree with
+    a bisection solve of sum(min(avail, lam*w)) = B on random instances
+    (within the floor's 1-token granularity), conserve the budget, and
+    hand everything out when the budget exceeds the corpus."""
+    import random
+
+    from _spark_multi_format_data_lake_pipeline_spark.llm.retrieval import waterfill_allocation
+
+    def ref(items, B):
+        tot_a = sum(a for _, _, a in items)
+        if B >= tot_a:
+            return {k: float(a) for k, _, a in items}
+        lo, hi = 0.0, 1e18
+        for _ in range(200):
+            lam = (lo + hi) / 2
+            if sum(min(a, lam * w) for _, w, a in items) < B:
+                lo = lam
+            else:
+                hi = lam
+        lam = (lo + hi) / 2
+        return {k: min(a, lam * w) for k, w, a in items}
+
+    rng = random.Random(5)
+    for _ in range(6):
+        n = rng.randint(2, 7)
+        items = [
+            (f"d{i}", round(rng.uniform(0.05, 1.0), 3), rng.randint(100, 20000))
+            for i in range(n)
+        ]
+        B = rng.choice([500, 5000, 40000, 200000])
+        df = spark.createDataFrame(items, "source string, w double, a long")
+        got = {
+            r["source"]: r["allocation"]
+            for r in waterfill_allocation(df, "w", "a", B, ["source"]).collect()
+        }
+        expect = {k: int(v) for k, v in ref(items, B).items()}
+        for k, v in expect.items():
+            assert abs(got[k] - v) <= 1, (k, got[k], v, items, B)
+        if B < sum(a for _, _, a in items):
+            assert B - n <= sum(got.values()) <= B
+        else:
+            assert got == {k: a for k, _, a in items}

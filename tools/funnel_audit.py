@@ -50,6 +50,9 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q177_ranking_metrics": (1, "final 1-row metrics reduce (k-row input)"),
     "q196_target_encoding": (1, "1-row global-mean broadcast"),
     "q205_cuped_ab_lift": (1, "1-row pooled theta broadcast"),
+    "q206_neyman_allocation": (1, "1-row denominator broadcast"),
+    "q207_waterfill_budget": (3, "|domains|-row waterfill windows + 1-row level/total reduces"),
+    "q208_vocab_growth": (1, "|batches|-row cumulative window"),
 }
 
 
