@@ -37,18 +37,16 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record (all five r5 _RECHECK entries — q87, q75,
-    # q134, q96, q132 — came back green in CORRECTNESS_r05 and left):
-    # - q166: the r6 vocab-ranking fix (llm/dedup.py — the inline
-    #   prefix-filter path now orders by the (df_w, w) pair instead of a
-    #   global row_number rank; token_rank_table moved to the
-    #   range-partitioned assign_contiguous_ids recipe). Candidate
-    #   generation order changed, output contract identical — re-prove.
-    "q166_prefix_filter_neardup",
-    # - q110: assign_contiguous_ids switched from persist to the eager
-    #   localCheckpoint posture (operators/ids.py, r6) — same ids, no
-    #   session-cache leak; q110 consumes the helper directly.
-    "q110_stable_ids",
+    # their latest green record (the two r6 entries — q166, q110 — came
+    # back green in CORRECTNESS_r06 and left per the removal rule):
+    # - q191: the r7 oracle-lint sweep flagged its DECIMAL(16,1) lo/hi
+    #   columns (hash-green in r6 but the same fragile class as the
+    #   q186/q208 HUGEINT bug); oracle now CASTs both to DOUBLE —
+    #   re-prove under the driver hash.  Spark body unchanged.
+    "q191_price_histogram",
+    # - q188: docstring-only fix (ADVICE r6 — distance range 1..3 → 1..2);
+    #   semantics untouched, listed because the body hash moved.
+    "q188_fuzzy_part_names",
 )
 
 

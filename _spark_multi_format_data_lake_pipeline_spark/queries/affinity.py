@@ -1032,7 +1032,7 @@ def q187_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="operators/fuzzy.py::blocked_edit_distance_pairs — entity-"
         "resolution candidate pairs: part names within the same brand "
-        "block whose Levenshtein distance is 1..3 (exact duplicates are "
+        "block whose Levenshtein distance is 1..2 (exact duplicates are "
         "q50's job). Blocking bounds the pair fan-out to per-block "
         "k*(k-1)/2 — the prune-then-score shape of the near-dup family "
         "applied to short strings (q93 is the distinct-vocabulary sibling "
@@ -1062,10 +1062,10 @@ def q188_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q191_price_histogram",
     oracle="""
     SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) AS bucket,
-           CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) * 30000.0
-             AS lo,
-           (CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) + 1)
-             * 30000.0 AS hi,
+           CAST(CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT)
+                * 30000.0 AS DOUBLE) AS lo,
+           CAST((CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INT) + 1)
+                * 30000.0 AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(o_totalprice), 2) AS min_in_bucket,
            ROUND(MAX(o_totalprice), 2) AS max_in_bucket

@@ -1652,9 +1652,10 @@ def q199_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.batch,
            tok.n_tokens,
            COALESCE(new_types.new_types, 0) AS new_types,
-           SUM(tok.n_tokens) OVER (ORDER BY tok.batch) AS cum_tokens,
-           SUM(COALESCE(new_types.new_types, 0)) OVER (ORDER BY tok.batch)
-             AS cum_types,
+           CAST(SUM(tok.n_tokens) OVER (ORDER BY tok.batch) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(new_types.new_types, 0))
+                  OVER (ORDER BY tok.batch) AS BIGINT) AS cum_types,
            ROUND(CAST(SUM(COALESCE(new_types.new_types, 0))
                         OVER (ORDER BY tok.batch) AS DOUBLE)
                  / SUM(tok.n_tokens) OVER (ORDER BY tok.batch), 6)

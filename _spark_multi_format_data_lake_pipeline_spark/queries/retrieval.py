@@ -610,7 +610,7 @@ def q184_kmeans_stats_merged_twin(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM toks WHERE n_tokens > 0
     )
     SELECT shard, doc_id, n_tokens,
-           end_off - n_tokens AS start_off,
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
            CAST(FLOOR((end_off - n_tokens) / 512) AS BIGINT) AS first_seq,
            CAST(FLOOR((end_off - 1) / 512) AS BIGINT) AS last_seq,
            CAST(FLOOR((end_off - 1) / 512)

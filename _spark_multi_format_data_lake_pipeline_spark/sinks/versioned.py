@@ -162,15 +162,21 @@ def read_version(
 
 def rollback(path: str, to_version: int) -> int:
     """Commit a NEW version whose visible state equals ``to_version`` —
-    history is append-only, like Iceberg's rollback snapshot."""
-    m = _read_manifest(path, to_version)
+    history is append-only, like Iceberg's rollback snapshot.
+
+    The source manifest's ``txn_id`` is NOT carried into the rollback
+    commit (it moves to ``rolled_back_txn_id`` for audit): a rollback
+    changes the visible state, so a producer retrying that transaction
+    afterwards must be allowed to land, not skipped by the one-deep
+    ledger in ``versioned_write_txn``."""
+    m = dict(_read_manifest(path, to_version))
+    txn = m.pop("txn_id", None)
     vs = versions(path)
     nxt = vs[-1] + 1
-    _commit(
-        path,
-        nxt,
-        {**m, "version": nxt, "mode": f"rollback:{to_version}"},
-    )
+    manifest = {**m, "version": nxt, "mode": f"rollback:{to_version}"}
+    if txn is not None:
+        manifest["rolled_back_txn_id"] = txn
+    _commit(path, nxt, manifest)
     return nxt
 
 
@@ -195,6 +201,20 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
             if rel not in live:
                 p.unlink()
                 deleted.append(rel)
+        # Sweep the per-write UUID directories that no longer hold any
+        # live data file: drop stray markers (_SUCCESS, .crc) and rmdir,
+        # so a long-lived table doesn't accumulate empty directories.
+        for d in sorted(data_root.iterdir()):
+            if not d.is_dir():
+                continue
+            if any(str(p.relative_to(path)) in live for p in d.rglob("*.parquet")):
+                continue
+            for leftover in sorted(d.rglob("*"), reverse=True):
+                if leftover.is_file():
+                    leftover.unlink()
+                elif leftover.is_dir():
+                    leftover.rmdir()
+            d.rmdir()
     for v in vs:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)

@@ -15,6 +15,20 @@ from ..catalog import CatalogManager
 from ..sinks.merge import TableMerger
 
 
+def _txn_scope(checkpoint_dir: str) -> str:
+    """Stable per-query scope for streaming txn ids: a short digest of
+    the absolute checkpoint path (the stream's durable identity). Same
+    checkpoint -> same scope across restarts; fresh checkpoint -> new
+    scope, so its restarted batch numbering can't collide with another
+    producer's ledger entries on a shared table."""
+    import hashlib
+    import os
+
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
 def stream_upsert_sink(
     stream: DataFrame,
     target_table: str,
@@ -109,12 +123,7 @@ def stream_cdc_sink(
         cat = CatalogManager(batch_spark)
         # finish/undo any crash-interrupted swap BEFORE the exists check —
         # a half-done swap must not read as "first batch" (state loss)
-        stage, old = f"{target_table}__stage", f"{target_table}__old"
-        if not cat.table_exists(target_table) and cat.table_exists(old):
-            if cat.table_exists(stage):
-                batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
-            else:
-                batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
+        _recover_swap(batch_spark, target_table)
         if not cat.table_exists(target_table):
             from pyspark.sql import functions as F
 
@@ -475,6 +484,28 @@ def stream_kmeans_stats_sink(
     return writer.start()
 
 
+def _recover_swap(batch_spark, target_table: str) -> None:
+    """Finish (or undo) a stage+rename swap a crash left half-done —
+    the shared recovery step of every read-modify-write streaming sink
+    (CDC, SCD2, and ``_recover_and_swap`` itself), extracted so a fix to
+    the recovery protocol lands in exactly one place:
+
+        target missing + __old present
+          -> __stage present: previous swap had fully staged the new
+             state; finish it (rename __stage -> target)
+          -> else: restore __old -> target
+
+    Must run BEFORE any "does the target exist" decision: a half-done
+    swap must never read as "first batch" (silent history loss)."""
+    stage, old = f"{target_table}__stage", f"{target_table}__old"
+    exists = batch_spark.catalog.tableExists
+    if not exists(target_table) and exists(old):
+        if exists(stage):
+            batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
+        else:
+            batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
+
+
 def _recover_and_swap(batch_spark, nxt: DataFrame, target_table: str) -> None:
     """Crash-recoverable stage+rename table swap for the stateful
     streaming sinks (CDC, SCD2). The naive DROP TABLE + RENAME pair has
@@ -500,11 +531,7 @@ def _recover_and_swap(batch_spark, nxt: DataFrame, target_table: str) -> None:
     write from a crash mid-save."""
     stage, old = f"{target_table}__stage", f"{target_table}__old"
     exists = batch_spark.catalog.tableExists
-    if not exists(target_table) and exists(old):
-        if exists(stage):
-            batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
-        else:
-            batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
+    _recover_swap(batch_spark, target_table)
     batch_spark.sql(f"DROP TABLE IF EXISTS {stage}")
     batch_spark.sql(f"DROP TABLE IF EXISTS {old}")
 
@@ -541,12 +568,7 @@ def fold_scd2_batch(
     cat = CatalogManager(batch_spark)
     # finish/undo any crash-interrupted swap BEFORE deciding whether the
     # dimension exists — a half-done swap must not read as "first batch"
-    stage, old = f"{target_table}__stage", f"{target_table}__old"
-    if not cat.table_exists(target_table) and cat.table_exists(old):
-        if cat.table_exists(stage):
-            batch_spark.sql(f"ALTER TABLE {stage} RENAME TO {target_table}")
-        else:
-            batch_spark.sql(f"ALTER TABLE {old} RENAME TO {target_table}")
+    _recover_swap(batch_spark, target_table)
     if cat.table_exists(target_table):
         dim = batch_spark.table(target_table)
         first = False
@@ -622,13 +644,25 @@ def stream_versioned_sink(
     duplicate. The third exactly-once mechanism in this module, each
     matched to its sink's algebra (additive partials -> partition
     overwrite; idempotent transformations -> re-apply; plain appends ->
-    txn ledger)."""
+    txn ledger). Txn ids are scoped by the checkpoint path (the Delta
+    appId+version pairing): batch ids restart at 0 under a fresh
+    checkpoint, so an unscoped ``stream-{batch_id}`` would let a NEW
+    query pointed at an existing table silently skip its batch N as a
+    "replay" of the old producer's batch N. The checkpoint path is the
+    stream's durable identity — stable across restarts (so true replays
+    still skip) and distinct for a new checkpoint (so they don't).
+    runId would be wrong here: it changes per restart, which would
+    un-skip genuine replays."""
     from ..sinks.versioned import versioned_write_txn
+
+    scope = _txn_scope(checkpoint_dir)
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        versioned_write_txn(batch_df, table_path, txn_id=f"stream-{batch_id}")
+        versioned_write_txn(
+            batch_df, table_path, txn_id=f"stream-{scope}-{batch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(_commit_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -683,11 +717,13 @@ def stream_quarantine_sink(
         )
     )
 
+    scope = _txn_scope(checkpoint_dir)
+
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         tagged = batch_df.withColumn("_violated", violated)
-        txn = f"quarantine-{batch_id}"
+        txn = f"quarantine-{scope}-{batch_id}"
         good = tagged.filter(F.size("_violated") == 0).drop("_violated")
         bad = tagged.filter(F.size("_violated") > 0)
         versioned_write_txn(good, good_path, txn_id=txn)

@@ -8,6 +8,7 @@ import pytest
 from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
     ConcurrentCommitError,
     _commit,
+    _read_manifest,
     read_version,
     rollback,
     vacuum,
@@ -93,6 +94,34 @@ def test_vacuum_drops_unreferenced_files_and_old_versions(spark, tmp_path):
     # time travel before the horizon is gone — by design
     with pytest.raises(ValueError):
         read_version(spark, t, 1)
+    # the vacuumed write's UUID dir is fully gone (no empty dirs, no
+    # stray _SUCCESS markers accumulate — ADVICE r6), live dirs remain
+    data_dirs = [p for p in (tmp_path / "tbl" / "data").iterdir() if p.is_dir()]
+    assert len(data_dirs) == 1
+    assert any(p.suffix == ".parquet" for p in data_dirs[0].rglob("*"))
+
+
+def test_rollback_does_not_carry_txn_id(spark, tmp_path):
+    """A rollback commit must not replay-shield the rolled-back txn id:
+    a producer retrying that transaction after the rollback changed
+    visible state must land, not be skipped (ADVICE r6)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        last_txn_id,
+        versioned_write_txn,
+    )
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    assert versioned_write_txn(df1, t, txn_id="t1") == 1
+    assert versioned_write_txn(df2, t, txn_id="t2") == 2
+    v3 = rollback(t, 1)
+    assert v3 == 3
+    # head no longer advertises t2 (audit trail keeps it under a
+    # distinct key), so retrying t2 against the rolled-back table lands
+    assert last_txn_id(t) is None
+    assert _read_manifest(t, 3).get("rolled_back_txn_id") == "t1"
+    assert versioned_write_txn(df2, t, txn_id="t2") == 4
 
 
 def test_stream_versioned_sink_commits_snapshots_and_replay_skips(
@@ -128,12 +157,19 @@ def test_stream_versioned_sink_commits_snapshots_and_replay_skips(
     got = sorted((r["id"], r["v"]) for r in read_version(spark, t).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
-    # replay of the LAST batch: same txn id -> skipped, no new version
+    # replay of the LAST batch: same (checkpoint-scoped) txn id ->
+    # skipped, no new version
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import _txn_scope
+
+    scope = _txn_scope(str(tmp_path / "vckpt"))
     last = spark.createDataFrame([(3, "c")], "id int, v string")
-    assert versioned_write_txn(last, t, txn_id="stream-1") is None
+    assert versioned_write_txn(last, t, txn_id=f"stream-{scope}-1") is None
     assert versions(t) == [1, 2]
-    # a NEW txn id commits normally
-    assert versioned_write_txn(last, t, txn_id="stream-2") == 3
+    # a NEW txn id commits normally — in particular, batch 1 of a stream
+    # with a DIFFERENT checkpoint is a different transaction, not a
+    # replay (the ADVICE r6 shared-table scenario)
+    other = _txn_scope(str(tmp_path / "other_ckpt"))
+    assert versioned_write_txn(last, t, txn_id=f"stream-{other}-1") == 3
 
 
 def test_stream_quarantine_sink_routes_and_replays_safely(spark, tmp_path):
@@ -175,8 +211,11 @@ def test_stream_quarantine_sink_routes_and_replays_safely(spark, tmp_path):
     # replaying the same batch id commits nothing on either side
     from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write_txn
 
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import _txn_scope
+
+    scope = _txn_scope(str(tmp_path / "qckpt"))
     again = spark.createDataFrame(rows, "id int, v double")
-    assert versioned_write_txn(again, good_t, txn_id="quarantine-0") is None
+    assert versioned_write_txn(again, good_t, txn_id=f"quarantine-{scope}-0") is None
     assert versions(good_t) == [1]
 
     # non-row-level rules are rejected up front

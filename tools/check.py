@@ -39,8 +39,14 @@ def canon(df: pd.DataFrame) -> list[tuple]:
                 return None
         except (TypeError, ValueError):
             pass
+        # Type-strict: the driver's serialized value-hash distinguishes
+        # int 3 from float 3.0 (the r6 HUGEINT→float64 oracle bug passed
+        # here under Python's `3.0 == 3` but failed the driver).  Tag
+        # floats so an int-valued float never compares equal to an int.
+        if isinstance(v, bool):
+            return v
         if isinstance(v, float):
-            return round(v, 6)
+            return ("f", round(v, 6))
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
