@@ -142,3 +142,115 @@ def train_bpe(
             "freq", merge_pair("syms", a, b).alias("syms")
         ).localCheckpoint(eager=True)
     return merges
+
+
+def apply_merges(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Encode: apply a trained merge table (in rank order, each to its
+    left-to-right non-overlapping fixpoint) to a symbol array — the
+    APPLY side of ``train_bpe``. One constant-size expression: an outer
+    ``aggregate`` over the merge table (a literal array — the broadcast
+    tokenizer) whose accumulator is the symbol array, with the same
+    skip-flag pair fold as ``merge_pair`` inside. Expression depth does
+    not grow with the number of merges (no per-merge projection chain,
+    no Python), so a 32k-merge production tokenizer compiles the same
+    plan as a 12-merge test one.
+
+    A single left-to-right pass per merge IS that merge's fixpoint:
+    fusing (a, b) never creates a new adjacent (a, b) occurrence — the
+    fused symbol a+b differs from both a and b — so no recheck pass is
+    needed (the DuckDB oracle iterates REPLACE to fixpoint and lands on
+    the same pairing; tests pin the equivalence)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in merges
+        ]
+    )
+
+    def one_merge(acc, m):
+        n = F.size(acc)
+        st0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        )
+
+        def step(st, i):
+            cur = F.element_at(acc, i)
+            # try_element_at: NULL (not an ANSI index error) at i == n
+            nxt = F.try_element_at(acc, i + 1)
+            starts_match = (
+                (~st.skip)
+                & (i < n)
+                & (cur == m["a"])
+                & nxt.eqNullSafe(m["b"])
+            )
+            return (
+                F.when(
+                    st.skip,
+                    F.struct(st.out.alias("out"), F.lit(False).alias("skip")),
+                )
+                .when(
+                    starts_match,
+                    F.struct(
+                        F.concat(
+                            st.out, F.array(F.concat(m["a"], m["b"]))
+                        ).alias("out"),
+                        F.lit(True).alias("skip"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(st.out, F.array(cur)).alias("out"),
+                        F.lit(False).alias("skip"),
+                    )
+                )
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), n), st0, step, lambda st: st.out)
+
+    return F.aggregate(pairs, syms, one_merge)
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """(word, n_tokens, encoded) — the vocabulary encoding table for a
+    trained merge list. At 100 TB this is THE scale trick of BPE apply:
+    encode the distinct-word table (Zipf-small), then broadcast-join it
+    to the corpus (``bpe_token_counts``) — the corpus itself never runs
+    the merge loop."""
+    syms = apply_merges(chars_of(word_col), merges)
+    return words.select(
+        F.col(word_col),
+        F.size(syms).cast("bigint").alias("n_tokens"),
+        F.array_join(syms, " ").alias("encoded"),
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) per document: corpus words map
+    through the broadcast vocabulary encoding table — one explode + one
+    broadcast join + one doc-keyed aggregation; the merge fold runs only
+    over distinct words."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = bpe_encode_words(
+        words.select("word").distinct(), merges
+    ).select("word", F.col("n_tokens").alias("_nt"))
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

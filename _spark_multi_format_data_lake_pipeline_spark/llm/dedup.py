@@ -648,3 +648,79 @@ def contamination_report(
             F.col("n_shared").cast("double") / F.col("train_grams"), 6
         ).alias("contamination_frac"),
     )
+
+
+def exact_substring_cuts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, span_start, span_len, n_dup_grams) — maximal token spans
+    covered by word ``n``-grams that occur >= 2 times ANYWHERE in the
+    corpus (across documents or repeated within one): the cut list an
+    exact-substring dedup pass removes, per Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better").
+    ``span_start`` is a 0-based token index; ``span_len`` counts tokens;
+    ``n_dup_grams`` is how many duplicated n-grams the span merges.
+
+    q147 MEASURES this pressure (per-doc dup fraction); this operator
+    emits the actionable spans so a rewrite pass can drop them.  The
+    paper's construction is a character-level suffix array; this is the
+    token-level n-gram-anchor form production pipelines use at scale:
+    any duplicated substring of >= n tokens is fully covered by
+    duplicated n-grams, so the cut list has no false negatives for
+    spans >= n — chaining grams duplicated against *different* sources
+    can over-merge (documented over-approximation, the safe direction
+    for dedup).
+
+    Shape: per-doc posexplode→lead window builds grams (doc-grain
+    shuffle), grams reduce to sha256 before the corpus-wide frequency
+    groupBy (fixed-width uniform keys — the q147 economics), dup
+    positions shuffle back to the doc grain, and span merging is a
+    gaps-and-islands window per document (JVM, no Python).  Four keyed
+    shuffles total; nothing global.
+    """
+    tk = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w0"
+        ),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, n)]
+    leads = tk.select(id_col, "pos", "w0", *lead_cols)
+    gram_cols = [f"w{j}" for j in range(n)]
+    grams = leads.filter(F.col(f"w{n - 1}").isNotNull()).select(
+        id_col, "pos", F.sha2(F.concat_ws(" ", *gram_cols), 256).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        grams.join(freq.filter(F.col("occ") >= 2), "g")
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands: intervals [pos, pos+n) sorted by pos merge when
+    # the next start is <= the previous end (overlap or adjacency)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "_new_island",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w_doc) + F.lit(n), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum(
+            F.when(F.col("_new_island") == 1, 1).otherwise(0)
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n) - F.min("pos")).cast("bigint").alias(
+                "span_len"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .drop("_island")
+    )

@@ -536,3 +536,53 @@ def mmr_rerank(
     return spark.createDataFrame(
         [(i + 1, v) for i, v in enumerate(picked)], f"rank bigint, {id_col} bigint"
     )
+
+
+def semantic_dedup_drop_list(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster, then near-dup ONLY within
+    each cluster. Returns the DROP list — one row per discarded vector:
+    (id, cluster, keeper_id, keeper_cos), where ``keeper_id`` is the
+    lowest-id same-cluster neighbor with cosine >= threshold (the copy
+    that survives) and ``keeper_cos`` its similarity, rounded 6.
+
+    This is the composition q150 (k-means assignment) and q128 (cosine
+    near-dup) exist for: assignment is one scan of JVM column math; the
+    pair join is keyed by cluster id, so candidate cost is Σ|cluster|²
+    instead of the all-pairs n² — with k clusters of balanced size
+    that's a k× reduction, and at 100 TB the cluster id becomes a
+    persisted partition column so each cluster's pair join runs
+    co-located (SCALING.md economics, same as LSH buckets). Keep-lowest
+    is the same deterministic survivor rule as exact dedup (q50).
+    """
+    from .clustering import assign_clusters
+
+    cluster, _ = assign_clusters(vec_col, centroids)
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col), cluster.alias("cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id"),
+            F.col("a.cluster").alias("cluster"),
+            F.col(f"b.{id_col}").alias("nid"),
+            F.round(sim, 6).alias("cos"),
+        )
+    )
+    return pairs.groupBy("id", "cluster").agg(
+        F.min("nid").cast("bigint").alias("keeper_id"),
+        F.min_by("cos", "nid").alias("keeper_cos"),
+    )

@@ -1706,3 +1706,166 @@ def q208_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210/q211 — BPE APPLY: vocabulary encode + corpus token counts
+# ---------------------------------------------------------------------------
+
+# A trained tokenizer snapshot: the 12 merges llm/bpe.py::train_bpe learns
+# on the documents corpus (deterministic count-desc/(a,b)-asc tie-break).
+# Frozen as a literal because that IS the production shape — a tokenizer
+# is trained once and shipped to every encode site; both the Spark query
+# and the oracle consume this one table, so they can never drift.
+_BPE_MERGES_12: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+_BPE_MERGES_SQL = ",".join(
+    f"({r + 1},'{a}','{b}')" for r, (a, b) in enumerate(_BPE_MERGES_12)
+)
+
+# Shared oracle scaffold: recursive CTE applying merge r to its REPLACE
+# fixpoint before advancing to r+1 (equivalent to the engine's one
+# left-to-right pass per merge — fusing (a,b) never creates a new (a,b)).
+_BPE_ENC_CTE = rf"""
+    WITH RECURSIVE merges(r, a, b) AS (VALUES {_BPE_MERGES_SQL}),
+    words AS (
+      SELECT DISTINCT w AS word
+      FROM (SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+    ),
+    enc AS (
+      SELECT word,
+             ' ' || array_to_string(list_transform(range(1, length(word)+1),
+                                                   i -> word[i]), ' ') || ' '
+               AS s,
+             1 AS r
+      FROM words
+      UNION ALL
+      SELECT word,
+             CASE WHEN rep <> s THEN rep ELSE s END,
+             CASE WHEN rep <> s THEN r ELSE r + 1 END
+      FROM (
+        SELECT e.word, e.s, e.r,
+               REPLACE(e.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS rep
+        FROM enc e JOIN merges m ON m.r = e.r
+      )
+      WHERE r <= 12
+    ),
+    vocab AS (
+      SELECT word,
+             CAST(len(string_split(TRIM(s), ' ')) AS BIGINT) AS n_tokens,
+             TRIM(s) AS encoded
+      FROM enc WHERE r = 13
+    )
+"""
+
+
+@register(
+    "q210_bpe_encode_vocab",
+    oracle=_BPE_ENC_CTE + "SELECT word, n_tokens, encoded FROM vocab",
+    doc="llm/bpe.py::bpe_encode_words — the APPLY side of the BPE "
+        "trainer (q199 counts pairs, train_bpe learns the table, THIS "
+        "encodes with it): the vocabulary encoding table for a frozen "
+        "12-merge tokenizer. Spark runs one constant-depth nested "
+        "aggregate fold (merges outer, symbols inner, skip-flag pair "
+        "merge) over the DISTINCT-word table only — the Zipf trick that "
+        "makes BPE apply corpus-size-independent; the oracle's recursive "
+        "CTE iterates delimiter-padded REPLACE to fixpoint per rank, "
+        "which lands on the identical leftmost-greedy pairing.",
+)
+def q210_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.bpe import bpe_encode_words, word_frequencies
+
+    words = word_frequencies(_t(spark, sf_dir, "documents"), "text").select("word")
+    return bpe_encode_words(words, _BPE_MERGES_12)
+
+
+@register(
+    "q211_bpe_token_counts",
+    oracle=_BPE_ENC_CTE + r"""
+    , corpus AS (
+      SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM corpus JOIN vocab USING (word)
+    GROUP BY doc_id
+    """,
+    doc="llm/bpe.py::bpe_token_counts — corpus-grain BPE token counts "
+        "through the broadcast vocabulary table: explode words, "
+        "broadcast-join the encoded vocab (dim-sized), one doc-keyed "
+        "aggregation. The merge fold never touches corpus rows — this "
+        "is the token-budget accounting a packing/packer stage (q186, "
+        "q113) consumes, now in REAL trained-tokenizer units instead of "
+        "the whitespace proxy.",
+)
+def q211_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"), _BPE_MERGES_12)
+
+
+# ---------------------------------------------------------------------------
+# q212 — SemDeDup: cluster-then-dedup-within-cluster composition
+# ---------------------------------------------------------------------------
+
+@register(
+    "q212_semdedup_drop_list",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+    cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 4),
+    d AS (
+        SELECT emb.vec_id, cents.cid,
+               list_sum(list_transform(list_zip(emb.v, cents.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+        FROM emb CROSS JOIN cents
+    ),
+    rn AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS r
+        FROM d
+    ),
+    asg AS (
+        SELECT emb.vec_id, rn.cid AS cluster, emb.v
+        FROM emb JOIN rn ON emb.vec_id = rn.vec_id AND rn.r = 1
+    ),
+    pairs AS (
+        SELECT x.vec_id AS id, x.cluster, y.vec_id AS nid,
+               ROUND(list_cosine_similarity(x.v, y.v), 6) AS cos
+        FROM asg x JOIN asg y
+          ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+    )
+    SELECT id, cluster,
+           CAST(MIN(nid) AS BIGINT) AS keeper_id,
+           MIN_BY(cos, nid) AS keeper_cos
+    FROM pairs GROUP BY id, cluster
+    """,
+    doc="llm/similarity.py::semantic_dedup_drop_list — the SemDeDup "
+        "(Abbas et al.) composition of q150 + q128 registered as its own "
+        "recipe: one k-means assignment pass from deterministic seeds "
+        "(4 lowest vec_ids) partitions the planted corpus, then cosine "
+        "near-dup runs WITHIN clusters only (pair join keyed by cluster "
+        "id — Σ|cluster|², never all-pairs; at 100 TB the cluster id is "
+        "a persisted partition column). Output is the drop list: each "
+        "planted twin names its surviving base via the keep-lowest-id "
+        "rule. Assignment ties, survivor choice, and the 6-dp cosine "
+        "are all mirrored by the oracle's ORDER BY / MIN / MIN_BY.",
+)
+def q212_semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import semantic_dedup_drop_list
+
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in corpus.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup_drop_list(corpus, seeds, threshold=0.9)

@@ -715,3 +715,57 @@ def q207_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(
         mix, "mixture_weight", "n_tokens", budget=24000.0, key_cols=["source"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — exact-substring dedup cut list (Lee et al. 2022, removal side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q209_duplicate_span_cuts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t.i - 1 AS pos,
+               sha256(array_to_string(w[t.i:t.i+7], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    freq AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM sh JOIN freq USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > LAG(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+    FROM grp GROUP BY doc_id, island
+    """,
+    doc="llm/dedup.py::exact_substring_cuts — the REMOVAL side of the "
+        "exact-substring dedup q147 only measures: maximal token spans "
+        "covered by 8-grams occurring >= 2 times anywhere in the corpus, "
+        "emitted as (doc_id, span_start, span_len) cut lists per Lee et "
+        "al. 2022. Grams reduce to sha256 before the corpus-wide "
+        "frequency groupBy (fixed-width uniform shuffle keys); span "
+        "merging is a doc-partitioned gaps-and-islands window — four "
+        "keyed shuffles, nothing global, so the plan survives a 100x "
+        "corpus. Both engines merge intervals with the same "
+        "overlap-or-adjacency rule, so the span set hash-matches.",
+)
+def q209_duplicate_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import exact_substring_cuts
+
+    return exact_substring_cuts(_t(spark, sf_dir, "documents"), n=8)

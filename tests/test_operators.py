@@ -704,3 +704,62 @@ def test_merge_intervals_global_touching_and_empty(spark):
     )
     assert got == [(0, 15, 3), (20, 25, 1)]
     assert merge_intervals(df.filter("s < 0"), [], "s", "e").count() == 0
+
+
+def test_exact_substring_cuts_planted_spans(spark):
+    """Planted duplicate spans come back as maximal merged cut lists:
+    a 10-token span shared by two docs yields one span of len 10 in
+    each; an internal repeat inside one doc is cut too; unique text
+    yields nothing."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import exact_substring_cuts
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq_b = "one two three four five six seven eight nine ten"
+    rep = "x1 x2 x3 x4 x5 x6 x7 x8"  # 8 toks, repeated within doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {shared}"),
+            (2, f"{shared} {uniq_b}"),
+            (3, f"{rep} filler1 filler2 {rep}"),
+            (4, "totally unique words nobody else repeats anywhere here now"),
+        ],
+        "doc_id long, text string",
+    )
+    cuts = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_cuts(docs, n=8).collect()
+    }
+    # doc 1: shared span at tokens 10..19; doc 2: at 0..9
+    # doc 3: both copies of the 8-token repeat (positions 0 and 10)
+    assert cuts == {
+        (1, 10, 10),
+        (2, 0, 10),
+        (3, 0, 8),
+        (3, 10, 8),
+    }
+
+
+def test_exact_substring_cuts_merges_adjacent_islands(spark):
+    """Two dup grams whose intervals overlap inside one doc merge into a
+    single maximal span (the gaps-and-islands rule), and a doc shorter
+    than n yields no grams at all."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import exact_substring_cuts
+
+    # doc 30 contains two overlapping copies of material from docs 10/20:
+    # tokens 0..8 = 9-token span from doc 10 (grams at pos 0,1) -> one
+    # merged span of len 9
+    span9 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    docs = spark.createDataFrame(
+        [
+            (10, f"{span9} pad1 pad2 pad3"),
+            (30, f"{span9} tail1 tail2 tail3 tail4"),
+            (40, "short doc under eight"),
+        ],
+        "doc_id long, text string",
+    )
+    cuts = {
+        (r.doc_id, r.span_start, r.span_len, r.n_dup_grams)
+        for r in exact_substring_cuts(docs, n=8).collect()
+    }
+    assert cuts == {(10, 0, 9, 2), (30, 0, 9, 2)}

@@ -367,3 +367,68 @@ def test_waterfill_matches_bisection_reference(spark):
             assert B - n <= sum(got.values()) <= B
         else:
             assert got == {k: a for k, _, a in items}
+
+
+def test_bpe_encode_matches_sequential_reference(spark):
+    """Train→apply roundtrip: encoding with the trained merges must
+    reproduce the sequential reference encoder word-for-word (merges in
+    rank order, each a left-to-right non-overlapping pass), and symbol
+    concatenation must reconstruct every word."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.bpe import (
+        apply_merges,
+        bpe_encode_words,
+        chars_of,
+        train_bpe,
+    )
+
+    corpus = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest lowest"
+    )
+    docs = spark.createDataFrame([(1, corpus)], "id int, text string")
+    merges = [(a, b) for a, b, _ in train_bpe(docs, "text", num_merges=8)]
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in merges:
+            merged, skip = [], False
+            for i, s in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                if s == a and i + 1 < len(syms) and syms[i + 1] == b:
+                    merged.append(a + b)
+                    skip = True
+                else:
+                    merged.append(s)
+            syms = merged
+        return syms
+
+    words = sorted(set(corpus.split()))
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["n_tokens"], r["encoded"])
+        for r in bpe_encode_words(wdf, merges).collect()
+    }
+    for w in words:
+        exp = ref_encode(w)
+        assert got[w] == (len(exp), " ".join(exp)), (w, got[w], exp)
+        assert got[w][1].replace(" ", "") == w  # lossless reconstruction
+
+
+def test_bpe_token_counts_broadcasts_vocab(spark):
+    """Corpus-grain counts equal the per-word reference through the
+    broadcast vocab join, and the vocab join side is plan-broadcast."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "newest widest")],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    out = bpe_token_counts(docs, merges)
+    rows = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in out.collect()}
+    # low -> [low] (1); lower -> [low,e,r] (3); newest -> [n,e,w,est] (4);
+    # widest -> [w,i,d,est] (4)
+    assert rows == {1: (3, 5), 2: (2, 8)}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()

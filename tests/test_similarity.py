@@ -200,3 +200,28 @@ def test_ivf_assign_twin_centroids_map_to_themselves(spark, sf_dir):
     }
     for idx, vid in enumerate(cents):
         assert got[vid] == idx, (vid, idx, got[vid])
+
+
+def test_semdedup_drops_planted_twins_within_cluster(spark):
+    """Planted near-identical twins are dropped in favor of their
+    lower-id base (keep-lowest survivor rule), distant vectors survive,
+    and the pair search never crosses cluster boundaries."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.similarity import semantic_dedup_drop_list
+
+    # two tight groups far apart + one twin per group
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [1.001, 0.01, 0.0]),   # twin of 0
+        (11, [0.01, 1.001, 0.0]),   # twin of 1
+        (20, [0.7, 0.7, 0.1]),      # between, but closest to neither twin pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = {
+        r["id"]: (r["cluster"], r["keeper_id"])
+        for r in semantic_dedup_drop_list(df, cents, threshold=0.95).collect()
+    }
+    assert out[10] == (0, 0) and out[11] == (1, 1)
+    assert 0 not in out and 1 not in out  # bases survive
+    assert 20 not in out  # not similar enough to anything in its cluster
