@@ -109,6 +109,11 @@ HEADLINE = [
     "q87_incremental_dedup",
     "q93_fuzzy_type_pairs",
     "q99_recursive_hierarchy",
+    # r7 additions (corpus-sized: gram-position stream / corpus word
+    # explode; q210's vocab encode and q212's planted window are
+    # fixed-size by design and excluded)
+    "q209_duplicate_span_cuts",
+    "q211_bpe_token_counts",
 ]
 
 
