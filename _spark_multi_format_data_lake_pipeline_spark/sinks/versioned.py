@@ -27,13 +27,19 @@ what a table format actually is:
   versions stay readable until an explicit ``vacuum`` drops files no
   retained manifest references.
 
-Deliberate divergences from the real formats, documented: no column
-stats / file pruning in manifests (Spark's parquet footers still give
-row-group pruning), no partition transforms, no row-level deletes (the
-engine's MERGE path stages whole tables instead — sinks/merge.py), and
-the atomic rename relies on a rename-if-absent filesystem primitive
-(true on POSIX/HDFS; on S3 use a conditional-put or a commit service,
-exactly as Delta-on-S3 does)."""
+Manifests also carry per-file column min/max stats (harvested from the
+parquet footers at commit time — the Iceberg manifest-writer role), and
+``read_version_pruned`` skips whole files whose range can't satisfy a
+predicate BEFORE Spark ever lists them — the zone-map/data-skipping
+half of the table-format story.  Files without stats for the probed
+column are conservatively kept, so pruning is always correctness-safe.
+
+Deliberate divergences from the real formats, documented: no partition
+transforms, no row-level deletes (the engine's MERGE path stages whole
+tables instead — sinks/merge.py), stats cover primitive int/float/
+string/bool columns only, and the atomic rename relies on a
+rename-if-absent filesystem primitive (true on POSIX/HDFS; on S3 use a
+conditional-put or a commit service, exactly as Delta-on-S3 does)."""
 
 from __future__ import annotations
 
@@ -93,6 +99,50 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def _harvest_file_stats(path: str, files: list[str]) -> dict[str, dict]:
+    """Per-file column (min, max) ranges from the parquet footers the
+    write just produced — driver-side, but bounded by the COMMIT's file
+    count (one footer read per task output, the same work an Iceberg
+    manifest writer does), never by table size.  Only primitive
+    int/float/string/bool stats are kept; anything else (timestamps,
+    decimals, nested) is skipped and those files simply never prune."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        stats: dict[str, list] = {}
+        try:
+            md = pq.ParquetFile(str(Path(path) / rel)).metadata
+        except Exception:  # unreadable footer → no stats, file always kept
+            out[rel] = stats
+            continue
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not (
+                    isinstance(mn, (bool, int, float, str))
+                    and isinstance(mx, (bool, int, float, str))
+                ):
+                    continue
+                name = col.path_in_schema
+                if name in stats:
+                    stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+                else:
+                    stats[name] = [mn, mx]
+        out[rel] = stats
+    return out
+
+
 def _write_snapshot(
     df: DataFrame, path: str, mode: str, txn_id: str | None = None
 ) -> int:
@@ -113,12 +163,19 @@ def _write_snapshot(
     prev = _read_manifest(path, vs[-1]) if vs else {"files": [], "row_count": 0}
     files = new_files if mode == "overwrite" else prev["files"] + new_files
     n_new = df.sparkSession.read.parquet(str(data_dir)).count()
+    new_stats = _harvest_file_stats(path, new_files)
+    file_stats = (
+        new_stats
+        if mode == "overwrite"
+        else {**prev.get("file_stats", {}), **new_stats}
+    )
     manifest = {
         "version": (vs[-1] + 1) if vs else 1,
         "mode": mode,
         "files": files,
         "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
         "schema": df.schema.jsonValue(),
+        "file_stats": file_stats,
     }
     if txn_id is not None:
         manifest["txn_id"] = txn_id
@@ -158,6 +215,56 @@ def read_version(
 
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
     return spark.read.parquet(*[str(Path(path) / f) for f in m["files"]])
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-level file pruning: files whose
+    committed (min, max) range for ``col`` cannot intersect [lo, hi]
+    are dropped from the scan file list before Spark sees them — the
+    zone-map skip Iceberg/Delta do from manifest stats, one tier above
+    parquet row-group pruning.  The predicate is ALSO applied to the
+    surviving rows, so the result is always exactly
+    ``read_version(...).filter(lo <= col <= hi)`` — pruning only
+    changes how many files get opened.  Files with no stats for
+    ``col`` are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    all_stats = m.get("file_stats", {})
+    keep = []
+    for f in m["files"]:
+        rng = all_stats.get(f, {}).get(col)
+        if rng is not None:
+            fmin, fmax = rng
+            if lo is not None and fmax < lo:
+                continue
+            if hi is not None and fmin > hi:
+                continue
+        keep.append(f)
+    if not keep:
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    else:
+        df = spark.read.parquet(*[str(Path(path) / f) for f in keep])
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def rollback(path: str, to_version: int) -> int:

@@ -223,3 +223,54 @@ def test_stream_quarantine_sink_routes_and_replays_safely(spark, tmp_path):
         stream_quarantine_sink(
             stream, [unique("u", "id")], good_t, bad_t, str(tmp_path / "x")
         )
+
+
+def test_read_version_pruned_skips_files_but_matches_filter(spark, tmp_path):
+    """Manifest zone-map pruning: appends with disjoint id ranges land
+    in separate files; a range read opens only the intersecting files
+    and returns exactly what a full-scan filter would."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_pruned
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        rows = [(lo + i, f"v{lo + i}") for i in range(10)]
+        versioned_write(
+            spark.createDataFrame(rows, "id int, v string").coalesce(1), t
+        )
+    pruned = read_version_pruned(spark, t, "id", lo=100, hi=109)
+    full = read_version(spark, t).filter("id BETWEEN 100 AND 109")
+    assert _rows(pruned) == _rows(full)
+    # only the middle append's file survives the manifest prune
+    assert len(pruned.inputFiles()) == 1
+    assert len(read_version(spark, t).inputFiles()) == 3
+    # one-sided bounds and the conservative no-stats path
+    assert len(read_version_pruned(spark, t, "id", lo=205).inputFiles()) == 1
+    # a range beyond every file prunes the whole scan list
+    assert read_version_pruned(spark, t, "id", lo=9999).count() == 0
+    assert len(read_version_pruned(spark, t, "id", lo=9999).inputFiles()) == 0
+    # a column with no harvested stats keeps every file (never wrong)
+    assert len(read_version_pruned(spark, t, "nosuchcol").inputFiles()) == 3
+
+
+def test_file_stats_survive_append_and_reset_on_overwrite(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _read_manifest
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1), t
+    )
+    versioned_write(
+        spark.createDataFrame([(2, "b")], "id int, v string").coalesce(1), t
+    )
+    m2 = _read_manifest(t, 2)
+    assert len(m2["file_stats"]) == len(m2["files"]) == 2
+    ranges = sorted(st["id"] for st in m2["file_stats"].values())
+    assert ranges == [[1, 1], [2, 2]]
+    versioned_write(
+        spark.createDataFrame([(9, "z")], "id int, v string").coalesce(1),
+        t,
+        mode="overwrite",
+    )
+    m3 = _read_manifest(t, 3)
+    assert len(m3["file_stats"]) == 1
+    assert list(m3["file_stats"].values())[0]["id"] == [9, 9]
