@@ -724,3 +724,50 @@ def exact_substring_cuts(
         )
         .drop("_island")
     )
+
+
+def remove_cut_spans(
+    docs: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens_before, n_tokens_after, cleaned_text) — apply a cut
+    list (``exact_substring_cuts`` output, or any (id, span_start,
+    span_len) frame) to the corpus: tokens covered by any span are
+    dropped, the survivors re-join into the cleaned document. The
+    rewrite half of exact-substring dedup — q209 finds the spans, this
+    removes them.
+
+    Per-doc cut lists ride as an array column (collect_list at the doc
+    grain — bounded by spans-per-doc, not corpus size), and the removal
+    itself is a JVM ``filter`` with an index lambda testing coverage via
+    ``exists`` — no shuffle beyond the one doc-keyed join, no Python.
+    Docs with no cuts pass through whole (whitespace-normalized,
+    lowercase — the same tokenization the cut positions refer to)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    per_doc = cuts.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_len").cast("long").alias("l"),
+            )
+        ).alias("_cuts")
+    )
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_cuts",
+        F.coalesce(F.col("_cuts"), F.array().cast("array<struct<s:bigint,l:bigint>>")),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 - reads better inline
+        F.col("_cuts"), lambda c: (i >= c.s) & (i < c.s + c.l)
+    )
+    kept = F.filter(F.col("_toks"), lambda x, i: ~covered(i.cast("long")))
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

@@ -1627,3 +1627,102 @@ def q206_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sample.cast("bigint").alias("n_sample"),
         F.round(n_sample / F.col("n_pop"), 6).alias("sampling_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — Fellegi-Sunter probabilistic record-linkage scores
+# ---------------------------------------------------------------------------
+
+# Trained m/u parameters (P(field agrees | match) / P(agrees | unmatch)),
+# frozen like a shipped linkage model; the log2 agreement/disagreement
+# weights are precomputed HERE so both engines consume identical double
+# literals — no runtime log in either plan, no libm-vs-JVM ulp drift.
+_FS_MU = {
+    "name": (0.90, 0.05),
+    "type": (0.85, 0.17),
+    "size": (0.80, 0.02),
+}
+import math as _math
+
+_FS_W = {
+    f: (
+        _math.log2(m / u),
+        _math.log2((1.0 - m) / (1.0 - u)),
+    )
+    for f, (m, u) in _FS_MU.items()
+}
+
+
+@register(
+    "q215_fs_linkage_scores",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) <= 2 AS name_agree,
+               a.p_type = b.p_type AS type_agree,
+               a.p_size = b.p_size AS size_agree
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+        SELECT *,
+               (CASE WHEN name_agree THEN {_FS_W['name'][0]!r}
+                     ELSE {_FS_W['name'][1]!r} END
+                + CASE WHEN type_agree THEN {_FS_W['type'][0]!r}
+                       ELSE {_FS_W['type'][1]!r} END
+                + CASE WHEN size_agree THEN {_FS_W['size'][0]!r}
+                       ELSE {_FS_W['size'][1]!r} END) AS s
+        FROM pairs
+    )
+    SELECT id_a, id_b, brand, name_agree, type_agree, size_agree,
+           ROUND(CAST(s AS DOUBLE), 4) AS score
+    FROM scored WHERE s > 0
+    """,
+    doc="operators/fuzzy.py candidate economics + Fellegi-Sunter (1969) "
+        "scoring: within-brand-block pairs get per-field agreement "
+        "weights log2(m/u) (name = 3-arg early-exit edit distance <= 2, "
+        "type/size = equality), summed into the linkage log-odds; "
+        "score > 0 keeps probable links (>= 2 agreeing fields under "
+        "these parameters). The m/u weights are precomputed double "
+        "literals shared by both engines, so the threshold and the "
+        "4-dp score hash-match exactly. Blocking bounds pair fan-out "
+        "to per-block k²; at 100 TB the block key is the shuffle key "
+        "and u-probabilities come from a 1-row broadcast profile — "
+        "q188 finds fuzzy candidates, THIS ranks them probabilistically.",
+)
+def q215_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.col("a.p_brand").alias("brand"),
+        (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0).alias(
+            "name_agree"
+        ),
+        (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+        (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
+    )
+    score = (
+        F.when(F.col("name_agree"), F.lit(_FS_W["name"][0])).otherwise(
+            F.lit(_FS_W["name"][1])
+        )
+        + F.when(F.col("type_agree"), F.lit(_FS_W["type"][0])).otherwise(
+            F.lit(_FS_W["type"][1])
+        )
+        + F.when(F.col("size_agree"), F.lit(_FS_W["size"][0])).otherwise(
+            F.lit(_FS_W["size"][1])
+        )
+    )
+    return (
+        pairs.withColumn("_s", score)
+        .filter(F.col("_s") > 0)
+        .select(
+            "id_a", "id_b", "brand", "name_agree", "type_agree", "size_agree",
+            F.round("_s", 4).alias("score"),
+        )
+    )

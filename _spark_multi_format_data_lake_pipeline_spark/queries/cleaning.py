@@ -347,3 +347,97 @@ def q86_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_neg_logprob(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q217 — DSIR importance weights (target-vs-raw unigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q217_dsir_scores",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+        FROM documents WHERE length(TRIM(text)) > 0
+    ),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS nt,
+               CAST(COUNT(*) AS DOUBLE) AS nr
+        FROM words
+    ),
+    tgt AS (
+        SELECT w, COUNT(*) AS ct FROM words WHERE lang = 'en' GROUP BY w
+    ),
+    raw AS (SELECT w, COUNT(*) AS cr FROM words GROUP BY w),
+    lr AS (
+        SELECT r.w,
+               LN(((COALESCE(t.ct, 0) + 1.0) / (tot.nt + tot.v))
+                  / ((r.cr + 1.0) / (tot.nr + tot.v))) AS llr
+        FROM raw r LEFT JOIN tgt t ON r.w = t.w, tot
+    ),
+    dw AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c * llr), 4) AS dsir_score
+    FROM dw JOIN lr ON dw.w = lr.w
+    GROUP BY doc_id
+    """,
+    doc="DSIR data selection (Xie et al. 2023): per-document importance "
+        "weight = sum of token-count-weighted log-likelihood ratios "
+        "between a TARGET unigram LM (lang='en' slice, the domain you "
+        "want more of) and the RAW-corpus LM, both Laplace-smoothed "
+        "over the joint vocab. Positive scores mark documents that look "
+        "like the target domain — the selection signal upstream of "
+        "q106/q121 samplers, and the model-RATIO sibling of q86's "
+        "single-model surprisal. Corpus reduces to (doc, word) counts "
+        "once; the log-ratio table is vocab-sized and broadcast, so "
+        "scoring is one map-side join + doc-keyed sum at any corpus "
+        "size. Identical smoothing arithmetic both engines; 4-dp round "
+        "absorbs log/summation ulps.",
+)
+def q217_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tot = words.agg(
+        F.countDistinct("w").cast("double").alias("v"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("nr"),
+    )
+    tgt = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = words.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    lr = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                 / (F.col("nt") + F.col("v")))
+                / ((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    dw = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dw.join(F.broadcast(lr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("llr")), 4).alias("dsir_score"),
+        )
+    )

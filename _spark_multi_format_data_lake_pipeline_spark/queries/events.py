@@ -703,3 +703,131 @@ def q158_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 4).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — CUSUM changepoint scan over the daily event-volume series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q214_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT AVG(n_events) AS mu, STDDEV_SAMP(n_events) AS sigma
+        FROM daily
+    ),
+    z AS (
+        SELECT day, n_events,
+               ROUND((n_events - mu) / sigma, 6) AS z
+        FROM daily, stats
+    ),
+    c AS (
+        SELECT day, n_events, z,
+               ROUND(SUM(z) OVER (ORDER BY day), 6) AS cusum
+        FROM z
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events, z, cusum,
+           ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_peak
+    FROM c
+    """,
+    doc="CUSUM mean-shift scan (Page 1954): standardized daily event "
+        "volumes accumulate into a cumulative-deviation walk whose peak "
+        "|S| marks the most likely changepoint — the volume-drift "
+        "monitor beside q124's distribution drift. Fact rows reduce to "
+        "the |days| grain in one map-side-combined aggregation; the "
+        "mean/stddev are a 1-row broadcast and the walk + peak windows "
+        "run over the bounded day table (the sanctioned dim-window "
+        "class, never fact-sized). z is pre-rounded so the running sum "
+        "and the argmax flag compare identically in both engines.",
+)
+def q214_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    w_run = Window.orderBy("day")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = z.withColumn("cusum", F.round(F.sum("z").over(w_run), 6))
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "z",
+        "cusum",
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(w_all)).alias("is_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — EWMA smoothing of the daily value series (truncated-weight form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q216_ewma_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS x
+        FROM events GROUP BY 1
+    ),
+    arr AS (
+        SELECT day, x,
+               list(x) OVER (ORDER BY day
+                             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS a
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           x AS daily_value,
+           ROUND(
+             list_sum(list_transform(range(1, len(a) + 1),
+                      j -> a[j] * pow(0.8, len(a) - j)))
+             / ((1 - pow(0.8, len(a))) / 0.2), 4) AS ewma
+    FROM arr
+    """,
+    doc="Exponentially weighted moving average (alpha = 0.2, "
+        "pandas-adjust form) over the daily value series — the smoothing "
+        "primitive beside q06's trend forecast and q214's shift "
+        "detector. EWMA's recursion is inherently sequential, so the "
+        "distributed form is the TRUNCATED window: weights below "
+        "(1-alpha)^30 ≈ 1e-3 are dropped, making each row a pure "
+        "function of its bounded 30-row frame — collect_list over the "
+        "day-grain window + one JVM weighted fold, embarrassingly "
+        "parallel at any scale (the exact-recursion alternative is a "
+        "single-partition scan). Daily sums are pre-rounded and both "
+        "engines fold the same frame order, so the 4-dp EWMA matches.",
+)
+def q216_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    arr = daily.select(
+        "day", "x", F.collect_list("x").over(w).alias("_a")
+    )
+    n = F.size("_a")
+    num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at("_a", j) * F.pow(F.lit(0.8), (n - j).cast("double")),
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double"))) / F.lit(0.2)
+    return arr.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("daily_value"),
+        F.round(num / den, 4).alias("ewma"),
+    )

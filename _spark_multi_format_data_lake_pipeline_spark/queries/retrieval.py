@@ -769,3 +769,61 @@ def q209_duplicate_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import exact_substring_cuts
 
     return exact_substring_cuts(_t(spark, sf_dir, "documents"), n=8)
+
+
+# ---------------------------------------------------------------------------
+# q213 — exact-substring dedup APPLY: rewrite the corpus minus cut spans
+# ---------------------------------------------------------------------------
+
+@register(
+    "q213_span_removed_corpus",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t.i - 1 AS pos, w[t.i] AS word
+        FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    sh AS (
+        SELECT doc_id, t.i - 1 AS gpos,
+               sha256(array_to_string(w[t.i:t.i+7], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    freq AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, gpos FROM sh JOIN freq USING (g)),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.word
+        FROM pos p ANTI JOIN dup d
+          ON p.doc_id = d.doc_id
+         AND p.pos >= d.gpos AND p.pos < d.gpos + 8
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_after,
+               string_agg(word, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_tokens_after,
+           COALESCE(a.cleaned, '') AS cleaned_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="llm/dedup.py::remove_cut_spans ∘ exact_substring_cuts — the "
+        "APPLY half of exact-substring dedup: the corpus rewritten with "
+        "every duplicated-8-gram span removed (q209 emits the cut list, "
+        "this consumes it). Removal is a JVM index-lambda filter over "
+        "the token array with the per-doc cut list carried as a bounded "
+        "array column; one doc-keyed join beyond q209's pipeline. The "
+        "oracle removes at the position grain (anti-join against dup "
+        "gram coverage) — coverage by merged maximal spans equals "
+        "coverage by the raw dup grams, so both engines drop exactly "
+        "the same tokens.",
+)
+def q213_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import exact_substring_cuts, remove_cut_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_cut_spans(docs, exact_substring_cuts(docs, n=8))

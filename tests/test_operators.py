@@ -763,3 +763,25 @@ def test_exact_substring_cuts_merges_adjacent_islands(spark):
         for r in exact_substring_cuts(docs, n=8).collect()
     }
     assert cuts == {(10, 0, 9, 2), (30, 0, 9, 2)}
+
+
+def test_remove_cut_spans_rewrites_and_handles_full_cut(spark):
+    """Cuts drop exactly the covered tokens; a doc cut end-to-end comes
+    back empty (not missing); docs without cuts pass through whole."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import remove_cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    cuts = spark.createDataFrame(
+        [(1, 1, 2), (1, 4, 1), (2, 0, 3)],
+        "doc_id long, span_start long, span_len long",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["cleaned_text"])
+        for r in remove_cut_spans(docs, cuts).collect()
+    }
+    assert out[1] == (6, 3, "a d f")
+    assert out[2] == (3, 0, "")
+    assert out[3] == (2, 2, "p q")

@@ -53,6 +53,9 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q206_neyman_allocation": (1, "1-row denominator broadcast"),
     "q207_waterfill_budget": (3, "|domains|-row waterfill windows + 1-row level/total reduces"),
     "q208_vocab_growth": (1, "|batches|-row cumulative window"),
+    "q214_cusum_changepoint": (2, "|days|-row CUSUM walk + |days|-row peak window, both over the bounded day table"),
+    "q216_ewma_daily_value": (1, "|days|-row truncated-weight EWMA window"),
+    "q217_dsir_scores": (1, "1-row corpus-totals broadcast (vocab size + token counts)"),
 }
 
 
