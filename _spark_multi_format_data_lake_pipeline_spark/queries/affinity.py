@@ -1726,3 +1726,65 @@ def q215_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_s", 4).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — Benford first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q220_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, CAST(SUM(n) OVER () AS DOUBLE) AS tot FROM g)
+    SELECT digit, n,
+           ROUND(n / tot, 6) AS obs_p,
+           ROUND(LOG10(1 + CAST(1 AS DOUBLE) / digit), 6) AS exp_p,
+           ROUND(n / tot - LOG10(1 + CAST(1 AS DOUBLE) / digit), 6) AS excess,
+           ROUND(SUM(POWER(n / tot - LOG10(1 + CAST(1 AS DOUBLE) / digit), 2)
+                     / LOG10(1 + CAST(1 AS DOUBLE) / digit)) OVER ()
+                 * tot, 4) AS chi2
+    FROM t
+    """,
+    doc="Benford's-law first-digit audit over order totals: observed vs "
+        "expected log10(1+1/d) digit shares plus the chi-square "
+        "goodness-of-fit statistic — the numeric-forensics screen beside "
+        "q76's text-quality report and q122's column profile (synthetic "
+        "uniform-ish prices FAIL Benford loudly, which is exactly what "
+        "the audit exists to flag). First-digit extraction is string "
+        "math on the floored total (no float log in the bucketing "
+        "path); the fact table reduces to 9 digit rows in one map-side "
+        "combine, and every window runs over that 9-row table.",
+)
+def q220_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    g = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.withColumn("tot", F.sum("n").over(w_all).cast("double"))
+    exp_p = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    obs_p = F.col("n") / F.col("tot")
+    return t.select(
+        "digit",
+        "n",
+        F.round(obs_p, 6).alias("obs_p"),
+        F.round(exp_p, 6).alias("exp_p"),
+        F.round(obs_p - exp_p, 6).alias("excess"),
+        F.round(
+            F.sum(F.pow(obs_p - exp_p, 2) / exp_p).over(w_all) * F.col("tot"),
+            4,
+        ).alias("chi2"),
+    )

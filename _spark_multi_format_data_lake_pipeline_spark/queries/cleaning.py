@@ -407,30 +407,24 @@ def q217_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     )
-    tot = words.agg(
-        F.countDistinct("w").cast("double").alias("v"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("double")
-        .alias("nt"),
-        F.count(F.lit(1)).cast("double").alias("nr"),
+    # ONE corpus shuffle to the word grain carries both models (raw
+    # count + conditional target count); totals then reduce over the
+    # vocab-sized table, not the corpus
+    wt = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    tgt = (
-        words.filter(F.col("lang") == "en")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    tot = wt.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
     )
-    raw = words.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
-    lr = (
-        raw.join(tgt, "w", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w",
-            F.log(
-                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                 / (F.col("nt") + F.col("v")))
-                / ((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("v")))
-            ).alias("llr"),
-        )
+    lr = wt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.log(
+            ((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v")))
+            / ((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("v")))
+        ).alias("llr"),
     )
     dw = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     return (

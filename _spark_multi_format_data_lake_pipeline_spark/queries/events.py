@@ -831,3 +831,173 @@ def q216_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("daily_value"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — Theil-Sen robust trend over the daily event-volume series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q219_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    ix AS (
+        SELECT day, y,
+               date_diff('day', MIN(day) OVER (), day) AS x
+        FROM daily
+    ),
+    sl AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS m
+        FROM ix a JOIN ix b ON b.x > a.x
+    ),
+    med AS (SELECT quantile_cont(m, 0.5) AS slope FROM sl),
+    res AS (SELECT ix.y - med.slope * ix.x AS r FROM ix, med)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           ROUND(med.slope, 6) AS slope,
+           ROUND((SELECT quantile_cont(r, 0.5) FROM res), 4) AS intercept
+    FROM med
+    """,
+    doc="Theil-Sen estimator: the median of all pairwise slopes over the "
+        "daily volume series (plus the median-residual intercept) — the "
+        "outlier-robust sibling of q06's least-squares forecast (one bad "
+        "day cannot move it; breakdown point 29%). The fact table "
+        "reduces to the |days| grain first, so the pairwise join is "
+        "days², a bounded dim-side cost at any corpus size (long series "
+        "at scale use the repeated-median or windowed variant — the "
+        "median-of-slopes algebra is unchanged). Slopes are exact "
+        "integer ratios and both engines interpolate the median the "
+        "same way (percentile == quantile_cont, the q133 contract).",
+)
+def q219_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ix = daily.select(
+        "day", "y", F.datediff("day", F.min("day").over(w_all)).alias("x")
+    )
+    a, b = ix.alias("a"), ix.alias("b")
+    sl = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("m")
+    )
+    med = sl.agg(F.expr("percentile(m, 0.5)").alias("slope"))
+    res = ix.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    icpt = res.agg(F.expr("percentile(r, 0.5)").alias("i"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(icpt))
+        .select(
+            "n_days",
+            F.round("slope", 6).alias("slope"),
+            F.round("i", 4).alias("intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — Kaplan-Meier survival curve over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q221_kaplan_meier",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY user_id
+    ),
+    o AS (SELECT MAX(l) AS cutoff FROM u),
+    dur AS (
+        SELECT CASE WHEN date_diff('day', l, o.cutoff) >= 1
+                    THEN date_diff('day', f, l)
+                    ELSE date_diff('day', f, o.cutoff) END AS t,
+               CASE WHEN date_diff('day', l, o.cutoff) >= 1
+                    THEN 1 ELSE 0 END AS ev
+        FROM u, o
+    ),
+    g AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM dur GROUP BY t
+    ),
+    r AS (
+        SELECT t, cnt, d,
+               CAST(SUM(cnt) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk
+        FROM g
+    ),
+    f AS (
+        SELECT t, d, at_risk,
+               CAST(at_risk - d AS DOUBLE) / at_risk AS factor
+        FROM r WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS n_events, at_risk,
+           ROUND(CASE WHEN MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+                          OVER (ORDER BY t) = 1
+                      THEN 0.0
+                      ELSE EXP(SUM(CASE WHEN factor > 0 THEN LN(factor)
+                                        ELSE 0 END) OVER (ORDER BY t))
+                 END, 6) AS survival
+    FROM f
+    """,
+    doc="Kaplan-Meier survival estimate over user activity lifetimes "
+        "(duration = first-to-last active day; users still active on the final observed day are right-censored at the cutoff) — "
+        "the time-to-churn analytic beside q97's retention cohorts, "
+        "with censoring handled correctly instead of cohort truncation. "
+        "The fact table reduces to the user grain in one shuffle; "
+        "everything after runs over the bounded distinct-duration table "
+        "(reverse-cumulative at-risk counts, the log-sum product walk, "
+        "an explicit zero-factor absorbing flag so S(t)=0 is exact, "
+        "never EXP(LN(0))).",
+)
+def q221_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    o = u.agg(F.max("l").alias("cutoff"))
+    du = u.crossJoin(F.broadcast(o)).select(
+        F.when(
+            F.datediff("cutoff", "l") >= 1, F.datediff("l", "f")
+        ).otherwise(F.datediff("cutoff", "f")).alias("t"),
+        F.when(F.datediff("cutoff", "l") >= 1, 1).otherwise(0).alias("ev"),
+    )
+    g = du.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.withColumn("at_risk", F.sum("cnt").over(w_desc).cast("bigint"))
+    f = r.filter(F.col("d") > 0).withColumn(
+        "factor",
+        F.lit(1.0) * (F.col("at_risk") - F.col("d")) / F.col("at_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit_zero = (
+        F.max(F.when(F.col("factor") == 0, 1).otherwise(0)).over(w_asc) == 1
+    )
+    ln_walk = F.sum(
+        F.when(F.col("factor") > 0, F.log("factor")).otherwise(F.lit(0.0))
+    ).over(w_asc)
+    return f.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("d").alias("n_events"),
+        "at_risk",
+        F.round(
+            F.when(hit_zero, F.lit(0.0)).otherwise(F.exp(ln_walk)), 6
+        ).alias("survival"),
+    )

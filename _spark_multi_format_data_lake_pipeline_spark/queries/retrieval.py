@@ -827,3 +827,107 @@ def q213_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return remove_cut_spans(docs, exact_substring_cuts(docs, n=8))
+
+
+# ---------------------------------------------------------------------------
+# q218 — reciprocal-rank fusion of lexical (BM25) and dense (cosine) rankers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q218_rrf_hybrid_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM words WHERE term IN ('spark', 'hash', 'window')
+        GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(w)) AS avgdl FROM toks),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bm AS (
+        SELECT doc_id, ROUND(s, 4) AS bs FROM scored
+        ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20
+    ),
+    bmr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bs DESC, doc_id) AS r1
+        FROM bm
+    ),
+    cs AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    FROM embeddings WHERE vec_id = 0)), 4) AS c
+        FROM embeddings e
+        ORDER BY c DESC, e.vec_id LIMIT 20
+    ),
+    csr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r2
+        FROM cs
+    ),
+    f AS (
+        SELECT doc_id, r1, r2,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + r1), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + r2), 0) AS rrf
+        FROM bmr FULL OUTER JOIN csr USING (doc_id)
+    )
+    SELECT doc_id, CAST(r1 AS INT) AS bm25_rank, CAST(r2 AS INT) AS cosine_rank,
+           ROUND(rrf, 6) AS rrf_score
+    FROM f ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the BM25 "
+        "lexical ranker (q146's scorer) and the dense cosine ranker "
+        "(q56's probe, doc_id = vec_id) — hybrid search's standard "
+        "score-free combiner. Each ranker contributes only its TOP-20 "
+        "head (TakeOrdered, no global sort); ranking windows then run "
+        "over those bounded heads — the q176 rerank-head economics, so "
+        "fusion cost is independent of corpus size. 1/(60+rank) sums "
+        "are exact rationals in both engines; ties break on doc_id "
+        "after 6-dp rounding.",
+)
+def q218_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm.similarity import topk_cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    em = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, _BM25_TERMS, k=20)
+    w1 = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
+    bmr = bm.select("doc_id", F.row_number().over(w1).alias("r1"))
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = topk_cosine(em, [float(x) for x in qvec], k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    w2 = Window.orderBy(F.col("cosine_sim").desc(), "doc_id")
+    csr = cos.select("doc_id", F.row_number().over(w2).alias("r2"))
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0)
+    )
+    return (
+        bmr.join(csr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r1").cast("int").alias("bm25_rank"),
+            F.col("r2").cast("int").alias("cosine_rank"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )

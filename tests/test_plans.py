@@ -236,6 +236,19 @@ def _simple_plan(spark, sf_dir, name) -> str:
         # user window (journey tag + lag/lead reuse it) + the pseudo-
         # state rollup; the union adds one exchange at the count grain
         ("q203_journey_transitions", 3),
+        # doc window (gram leads) + gram-freq groupBy + freq join-back
+        # + doc islands window; freq side broadcasts
+        ("q209_duplicate_span_cuts", 4),
+        # corpus→word-grain + (doc,word) grain + doc rollup; the vocab
+        # ratio table and 1-row totals ride broadcasts
+        ("q217_dsir_scores", 7),
+        # within-brand-block pair join is ONE broadcast (dim-sized part
+        # table locally; block-keyed shuffle at scale), zero hash
+        # exchanges — FS scoring adds no movement beyond the pairing
+        ("q215_fs_linkage_scores", 1),
+        # cut-list pipeline (q209's 4) + the per-doc cut-array groupBy
+        # and the doc-keyed rewrite join
+        ("q213_span_removed_corpus", 7),
     ],
 )
 def test_heavy_llm_queries_hold_their_shuffle_budget(spark, sf_dir, name, max_shuffles):

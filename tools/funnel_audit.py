@@ -56,6 +56,10 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q214_cusum_changepoint": (2, "|days|-row CUSUM walk + |days|-row peak window, both over the bounded day table"),
     "q216_ewma_daily_value": (1, "|days|-row truncated-weight EWMA window"),
     "q217_dsir_scores": (1, "1-row corpus-totals broadcast (vocab size + token counts)"),
+    "q218_rrf_hybrid_search": (1, "two 20-row rerank-head ranking windows (q176 economics) sharing one exchange"),
+    "q219_theil_sen_trend": (6, "|days|-grain min window + days^2 bounded pair join + three 1-row median/count reduces"),
+    "q220_benford_audit": (1, "9-row digit-table share/chi2 windows"),
+    "q221_kaplan_meier": (2, "1-row cutoff reduce + bounded distinct-duration table windows"),
 }
 
 
