@@ -33,6 +33,10 @@ parquet footers at commit time — the Iceberg manifest-writer role), and
 predicate BEFORE Spark ever lists them — the zone-map/data-skipping
 half of the table-format story.  Files without stats for the probed
 column are conservatively kept, so pruning is always correctness-safe.
+Appends may ADD columns (``_merge_schemas``; readers see NULL for
+pre-evolution files via parquet mergeSchema), and ``compact`` is the
+OPTIMIZE half of maintenance: rewrite the current snapshot into fewer
+files as a new version, history intact until vacuum.
 
 Deliberate divergences from the real formats, documented: no partition
 transforms, no row-level deletes (the engine's MERGE path stages whole
@@ -150,7 +154,7 @@ def _write_snapshot(
     data files, list them, extend or replace the previous manifest's
     file list, commit the next version (one code path so file-listing /
     row-count semantics can never diverge between the two entries)."""
-    if mode not in ("append", "overwrite"):
+    if mode not in ("append", "overwrite", "compact"):
         raise ValueError(f"versioned snapshot write: unknown mode {mode!r}")
     data_dir = Path(path) / "data" / uuid.uuid4().hex
     df.write.mode("error").parquet(str(data_dir))
@@ -161,26 +165,49 @@ def _write_snapshot(
     )
     vs = versions(path)
     prev = _read_manifest(path, vs[-1]) if vs else {"files": [], "row_count": 0}
-    files = new_files if mode == "overwrite" else prev["files"] + new_files
+    append = mode == "append"
+    files = prev["files"] + new_files if append else new_files
     n_new = df.sparkSession.read.parquet(str(data_dir)).count()
     new_stats = _harvest_file_stats(path, new_files)
     file_stats = (
-        new_stats
-        if mode == "overwrite"
-        else {**prev.get("file_stats", {}), **new_stats}
+        {**prev.get("file_stats", {}), **new_stats} if append else new_stats
     )
+    schema = df.schema.jsonValue()
+    if append and prev.get("schema"):
+        schema = _merge_schemas(prev["schema"], schema)
     manifest = {
         "version": (vs[-1] + 1) if vs else 1,
         "mode": mode,
         "files": files,
-        "row_count": n_new + (prev["row_count"] if mode == "append" else 0),
-        "schema": df.schema.jsonValue(),
+        "row_count": n_new + (prev["row_count"] if append else 0),
+        "schema": schema,
         "file_stats": file_stats,
     }
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     _commit(path, manifest["version"], manifest)
     return manifest["version"]
+
+
+def _merge_schemas(prev_json: dict, new_json: dict) -> dict:
+    """Schema evolution for appends: the snapshot schema is the union of
+    the previous schema and the appended frame's (new columns ADD; a
+    shared name with a different type is refused — no implicit type
+    widening, the same conservative rule as Delta's default).  Readers
+    see added columns as NULL for pre-evolution files (parquet
+    mergeSchema reconciliation in ``read_version``)."""
+    prev_fields = {f["name"]: f for f in prev_json["fields"]}
+    merged = list(prev_json["fields"])
+    for f in new_json["fields"]:
+        old = prev_fields.get(f["name"])
+        if old is None:
+            merged.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution: column {f['name']!r} type changed "
+                f"({old['type']!r} -> {f['type']!r}); no implicit widening"
+            )
+    return {**prev_json, "fields": merged}
 
 
 def versioned_write(
@@ -214,7 +241,10 @@ def read_version(
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return spark.read.parquet(*[str(Path(path) / f) for f in m["files"]])
+    # mergeSchema: pre-evolution files surface added columns as NULL
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[str(Path(path) / f) for f in m["files"]]
+    )
 
 
 def read_version_pruned(
@@ -259,7 +289,9 @@ def read_version_pruned(
 
         df = spark.createDataFrame([], StructType.fromJson(m["schema"]))
     else:
-        df = spark.read.parquet(*[str(Path(path) / f) for f in keep])
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[str(Path(path) / f) for f in keep]
+        )
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -326,6 +358,21 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
     return deleted
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE / bin-packing compaction: rewrite the CURRENT snapshot's
+    rows into ``target_files`` parquet files and commit the result as a
+    new version (mode ``compact``) with an identical row set.  Streaming
+    sinks commit one small file set per micro-batch; periodic compaction
+    is how a real table format keeps the file count from eating the
+    scan planner.  History is preserved — pre-compaction versions stay
+    readable until ``vacuum`` reclaims their files — and the commit
+    goes through the same optimistic ``_commit``, so a concurrent
+    writer still gets exactly-one-winner semantics."""
+    return _write_snapshot(
+        read_version(spark, path).coalesce(target_files), path, "compact"
+    )
 
 
 def last_txn_id(path: str) -> str | None:

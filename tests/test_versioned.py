@@ -274,3 +274,51 @@ def test_file_stats_survive_append_and_reset_on_overwrite(spark, tmp_path):
     m3 = _read_manifest(t, 3)
     assert len(m3["file_stats"]) == 1
     assert list(m3["file_stats"].values())[0]["id"] == [9, 9]
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Appending a frame with a new column widens the snapshot schema;
+    pre-evolution files read the added column as NULL; a type CHANGE on
+    a shared column is refused (no implicit widening)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _read_manifest
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    versioned_write(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id int, v string, score double"
+        ),
+        t,
+    )
+    got = {
+        r["id"]: (r["v"], r["score"])
+        for r in read_version(spark, t).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    names = [f["name"] for f in _read_manifest(t, 2)["schema"]["fields"]]
+    assert names == ["id", "v", "score"]
+    with pytest.raises(ValueError, match="no implicit widening"):
+        versioned_write(
+            spark.createDataFrame([(3, 7)], "id int, v int"), t
+        )
+
+
+def test_compact_rewrites_files_preserving_rows_and_history(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        versioned_write(
+            spark.createDataFrame([(i, f"v{i}")], "id int, v string").coalesce(1),
+            t,
+        )
+    assert len(read_version(spark, t).inputFiles()) == 3
+    v = compact(spark, t, target_files=1)
+    assert v == 4
+    assert len(read_version(spark, t).inputFiles()) == 1
+    assert _rows(read_version(spark, t)) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    # pre-compaction history still readable; vacuum reclaims it
+    assert _rows(read_version(spark, t, 3)) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    deleted = vacuum(t, keep_last=1)
+    assert len(deleted) == 3
+    assert _rows(read_version(spark, t)) == [(0, "v0"), (1, "v1"), (2, "v2")]
