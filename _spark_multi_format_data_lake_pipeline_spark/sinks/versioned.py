@@ -175,9 +175,12 @@ def _write_snapshot(
     schema = df.schema.jsonValue()
     if append and prev.get("schema"):
         schema = _merge_schemas(prev["schema"], schema)
+    import time
+
     manifest = {
         "version": (vs[-1] + 1) if vs else 1,
         "mode": mode,
+        "committed_at": time.time(),
         "files": files,
         "row_count": n_new + (prev["row_count"] if append else 0),
         "schema": schema,
@@ -358,6 +361,22 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
     return deleted
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Timestamp time travel: the table as of wall-clock ``ts`` (unix
+    seconds) — the newest version whose ``committed_at`` <= ts, the
+    Iceberg/Delta ``TIMESTAMP AS OF`` contract. Commits that predate the
+    timestamp field (or a ts before the first commit) raise — an honest
+    'no snapshot existed then' instead of silently serving the oldest."""
+    best = None
+    for v in versions(path):
+        at = _read_manifest(path, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot of {path} existed at ts={ts}")
+    return read_version(spark, path, best)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:

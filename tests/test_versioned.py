@@ -322,3 +322,23 @@ def test_compact_rewrites_files_preserving_rows_and_history(spark, tmp_path):
     deleted = vacuum(t, keep_last=1)
     assert len(deleted) == 3
     assert _rows(read_version(spark, t)) == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: the newest snapshot committed at or before the
+    probe time; a probe before the first commit raises."""
+    import time
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_as_of
+
+    t = str(tmp_path / "tbl")
+    before_any = time.time()
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    between = time.time()
+    versioned_write(
+        spark.createDataFrame([(9, "z")], "id int, v string"), t, mode="overwrite"
+    )
+    assert _rows(read_as_of(spark, t, between)) == [(1, "a")]
+    assert _rows(read_as_of(spark, t, time.time())) == [(9, "z")]
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_as_of(spark, t, before_any)
