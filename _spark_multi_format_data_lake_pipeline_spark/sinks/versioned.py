@@ -109,12 +109,20 @@ def _harvest_file_stats(path: str, files: list[str]) -> dict[str, dict]:
     count (one footer read per task output, the same work an Iceberg
     manifest writer does), never by table size.  Only primitive
     int/float/string/bool stats are kept; anything else (timestamps,
-    decimals, nested) is skipped and those files simply never prune."""
+    decimals, nested) is skipped and those files simply never prune.
+
+    A column's (min, max) is recorded only when EVERY row group of the
+    file contributed usable stats for it: a statless (or undecodable)
+    row group could hold rows outside the other groups' range, so a
+    partially-covered range would under-cover the file and let
+    ``read_version_pruned`` skip matching rows — the column is omitted
+    instead and the file is conservatively kept."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
     for rel in files:
         stats: dict[str, list] = {}
+        covered: dict[str, int] = {}
         try:
             md = pq.ParquetFile(str(Path(path) / rel)).metadata
         except Exception:  # unreadable footer → no stats, file always kept
@@ -139,11 +147,14 @@ def _harvest_file_stats(path: str, files: list[str]) -> dict[str, dict]:
                 ):
                     continue
                 name = col.path_in_schema
+                covered[name] = covered.get(name, 0) + 1
                 if name in stats:
                     stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
                 else:
                     stats[name] = [mn, mx]
-        out[rel] = stats
+        out[rel] = {
+            k: v for k, v in stats.items() if covered[k] == md.num_row_groups
+        }
     return out
 
 
@@ -310,12 +321,25 @@ def rollback(path: str, to_version: int) -> int:
     commit (it moves to ``rolled_back_txn_id`` for audit): a rollback
     changes the visible state, so a producer retrying that transaction
     afterwards must be allowed to land, not skipped by the one-deep
-    ledger in ``versioned_write_txn``."""
+    ledger in ``versioned_write_txn``.
+
+    ``committed_at`` is stamped FRESH (never inherited from the source
+    manifest): the rollback became the table's state NOW, so a
+    ``read_as_of`` probe at a time when some later version was current
+    must keep resolving to that later version, not be shadowed by a
+    rollback commit carrying the rolled-back-to snapshot's old clock."""
+    import time
+
     m = dict(_read_manifest(path, to_version))
     txn = m.pop("txn_id", None)
     vs = versions(path)
     nxt = vs[-1] + 1
-    manifest = {**m, "version": nxt, "mode": f"rollback:{to_version}"}
+    manifest = {
+        **m,
+        "version": nxt,
+        "mode": f"rollback:{to_version}",
+        "committed_at": time.time(),
+    }
     if txn is not None:
         manifest["rolled_back_txn_id"] = txn
     _commit(path, nxt, manifest)
@@ -365,18 +389,31 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
 
 def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     """Timestamp time travel: the table as of wall-clock ``ts`` (unix
-    seconds) — the newest version whose ``committed_at`` <= ts, the
-    Iceberg/Delta ``TIMESTAMP AS OF`` contract. Commits that predate the
-    timestamp field (or a ts before the first commit) raise — an honest
-    'no snapshot existed then' instead of silently serving the oldest."""
-    best = None
+    seconds) — the version that was CURRENT at ``ts``, i.e. the one with
+    the greatest ``committed_at`` <= ts (version number breaks clock
+    ties), the Iceberg/Delta ``TIMESTAMP AS OF`` contract.  Max-by-time
+    rather than max-by-version matters once rollbacks exist: a rollback
+    commit restores OLD data at a NEW time, and a probe between the
+    original commit and the rollback must keep resolving to what was
+    visible then.  Commits written before the ``committed_at`` field
+    existed fall back to the manifest file's mtime (the commit IS the
+    manifest's creation, so mtime is the commit clock) — upgraded tables
+    keep timestamp travel over their pre-existing history.  A ts before
+    the first commit raises — an honest 'no snapshot existed then'
+    instead of silently serving the oldest."""
+    best: tuple[float, int] | None = None
     for v in versions(path):
         at = _read_manifest(path, v).get("committed_at")
-        if at is not None and at <= ts:
-            best = v
+        if at is None:
+            try:
+                at = (_manifest_dir(path) / f"v{v}.json").stat().st_mtime
+            except OSError:
+                continue
+        if at <= ts and (best is None or (at, v) > best):
+            best = (at, v)
     if best is None:
         raise ValueError(f"no snapshot of {path} existed at ts={ts}")
-    return read_version(spark, path, best)
+    return read_version(spark, path, best[1])
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:

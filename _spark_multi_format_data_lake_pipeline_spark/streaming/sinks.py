@@ -652,14 +652,22 @@ def stream_versioned_sink(
     stream's durable identity — stable across restarts (so true replays
     still skip) and distinct for a new checkpoint (so they don't).
     runId would be wrong here: it changes per restart, which would
-    un-skip genuine replays."""
-    from ..sinks.versioned import versioned_write_txn
+    un-skip genuine replays.
+
+    One-release shim: tables written before txn ids were checkpoint-
+    scoped recorded ``stream-{batch_id}``; a head manifest carrying that
+    LEGACY id for the replayed batch is also treated as a match, so the
+    first replay after upgrading doesn't double-append an already-landed
+    batch (new commits always write the scoped form)."""
+    from ..sinks.versioned import last_txn_id, versioned_write_txn
 
     scope = _txn_scope(checkpoint_dir)
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if last_txn_id(table_path) == f"stream-{batch_id}":
+            return  # replay of a batch committed under the pre-scope id format
         versioned_write_txn(
             batch_df, table_path, txn_id=f"stream-{scope}-{batch_id}"
         )
@@ -693,11 +701,13 @@ def stream_quarantine_sink(
     rules are batch-relative in a stream and deliberately rejected —
     run them as a post-ingest expectations audit instead (the same
     reasoning as the streaming expectations sink's within-batch-unique
-    caveat)."""
+    caveat).  Same legacy-id shim as ``stream_versioned_sink``: a head
+    manifest carrying the pre-scope ``quarantine-{batch_id}`` id skips
+    that side of the replayed batch."""
     from pyspark.sql import functions as F
 
     from ..operators.expectations import _ROW_KINDS, _violation_expr
-    from ..sinks.versioned import versioned_write_txn
+    from ..sinks.versioned import last_txn_id, versioned_write_txn
 
     bad_kinds = [r.name for r in rules if r.kind not in _ROW_KINDS]
     if bad_kinds:
@@ -724,10 +734,13 @@ def stream_quarantine_sink(
             return
         tagged = batch_df.withColumn("_violated", violated)
         txn = f"quarantine-{scope}-{batch_id}"
+        legacy = f"quarantine-{batch_id}"
         good = tagged.filter(F.size("_violated") == 0).drop("_violated")
         bad = tagged.filter(F.size("_violated") > 0)
-        versioned_write_txn(good, good_path, txn_id=txn)
-        versioned_write_txn(bad, quarantine_path, txn_id=txn)
+        if last_txn_id(good_path) != legacy:
+            versioned_write_txn(good, good_path, txn_id=txn)
+        if last_txn_id(quarantine_path) != legacy:
+            versioned_write_txn(bad, quarantine_path, txn_id=txn)
 
     writer = stream.writeStream.foreachBatch(_route).option(
         "checkpointLocation", checkpoint_dir

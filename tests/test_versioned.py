@@ -342,3 +342,181 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert _rows(read_as_of(spark, t, time.time())) == [(9, "z")]
     with pytest.raises(ValueError, match="no snapshot"):
         read_as_of(spark, t, before_any)
+
+def test_rollback_read_as_of_resolves_by_commit_time(spark, tmp_path):
+    """ADVICE r7 (high): a rollback restores OLD data at a NEW time —
+    it must stamp a fresh committed_at, and read_as_of must resolve a
+    probe taken while a later version was current to THAT version, not
+    let the rollback (higher version, inherited old clock) shadow it."""
+    import time
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_as_of
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    time.sleep(0.05)
+    versioned_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"), t, mode="overwrite"
+    )
+    time.sleep(0.05)
+    when_v2_current = time.time()
+    time.sleep(0.05)
+    v3 = rollback(t, 1)
+    m3 = _read_manifest(t, 3)
+    # fresh clock, strictly after the source snapshot's commit
+    assert m3["committed_at"] > _read_manifest(t, 1)["committed_at"]
+    assert v3 == 3
+    # a probe from when v2 was the table still resolves to v2
+    assert _rows(read_as_of(spark, t, when_v2_current)) == [(2, "b")]
+    # a probe now resolves to the rollback state
+    assert _rows(read_as_of(spark, t, time.time())) == [(1, "a")]
+
+
+def test_read_as_of_legacy_manifests_fall_back_to_mtime(spark, tmp_path):
+    """ADVICE r7 (low): commits written before the committed_at field
+    existed keep timestamp travel — the manifest file's mtime (the
+    commit's creation time) stands in for the missing clock."""
+    import json
+    import os
+    import time
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_as_of
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    versioned_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"), t, mode="overwrite"
+    )
+    now = time.time()
+    for v, age in ((1, 100.0), (2, 50.0)):
+        p = Path(t) / "_manifests" / f"v{v}.json"
+        m = json.loads(p.read_text())
+        m.pop("committed_at", None)
+        p.write_text(json.dumps(m))
+        os.utime(p, (now - age, now - age))
+    # probe between the two legacy commits -> v1; after both -> v2
+    assert _rows(read_as_of(spark, t, now - 75.0)) == [(1, "a")]
+    assert _rows(read_as_of(spark, t, now)) == [(2, "b")]
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_as_of(spark, t, now - 200.0)
+
+
+def test_harvest_omits_columns_without_full_rowgroup_coverage(tmp_path):
+    """ADVICE r7 (medium): a column whose stats are unusable in SOME row
+    group (here: binary min/max that fails UTF-8 decode in the second
+    group) must not be recorded at all — a range built from the other
+    groups could under-cover the file and make pruning skip matching
+    rows. Fully-covered columns in the same file still get ranges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _harvest_file_stats
+
+    d = tmp_path / "t" / "data"
+    d.mkdir(parents=True)
+    tbl = pa.table(
+        {"id": [1, 2, 3, 4], "raw": [b"a", b"b", b"\xff\xfe", b"\xff"]}
+    )
+    pq.write_table(tbl, d / "f.parquet", row_group_size=2)
+    stats = _harvest_file_stats(str(tmp_path / "t"), ["data/f.parquet"])[
+        "data/f.parquet"
+    ]
+    assert stats.get("id") == [1, 4]
+    assert "raw" not in stats
+
+
+def test_stream_versioned_sink_legacy_unscoped_txn_replay_skips(spark, tmp_path):
+    """ADVICE r7 (low): a table whose head commit was written by the
+    pre-scope release (txn id ``stream-{batch_id}``) must not get a
+    duplicate append when the upgraded sink replays that batch; later
+    batches commit normally under the scoped id."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        last_txn_id,
+        read_version,
+        versioned_write_txn,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        _txn_scope,
+        stream_versioned_sink,
+    )
+
+    t = str(tmp_path / "vtbl")
+    batch0 = [(1, "a"), (2, "b")]
+    # the old release landed batch 0, crashed before the checkpoint commit
+    versioned_write_txn(
+        spark.createDataFrame(batch0, "id int, v string"), t, txn_id="stream-0"
+    )
+    src = tmp_path / "vsrc"
+    spark.createDataFrame(batch0, "id int, v string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    ckpt = str(tmp_path / "vckpt")
+    stream = (
+        spark.readStream.schema("id int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_versioned_sink(stream, t, ckpt)
+    q.awaitTermination()
+    # the replayed batch 0 matched the LEGACY head id and was skipped
+    assert versions(t) == [1]
+    assert sorted((r["id"], r["v"]) for r in read_version(spark, t).collect()) == batch0
+    # the next batch is a different transaction and lands scoped
+    spark.createDataFrame([(3, "c")], "id int, v string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream2 = (
+        spark.readStream.schema("id int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q2 = stream_versioned_sink(stream2, t, ckpt)
+    q2.awaitTermination()
+    assert versions(t) == [1, 2]
+    assert last_txn_id(t) == f"stream-{_txn_scope(ckpt)}-1"
+
+
+def test_stream_quarantine_sink_legacy_unscoped_txn_replay_skips(spark, tmp_path):
+    """Same legacy-id shim on the quarantine sink: a head manifest with
+    the pre-scope ``quarantine-{batch_id}`` id skips that side."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.operators.expectations import not_null
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_write_txn,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_quarantine_sink
+
+    rows = [(1, 10.0), (2, None)]
+    good_t, bad_t = str(tmp_path / "good"), str(tmp_path / "bad")
+    # old release landed batch 0 on both sides, crashed pre-checkpoint
+    versioned_write_txn(
+        spark.createDataFrame([(1, 10.0)], "id int, v double"),
+        good_t,
+        txn_id="quarantine-0",
+    )
+    versioned_write_txn(
+        spark.createDataFrame([(2, None)], "id int, v double").withColumn(
+            "_violated", F.array(F.lit("v_present"))
+        ),
+        bad_t,
+        txn_id="quarantine-0",
+    )
+    src = tmp_path / "qsrc"
+    spark.createDataFrame(rows, "id int, v double").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema("id int, v double").parquet(str(src / "*"))
+    q = stream_quarantine_sink(
+        stream,
+        [not_null("v_present", "v")],
+        good_t,
+        bad_t,
+        str(tmp_path / "qckpt"),
+    )
+    q.awaitTermination()
+    # replay of batch 0 skipped on BOTH sides — no duplicate snapshots
+    assert versions(good_t) == [1] and versions(bad_t) == [1]
