@@ -520,3 +520,345 @@ def test_stream_quarantine_sink_legacy_unscoped_txn_replay_skips(spark, tmp_path
     q.awaitTermination()
     # replay of batch 0 skipped on BOTH sides — no duplicate snapshots
     assert versions(good_t) == [1] and versions(bad_t) == [1]
+
+
+# ---------------------------------------------------------------- r8 —
+# copy-on-write row-level ops, partitioned writes, size-binned compact,
+# change-data-feed reader
+
+
+def _write_ranged(spark, t, lo, n=10, **kw):
+    rows = [(lo + i, f"v{lo + i}") for i in range(n)]
+    return versioned_write(
+        spark.createDataFrame(rows, "id int, v string").coalesce(1), t, **kw
+    )
+
+
+def test_upsert_update_insert_and_untouched_file_identity(spark, tmp_path):
+    """The r7-verdict upsert matrix: update 1 row, insert 1 row, and —
+    the copy-on-write contract — files whose zone-map range cannot
+    intersect the change set are carried VERBATIM (same physical file,
+    never rewritten)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_upsert
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        _write_ranged(spark, t, lo)
+    m_before = _read_manifest(t, 3)
+    # change set entirely inside the middle file's [100, 109] range:
+    # update id=105, insert id=150
+    chg = spark.createDataFrame(
+        [(105, "UPDATED"), (150, "INSERTED")], "id int, v string"
+    )
+    v = versioned_upsert(chg, t, ["id"])
+    assert v == 4
+    got = dict(_rows(read_version(spark, t)))
+    assert got[105] == "UPDATED" and got[150] == "INSERTED"
+    assert len(got) == 31  # 30 original + 1 insert
+    assert got[104] == "v104" and got[0] == "v0" and got[209] == "v209"
+    m_after = _read_manifest(t, 4)
+    # the two non-intersecting files are the SAME paths as before
+    untouched_before = [
+        f for f in m_before["files"]
+        if m_before["file_stats"][f]["id"][1] < 100
+        or m_before["file_stats"][f]["id"][0] > 109
+    ]
+    assert set(untouched_before) <= set(m_after["files"])
+    # exactly one old file (the middle one) was replaced by the rewrite
+    assert len(set(m_before["files"]) - set(m_after["files"])) == 1
+    # carried stats/meta entries survive verbatim; row_count is exact
+    for f in untouched_before:
+        assert m_after["file_stats"][f] == m_before["file_stats"][f]
+        assert m_after["file_meta"][f] == m_before["file_meta"][f]
+    assert m_after["row_count"] == 31
+    # history: the pre-upsert snapshot still reads exactly
+    assert dict(_rows(read_version(spark, t, 3)))[105] == "v105"
+
+
+def test_upsert_rejects_duplicate_keys_and_creates_empty_table(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_upsert
+
+    t = str(tmp_path / "tbl")
+    # upsert into a nonexistent table is the initial commit
+    v = versioned_upsert(
+        spark.createDataFrame([(1, "a")], "id int, v string"), t, ["id"]
+    )
+    assert v == 1 and _rows(read_version(spark, t)) == [(1, "a")]
+    with pytest.raises(ValueError, match="multiple rows"):
+        versioned_upsert(
+            spark.createDataFrame(
+                [(1, "x"), (1, "y")], "id int, v string"
+            ),
+            t,
+            ["id"],
+        )
+
+
+def test_upsert_crash_before_commit_leaves_orphans_only(spark, tmp_path):
+    """A writer that dies after writing rewrite files but before the
+    manifest commit changes nothing: the table reads as before and
+    vacuum sweeps the orphaned files."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        _write_ranged(spark, t, lo)
+    chg = spark.createDataFrame([(5, "X")], "id int, v string")
+    real_commit = V._commit
+
+    def _boom(path, version, manifest):
+        raise RuntimeError("crash before commit")
+
+    V._commit = _boom
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            V.versioned_upsert(chg, t, ["id"])
+    finally:
+        V._commit = real_commit
+    # table unchanged, at the same version
+    assert V.versions(t) == [1, 2]
+    assert dict(_rows(read_version(spark, t)))[5] == "v5"
+    # the crashed rewrite's files are unreferenced; vacuum removes them
+    deleted = vacuum(t, keep_last=2)
+    assert deleted  # orphans swept
+    assert dict(_rows(read_version(spark, t)))[5] == "v5"
+
+
+def test_delete_prunes_untouched_files_and_keeps_null_predicate_rows(
+    spark, tmp_path
+):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        _write_ranged(spark, t, lo)
+    m_before = _read_manifest(t, 3)
+    v = versioned_delete(
+        spark, t, "id BETWEEN 103 AND 106", prune_col="id", lo=103, hi=106
+    )
+    assert v == 4
+    ids = [i for i, _ in _rows(read_version(spark, t))]
+    assert len(ids) == 26 and not any(103 <= i <= 106 for i in ids)
+    m_after = _read_manifest(t, 4)
+    # only the middle file was rewritten
+    assert len(set(m_before["files"]) - set(m_after["files"])) == 1
+    assert m_after["row_count"] == 26
+    # NULL predicate rows are kept (SQL DELETE semantics)
+    t2 = str(tmp_path / "tbl2")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "id int, x double"
+        ),
+        t2,
+    )
+    versioned_delete(spark, t2, "x > 10")
+    assert sorted(
+        r["id"] for r in read_version(spark, t2).collect()
+    ) == [1, 2]
+
+
+def test_partitioned_write_roundtrip_prune_and_confined_upsert(
+    spark, tmp_path
+):
+    """partition_by: Hive-layout files, partition values recovered with
+    committed types (a string '01' must NOT come back as int 1), a
+    pruned read on the partition column opens only that partition's
+    files, and an upsert pruned on the partition column rewrites only
+    the touched partition."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_pruned,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "ptbl")
+    rows = [
+        (1, "01", 10.0), (2, "01", 20.0),
+        (3, "02", 30.0), (4, "02", 40.0), (5, "10", 50.0),
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, day string, x double"),
+        t,
+        partition_by=["day"],
+    )
+    m = _read_manifest(t, 1)
+    assert m["partition_by"] == ["day"]
+    assert all("day=" in f for f in m["files"])
+    # partition values in the zone maps as [v, v] string ranges
+    assert all(
+        st["day"][0] == st["day"][1] for st in m["file_stats"].values()
+    )
+    got = read_version(spark, t)
+    assert [f.name for f in got.schema.fields] == ["id", "day", "x"]
+    assert got.schema["day"].dataType.typeName() == "string"
+    assert sorted((r["id"], r["day"], r["x"]) for r in got.collect()) == rows
+    # pruned read on the partition column opens only day=02 files
+    pruned = read_version_pruned(spark, t, "day", lo="02", hi="02")
+    assert sorted(r["id"] for r in pruned.collect()) == [3, 4]
+    assert all("day=02" in f for f in pruned.inputFiles())
+    # append inherits the table's partition spec without restating it
+    versioned_write(
+        spark.createDataFrame([(6, "02", 60.0)], "id int, day string, x double"),
+        t,
+    )
+    m2 = _read_manifest(t, 2)
+    assert m2["partition_by"] == ["day"] and any(
+        "day=02" in f for f in m2["files"][len(m["files"]):]
+    )
+    # conflicting explicit spec on append is refused
+    with pytest.raises(ValueError, match="partition spec"):
+        versioned_write(
+            spark.createDataFrame(
+                [(9, "09", 0.0)], "id int, day string, x double"
+            ),
+            t,
+            partition_by=["id"],
+        )
+    # upsert pruned on the partition column: day=01/day=10 files carried
+    m_before = _read_manifest(t, 2)
+    chg = spark.createDataFrame(
+        [(3, "02", 99.0), (7, "02", 70.0)], "id int, day string, x double"
+    )
+    versioned_upsert(chg, t, ["id"], prune_col="day")
+    m_after = _read_manifest(t, 3)
+    carried = [f for f in m_before["files"] if "day=02" not in f]
+    assert set(carried) <= set(m_after["files"])
+    assert not any(
+        "day=02" in f
+        for f in set(m_before["files"]) & set(m_after["files"])
+    )
+    final = {r["id"]: (r["day"], r["x"]) for r in read_version(spark, t).collect()}
+    assert final[3] == ("02", 99.0) and final[7] == ("02", 70.0)
+    assert final[1] == ("01", 10.0) and len(final) == 7
+
+
+def test_partitioned_int_and_null_partition_values(spark, tmp_path):
+    """Typed partition recovery: an int partition column round-trips as
+    int; a NULL partition value lands in the Hive default dir, reads
+    back as NULL, and its file is conservatively kept by pruning."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_pruned
+
+    t = str(tmp_path / "ptbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 7, "a"), (2, 8, "b"), (3, None, "c")],
+            "id int, bucket int, v string",
+        ),
+        t,
+        partition_by=["bucket"],
+    )
+    got = {r["id"]: r["bucket"] for r in read_version(spark, t).collect()}
+    assert got == {1: 7, 2: 8, 3: None}
+    assert read_version(spark, t).schema["bucket"].dataType.typeName() == "integer"
+    # the manifest-level prune keeps bucket=7 AND the null-partition
+    # file (no committed range -> conservative); bucket=8 is proven
+    # disjoint.  (Catalyst then folds the row filter over the null
+    # partition's literal to false and elides that scan branch — an
+    # extra optimization on top, not a manifest prune.)
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _candidate_split
+
+    keep, skipped = _candidate_split(_read_manifest(t, 1), "bucket", 7, 7)
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in keep)
+    assert all("bucket=8" in f for f in skipped) and len(skipped) == 1
+    pruned = read_version_pruned(spark, t, "bucket", lo=7, hi=7)
+    assert sorted(r["id"] for r in pruned.collect()) == [1]
+    assert not any("bucket=8" in f for f in pruned.inputFiles())
+
+
+def test_compact_default_is_size_binned_not_single_task(spark, tmp_path):
+    """The r7-verdict compact() fix: with no explicit target_files the
+    bin count derives from total bytes — a table bigger than
+    target_file_bytes compacts to MULTIPLE files (no coalesce(1)
+    funnel), rows identical."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        _write_ranged(spark, t, lo)
+    m = _read_manifest(t, 4)
+    total = sum(fm["bytes"] for fm in m["file_meta"].values())
+    assert total > 0 and len(m["files"]) == 4
+    before = _rows(read_version(spark, t))
+    # pick target_file_bytes so the math demands exactly 2 bins
+    v = compact(spark, t, target_file_bytes=(total // 2) + 1)
+    assert v == 5
+    m2 = _read_manifest(t, 5)
+    assert len(m2["files"]) == 2  # size-binned, not a single funnel file
+    assert _rows(read_version(spark, t)) == before
+    assert m2["row_count"] == 40
+    # explicit file-count control still exists for small tables
+    compact(spark, t, target_files=1)
+    assert len(_read_manifest(t, 6)["files"]) == 1
+    assert _rows(read_version(spark, t)) == before
+
+
+def test_compact_partitioned_table_keeps_layout(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact
+
+    t = str(tmp_path / "ptbl")
+    for i in range(3):
+        versioned_write(
+            spark.createDataFrame(
+                [(10 * i + j, f"d{j % 2}", float(j)) for j in range(4)],
+                "id int, day string, x double",
+            ),
+            t,
+            partition_by=["day"] if i == 0 else None,
+        )
+    before = sorted(
+        (r["id"], r["day"], r["x"]) for r in read_version(spark, t).collect()
+    )
+    v = compact(spark, t, target_files=1)
+    m = _read_manifest(t, v)
+    assert m["partition_by"] == ["day"]
+    assert all("day=" in f for f in m["files"])
+    assert len(m["files"]) == 2  # one bin × two partition dirs
+    after = sorted(
+        (r["id"], r["day"], r["x"]) for r in read_version(spark, t).collect()
+    )
+    assert after == before
+
+
+def test_read_changes_roundtrip_and_evolution(spark, tmp_path):
+    """CDF reader: read_changes(M, N) composed with apply_cdc_batch
+    reconstructs version N from version M (the r7-verdict item 5
+    contract), including across an upsert+delete history and a schema
+    evolution boundary."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_changes,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+        ),
+        t,
+    )
+    versioned_upsert(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "id int, v string"),
+        t,
+        ["id"],
+    )
+    versioned_delete(spark, t, "id = 1", prune_col="id", lo=1, hi=1)
+    chg = read_changes(spark, t, 1, 3, ["id"])
+    ops = {r["id"]: (r["op"], r["v"]) for r in chg.collect()}
+    assert ops == {1: ("D", "a"), 2: ("U", "B2"), 4: ("I", "d")}
+    # round-trip: apply the feed to version 1 -> exactly version 3
+    rebuilt = apply_cdc_batch(
+        read_version(spark, t, 1), chg, ["id"]
+    )
+    assert sorted((r["id"], r["v"]) for r in rebuilt.collect()) == _rows(
+        read_version(spark, t, 3)
+    )
+    # evolution boundary: an appended column shows NULL-side diffs only
+    versioned_write(
+        spark.createDataFrame([(9, "z", 1.5)], "id int, v string, score double"),
+        t,
+    )
+    chg2 = read_changes(spark, t, 3, 4, ["id"])
+    assert {(r["id"], r["op"], r["score"]) for r in chg2.collect()} == {
+        (9, "I", 1.5)
+    }
