@@ -37,16 +37,12 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record (the two r6 entries — q166, q110 — came
-    # back green in CORRECTNESS_r06 and left per the removal rule):
-    # - q191: the r7 oracle-lint sweep flagged its DECIMAL(16,1) lo/hi
-    #   columns (hash-green in r6 but the same fragile class as the
-    #   q186/q208 HUGEINT bug); oracle now CASTs both to DOUBLE —
-    #   re-prove under the driver hash.  Spark body unchanged.
-    "q191_price_histogram",
-    # - q188: docstring-only fix (ADVICE r6 — distance range 1..3 → 1..2);
-    #   semantics untouched, listed because the body hash moved.
-    "q188_fuzzy_part_names",
+    # their latest green record.  The two r7 entries — q191, q188 —
+    # came back green in CORRECTNESS_r07 and leave per the removal
+    # rule.  r8: no verified query's body or consumed helper changed
+    # (the r8 work — versioned-table row-level ops — lives in
+    # sinks/versioned.py, consumed only by the NEW q222-q224, which
+    # enter as fresh entries), so the list is empty this round.
 )
 
 

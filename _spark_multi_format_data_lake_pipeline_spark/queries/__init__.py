@@ -17,5 +17,6 @@ from . import udfs  # noqa: F401,E402
 from . import cleaning  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
 from . import affinity  # noqa: F401,E402
+from . import lakehouse  # noqa: F401,E402
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -114,6 +114,12 @@ HEADLINE = [
     # fixed-size by design and excluded)
     "q209_duplicate_span_cuts",
     "q211_bpe_token_counts",
+    # r8 additions: lakehouse row-level verbs — each builds, mutates and
+    # re-reads a real versioned table at SF scale, so the copy-on-write
+    # write path itself is under the bench clock
+    "q222_versioned_upsert_changes",
+    "q223_versioned_delete_rows",
+    "q224_versioned_partition_read",
 ]
 
 
