@@ -39,10 +39,12 @@ _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
     # their latest green record.  The two r7 entries — q191, q188 —
     # came back green in CORRECTNESS_r07 and leave per the removal
-    # rule.  r8: no verified query's body or consumed helper changed
-    # (the r8 work — versioned-table row-level ops — lives in
-    # sinks/versioned.py, consumed only by the NEW q222-q224, which
-    # enter as fresh entries), so the list is empty this round.
+    # rule.  r8: exact_substring_cuts gained a min_occ parameter (the
+    # q225 short-span pass); the default (2) preserves q209/q213
+    # semantics exactly — re-proven locally at sf0.01 — but the
+    # consumed-helper rule lists them for a fresh driver row anyway.
+    "q209_duplicate_span_cuts",
+    "q213_span_removed_corpus",
 )
 
 

@@ -655,11 +655,12 @@ def exact_substring_cuts(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    min_occ: int = 2,
 ) -> DataFrame:
     """(id, span_start, span_len, n_dup_grams) — maximal token spans
-    covered by word ``n``-grams that occur >= 2 times ANYWHERE in the
-    corpus (across documents or repeated within one): the cut list an
-    exact-substring dedup pass removes, per Lee et al. 2022
+    covered by word ``n``-grams that occur >= ``min_occ`` times ANYWHERE
+    in the corpus (across documents or repeated within one): the cut
+    list an exact-substring dedup pass removes, per Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better").
     ``span_start`` is a 0-based token index; ``span_len`` counts tokens;
     ``n_dup_grams`` is how many duplicated n-grams the span merges.
@@ -673,6 +674,19 @@ def exact_substring_cuts(
     spans >= n — chaining grams duplicated against *different* sources
     can over-merge (documented over-approximation, the safe direction
     for dedup).
+
+    The floor: duplicated spans SHORTER than ``n`` tokens contain no
+    duplicated n-gram and are invisible at the default (n=8, min_occ=2)
+    — recall measured exactly on a planted corpus in
+    tests/test_operators.py::test_exact_substring_short_span_recall
+    and recorded in SCALING.md.  The complementary SHORT-SPAN pass is
+    this same operator at (n=3, min_occ=high): at n<8 a threshold of 2
+    would cut natural language (common trigrams repeat constantly), but
+    a HIGH threshold isolates hot boilerplate fragments — navigation
+    chrome, license lines, templated sentences — the same
+    frequency-vs-length trade the paper resolves with its 50-character
+    floor.  Cut lists from both passes union into ``remove_cut_spans``
+    unchanged.
 
     Shape: per-doc posexplode→lead window builds grams (doc-grain
     shuffle), grams reduce to sha256 before the corpus-wide frequency
@@ -696,7 +710,7 @@ def exact_substring_cuts(
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
     dup = (
-        grams.join(freq.filter(F.col("occ") >= 2), "g")
+        grams.join(freq.filter(F.col("occ") >= min_occ), "g")
         .select(id_col, "pos")
     )
     # gaps-and-islands: intervals [pos, pos+n) sorted by pos merge when

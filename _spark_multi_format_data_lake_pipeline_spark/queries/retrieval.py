@@ -830,6 +830,62 @@ def q213_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q225 — short-span hot-fragment cut list (the <8-token floor of q209)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q225_short_span_hot_cuts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t.i - 1 AS pos,
+               sha256(array_to_string(w[t.i:t.i+2], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    freq AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 5),
+    dup AS (SELECT doc_id, pos FROM sh JOIN freq USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > LAG(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) + 3
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 3 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+    FROM grp GROUP BY doc_id, island
+    """,
+    doc="llm/dedup.py::exact_substring_cuts at (n=3, min_occ=5) — the "
+        "SHORT-SPAN complement to q209: duplicated spans of < 8 tokens "
+        "contain no duplicated 8-gram and are invisible to the default "
+        "pass (recall floor measured in tests/test_similarity.py and "
+        "SCALING.md), so hot short fragments — boilerplate sentences, "
+        "navigation chrome, license lines — are caught by trigram "
+        "anchors with a HIGH frequency threshold instead (at n<8 a "
+        "threshold of 2 would cut natural language; >= 5 isolates "
+        "corpus-hot fragments). Same four-keyed-shuffle plan as q209; "
+        "cut lists from both passes union into remove_cut_spans.",
+)
+def q225_short_span_hot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import exact_substring_cuts
+
+    return exact_substring_cuts(
+        _t(spark, sf_dir, "documents"), n=3, min_occ=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # q218 — reciprocal-rank fusion of lexical (BM25) and dense (cosine) rankers
 # ---------------------------------------------------------------------------
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "q222_versioned_upsert_changes",
     "q223_versioned_delete_rows",
     "q224_versioned_partition_read",
+    "q225_short_span_hot_cuts",
 ]
 
 

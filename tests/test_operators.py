@@ -785,3 +785,69 @@ def test_remove_cut_spans_rewrites_and_handles_full_cut(spark):
     assert out[1] == (6, 3, "a d f")
     assert out[2] == (3, 0, "")
     assert out[3] == (2, 2, "p q")
+
+
+def test_exact_substring_short_span_recall(spark):
+    """The measured <n-token recall floor of the n-gram-anchor form
+    (r7 VERDICT item 6), exact on a planted corpus: duplicated spans of
+    2/3/5/7 tokens contain no duplicated 8-gram and are invisible to
+    the default (n=8, min_occ=2) pass, while 8/10/12-token spans are
+    covered EXACTLY — so of the 94 planted duplicated tokens (2 copies
+    x (2+3+5+7+8+10+12)), the default pass recalls 60/94 = 63.8%, and
+    the (n=3, min_occ=2) short-span pass recovers every span >= 3,
+    lifting the union to 90/94 (only the 2-token span stays below any
+    trigram anchor). The production short-span threshold is HIGH
+    frequency (q225: min_occ=5), verified here too: a fragment planted
+    5 times is cut, pair-duplicated short spans are intentionally not.
+    These numbers are recorded in SCALING.md."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.dedup import exact_substring_cuts
+
+    # per-span unique vocab so no accidental cross-span gram collides;
+    # filler unique per doc so no gram crosses a planted boundary
+    spans = {L: " ".join(f"dup{L}_{k}" for k in range(L)) for L in (2, 3, 5, 7, 8, 10, 12)}
+    hot = "hotfrag x hotfrag"  # 3 tokens, planted in 5 docs
+    rows, truth = [], {}  # truth: (doc_id) -> set of planted-dup positions
+    did = 0
+    for L, s in spans.items():
+        for copy in range(2):
+            did += 1
+            filler = " ".join(f"u{did}_{i}" for i in range(6))
+            text = f"{filler} {s} {filler.replace('u', 'v')}"
+            rows.append((did, text))
+            truth[did] = set(range(6, 6 + L))
+    for _ in range(5):
+        did += 1
+        rows.append((did, " ".join(f"w{did}_{i}" for i in range(4)) + " " + hot))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def coverage(cuts_df):
+        cov = {}
+        for r in cuts_df.collect():
+            cov.setdefault(r.doc_id, set()).update(
+                range(r.span_start, r.span_start + r.span_len)
+            )
+        return cov
+
+    total = sum(len(v) for v in truth.values())
+    assert total == 94
+
+    cov8 = coverage(exact_substring_cuts(docs, n=8))
+    hit8 = sum(len(truth[d] & cov8.get(d, set())) for d in truth)
+    # long spans covered EXACTLY (no over-cut into unique filler)
+    for d, c in cov8.items():
+        assert c <= truth.get(d, set())
+    assert hit8 == 2 * (8 + 10 + 12) == 60
+    assert round(hit8 / total, 3) == 0.638
+
+    cov3 = coverage(exact_substring_cuts(docs, n=3, min_occ=2))
+    hit_union = sum(
+        len(truth[d] & (cov8.get(d, set()) | cov3.get(d, set())))
+        for d in truth
+    )
+    assert hit_union == total - 2 * 2 == 90  # only the 2-token span is sub-anchor
+
+    # production short-span pass: HIGH threshold isolates the hot
+    # fragment, leaves pair-duplicated spans alone
+    hot_cuts = exact_substring_cuts(docs, n=3, min_occ=5).collect()
+    assert {r.doc_id for r in hot_cuts} == set(range(15, 20))
+    assert all((r.span_start, r.span_len) == (4, 3) for r in hot_cuts)
