@@ -1788,3 +1788,93 @@ def q220_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — chi-square test of independence + Cramér's V (status × priority)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q228_chi_square_independence",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, SUM(obs) AS rtot FROM c GROUP BY 1),
+    ct AS (SELECT p, SUM(obs) AS ctot FROM c GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS n,
+                   CAST(COUNT(DISTINCT s) AS DOUBLE) AS nr,
+                   CAST(COUNT(DISTINCT p) AS DOUBLE) AS nc
+            FROM c),
+    x AS (
+        SELECT c.obs, rt.rtot * ct.ctot / tot.n AS exp, tot.n, tot.nr, tot.nc
+        FROM c JOIN rt ON c.s = rt.s JOIN ct ON c.p = ct.p CROSS JOIN tot
+    ),
+    a AS (
+        SELECT SUM((obs - exp) * (obs - exp) / exp) AS chi2,
+               ANY_VALUE(n) AS n, ANY_VALUE(nr) AS nr, ANY_VALUE(nc) AS nc
+        FROM x
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1.0))), 6) AS cramers_v
+    FROM a
+    """,
+    doc="Pearson chi-square test of independence on the order status x "
+        "priority contingency table, with Cramér's V effect size — the "
+        "categorical-ASSOCIATION inference layer over q183's raw "
+        "crosstab (and the independence sibling of q220's "
+        "goodness-of-fit chi-square). One groupBy to the |statuses x "
+        "priorities| cell grain, row/column/grand totals are dim-sized "
+        "broadcast joins, the statistic sums over <= 18 cells. Expected "
+        "counts mirror the exact expression tree (rtot*ctot/n) on both "
+        "engines; chi2 rounds to 4dp, V to 6dp.",
+)
+def q228_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    c = od.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    rt = c.groupBy("s").agg(F.sum("obs").alias("rtot"))
+    ct = c.groupBy("p").agg(F.sum("obs").alias("ctot"))
+    tot = c.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("s").cast("double").alias("nr"),
+        F.countDistinct("p").cast("double").alias("nc"),
+    )
+    x = (
+        c.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "obs",
+            (F.col("rtot") * F.col("ctot") / F.col("n")).alias("exp"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    a = x.agg(
+        F.sum(
+            (F.col("obs") - F.col("exp"))
+            * (F.col("obs") - F.col("exp"))
+            / F.col("exp")
+        ).alias("chi2"),
+        F.any_value("n").alias("n"),
+        F.any_value("nr").alias("nr"),
+        F.any_value("nc").alias("nc"),
+    )
+    n, nr, nc, chi2 = F.col("n"), F.col("nr"), F.col("nc"), F.col("chi2")
+    return a.select(
+        n.cast("bigint").alias("n"),
+        ((nr - F.lit(1)) * (nc - F.lit(1))).cast("bigint").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (n * (F.least(nr, nc) - F.lit(1.0)))), 6
+        ).alias("cramers_v"),
+    )

@@ -1001,3 +1001,155 @@ def q221_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(hit_zero, F.lit(0.0)).otherwise(F.exp(ln_walk)), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — day-of-week seasonal profile (ratio-to-overall decomposition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q226_seasonal_dow_profile",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS x
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT AVG(x) AS overall FROM daily)
+    SELECT CAST(isodow(day) AS INT) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(x), 4) AS dow_avg,
+           ROUND(AVG(x) / g.overall, 6) AS seasonal_index
+    FROM daily, g
+    GROUP BY 1, g.overall
+    """,
+    doc="Multiplicative day-of-week seasonal indices (the "
+        "ratio-to-overall form of classical decomposition): daily value "
+        "sums reduce to 7 ISO-weekday strata whose mean over the grand "
+        "mean is the seasonal factor a forecaster divides out before "
+        "trending — the seasonality primitive beside q06 (trend), q216 "
+        "(smoothing) and q214 (shift detection). Fact rows reduce to "
+        "the |days| grain first; the index math runs on 7 rows against "
+        "a 1-row broadcast grand mean. ISO weekday (Mon=1) on both "
+        "engines: Spark weekday()+1 == DuckDB isodow.",
+)
+def q226_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("x")
+    )
+    overall = daily.agg(F.avg("x").alias("overall"))
+    return (
+        daily.groupBy(
+            (F.expr("weekday(day)") + F.lit(1)).cast("int").alias("iso_dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.avg("x").alias("_avg"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "iso_dow",
+            "n_days",
+            F.round(F.col("_avg"), 4).alias("dow_avg"),
+            F.round(F.col("_avg") / F.col("overall"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — Mann-Whitney U rank-sum test (distributed average ranks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q227_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT user_id % 2 AS grp, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    vg AS (
+        SELECT v, CAST(COUNT(*) AS DOUBLE) AS t,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS t1
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT v, t, t1,
+               COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS cb
+        FROM vg
+    ),
+    a AS (
+        SELECT SUM(t1 * (cb + (t + 1.0) / 2)) AS r1,
+               SUM(t1) AS n1, SUM(t) AS n, SUM(t * t * t - t) AS tie
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                 / SQRT((n1 * (n - n1) / 12.0)
+                        * ((n + 1) - tie / (n * (n - 1.0)))), 6) AS z
+    FROM a
+    """,
+    doc="Mann-Whitney U / Wilcoxon rank-sum test between the two "
+        "deterministic user cohorts (user_id parity) over event values — "
+        "the NONPARAMETRIC location test beside q205's CUPED mean "
+        "comparison (no normality assumption; immune to the outliers "
+        "q107/q109 flag). Tie-corrected normal approximation. The "
+        "textbook form ranks the pooled sample with ONE global sort "
+        "window — a keyless data-sized funnel — so this reduces to the "
+        "distinct-VALUE grain (t, t1 per value) and takes the "
+        "cumulative-below count from operators/prefix.py's "
+        "range-partition + O(P) driver-partials recipe (the q171 "
+        "machinery): average rank of a tie group = count_below + "
+        "(t+1)/2, so R1 = sum(t1 * avg_rank) needs no per-row ranks at "
+        "all. Rank sums are exact half-integer doubles (order-invariant "
+        "summation), so u1 matches bit-for-bit; z mirrors the exact "
+        "expression tree on both engines and rounds to 6dp.",
+)
+def q227_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import grouped_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2).alias("grp"), F.col("value").alias("v")
+    )
+    vg = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("t1"),
+    )
+    run = grouped_running_sum(
+        vg.withColumn("_one", F.lit(0)), ["_one"], "v", "t", out_col="_run"
+    )
+    r = run.select(
+        "t", "t1", (F.col("_run") - F.col("t")).alias("cb")
+    )
+    a = r.agg(
+        F.sum(
+            F.col("t1") * (F.col("cb") + (F.col("t") + F.lit(1.0)) / F.lit(2))
+        ).alias("r1"),
+        F.sum("t1").alias("n1"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie"),
+    )
+    n1, n, r1, tie = F.col("n1"), F.col("n"), F.col("r1"), F.col("tie")
+    u1 = r1 - n1 * (n1 + F.lit(1)) / F.lit(2.0)
+    z = (
+        r1
+        - n1 * (n1 + F.lit(1)) / F.lit(2.0)
+        - n1 * (n - n1) / F.lit(2.0)
+    ) / F.sqrt(
+        (n1 * (n - n1) / F.lit(12.0))
+        * ((n + F.lit(1)) - tie / (n * (n - F.lit(1.0))))
+    )
+    return a.select(
+        n1.cast("bigint").alias("n1"),
+        (n - n1).cast("bigint").alias("n2"),
+        F.round(u1, 2).alias("u1"),
+        F.round(z, 6).alias("z"),
+    )

@@ -58,6 +58,9 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q217_dsir_scores": (1, "1-row corpus-totals broadcast (vocab size + token counts)"),
     "q218_rrf_hybrid_search": (1, "two 20-row rerank-head ranking windows (q176 economics) sharing one exchange"),
     "q219_theil_sen_trend": (6, "|days|-grain min window + days^2 bounded pair join + three 1-row median/count reduces"),
+    "q226_seasonal_dow_profile": (1, "1-row grand-mean reduce broadcast over the 7-row dow table"),
+    "q227_mann_whitney_u": (1, "1-row test-statistic reduce; the rank prefix itself is the q171 range-partition recipe, never a global window"),
+    "q228_chi_square_independence": (2, "1-row grand-total reduce + 1-row statistic reduce over <= 18 contingency cells"),
     "q220_benford_audit": (1, "9-row digit-table share/chi2 windows"),
     "q221_kaplan_meier": (2, "1-row cutoff reduce + bounded distinct-duration table windows"),
 }
