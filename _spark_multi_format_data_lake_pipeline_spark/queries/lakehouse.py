@@ -142,3 +142,103 @@ def q224_versioned_partition_read(
     )
     versioned_write(od.filter(F.col("o_orderkey") % 3 == 1), t)
     return read_version_pruned(spark, t, "o_orderstatus", lo="F", hi="F")
+
+
+@register(
+    "q229_versioned_apply_cdc_state",
+    oracle="""
+    -- predicted final state of applying the I/U/D batch to v1 = even
+    -- keys: deletes (%14==0) leave, updates (%6==0, not deleted) bump
+    -- the price, inserts (odd %5==0 keys) arrive
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 6 = 0 AND o_orderkey % 14 <> 0
+                THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0)
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    """,
+    doc="End-to-end MERGE with delete clause: build a versioned table "
+        "(v1 = even orders keys, range-partitioned), assemble one I/U/D "
+        "change batch (updates: keys %6==0 with price+1.0; inserts: odd "
+        "keys %5==0; deletes: keys %14==0), apply it with "
+        "versioned_apply_changes as ONE copy-on-write commit, read the "
+        "new snapshot. sinks/versioned.py:versioned_apply_changes — the "
+        "verb that makes a versioned table a CDC TARGET (read_changes "
+        "makes it a source); replication round-trip pinned in "
+        "tests/test_versioned.py.",
+)
+def q229_versioned_apply_cdc_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_apply_changes, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q229_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    updates = (
+        od.filter((k % 6 == 0) & (k % 14 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = od.filter((k % 2 == 1) & (k % 5 == 0)).withColumn(
+        "op", F.lit("I")
+    )
+    deletes = od.filter(k % 14 == 0).withColumn("op", F.lit("D"))
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    versioned_apply_changes(changes, t, ["o_orderkey"])
+    return read_version(spark, t)
+
+
+@register(
+    "q230_versioned_history_audit",
+    oracle="""
+    SELECT 1 AS version, 'append' AS mode,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 <> 0) AS row_count
+    UNION ALL
+    SELECT 2, 'append', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 3, 'upsert', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 4, 'delete',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 5000)
+    """,
+    doc="DESCRIBE HISTORY as a verifiable query: write / append / "
+        "copy-on-write upsert / pruned delete against a versioned "
+        "table, then read table_history (a metadata-only scan of the "
+        "manifests) and check each commit's recorded row_count against "
+        "the algebraically predicted value — which only holds if the "
+        "carried-file bookkeeping (untouched rows from footer counts + "
+        "rewritten rows) is exact at every step. "
+        "sinks/versioned.py:table_history, the Delta DESCRIBE HISTORY / "
+        "Iceberg snapshots surface.",
+)
+def q230_versioned_history_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        table_history,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q230_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 3 != 0).repartitionByRange(4, "o_orderkey"), t)
+    versioned_write(od.filter(k % 3 == 0), t)
+    versioned_upsert(
+        od.filter(k % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        ),
+        t,
+        ["o_orderkey"],
+    )
+    versioned_delete(spark, t, "o_orderkey <= 5000", prune_col="o_orderkey", hi=5000)
+    return table_history(spark, t).select("version", "mode", "row_count")

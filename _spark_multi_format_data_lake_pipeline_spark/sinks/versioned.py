@@ -796,6 +796,85 @@ def versioned_delete(
     return _write_snapshot(survivors, path, "delete", carry_files=untouched)
 
 
+def versioned_apply_changes(
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str] | tuple[str, ...],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    prune_col: str | None = None,
+) -> int:
+    """Full MERGE with delete clause: apply an I/U/D change batch
+    (``sinks/cdc.py::apply_cdc_batch`` schema — the target's columns
+    plus ``op_col`` ∈ I/U/D, optional ``seq_col`` ordering) to a
+    versioned table as ONE copy-on-write commit.  The verb that makes a
+    versioned table a CDC *target*, closing the loop with
+    ``read_changes`` (a versioned table as CDC *source*): replicating
+    table A into table B is
+    ``versioned_apply_changes(read_changes(A, m, n), B, keys)``.
+
+    Same file-confinement contract as ``versioned_upsert``: the change
+    batch's key range splits the snapshot through the manifest zone
+    maps, only may-intersect files re-run ``apply_cdc_batch``, the rest
+    carry verbatim.  Deletes whose keys live in proven-disjoint files
+    are therefore no-ops by construction — correct, since a delete
+    targets existing rows.  Commits even when the batch changes nothing
+    (a new version with the same rows), keeping version numbering
+    aligned with batch application."""
+    from .cdc import apply_cdc_batch
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("versioned_apply_changes: key_cols must be non-empty")
+    vs = versions(path)
+    spark = changes.sparkSession
+    from pyspark.sql import functions as F
+
+    if not vs:
+        out = changes.filter(F.col(op_col) != "D").drop(
+            op_col, *( [seq_col] if seq_col else [] )
+        )
+        return _write_snapshot(out, path, "upsert", carry_files=[])
+    m = _read_manifest(path, vs[-1])
+    pc = prune_col or keys[0]
+    rng = changes.agg(F.min(pc).alias("lo"), F.max(pc).alias("hi")).first()
+    candidates, untouched = _candidate_split(m, pc, rng["lo"], rng["hi"])
+    cur = _read_files(spark, path, candidates, m)
+    out = apply_cdc_batch(cur, changes, keys, op_col=op_col, seq_col=seq_col)
+    return _write_snapshot(out, path, "upsert", carry_files=untouched)
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — (version, mode,
+    committed_at, row_count, n_files, total_bytes, txn_id) — read from
+    the manifests alone (one JSON read per version, no data I/O), the
+    Delta ``DESCRIBE HISTORY`` / Iceberg ``snapshots`` metadata-table
+    surface.  ``total_bytes`` sums manifest-recorded file sizes and is
+    NULL for pre-r8 commits that didn't record them (no filesystem
+    fallback here — history must stay a metadata-only read)."""
+    rows = []
+    for v in versions(path):
+        m = _read_manifest(path, v)
+        meta = m.get("file_meta", {})
+        sizes = [meta[f].get("bytes") for f in m["files"] if f in meta]
+        rows.append(
+            (
+                v,
+                m.get("mode"),
+                float(m["committed_at"]) if m.get("committed_at") else None,
+                m.get("row_count"),
+                len(m["files"]),
+                sum(sizes) if len(sizes) == len(m["files"]) else None,
+                m.get("txn_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, committed_at double, row_count bigint, "
+        "n_files int, total_bytes bigint, txn_id string",
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,

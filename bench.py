@@ -121,6 +121,11 @@ HEADLINE = [
     "q223_versioned_delete_rows",
     "q224_versioned_partition_read",
     "q225_short_span_hot_cuts",
+    "q226_seasonal_dow_profile",
+    "q227_mann_whitney_u",
+    "q228_chi_square_independence",
+    "q229_versioned_apply_cdc_state",
+    "q230_versioned_history_audit",
 ]
 
 

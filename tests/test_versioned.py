@@ -862,3 +862,78 @@ def test_read_changes_roundtrip_and_evolution(spark, tmp_path):
     assert {(r["id"], r["op"], r["score"]) for r in chg2.collect()} == {
         (9, "I", 1.5)
     }
+
+
+def test_versioned_apply_changes_full_merge_and_replication(spark, tmp_path):
+    """versioned_apply_changes is the full MERGE-with-delete verb: an
+    I/U/D batch applies as one copy-on-write commit, files outside the
+    batch's key range carry verbatim, and read_changes ∘ apply
+    replicates table A onto table B exactly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_changes,
+        versioned_apply_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        _write_ranged(spark, t, lo, n=4)
+    m1 = _read_manifest(t, 2)
+    changes = spark.createDataFrame(
+        [(1, "B", "U"), (4, "d", "I"), (2, None, "D")],
+        "id int, v string, op string",
+    )
+    v = versioned_apply_changes(changes, t, ["id"])
+    assert v == 3
+    got = dict(_rows(read_version(spark, t)))
+    assert got == {0: "v0", 1: "B", 3: "v3", 4: "d",
+                   100: "v100", 101: "v101", 102: "v102", 103: "v103"}
+    m3 = _read_manifest(t, 3)
+    # the [100, 103] file is outside the batch's [1, 4] range: carried
+    hundred_file = [
+        f for f in m1["files"] if m1["file_stats"][f]["id"][0] == 100
+    ]
+    assert set(hundred_file) <= set(m3["files"])
+    assert m3["row_count"] == 8
+    # seq_col: latest change per key wins
+    seq = spark.createDataFrame(
+        [(3, "first", "U", 1), (3, "last", "U", 2)],
+        "id int, v string, op string, seq bigint",
+    )
+    versioned_apply_changes(seq, t, ["id"], seq_col="seq")
+    assert dict(_rows(read_version(spark, t)))[3] == "last"
+    # replication: apply A's change feed onto a replica of A@v2
+    replica = str(tmp_path / "replica")
+    versioned_write(read_version(spark, t, 2), replica)
+    feed = read_changes(spark, t, 2, 4, ["id"])
+    versioned_apply_changes(feed, replica, ["id"])
+    assert _rows(read_version(spark, replica)) == _rows(read_version(spark, t, 4))
+
+
+def test_table_history_metadata_only(spark, tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        table_history,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write_txn,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), t
+    )
+    versioned_write_txn(
+        spark.createDataFrame([(3, "c")], "id int, v string"), t, txn_id="tx9"
+    )
+    versioned_upsert(
+        spark.createDataFrame([(2, "B")], "id int, v string"), t, ["id"]
+    )
+    versioned_delete(spark, t, "id = 1", prune_col="id", lo=1, hi=1)
+    h = {r["version"]: r for r in table_history(spark, t).collect()}
+    assert [h[v]["mode"] for v in (1, 2, 3, 4)] == [
+        "append", "append", "upsert", "delete"
+    ]
+    assert [h[v]["row_count"] for v in (1, 2, 3, 4)] == [2, 3, 3, 2]
+    assert h[2]["txn_id"] == "tx9" and h[1]["txn_id"] is None
+    assert all(h[v]["total_bytes"] > 0 for v in (1, 2, 3, 4))
+    assert all(h[v]["committed_at"] is not None for v in (1, 2, 3, 4))
+    assert h[1]["n_files"] >= 1
