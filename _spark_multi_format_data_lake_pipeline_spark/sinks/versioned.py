@@ -923,7 +923,11 @@ def last_txn_id(path: str) -> str | None:
 
 
 def versioned_write_txn(
-    df: DataFrame, path: str, txn_id: str, mode: str = "append"
+    df: DataFrame,
+    path: str,
+    txn_id: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """``versioned_write`` with an application transaction id — the
     Delta ``txn`` / Iceberg snapshot-property mechanism that makes
@@ -941,4 +945,6 @@ def versioned_write_txn(
         raise ValueError("versioned_write_txn: txn_id must be a non-empty string")
     if last_txn_id(path) == txn_id:
         return None
-    return _write_snapshot(df, path, mode, txn_id=txn_id)
+    return _write_snapshot(
+        df, path, mode, txn_id=txn_id, partition_by=partition_by
+    )

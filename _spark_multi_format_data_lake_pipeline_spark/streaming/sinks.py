@@ -633,6 +633,7 @@ def stream_versioned_sink(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Stream into a versioned parquet table (sinks/versioned.py): each
     micro-batch commits one snapshot, so the landing zone gets time
@@ -652,7 +653,11 @@ def stream_versioned_sink(
     stream's durable identity — stable across restarts (so true replays
     still skip) and distinct for a new checkpoint (so they don't).
     runId would be wrong here: it changes per restart, which would
-    un-skip genuine replays.
+    un-skip genuine replays.  ``partition_by`` lays the landing table
+    out Hive-style on first commit (later batches inherit the
+    committed spec) — the stream→partitioned-lake pattern, with the
+    partition values feeding the manifest zone maps so downstream
+    pruned reads and copy-on-write upserts stay partition-confined.
 
     One-release shim: tables written before txn ids were checkpoint-
     scoped recorded ``stream-{batch_id}``; a head manifest carrying that
@@ -669,7 +674,10 @@ def stream_versioned_sink(
         if last_txn_id(table_path) == f"stream-{batch_id}":
             return  # replay of a batch committed under the pre-scope id format
         versioned_write_txn(
-            batch_df, table_path, txn_id=f"stream-{scope}-{batch_id}"
+            batch_df,
+            table_path,
+            txn_id=f"stream-{scope}-{batch_id}",
+            partition_by=partition_by,
         )
 
     writer = stream.writeStream.foreachBatch(_commit_batch).option(

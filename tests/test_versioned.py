@@ -937,3 +937,40 @@ def test_table_history_metadata_only(spark, tmp_path):
     assert all(h[v]["total_bytes"] > 0 for v in (1, 2, 3, 4))
     assert all(h[v]["committed_at"] is not None for v in (1, 2, 3, 4))
     assert h[1]["n_files"] >= 1
+
+
+def test_stream_versioned_sink_partitioned_landing(spark, tmp_path):
+    """partition_by on the streaming sink: the first batch lays the
+    landing table out Hive-style; later batches inherit the spec from
+    the manifest; reads recover typed partition columns."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _read_manifest as rm,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version, versions
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import stream_versioned_sink
+
+    src = tmp_path / "psrc"
+    spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)], "id int, day string, x double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, "d1", 3.0)], "id int, day string, x double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    t = str(tmp_path / "ptbl")
+    stream = (
+        spark.readStream.schema("id int, day string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_versioned_sink(
+        stream, t, str(tmp_path / "pckpt"), partition_by=["day"]
+    )
+    q.awaitTermination()
+    assert versions(t) == [1, 2]
+    m = rm(t, 2)
+    assert m["partition_by"] == ["day"]
+    assert all("day=" in f for f in m["files"])
+    got = sorted(
+        (r["id"], r["day"], r["x"]) for r in read_version(spark, t).collect()
+    )
+    assert got == [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0)]
