@@ -279,6 +279,11 @@ def _write_snapshot(
             )
     if carry_files is None:
         carry_files = prev["files"] if mode == "append" else []
+    constraints = prev.get("constraints", {})
+    if constraints:
+        # persisted CHECK constraints gate every commit's NEW rows
+        # (carried files were validated when they were new)
+        _validate_constraints(df, constraints, f"{mode} write")
     data_dir = Path(path) / "data" / uuid.uuid4().hex
     writer = df.write.mode("error")
     if pb:
@@ -331,6 +336,8 @@ def _write_snapshot(
     }
     if pb:
         manifest["partition_by"] = pb
+    if constraints:
+        manifest["constraints"] = constraints
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     _commit(path, manifest["version"], manifest)
@@ -640,6 +647,7 @@ def compact(
     path: str,
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """OPTIMIZE / bin-packing compaction: rewrite the CURRENT snapshot's
     rows into size-binned parquet files and commit the result as a new
@@ -660,7 +668,13 @@ def compact(
     ``_commit``, so a concurrent writer still gets exactly-one-winner
     semantics.  A partitioned table keeps its layout: rows repartition
     by the partition columns so each output bin writes into few
-    partitions instead of every bin touching every partition."""
+    partitions instead of every bin touching every partition.
+
+    ``zorder_cols`` turns this into OPTIMIZE ZORDER: the rewrite
+    re-clusters along the Morton curve of those columns
+    (operators/layout.py), so the recommitted zone maps carry bounded
+    per-file spans on EVERY z-column and subsequent pruned reads /
+    copy-on-write candidate splits skip files on any of them."""
     import math
 
     vs = versions(path)
@@ -681,7 +695,17 @@ def compact(
         target_files = max(1, math.ceil(total / target_file_bytes))
     df = read_version(spark, path)
     pb = m.get("partition_by") or []
-    if pb:
+    if zorder_cols:
+        # OPTIMIZE ZORDER (the Delta verb): re-cluster along the Morton
+        # curve of the given columns so the committed zone maps get
+        # bounded per-file spans on EVERY z-column — pruned reads and
+        # copy-on-write candidate splits then skip most files on any of
+        # them, not just a sort leader. One range shuffle + in-partition
+        # sort (operators/layout.py); bin count still from total bytes.
+        from ..operators.layout import zorder_by
+
+        df = zorder_by(df, list(zorder_cols), num_partitions=target_files)
+    elif pb:
         from pyspark.sql import functions as F
 
         df = df.repartition(target_files, *[F.col(c) for c in pb])
@@ -842,6 +866,88 @@ def versioned_apply_changes(
     cur = _read_files(spark, path, candidates, m)
     out = apply_cdc_batch(cur, changes, keys, op_col=op_col, seq_col=seq_col)
     return _write_snapshot(out, path, "upsert", carry_files=untouched)
+
+
+class CheckConstraintViolation(ValueError):
+    """A write contained rows violating a persisted CHECK constraint."""
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta-style ``ALTER TABLE ADD CONSTRAINT``: persist a CHECK
+    constraint (a SQL boolean expression) in the table's manifest.
+    EXISTING data is validated first (one scan, as Delta does) and every
+    subsequent write — append, overwrite, upsert, delete, apply-changes,
+    streaming commit — re-validates its input rows before any data file
+    is written, raising ``CheckConstraintViolation`` on the first
+    offending row.  SQL CHECK semantics: a row passes when the
+    expression is TRUE or NULL (unknown); only provably-FALSE rows
+    violate.  The constraint set rides the manifest like the partition
+    spec (carried across commits; the add itself is a metadata-only
+    commit, mode ``add-constraint``), so time travel shows when each
+    constraint appeared."""
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    _validate_constraints(
+        _read_files(spark, path, m["files"], m), {name: expr}, "existing data"
+    )
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": f"add-constraint:{name}",
+        "committed_at": time.time(),
+        "constraints": {**m.get("constraints", {}), name: expr},
+    }
+    manifest.pop("txn_id", None)
+    _commit(path, manifest["version"], manifest)
+    return manifest["version"]
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """Remove a persisted CHECK constraint (metadata-only commit)."""
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": f"drop-constraint:{name}",
+        "committed_at": time.time(),
+        "constraints": cons,
+    }
+    manifest.pop("txn_id", None)
+    _commit(path, manifest["version"], manifest)
+    return manifest["version"]
+
+
+def _validate_constraints(
+    df: DataFrame, constraints: dict[str, str], what: str
+) -> None:
+    """Raise CheckConstraintViolation if any row of ``df`` provably
+    violates any constraint.  One combined probe scan with an early
+    limit(1) per constraint — short-circuits on the first offender."""
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        row = bad.collect()
+        if row:
+            raise CheckConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated by {what}; "
+                f"first offender: {row[0].asDict()}"
+            )
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

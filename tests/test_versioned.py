@@ -974,3 +974,88 @@ def test_stream_versioned_sink_partitioned_landing(spark, tmp_path):
         (r["id"], r["day"], r["x"]) for r in read_version(spark, t).collect()
     )
     assert got == [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0)]
+
+
+def test_compact_zorder_tightens_zone_maps_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER: a table written in key-shuffled order has every
+    file spanning the whole (x, y) range — zone maps prune nothing.
+    Compacting with zorder_cols re-clusters on the Morton curve, after
+    which a range read on EITHER column opens a strict subset of files,
+    with identical rows."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        read_version_pruned,
+    )
+
+    t = str(tmp_path / "ztbl")
+    rows = [(x, y, x * 32 + y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+    # hash-shuffle so each of the 4 initial files spans the full range
+    versioned_write(df.repartition(4, "payload"), t)
+    before_x = read_version_pruned(spark, t, "x", lo=0, hi=7)
+    assert len(before_x.inputFiles()) == 4  # nothing prunes
+    v = compact(spark, t, target_files=4, zorder_cols=["x", "y"])
+    m = _read_manifest(t, v)
+    assert len(m["files"]) == 4 and m["row_count"] == 1024
+    after_x = read_version_pruned(spark, t, "x", lo=0, hi=7)
+    after_y = read_version_pruned(spark, t, "y", lo=0, hi=7)
+    assert len(after_x.inputFiles()) < 4
+    assert len(after_y.inputFiles()) < 4
+    assert sorted(r["payload"] for r in after_x.collect()) == sorted(
+        p for x, y, p in rows if x <= 7
+    )
+    assert sorted(r["payload"] for r in after_y.collect()) == sorted(
+        p for x, y, p in rows if y <= 7
+    )
+
+
+def test_check_constraints_gate_every_commit(spark, tmp_path):
+    """Delta-style CHECK constraints: adding one validates existing
+    data; every subsequent write path (append, upsert) re-validates its
+    rows and refuses the commit on the first offender; NULL evaluates
+    as satisfied (SQL CHECK); drop lifts the gate; the constraint set
+    rides the manifest like the partition spec."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        CheckConstraintViolation,
+        add_check_constraint,
+        drop_check_constraint,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None)], "id int, amount double"
+        ),
+        t,
+    )
+    v2 = add_check_constraint(spark, t, "amount_nonneg", "amount >= 0")
+    assert v2 == 2 and _read_manifest(t, 2)["mode"] == "add-constraint:amount_nonneg"
+    # adding a constraint existing data violates is refused
+    with pytest.raises(CheckConstraintViolation, match="existing data"):
+        add_check_constraint(spark, t, "impossible", "amount > 100")
+    # a clean append passes (NULL amount satisfies CHECK)
+    versioned_write(
+        spark.createDataFrame([(3, 7.0), (4, None)], "id int, amount double"), t
+    )
+    # an offending append is refused BEFORE any commit
+    with pytest.raises(CheckConstraintViolation, match="amount_nonneg"):
+        versioned_write(
+            spark.createDataFrame([(5, -1.0)], "id int, amount double"), t
+        )
+    assert versions(t) == [1, 2, 3]
+    # the copy-on-write paths are gated too
+    with pytest.raises(CheckConstraintViolation, match="amount_nonneg"):
+        versioned_upsert(
+            spark.createDataFrame([(1, -9.0)], "id int, amount double"),
+            t,
+            ["id"],
+        )
+    assert versions(t) == [1, 2, 3]
+    # drop lifts the gate
+    v4 = drop_check_constraint(t, "amount_nonneg")
+    assert v4 == 4
+    versioned_write(
+        spark.createDataFrame([(5, -1.0)], "id int, amount double"), t
+    )
+    assert {r["id"] for r in read_version(spark, t).collect()} == {1, 2, 3, 4, 5}
