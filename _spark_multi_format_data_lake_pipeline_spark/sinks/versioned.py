@@ -50,13 +50,24 @@ zone maps, so partition pruning and file pruning are one mechanism.
 between any two versions), and ``compact`` size-bins its rewrite from
 manifest-recorded file sizes.
 
+Row-level DELETE offers BOTH physical strategies, the Delta/Iceberg
+copy-on-write vs merge-on-read choice: ``strategy="cow"`` rewrites the
+candidate files, ``strategy="dv"`` writes DELETION VECTORS — (file,
+row-position) side files under ``_deletes/`` keyed by scan lineage
+(``_metadata.file_path``/``row_index``) — and commits with every data
+file carried verbatim, so a tiny delete against a huge table costs
+O(matched rows), not a rewrite.  Every reader applies the vectors with
+one (broadcast while small) anti-join; ``compact()``/overwrite
+materializes them back to plain files.
+
 Deliberate divergences from the real formats, documented: identity
-partition values only (no bucket/truncate/hour transforms), no
-merge-on-read delete vectors (every row-level commit is copy-on-write),
-stats cover primitive int/float/string/bool columns only, and the
-atomic rename relies on a rename-if-absent filesystem primitive (true
-on POSIX/HDFS; on S3 use a conditional-put or a commit service, exactly
-as Delta-on-S3 does)."""
+partition values only (no bucket/truncate/hour transforms), delete
+vectors are parquet (file, pos) pair lists rather than roaring bitmaps
+(same semantics, simpler encoding; the anti-join replaces the bitmap
+probe), stats cover primitive int/float/string/bool columns only, and
+the atomic rename relies on a rename-if-absent filesystem primitive
+(true on POSIX/HDFS; on S3 use a conditional-put or a commit service,
+exactly as Delta-on-S3 does)."""
 
 from __future__ import annotations
 
@@ -317,10 +328,20 @@ def _write_snapshot(
         **{f: prev_meta[f] for f in carry_files if f in prev_meta},
         **new_meta,
     }
+    # Delete vectors ride with the files they address: a carried file
+    # keeps its DV'd positions (the DV parquet keys rows by immutable
+    # (file, pos), so entries for rewritten/dropped files go dead
+    # harmlessly); a commit that carries no DV'd file drops the DV set —
+    # overwrite and compact therefore materialize outstanding deletes.
+    prev_dv_counts = prev.get("dv_counts") or {}
+    dv_counts = {
+        f: prev_dv_counts[f] for f in carry_files if f in prev_dv_counts
+    }
     carried_rows = (
         prev["row_count"]
         if mode == "append"
         else sum(_file_rows(path, f, prev_meta) for f in carry_files)
+        - sum(dv_counts.values())
     )
     import time
 
@@ -334,6 +355,9 @@ def _write_snapshot(
         "file_stats": file_stats,
         "file_meta": file_meta,
     }
+    if dv_counts:
+        manifest["dv_counts"] = dv_counts
+        manifest["dv_files"] = prev.get("dv_files") or []
     if pb:
         manifest["partition_by"] = pb
     if constraints:
@@ -418,8 +442,78 @@ def read_version(
     return _read_files(spark, path, m["files"], m)
 
 
+def _lineage_prefix(path: str) -> str:
+    """The URI prefix Spark's ``_metadata.file_path`` carries for data
+    files under this table root — stripping it yields the manifest's
+    relative file names.  Local-filesystem form (``file:`` + absolute
+    path); a table root needing URI-encoding (spaces etc.) would need
+    the encoded form, noted rather than handled (test/lake roots are
+    plain paths)."""
+    return "file:" + str(Path(path).resolve()) + "/"
+
+
+def _attach_lineage(df: DataFrame, path: str) -> DataFrame:
+    """Add ``__dv_file`` (manifest-relative data file) and ``__dv_pos``
+    (row position within that file) from the scan's ``_metadata``
+    pseudo-column — the (file, position) identity that delete vectors
+    address rows by, computed JVM-side at scan time."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.replace(
+            F.col("_metadata.file_path"),
+            F.lit(_lineage_prefix(path)),
+            F.lit(""),
+        ).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+
+
+# Broadcast the delete-vector side of the merge-on-read anti-join while
+# its manifest-recorded row count stays under this bound; bigger DV sets
+# fall back to a shuffled anti-join (and are a signal to compact()).
+_DV_BROADCAST_ROWS = 4_000_000
+
+
+def _apply_delete_vectors(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    manifest: dict,
+    files: list[str],
+) -> DataFrame:
+    """Merge-on-read: drop the (file, pos) rows recorded in the
+    manifest's delete vectors via a left-anti join on the lineage
+    columns (which must already be attached).  The DV side is tiny in
+    the common case (a targeted DELETE) and is broadcast whenever the
+    manifest-recorded counts for the scanned files stay under
+    ``_DV_BROADCAST_ROWS`` — the read-side cost is then one map-side
+    hash probe per row, no shuffle.  DV rows addressing files outside
+    this scan (time travel over rewritten files, pruned reads) simply
+    never match."""
+    from pyspark.sql import functions as F
+
+    dv_files = manifest.get("dv_files") or []
+    if not dv_files:
+        return df
+    dv = spark.read.parquet(*[str(Path(path) / f) for f in dv_files])
+    dv = dv.select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    counts = manifest.get("dv_counts") or {}
+    total = sum(counts.get(f, 0) for f in files)
+    if total <= _DV_BROADCAST_ROWS:
+        dv = F.broadcast(dv)
+    return df.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+
+
 def _read_files(
-    spark: SparkSession, path: str, files: list[str], manifest: dict
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    manifest: dict,
+    keep_lineage: bool = False,
 ) -> DataFrame:
     """Materialize a scan over an explicit manifest file list.
 
@@ -432,19 +526,43 @@ def _read_files(
     re-inference could mangle types (a string partition value '01'
     would re-infer as the integer 1).  The plan is a union of
     per-partition scans: its width is the snapshot's partition count,
-    the same fan-out a Hive-style partitioned scan plans anyway."""
+    the same fan-out a Hive-style partitioned scan plans anyway.
+
+    Delete vectors recorded in the manifest are ALWAYS applied — every
+    reader (snapshot, pruned, time travel, copy-on-write rewrite) sees
+    the merge-on-read row set, so a DV commit is indistinguishable from
+    the equivalent rewrite except in I/O.  ``keep_lineage=True``
+    additionally keeps the ``__dv_file``/``__dv_pos`` identity columns
+    in the output (consumers: the DV writer itself)."""
     from pyspark.sql.types import StructType
 
     target = StructType.fromJson(manifest["schema"])
     if not files:
-        return spark.createDataFrame([], target)
+        df = spark.createDataFrame([], target)
+        if keep_lineage:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__dv_file"),
+                F.lit(None).cast("long").alias("__dv_pos"),
+            )
+        return df
+    dv_counts = manifest.get("dv_counts") or {}
+    need_dv = keep_lineage or any(f in dv_counts for f in files)
     pb = manifest.get("partition_by") or []
+    from pyspark.sql import functions as F
+
     if not pb:
         # mergeSchema: pre-evolution files surface added columns as NULL
-        return spark.read.option("mergeSchema", "true").parquet(
+        out = spark.read.option("mergeSchema", "true").parquet(
             *[str(Path(path) / f) for f in files]
         )
-    from pyspark.sql import functions as F
+        if not need_dv:
+            return out
+        out = _attach_lineage(out, path)
+        out = _apply_delete_vectors(spark, out, path, manifest, files)
+        return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
     groups: dict[str, list[str]] = {}
     for f in files:
@@ -455,6 +573,8 @@ def _read_files(
         part = spark.read.option("mergeSchema", "true").parquet(
             *[str(Path(path) / f) for f in fs]
         )
+        if need_dv:
+            part = _attach_lineage(part, path)
         for c in pb:
             part = part.withColumn(
                 c, F.lit(vals.get(c)).cast(target[c].dataType)
@@ -462,6 +582,8 @@ def _read_files(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
+    if need_dv:
+        out = _apply_delete_vectors(spark, out, path, manifest, files)
     # align to the committed schema: column order and evolved columns
     sel = [
         F.col(f.name).cast(f.dataType).alias(f.name)
@@ -469,6 +591,8 @@ def _read_files(
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in target.fields
     ]
+    if keep_lineage:
+        sel += [F.col("__dv_file"), F.col("__dv_pos")]
     return out.select(*sel)
 
 
@@ -584,10 +708,14 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     keep = vs[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        live.update(m["files"])
+        live.update(m.get("dv_files") or [])
     deleted = []
-    data_root = Path(path) / "data"
-    if data_root.is_dir():
+    for root_name in ("data", "_deletes"):
+        data_root = Path(path) / root_name
+        if not data_root.is_dir():
+            continue
         for p in sorted(data_root.rglob("*.parquet")):
             rel = str(p.relative_to(path))
             if rel not in live:
@@ -791,20 +919,43 @@ def versioned_delete(
     prune_col: str | None = None,
     lo=None,
     hi=None,
+    strategy: str = "cow",
 ) -> int:
-    """Copy-on-write DELETE: commit a new snapshot without the rows
+    """Row-level DELETE: commit a new snapshot without the rows
     matching ``predicate`` (a SQL boolean expression).  Same
     file-confinement contract as ``versioned_upsert``: when the caller
     supplies a prune range (``prune_col`` + ``lo``/``hi`` bounding
     where matching rows can live), the manifest zone maps carry every
     proven-disjoint file into the new snapshot untouched and only the
-    may-intersect files are rewritten.  Without a range every file is a
-    rewrite candidate — still correct, just not confined.
+    may-intersect files are touched.  Without a range every file is a
+    candidate — still correct, just not confined.
+
+    ``strategy`` picks the physical delete, the Delta/Iceberg
+    copy-on-write vs merge-on-read choice:
+
+    - ``"cow"`` (default): rewrite the candidate files without the
+      matching rows.  Read-optimized — snapshots stay plain parquet.
+    - ``"dv"``: DELETION VECTORS — write only a (file, pos) side file
+      under ``_deletes/`` addressing the matched rows by scan lineage
+      (``_metadata.file_path``/``row_index``) and commit with EVERY
+      data file carried verbatim.  Write cost is O(matched rows), not
+      O(candidate bytes) — deleting 100 rows from a 100 TB table
+      commits in seconds with zero data-file rewrite amplification.
+      Readers apply the vectors with one anti-join (broadcast while
+      the DV set is small — ``_apply_delete_vectors``); ``compact()``
+      or any overwrite materializes them back to plain files, exactly
+      Delta's ``REORG TABLE ... APPLY (PURGE)``.
+
+    Both strategies are observationally identical to every reader —
+    snapshot, pruned, time-travel, CDF, copy-on-write — differing only
+    in where the I/O lands (write-side rewrite vs read-side join).
 
     SQL DELETE null semantics: rows where the predicate is NULL are
     KEPT (only provably-TRUE rows are removed)."""
     from pyspark.sql import functions as F
 
+    if strategy not in ("cow", "dv"):
+        raise ValueError(f"versioned_delete: unknown strategy {strategy!r}")
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -815,9 +966,70 @@ def versioned_delete(
         candidates, untouched = list(m["files"]), []
     if not candidates:
         return vs[-1]  # no file can hold a matching row: nothing to do
+    if strategy == "dv":
+        return _delete_with_vectors(spark, path, predicate, m, vs, candidates)
     cur = _read_files(spark, path, candidates, m)
     survivors = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     return _write_snapshot(survivors, path, "delete", carry_files=untouched)
+
+
+def _delete_with_vectors(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    m: dict,
+    vs: list[int],
+    candidates: list[str],
+) -> int:
+    """The merge-on-read half of ``versioned_delete``: scan ONLY the
+    candidate files with lineage kept (existing vectors already applied,
+    so a position can never be recorded twice), write the matched
+    (file, pos) pairs as a new DV parquet, and commit a metadata-only
+    manifest — same file list, stats and sizes verbatim, row_count
+    decremented by the manifest-recorded per-file match counts."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    cur = _read_files(spark, path, candidates, m, keep_lineage=True)
+    matched = cur.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    dv_rel = f"_deletes/{uuid.uuid4().hex}"
+    matched.write.mode("error").parquet(str(Path(path) / dv_rel))
+    new_dv_files = sorted(
+        str(p.relative_to(path))
+        for p in (Path(path) / dv_rel).rglob("*.parquet")
+        if p.is_file()
+    )
+    per_file = (
+        spark.read.parquet(str(Path(path) / dv_rel))
+        .groupBy("file")
+        .count()
+        .collect()
+        if new_dv_files
+        else []
+    )
+    dv_counts = dict(m.get("dv_counts") or {})
+    total = 0
+    for r in per_file:
+        dv_counts[r["file"]] = dv_counts.get(r["file"], 0) + r["count"]
+        total += r["count"]
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": "delete",
+        "committed_at": time.time(),
+        "row_count": m["row_count"] - total,
+    }
+    manifest.pop("txn_id", None)
+    if total:
+        manifest["dv_counts"] = dv_counts
+        manifest["dv_files"] = (m.get("dv_files") or []) + new_dv_files
+    _commit(path, manifest["version"], manifest)
+    return manifest["version"]
 
 
 def versioned_apply_changes(

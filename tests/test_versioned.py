@@ -1059,3 +1059,136 @@ def test_check_constraints_gate_every_commit(spark, tmp_path):
         spark.createDataFrame([(5, -1.0)], "id int, amount double"), t
     )
     assert {r["id"] for r in read_version(spark, t).collect()} == {1, 2, 3, 4, 5}
+
+
+def test_dv_delete_writes_no_data_files_and_matches_cow(spark, tmp_path):
+    """Merge-on-read DELETE: the commit carries EVERY data file verbatim
+    and records only a (file, pos) vector; the visible row set equals
+    the copy-on-write result exactly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        _write_ranged(spark, t, lo)
+    m_before = _read_manifest(t, 3)
+    v = versioned_delete(
+        spark, t, "id BETWEEN 103 AND 106", prune_col="id", lo=103, hi=106,
+        strategy="dv",
+    )
+    assert v == 4
+    m_after = _read_manifest(t, 4)
+    # zero rewrite amplification: identical data-file list, stats/meta verbatim
+    assert m_after["files"] == m_before["files"]
+    assert m_after["file_stats"] == m_before["file_stats"]
+    assert m_after["dv_files"] and sum(m_after["dv_counts"].values()) == 4
+    assert m_after["row_count"] == 26
+    ids = [i for i, _ in _rows(read_version(spark, t))]
+    assert len(ids) == 26 and not any(103 <= i <= 106 for i in ids)
+    # time travel: pre-delete snapshot still sees the rows
+    assert len(_rows(read_version(spark, t, 3))) == 30
+    # NULL-predicate rows are kept, same SQL semantics as cow
+    v2 = versioned_delete(spark, t, "CAST(NULL AS BOOLEAN)", strategy="dv")
+    assert _read_manifest(t, v2)["row_count"] == 26
+
+
+def test_dv_deletes_stack_and_never_double_count(spark, tmp_path):
+    """A second DV delete scans with the first vector already applied,
+    so re-matching predicates cannot double-record a position."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0)
+    versioned_delete(spark, t, "id < 3", strategy="dv")
+    v = versioned_delete(spark, t, "id < 5", strategy="dv")
+    m = _read_manifest(t, v)
+    assert m["row_count"] == 5
+    assert sum(m["dv_counts"].values()) == 5
+    assert sorted(i for i, _ in _rows(read_version(spark, t))) == [5, 6, 7, 8, 9]
+
+
+def test_dv_carries_through_append_upsert_and_materializes_on_compact(
+    spark, tmp_path
+):
+    """Vectors ride the manifest across appends; a copy-on-write upsert
+    rewrite applies them to the files it touches and keeps them for
+    carried files; compact() materializes and clears the whole set."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        _write_ranged(spark, t, lo)
+    versioned_delete(spark, t, "id IN (2, 102)", strategy="dv")
+    # append: dv survives, new rows land
+    _write_ranged(spark, t, 200, mode="append")
+    assert _read_manifest(t, 4)["row_count"] == 28
+    got = sorted(i for i, _ in _rows(read_version(spark, t)))
+    assert 2 not in got and 102 not in got and len(got) == 28
+    # upsert confined to the low file: rewrites it (dv for id=2 goes dead),
+    # carries the 100-file verbatim WITH its dv entry for id=102
+    up = spark.createDataFrame([(3, "NEW")], "id int, v string")
+    versioned_upsert(up, t, ["id"])
+    m = _read_manifest(t, 5)
+    assert sum(m["dv_counts"].values()) == 1  # only the carried file's entry
+    assert m["row_count"] == 28
+    rows = dict(_rows(read_version(spark, t)))
+    assert rows[3] == "NEW" and 2 not in rows and 102 not in rows
+    # compact: materializes outstanding vectors, dv fields cleared
+    compact(spark, t, target_files=2)
+    m6 = _read_manifest(t, 6)
+    assert "dv_files" not in m6 and "dv_counts" not in m6
+    assert m6["row_count"] == 28
+    assert sorted(i for i, _ in _rows(read_version(spark, t))) == got
+
+
+def test_dv_partitioned_and_cdf_see_vector_deletes(spark, tmp_path):
+    """DV delete on a partitioned table confines the scan by partition
+    zone maps; read_changes reports the DV-deleted rows as D rows."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_changes,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d2")],
+        "id int, v string, day string",
+    )
+    versioned_write(df, t, partition_by=["day"])
+    v = versioned_delete(
+        spark, t, "id = 3", prune_col="day", lo="d2", hi="d2", strategy="dv"
+    )
+    m = _read_manifest(t, v)
+    assert sum(m["dv_counts"].values()) == 1 and m["row_count"] == 3
+    assert sorted(r["id"] for r in read_version(spark, t).collect()) == [1, 2, 4]
+    ch = read_changes(spark, t, 1, v, ["id"]).collect()
+    assert [(r["op"], r["id"]) for r in ch] == [("D", 3)]
+
+
+def test_dv_vacuum_keeps_live_vectors_drops_dead_ones(spark, tmp_path):
+    """vacuum treats _deletes/ like data/: vectors referenced by a
+    retained manifest survive, unreferenced ones go."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        versioned_delete,
+    )
+    from pathlib import Path
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0)
+    versioned_delete(spark, t, "id < 2", strategy="dv")
+    live_dv = _read_manifest(t, 2)["dv_files"]
+    vacuum(t, keep_last=1)
+    for f in live_dv:
+        assert (Path(t) / f).exists()
+    assert sorted(i for i, _ in _rows(read_version(spark, t))) == list(range(2, 10))
+    # materialize, then vacuum: the vector files are unreferenced → gone
+    compact(spark, t, target_files=1)
+    deleted = vacuum(t, keep_last=1)
+    assert any(f.startswith("_deletes/") for f in deleted)
+    for f in live_dv:
+        assert not (Path(t) / f).exists()
+    assert sorted(i for i, _ in _rows(read_version(spark, t))) == list(range(2, 10))
