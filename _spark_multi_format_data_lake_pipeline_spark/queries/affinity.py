@@ -1878,3 +1878,236 @@ def q228_chi_square_independence(
             F.sqrt(chi2 / (n * (F.least(nr, nc) - F.lit(1.0)))), 6
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — RFM customer segmentation (quartile scores via exact percentiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q232_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    g AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+    r AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_order, gmax) AS INT) AS recency_days,
+               frequency, monetary_cents
+        FROM per_cust CROSS JOIN g
+    ),
+    q AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r1,
+               quantile_cont(recency_days, 0.50) AS r2,
+               quantile_cont(recency_days, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1,
+               quantile_cont(frequency, 0.50) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary_cents, 0.25) AS m1,
+               quantile_cont(monetary_cents, 0.50) AS m2,
+               quantile_cont(monetary_cents, 0.75) AS m3
+        FROM r
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                + CAST(recency_days > r3 AS INT)) AS r_score,
+           1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+             + CAST(frequency > f3 AS INT) AS f_score,
+           1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+             + CAST(monetary_cents > m3 AS INT) AS m_score,
+           (4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                 + CAST(recency_days > r3 AS INT))) * 100
+           + (1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+                + CAST(frequency > f3 AS INT)) * 10
+           + (1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+                + CAST(monetary_cents > m3 AS INT)) AS rfm_cell
+    FROM r CROSS JOIN q
+    """,
+    doc="RFM segmentation: per customer, recency (days since last order "
+        "vs the corpus max date), frequency (order count) and monetary "
+        "(lifetime spend in EXACT integer cents — each price rounds to "
+        "cents per-row before the bigint sum, so both engines sum exactly "
+        "and no float-order artifact exists), scored 1-4 against the "
+        "exact quartiles of each metric and combined into the classic "
+        "RxFxM cell (404 = best recency/monetary). The quartile scoring "
+        "deliberately avoids a global NTILE window (a whole-table sort "
+        "funnel): thresholds come from one 9-value exact-percentile "
+        "reduce over the CUSTOMER-grain table, broadcast back via "
+        "crossJoin — the q169/q228 1-row-stats shape. All metrics are "
+        "integers, so the interpolated quartile doubles are identical "
+        "across engines and the > comparisons can never straddle an "
+        "ulp. 100 TB: swap percentile for approx_percentile (documented "
+        "exact form kept for oracle parity).",
+)
+def q232_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    g = od.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    r = per_cust.crossJoin(F.broadcast(g)).select(
+        "o_custkey",
+        F.datediff("gmax", "last_order").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    q = r.agg(
+        *[
+            F.percentile(c, p).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    x = r.crossJoin(F.broadcast(q))
+
+    def bucket(col: str, k: str):
+        return sum(
+            (F.col(col) > F.col(f"{k}{i}")).cast("int") for i in (1, 2, 3)
+        )
+
+    r_s = F.lit(4) - bucket("recency_days", "r")
+    f_s = F.lit(1) + bucket("frequency", "f")
+    m_s = F.lit(1) + bucket("monetary_cents", "m")
+    return x.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).alias("rfm_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — grouped multivariate OLS via normal equations (2 features)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q233_grouped_ols",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS sx1,
+               CAST(SUM(x2) AS DOUBLE) AS sx2,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS sx1x1,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS sx2x2,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS sx1x2,
+               CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS sx2y,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM b GROUP BY 1
+    ),
+    m AS (
+        SELECT l_returnflag, n,
+               sx1x1 - sx1 * sx1 / n AS s11,
+               sx2x2 - sx2 * sx2 / n AS s22,
+               sx1x2 - sx1 * sx2 / n AS s12,
+               sx1y - sx1 * sy / n AS s1y,
+               sx2y - sx2 * sy / n AS s2y,
+               syy - sy * sy / n AS syc,
+               sx1, sx2, sy
+        FROM s
+    ),
+    c AS (
+        SELECT l_returnflag, n, s1y, s2y, syc, sx1, sx2, sy,
+               (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+               (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
+           ROUND(b1, 6) AS b1,
+           ROUND(b2, 6) AS b2,
+           ROUND((b1 * s1y + b2 * s2y) / syc, 6) AS r2
+    FROM c
+    """,
+    doc="Per-group multivariate OLS (y = extended price in whole dollars "
+        "~ quantity + discount-pct, grouped by return flag) solved in "
+        "closed form from the 2x2 normal equations — the multi-feature "
+        "sibling of q06's single-slope forecast and q219's Theil-Sen. "
+        "Inputs quantize to EXACT integers per-row (quantity is "
+        "integral, discount to whole pct, price to whole dollars), so "
+        "the nine sufficient statistics are exact bigint sums on both "
+        "engines (largest, sum(y*y), stays < 2^53 through sf1, so the "
+        "double conversion is exact too); every later double op mirrors "
+        "the same IEEE expression tree, making 6dp rounding safe. ONE "
+        "map-side-combined groupBy to |flags| rows, no window, no "
+        "broadcast — the canonical sufficient-statistics pattern that "
+        "runs at any scale (100 TB note: swap bigint sums for "
+        "decimal(38,0) when group row counts pass ~1e9). R-squared = "
+        "SSR/SST from the same statistics.",
+)
+def q233_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    c = [F.col(x) for x in ("x1", "x2", "y")]
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(c[0] * c[0]).cast("double").alias("sx1x1"),
+        F.sum(c[1] * c[1]).cast("double").alias("sx2x2"),
+        F.sum(c[0] * c[1]).cast("double").alias("sx1x2"),
+        F.sum(c[0] * c[2]).cast("double").alias("sx1y"),
+        F.sum(c[1] * c[2]).cast("double").alias("sx2y"),
+        F.sum(c[2] * c[2]).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    m = s.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n).alias("s11"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n).alias("s22"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n).alias("s12"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / n).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / n).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("syc"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    cdf = m.select(
+        "l_returnflag", "n", "s1y", "s2y", "syc", "sx1", "sx2", "sy",
+        ((F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det).alias("b1"),
+        ((F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det).alias("b2"),
+    )
+    return cdf.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("sy") - F.col("b1") * F.col("sx1") - F.col("b2") * F.col("sx2"))
+            / F.col("n"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(
+            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("syc"),
+            6,
+        ).alias("r2"),
+    )

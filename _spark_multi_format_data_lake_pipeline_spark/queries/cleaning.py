@@ -435,3 +435,99 @@ def q217_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("c") * F.col("llr")), 4).alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — per-source Jensen-Shannon divergence vs the global corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "q234_source_js_divergence",
+    oracle="""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT source, word FROM w WHERE word <> ''),
+    sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM w2 GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS stot FROM sw GROUP BY 1),
+    gw AS (SELECT word, CAST(SUM(c) AS BIGINT) AS g FROM sw GROUP BY 1),
+    gt AS (SELECT CAST(SUM(c) AS BIGINT) AS gtot FROM sw),
+    x AS (
+        SELECT sw.source,
+               CAST(sw.c AS DOUBLE) / CAST(st.stot AS DOUBLE) AS p,
+               CAST(gw.g AS DOUBLE) / CAST(gt.gtot AS DOUBLE) AS q
+        FROM sw
+        JOIN st ON sw.source = st.source
+        JOIN gw ON sw.word = gw.word
+        CROSS JOIN gt
+    ),
+    agg AS (
+        SELECT source,
+               SUM(p * LN(2.0 * p / (p + q))) AS tp,
+               SUM(q * LN(2.0 * q / (p + q))) AS tq,
+               SUM(q) AS qpresent
+        FROM x GROUP BY 1
+    )
+    SELECT a.source, st.stot AS n_tokens,
+           ROUND(0.5 * a.tp
+                 + 0.5 * (a.tq + (1.0 - a.qpresent) * LN(2.0)), 6) AS jsd
+    FROM agg a JOIN st ON a.source = st.source
+    """,
+    doc="Jensen-Shannon divergence of every source shard's unigram "
+        "distribution against the whole-corpus distribution — the "
+        "bounded symmetric drift metric (0..ln2 nats) a training-data "
+        "pipeline uses to rank which shards skew the mixture, beside "
+        "q217's DSIR (which scores DOCUMENTS against a target; this "
+        "scores SHARDS against the blend). JSD needs the q-side sum "
+        "over the FULL vocabulary including words absent from the "
+        "shard (p=0 there, where the term is q*ln2): computed without "
+        "materializing the |sources| x |vocab| cross product as "
+        "sum_absent q = 1 - sum_present q — so the plan is word-grain "
+        "groupBys plus a word-keyed join, never a vocab cross join. "
+        "Tokens are the catalog-standard whitespace split of "
+        "trim(lower(text)). One 1-row corpus-total reduce broadcast "
+        "(q217's shape); everything else is keyed shuffles that scale "
+        "with corpus size.",
+)
+def q234_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("stot"))
+    gw = sw.groupBy("word").agg(F.sum("c").alias("g"))
+    gt = sw.agg(F.sum("c").alias("gtot"))
+    x = (
+        sw.join(F.broadcast(st), "source")
+        .join(gw, "word")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("stot").cast("double")).alias("p"),
+            (F.col("g").cast("double") / F.col("gtot").cast("double")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    agg = x.groupBy("source").agg(
+        F.sum(p * F.log(F.lit(2.0) * p / (p + q))).alias("tp"),
+        F.sum(q * F.log(F.lit(2.0) * q / (p + q))).alias("tq"),
+        F.sum(q).alias("qpresent"),
+    )
+    return agg.join(F.broadcast(st), "source").select(
+        "source",
+        F.col("stot").alias("n_tokens"),
+        F.round(
+            F.lit(0.5) * F.col("tp")
+            + F.lit(0.5)
+            * (
+                F.col("tq")
+                + (F.lit(1.0) - F.col("qpresent")) * F.log(F.lit(2.0))
+            ),
+            6,
+        ).alias("jsd"),
+    )

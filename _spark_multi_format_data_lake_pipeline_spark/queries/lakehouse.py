@@ -111,6 +111,50 @@ def q223_versioned_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q231_versioned_dv_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 4000 AND 9000 AND o_orderstatus = 'O')
+      AND NOT (o_totalprice < 50000.0)
+    """,
+    doc="End-to-end merge-on-read DELETE: build a versioned orders table "
+        "(5 key-disjoint files), run TWO stacked strategy='dv' deletes — "
+        "each commits only a (file, pos) deletion-vector parquet under "
+        "_deletes/ with EVERY data file carried verbatim (the query "
+        "asserts the file list is unchanged across both commits: zero "
+        "rewrite amplification, the reason Iceberg v2/Delta DVs exist) — "
+        "then read the snapshot, which applies the vectors with one "
+        "broadcast anti-join on (_metadata.file_path, row_index) "
+        "lineage. The second delete scans with the first vector already "
+        "applied, so overlapping predicates can never double-delete. "
+        "sinks/versioned.py:versioned_delete(strategy='dv') / "
+        "_apply_delete_vectors; cow-equivalence and compaction "
+        "materialization are pinned in tests/test_versioned.py.",
+)
+def q231_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import _read_manifest, read_version, versioned_delete, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q231_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    versioned_write(od.repartitionByRange(5, "o_orderkey"), t)
+    files_v1 = _read_manifest(t, 1)["files"]
+    versioned_delete(
+        spark,
+        t,
+        "o_orderkey BETWEEN 4000 AND 9000 AND o_orderstatus = 'O'",
+        prune_col="o_orderkey",
+        lo=4000,
+        hi=9000,
+        strategy="dv",
+    )
+    v = versioned_delete(spark, t, "o_totalprice < 50000.0", strategy="dv")
+    m = _read_manifest(t, v)
+    assert m["files"] == files_v1, "dv delete must not rewrite data files"
+    return read_version(spark, t)
+
+
+@register(
     "q224_versioned_partition_read",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -63,6 +63,8 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q228_chi_square_independence": (2, "1-row grand-total reduce + 1-row statistic reduce over <= 18 contingency cells"),
     "q220_benford_audit": (1, "9-row digit-table share/chi2 windows"),
     "q221_kaplan_meier": (2, "1-row cutoff reduce + bounded distinct-duration table windows"),
+    "q232_rfm_segments": (3, "1-row max-date reduce + 1-row 9-value exact-percentile reduce over the customer-grain table (broadcast back; deliberately NOT a global NTILE sort)"),
+    "q234_source_js_divergence": (1, "1-row corpus-token-total reduce (q217's shape)"),
 }
 
 
