@@ -129,3 +129,47 @@ def curation_report(annotated: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    primitive of a training pipeline.  Each row's split is a pure
+    function of ``md5(salt || key)``: stable across runs, sessions,
+    cluster sizes and row order (``randomSplit`` is none of those), so
+    a document keeps its split when the corpus is re-curated and
+    leakage across splits is structurally impossible for a given key.
+    Changing ``salt`` draws a fresh independent assignment.
+
+    Mechanics: the first 8 hex digits of the md5 partition [0, 16^8)
+    uniformly; cumulative fractions become fixed hex thresholds and the
+    assignment is a lexicographic CASE over them — one map-side
+    expression, no shuffle, no UDF, and mirrorable in any engine with
+    md5() (the oracle runs the identical CASE).  Fractions must sum to
+    1 (±1e-9); the last named split absorbs the hex tail so rounding
+    never orphans a row."""
+    from pyspark.sql import functions as F
+
+    fr = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if not fr or abs(sum(fr.values()) - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: fractions must sum to 1, got {fr}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    names = list(fr)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fr[name]
+        t = format(int(cum * 16**8), "08x")
+        cond = h < F.lit(t)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)

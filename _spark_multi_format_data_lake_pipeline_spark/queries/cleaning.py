@@ -531,3 +531,50 @@ def q234_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — deterministic hash-based train/val/test split (stratified report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q235_dataset_split",
+    oracle="""
+    WITH s AS (
+        SELECT lang, n_chars,
+               CASE
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      < 'cccccccc' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      < 'e6666666' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/val/test split keyed on "
+        "md5(doc_id) hex-prefix thresholds (llm/curation.py:hash_split) "
+        "— the dataset-split primitive randomSplit cannot provide: "
+        "assignment is a pure function of the key, stable across runs, "
+        "cluster sizes and row order, so re-curating the corpus never "
+        "moves a document across the leakage boundary. The query "
+        "reports the split x language stratification with a char-mass "
+        "payload, so the driver hash checks the exact per-cell "
+        "membership both engines derive from the same md5 CASE. "
+        "Map-side expression + one groupBy; no shuffle beyond the "
+        "count. 16^8 hex buckets bound the quantization error at "
+        "~2e-10 of the corpus.",
+)
+def q235_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id")
+    return s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -60,8 +60,16 @@ O(matched rows), not a rewrite.  Every reader applies the vectors with
 one (broadcast while small) anti-join; ``compact()``/overwrite
 materializes them back to plain files.
 
-Deliberate divergences from the real formats, documented: identity
-partition values only (no bucket/truncate/hour transforms), delete
+``bucket_by=(col, n)`` adds the HASH-BUCKET layout (Iceberg's
+``bucket(n, col)`` partition transform): every write materializes a
+hidden ``__bucket = pmod(hash(col), n)`` partition column, committed
+into the same zone maps as a [b, b] range.  ``read_version_keyed``
+point lookups and keyed upserts/CDC applies then confine themselves to
+the touched buckets — the prune that works when keys are uniformly
+distributed and min/max ranges span every file.
+
+Deliberate divergences from the real formats, documented: identity and
+hash-bucket partition transforms only (no truncate/hour), delete
 vectors are parquet (file, pos) pair lists rather than roaring bitmaps
 (same semantics, simpler encoding; the anti-join replaces the bitmap
 probe), stats cover primitive int/float/string/bool columns only, and
@@ -243,6 +251,27 @@ def _partition_values(rel: str, schema_json: dict | None) -> dict:
     return out
 
 
+_BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(col: str, n: int):
+    """The bucket-transform expression: ``pmod(hash(col), n)`` with
+    Spark's built-in murmur3 hash — deterministic across sessions and
+    executors, so the same key always lands in the same bucket and a
+    reader/upserter can recompute membership without reading data.
+    The Iceberg ``bucket(n, col)`` partition transform, computed
+    JVM-side as a column (never a Python UDF)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.hash(F.col(col)), F.lit(n))
+
+
+def _attach_bucket(df: DataFrame, bb: tuple[str, int]) -> DataFrame:
+    if _BUCKET_COL in df.columns:
+        return df
+    return df.withColumn(_BUCKET_COL, _bucket_expr(bb[0], int(bb[1])))
+
+
 def _write_snapshot(
     df: DataFrame,
     path: str,
@@ -250,6 +279,7 @@ def _write_snapshot(
     txn_id: str | None = None,
     partition_by: list[str] | None = None,
     carry_files: list[str] | None = None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -269,7 +299,18 @@ def _write_snapshot(
     spec so one partitioned create keeps the table partitioned; pass
     ``[]`` to explicitly stop partitioning on an overwrite.  Partition
     values are recorded in the manifest zone maps as [v, v] ranges, so
-    partition pruning and file pruning are one mechanism."""
+    partition pruning and file pruning are one mechanism.
+
+    ``bucket_by=(col, n)`` is the HASH-bucket layout (Iceberg's
+    ``bucket(n, col)`` transform, the jar-free ``bucketBy``): every
+    write materializes ``__bucket = pmod(hash(col), n)`` and lays files
+    out partitioned by it, so the manifest zone maps carry each file's
+    bucket as a [b, b] range.  Point lookups and keyed upserts then
+    confine themselves to |touched buckets|/n of the files EVEN WHEN
+    the key is uniformly distributed — exactly the workload where
+    min/max zone maps prune nothing.  Inherited like the partition
+    spec; attached here (the single write choke point) so compaction,
+    CDC applies and streaming appends can never drop the layout."""
     if mode not in ("append", "overwrite", "compact", "upsert", "delete"):
         raise ValueError(f"versioned snapshot write: unknown mode {mode!r}")
     vs = versions(path)
@@ -278,16 +319,33 @@ def _write_snapshot(
         if vs
         else {"files": [], "row_count": 0}
     )
+    prev_bb = tuple(prev["bucket_by"]) if prev.get("bucket_by") else None
+    if bucket_by is None:
+        bb = prev_bb
+    else:
+        bb = (str(bucket_by[0]), int(bucket_by[1])) if bucket_by else None
+        if mode == "append" and vs and bb != prev_bb:
+            raise ValueError(
+                f"append bucket spec {bb} != table spec {prev_bb}; "
+                "changing the spec requires an overwrite"
+            )
     if partition_by is None:
         pb = prev.get("partition_by") or []
+        pb = [c for c in pb if c != _BUCKET_COL]
     else:
         pb = list(partition_by)
-        if mode == "append" and vs and pb != (prev.get("partition_by") or []):
+        prev_pb = [
+            c for c in (prev.get("partition_by") or []) if c != _BUCKET_COL
+        ]
+        if mode == "append" and vs and pb != prev_pb:
             raise ValueError(
                 f"append partition spec {pb} != table spec "
-                f"{prev.get('partition_by') or []}; changing the spec "
+                f"{prev_pb}; changing the spec "
                 "requires an overwrite"
             )
+    if bb:
+        df = _attach_bucket(df, bb)
+        pb = pb + [_BUCKET_COL]
     if carry_files is None:
         carry_files = prev["files"] if mode == "append" else []
     constraints = prev.get("constraints", {})
@@ -360,6 +418,8 @@ def _write_snapshot(
         manifest["dv_files"] = prev.get("dv_files") or []
     if pb:
         manifest["partition_by"] = pb
+    if bb:
+        manifest["bucket_by"] = list(bb)
     if constraints:
         manifest["constraints"] = constraints
     if txn_id is not None:
@@ -405,6 +465,7 @@ def versioned_write(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -422,8 +483,17 @@ def versioned_write(
     partitions and ``versioned_upsert``/``versioned_delete`` confine
     rewrites to touched partitions.  Omit it on later writes — the
     table's committed spec is inherited; an append with a DIFFERENT
-    explicit spec is refused (spec changes require an overwrite)."""
-    return _write_snapshot(df, path, mode, partition_by=partition_by)
+    explicit spec is refused (spec changes require an overwrite).
+
+    ``bucket_by=(col, n)`` hash-buckets the layout (Iceberg's
+    ``bucket(n, col)`` transform): files carry ``pmod(hash(col), n)``
+    as a hidden partition value, so ``read_version_keyed`` point
+    lookups and keyed upserts open only the touched buckets even for
+    uniformly-distributed keys where min/max zone maps cannot prune.
+    Inherited on later writes exactly like the partition spec."""
+    return _write_snapshot(
+        df, path, mode, partition_by=partition_by, bucket_by=bucket_by
+    )
 
 
 def read_version(
@@ -536,7 +606,15 @@ def _read_files(
     in the output (consumers: the DV writer itself)."""
     from pyspark.sql.types import StructType
 
-    target = StructType.fromJson(manifest["schema"])
+    full = StructType.fromJson(manifest["schema"])
+    target = full
+    if manifest.get("bucket_by"):
+        # the hash-bucket layout column is internal: committed (typed
+        # partition re-attachment needs it in the schema) but hidden
+        # from every reader's output
+        target = StructType(
+            [f for f in full.fields if f.name != _BUCKET_COL]
+        )
     if not files:
         df = spark.createDataFrame([], target)
         if keep_lineage:
@@ -577,7 +655,7 @@ def _read_files(
             part = _attach_lineage(part, path)
         for c in pb:
             part = part.withColumn(
-                c, F.lit(vals.get(c)).cast(target[c].dataType)
+                c, F.lit(vals.get(c)).cast(full[c].dataType)
             )
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
@@ -631,6 +709,100 @@ def read_version_pruned(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def read_version_keyed(
+    spark: SparkSession,
+    path: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup on a hash-bucketed table: the rows whose bucket
+    column is IN ``values``, opening only the files in the touched
+    buckets (composed with the min/max zone maps, which alone cannot
+    prune a uniformly-distributed key).  The requested values are
+    hashed by the SAME JVM expression the writer used — cast to the
+    committed column type first, because murmur3 of an int32 and an
+    int64 differ — so membership is exact, never probabilistic.  Result
+    is always exactly ``read_version(...).filter(col IN values)``;
+    pruning only changes how many files get opened.  The scan cost is
+    O(|touched buckets| / n of the table) — the needle-in-100 TB read
+    path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    bb = m.get("bucket_by")
+    if not bb:
+        raise ValueError(
+            f"table at {path} has no bucket_by layout; use "
+            "read_version_pruned for zone-map range pruning"
+        )
+    col, n = bb[0], int(bb[1])
+    vals = list(values)
+    if not vals:
+        return _read_files(spark, path, [], m)
+    full = StructType.fromJson(m["schema"])
+    vdf = spark.createDataFrame(
+        [(x,) for x in vals],
+        StructType([StructField(col, full[col].dataType)]),
+    )
+    touched = {
+        r["b"]
+        for r in vdf.select(_bucket_expr(col, n).alias("b"))
+        .distinct()
+        .collect()
+    }
+    keep, _ = _candidate_split(m, col, min(vals), max(vals))
+    stats = m.get("file_stats", {})
+    kept: list[str] = []
+    for f in keep:
+        b = stats.get(f, {}).get(_BUCKET_COL)
+        if b is not None and b[0] == b[1] and b[0] not in touched:
+            continue
+        kept.append(f)  # no bucket stat → conservative keep
+    return _read_files(spark, path, kept, m).filter(F.col(col).isin(vals))
+
+
+def _bucket_confine(
+    manifest: dict,
+    changes: DataFrame,
+    candidates: list[str],
+    untouched: list[str],
+) -> tuple[list[str], list[str]]:
+    """Hash-bucket confinement for copy-on-write verbs, composed WITH
+    the range split: on a ``bucket_by`` table, the change set's touched
+    buckets (a <= n-row collect of pmod hashes, computed by the same
+    JVM expression the writer used) move every other-bucket candidate
+    onto the carry-verbatim side.  This is the prune that still bites
+    when keys are uniform and the change range spans every file — the
+    exact workload bucket layouts exist for.  Files without a bucket
+    stat stay candidates: correctness never depends on a prune."""
+    bb = manifest.get("bucket_by")
+    if not bb or not candidates:
+        return candidates, untouched
+    touched = {
+        r["b"]
+        for r in changes.select(_bucket_expr(bb[0], int(bb[1])).alias("b"))
+        .distinct()
+        .collect()
+    }
+    stats = manifest.get("file_stats", {})
+    still: list[str] = []
+    carried = list(untouched)
+    for f in candidates:
+        b = stats.get(f, {}).get(_BUCKET_COL)
+        if b is not None and b[0] == b[1] and b[0] not in touched:
+            carried.append(f)
+        else:
+            still.append(f)
+    return still, carried
 
 
 def _candidate_split(
@@ -836,7 +1008,15 @@ def compact(
     elif pb:
         from pyspark.sql import functions as F
 
-        df = df.repartition(target_files, *[F.col(c) for c in pb])
+        # the hidden bucket column is hidden from reads and re-attached
+        # at write time, so it can't steer the pre-write repartition;
+        # partitionBy still splits each bin into its buckets on disk
+        vis = [c for c in pb if c != _BUCKET_COL]
+        df = (
+            df.repartition(target_files, *[F.col(c) for c in vis])
+            if vis
+            else df.repartition(target_files)
+        )
     else:
         df = df.repartition(target_files)
     return _write_snapshot(df, path, "compact")
@@ -901,7 +1081,9 @@ def versioned_upsert(
     lo, hi = rng["lo"], rng["hi"]
     if lo is None and hi is None and df.isEmpty():
         return vs[-1]  # empty change set: nothing to commit
-    candidates, untouched = _candidate_split(m, pc, lo, hi)
+    candidates, untouched = _bucket_confine(
+        m, df, *_candidate_split(m, pc, lo, hi)
+    )
     spark = df.sparkSession
     if candidates:
         cur = _read_files(spark, path, candidates, m)
@@ -1074,7 +1256,9 @@ def versioned_apply_changes(
     m = _read_manifest(path, vs[-1])
     pc = prune_col or keys[0]
     rng = changes.agg(F.min(pc).alias("lo"), F.max(pc).alias("hi")).first()
-    candidates, untouched = _candidate_split(m, pc, rng["lo"], rng["hi"])
+    candidates, untouched = _bucket_confine(
+        m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
+    )
     cur = _read_files(spark, path, candidates, m)
     out = apply_cdc_batch(cur, changes, keys, op_col=op_col, seq_col=seq_col)
     return _write_snapshot(out, path, "upsert", carry_files=untouched)

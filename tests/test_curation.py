@@ -102,3 +102,37 @@ def test_checkpoint_dir_severs_lineage_from_source(spark, tmp_path):
     # and the annotations are unchanged vs the persist posture
     got = {r["doc_id"]: r["drop_reason"] for r in out.collect()}
     assert got == {0: None, 1: "exact_dup", 2: "too_short", 3: None}
+
+
+def test_hash_split_deterministic_salted_and_exhaustive(spark):
+    """hash_split: pure function of (salt, key) — rerun-identical, every
+    row assigned, fractions roughly honored, salt draws a fresh
+    assignment, bad fractions refused."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.curation import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id")
+    counts = {
+        r["split"]: r["cnt"]
+        for r in a.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # nobody orphaned
+    assert 0.74 < counts["train"] / 2000 < 0.86  # md5-uniform ~0.8
+    # deterministic: a second evaluation is row-for-row identical
+    b = hash_split(df, "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a different salt reassigns a nontrivial fraction
+    c = hash_split(df, "doc_id", salt="seed-2")
+    moved = a.join(c.withColumnRenamed("split", "split2"), "doc_id").filter(
+        "split <> split2"
+    )
+    assert moved.count() > 200
+    # custom fractions: last split absorbs the tail; sums must be 1
+    d = hash_split(df, "doc_id", fractions={"fit": 0.5, "holdout": 0.5})
+    assert {r["split"] for r in d.select("split").distinct().collect()} == {
+        "fit",
+        "holdout",
+    }
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", fractions={"a": 0.5, "b": 0.4})

@@ -1192,3 +1192,175 @@ def test_dv_vacuum_keeps_live_vectors_drops_dead_ones(spark, tmp_path):
     for f in live_dv:
         assert not (Path(t) / f).exists()
     assert sorted(i for i, _ in _rows(read_version(spark, t))) == list(range(2, 10))
+
+
+def test_bucket_layout_write_read_and_hidden_column(spark, tmp_path):
+    """bucket_by lays files out under __bucket=k Hive dirs, commits the
+    spec plus exact per-file [b, b] zone entries, inherits on append,
+    and never leaks the internal column to readers."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id int, v string"
+    )
+    versioned_write(df, t, bucket_by=("id", 4))
+    m = _read_manifest(t, 1)
+    assert m["bucket_by"] == ["id", 4]
+    assert m["partition_by"] == ["__bucket"]
+    zones = [m["file_stats"][f]["__bucket"] for f in m["files"]]
+    assert all(lo == hi and 0 <= lo < 4 for lo, hi in zones)
+    assert len({lo for lo, _ in zones}) >= 2  # keys actually spread
+    out = read_version(spark, t)
+    assert out.columns == ["id", "v"]
+    assert _rows(out) == [(i, f"v{i}") for i in range(40)]
+    # append with NO spec inherits bucketing; a different spec is refused
+    versioned_write(
+        spark.createDataFrame([(100, "x")], "id int, v string"), t
+    )
+    m2 = _read_manifest(t, 2)
+    assert m2["bucket_by"] == ["id", 4]
+    assert len(_rows(read_version(spark, t))) == 41
+    with pytest.raises(ValueError, match="bucket spec"):
+        versioned_write(
+            spark.createDataFrame([(7, "y")], "id int, v string"),
+            t,
+            bucket_by=("id", 8),
+        )
+
+
+def test_bucket_confines_upsert_when_ranges_cannot(spark, tmp_path):
+    """The workload bucket layouts exist for: hash-spread keys make every
+    file's [min, max] id range overlap a point change, so zone maps
+    alone prune nothing — bucket confinement still carries every
+    other-bucket file verbatim."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _bucket_expr,
+        _candidate_split,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(80)], "id int, v string"
+    )
+    versioned_write(df.coalesce(1), t, bucket_by=("id", 8))
+    m1 = _read_manifest(t, 1)
+    # range pruning alone keeps several files for the point [7, 7]
+    # (hash-spread keys give wide per-file id ranges); bucket
+    # confinement must cut that to id=7's single bucket
+    range_only, _ = _candidate_split(m1, "id", 7, 7)
+    assert len(range_only) > 1
+    b7 = (
+        spark.createDataFrame([(7,)], "id int")
+        .select(_bucket_expr("id", 8).alias("b"))
+        .first()["b"]
+    )
+    versioned_upsert(
+        spark.createDataFrame([(7, "NEW")], "id int, v string"), t, ["id"]
+    )
+    m2 = _read_manifest(t, 2)
+    for f in m1["files"]:
+        fb = m1["file_stats"][f]["__bucket"][0]
+        if fb != b7:
+            assert f in m2["files"], "other-bucket file must carry verbatim"
+        else:
+            assert f not in m2["files"], "touched-bucket file must rewrite"
+    rows = dict(_rows(read_version(spark, t)))
+    assert rows[7] == "NEW" and len(rows) == 80 and rows[8] == "v8"
+
+
+def test_bucket_keyed_read_opens_only_touched_buckets(spark, tmp_path):
+    """read_version_keyed returns exactly filter(col IN values) while
+    opening only files whose bucket matches a requested value's."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _bucket_expr,
+        read_version_keyed,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(80)], "id int, v string"
+    )
+    versioned_write(df.coalesce(1), t, bucket_by=("id", 8))
+    m = _read_manifest(t, 1)
+    got = read_version_keyed(spark, t, [3, 11])
+    assert _rows(got) == [(3, "v3"), (11, "v11")]
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame([(3,), (11,)], "id int")
+        .select(_bucket_expr("id", 8).alias("b"))
+        .collect()
+    }
+    bucket_of = {f: m["file_stats"][f]["__bucket"][0] for f in m["files"]}
+    opened = {
+        f for f in m["files"]
+        if any(u.endswith(f) for u in got.inputFiles())
+    }
+    assert opened and all(bucket_of[f] in touched for f in opened)
+    # contract errors + degenerate input
+    assert read_version_keyed(spark, t, []).count() == 0
+    t2 = str(tmp_path / "plain")
+    versioned_write(df, t2)
+    with pytest.raises(ValueError, match="bucket_by"):
+        read_version_keyed(spark, t2, [3])
+
+
+def test_bucket_survives_delete_compact_and_apply_changes(spark, tmp_path):
+    """Every copy-on-write verb re-attaches the layout: cow delete,
+    CDC apply and compact all keep bucket_by + the __bucket dirs, and
+    keyed reads stay exact afterwards."""
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        read_version_keyed,
+        versioned_apply_changes,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id int, v string"
+    )
+    versioned_write(df, t, bucket_by=("id", 4))
+    versioned_delete(spark, t, "id >= 38", prune_col="id", lo=38)
+    ch = spark.createDataFrame(
+        [(0, "Z", "U"), (100, "NEW", "I"), (1, None, "D")],
+        "id int, v string, op string",
+    )
+    versioned_apply_changes(ch, t, ["id"])
+    compact(spark, t, target_files=2)
+    m = _read_manifest(t, 4)
+    assert m["bucket_by"] == ["id", 4]
+    assert all("__bucket=" in f for f in m["files"])
+    rows = dict(_rows(read_version(spark, t)))
+    assert rows[0] == "Z" and rows[100] == "NEW"
+    assert 1 not in rows and 38 not in rows and len(rows) == 38
+    assert _rows(read_version_keyed(spark, t, [100, 2])) == [
+        (2, "v2"),
+        (100, "NEW"),
+    ]
+    # physical layout on disk is Hive bucket dirs
+    assert any("__bucket=" in str(p) for p in Path(t).rglob("*.parquet"))
+
+
+def test_bucket_composes_with_partition_by(spark, tmp_path):
+    """User partition columns and the hash-bucket transform stack: the
+    layout is day=*/__bucket=*, both join the zone maps, readers see
+    the day column but never __bucket."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_pruned
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 2}") for i in range(20)],
+        "id int, v string, day string",
+    )
+    versioned_write(df, t, partition_by=["day"], bucket_by=("id", 4))
+    m = _read_manifest(t, 1)
+    assert m["partition_by"] == ["day", "__bucket"]
+    assert all("day=" in f and "__bucket=" in f for f in m["files"])
+    out = read_version(spark, t)
+    assert sorted(out.columns) == ["day", "id", "v"]
+    assert len(_rows(out)) == 20
+    pruned = read_version_pruned(spark, t, "day", lo="d1", hi="d1")
+    assert all(r["day"] == "d1" for r in pruned.collect())
+    assert len(pruned.collect()) == 10
