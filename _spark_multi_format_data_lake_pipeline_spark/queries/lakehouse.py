@@ -286,3 +286,45 @@ def q230_versioned_history_audit(
     )
     versioned_delete(spark, t, "o_orderkey <= 5000", prune_col="o_orderkey", hi=5000)
     return table_history(spark, t).select("version", "mode", "row_count")
+
+
+@register(
+    "q236_versioned_bucket_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 7 <> 0 OR o_orderkey % 5 = 0)
+      AND o_orderkey % 250 = 0
+    """,
+    doc="End-to-end hash-bucketed lakehouse pipeline: create a versioned "
+        "orders table with bucket_by=('o_orderkey', 8) (v1 = keys %7<>0; "
+        "files land under hidden __bucket=pmod(hash(key), 8) Hive dirs "
+        "whose values join the manifest zone maps), versioned_upsert the "
+        "%5==0 change set (bucket confinement carries every "
+        "other-bucket file verbatim — pinned in tests/test_versioned.py), "
+        "then read_version_keyed the keys %250==0 — the point-lookup "
+        "path that re-hashes the requested values with the writer's own "
+        "JVM expression and opens only touched buckets. The driver hash "
+        "checks the full write->bucket->upsert->keyed-read pipeline: a "
+        "wrong bucket assignment on either side surfaces as missing or "
+        "duplicated rows. sinks/versioned.py:_bucket_expr / "
+        "read_version_keyed; Iceberg's bucket(n, col) transform.",
+)
+def q236_versioned_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import read_version_keyed, versioned_upsert, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q236_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 7 != 0), t, bucket_by=("o_orderkey", 8))
+    chg = od.filter(k % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    versioned_upsert(chg, t, ["o_orderkey"])
+    keys = [
+        r["o_orderkey"]
+        for r in od.filter(k % 250 == 0).select("o_orderkey").collect()
+    ]
+    return read_version_keyed(spark, t, keys)
