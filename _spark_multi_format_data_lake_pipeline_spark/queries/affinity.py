@@ -2111,3 +2111,70 @@ def q233_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — Wilson score confidence intervals per segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q238_wilson_ci",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS k
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS successes,
+           ROUND(k / n, 6) AS p_hat,
+           ROUND(((k / n + 1.96 * 1.96 / (2.0 * n))
+                  - 1.96 * SQRT((k / n) * (1.0 - k / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           ROUND(((k / n + 1.96 * 1.96 / (2.0 * n))
+                  + 1.96 * SQRT((k / n) * (1.0 - k / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM s
+    """,
+    doc="Wilson score 95% confidence interval for the fulfilled-order "
+        "proportion per order priority — the segment-level uncertainty "
+        "quantification beside q228's association test and q205's CUPED "
+        "lift: unlike the normal (Wald) interval it never exits [0, 1] "
+        "and stays calibrated for small segments and extreme "
+        "proportions, which is why it's the standard for conversion "
+        "dashboards. Counts are exact integers from ONE "
+        "map-side-combined groupBy (no window, no broadcast); the "
+        "interval arithmetic mirrors the identical IEEE expression tree "
+        "(z = 1.96 literal on both engines) so 6dp rounding is safe.",
+)
+def q238_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    s = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    z = F.lit(1.96)
+    p = k / n
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z * z / n
+    return s.select(
+        "o_orderpriority",
+        n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("successes"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

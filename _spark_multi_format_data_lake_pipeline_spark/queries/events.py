@@ -1153,3 +1153,89 @@ def q227_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 2).alias("u1"),
         F.round(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — lag-k autocorrelation of daily revenue (ACF, lags 1..7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q237_revenue_acf",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   AS x
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT AVG(x) AS mu, SUM((x - (SELECT AVG(x) FROM d))
+                                   * (x - (SELECT AVG(x) FROM d))) AS den
+          FROM d),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    p AS (
+        SELECT l.lag, (a.x - m.mu) * (b.x - m.mu) AS prod
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d b ON b.day = a.day + CAST(l.lag AS INT)
+        CROSS JOIN m
+    )
+    SELECT p.lag AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(prod) / ANY_VALUE(m.den), 6) AS acf
+    FROM p CROSS JOIN m
+    GROUP BY 1
+    """,
+    doc="Sample autocorrelation of the daily-revenue series at lags "
+        "1..7 — the memory/seasonality diagnostic beside q226's "
+        "day-of-week profile, q216's EWMA and q214's CUSUM: acf(7) "
+        "spiking confirms weekly structure, acf(1) measures "
+        "persistence. Daily revenue is an exact integer-cents sum "
+        "(per-row ROUND to cents before the bigint sum — no float-order "
+        "artifact), lag pairs align on CALENDAR days (date_add join; "
+        "gap days simply form no pair), and the classic ACF estimator "
+        "divides by the full-series centered sum of squares. Shuffle "
+        "shape: one groupBy to the bounded |days| grain, a |days|-sized "
+        "self-join per lag, 1-row mean/denominator reduces broadcast "
+        "back — nothing scales with raw order rows except the first "
+        "groupBy.",
+)
+def q237_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    d = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+    mu = d.agg(F.avg("x").alias("mu"))
+    m = (
+        d.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+            ).alias("den"),
+            F.any_value("mu").alias("mu"),
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = d.select(F.col("day").alias("a_day"), F.col("x").alias("a_x"))
+    b = d.select(F.col("day").alias("b_day"), F.col("x").alias("b_x"))
+    p = (
+        F.broadcast(lags)
+        .join(a)
+        .join(
+            b,
+            F.col("b_day") == F.expr("date_add(a_day, lag)"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lag",
+            ((F.col("a_x") - F.col("mu")) * (F.col("b_x") - F.col("mu"))).alias(
+                "prod"
+            ),
+            "den",
+        )
+    )
+    return p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("prod") / F.any_value("den"), 6).alias("acf"),
+    )

@@ -65,6 +65,7 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q221_kaplan_meier": (2, "1-row cutoff reduce + bounded distinct-duration table windows"),
     "q232_rfm_segments": (3, "1-row max-date reduce + 1-row 9-value exact-percentile reduce over the customer-grain table (broadcast back; deliberately NOT a global NTILE sort)"),
     "q234_source_js_divergence": (1, "1-row corpus-token-total reduce (q217's shape)"),
+    "q237_revenue_acf": (2, "1-row mean + 1-row denominator reduces over the bounded |days| table"),
 }
 
 
