@@ -146,6 +146,16 @@ def hash_split(
     leakage across splits is structurally impossible for a given key.
     Changing ``salt`` draws a fresh independent assignment.
 
+    Sibling surfaces, deliberately distinct: ``functions/text.py::
+    hash_bucket`` quantizes to N integer buckets (modulo — callers
+    build their own CASE), ``operators/sampling.py::
+    leakage_safe_split`` decides WHO must share a split (the exact-
+    dedup group's canonical key feeds the hash).  This function is the
+    FRACTION surface — named splits from a fraction dict with no
+    100-bucket quantization, plus the salt.  Compose them: pass a
+    canonical/group id as ``key_col`` to get leakage-safety with
+    arbitrary fractions.
+
     Mechanics: the first 8 hex digits of the md5 partition [0, 16^8)
     uniformly; cumulative fractions become fixed hex thresholds and the
     assignment is a lexicographic CASE over them — one map-side

@@ -2178,3 +2178,107 @@ def q238_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — population stability index (numeric drift on reference deciles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q240_psi_price_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 'ref' ELSE 'cur' END AS period
+        FROM orders
+    ),
+    e AS (
+        SELECT quantile_cont(cents, 0.1) AS e1, quantile_cont(cents, 0.2) AS e2,
+               quantile_cont(cents, 0.3) AS e3, quantile_cont(cents, 0.4) AS e4,
+               quantile_cont(cents, 0.5) AS e5, quantile_cont(cents, 0.6) AS e6,
+               quantile_cont(cents, 0.7) AS e7, quantile_cont(cents, 0.8) AS e8,
+               quantile_cont(cents, 0.9) AS e9
+        FROM b WHERE period = 'ref'
+    ),
+    x AS (
+        SELECT period,
+               1 + CAST(cents > e1 AS INT) + CAST(cents > e2 AS INT)
+                 + CAST(cents > e3 AS INT) + CAST(cents > e4 AS INT)
+                 + CAST(cents > e5 AS INT) + CAST(cents > e6 AS INT)
+                 + CAST(cents > e7 AS INT) + CAST(cents > e8 AS INT)
+                 + CAST(cents > e9 AS INT) AS bin
+        FROM b CROSS JOIN e
+    ),
+    c AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (WHERE period = 'ref') AS DOUBLE) AS c_ref,
+               CAST(COUNT(*) FILTER (WHERE period = 'cur') AS DOUBLE) AS c_cur
+        FROM x GROUP BY 1
+    ),
+    t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM c)
+    SELECT bin,
+           CAST(c_ref AS BIGINT) AS n_ref,
+           CAST(c_cur AS BIGINT) AS n_cur,
+           ROUND(((c_cur + 0.5) / (t.n_cur + 5.0)
+                  - (c_ref + 0.5) / (t.n_ref + 5.0))
+                 * LN(((c_cur + 0.5) / (t.n_cur + 5.0))
+                      / ((c_ref + 0.5) / (t.n_ref + 5.0))), 6) AS psi_term
+    FROM c CROSS JOIN t
+    """,
+    doc="Population stability index of the order-price distribution, "
+        "pre- vs post-1998: deciles of the REFERENCE period become the "
+        "fixed bin edges (the defining PSI move — current data is "
+        "scored against the reference's quantiles, the scorecard-"
+        "monitoring standard), each bin contributes (q-p)*ln(q/p) with "
+        "+0.5/+5 Laplace smoothing so an emptied bin stays finite. The "
+        "NUMERIC-drift sibling of q124's categorical language drift and "
+        "q234's distributional JSD. Prices quantize to exact integer "
+        "cents per-row, so the interpolated decile edges are identical "
+        "doubles on both engines and bin membership can never straddle "
+        "an ulp; binning is 9 JVM comparisons against a broadcast "
+        "1-row edge table (never a width_bucket divergence); the PSI "
+        "arithmetic mirrors the identical IEEE tree. Scale: one "
+        "map-side groupBy to 10 bins + two 1-row reduces — the edge "
+        "percentile swaps to approx_percentile at 100 TB.",
+)
+def q240_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    b = od.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    e = b.filter(F.col("period") == "ref").agg(
+        *[
+            F.percentile("cents", i / 10.0).alias(f"e{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, 10):
+        bin_expr = bin_expr + (F.col("cents") > F.col(f"e{i}")).cast("int")
+    x = b.crossJoin(F.broadcast(e)).select("period", bin_expr.alias("bin"))
+    c = x.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("double")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("double")
+        .alias("c_cur"),
+    )
+    t = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_cur") + F.lit(0.5)) / (F.col("n_cur") + F.lit(5.0))
+    q = (F.col("c_ref") + F.lit(0.5)) / (F.col("n_ref") + F.lit(5.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("c_ref").cast("bigint").alias("n_ref"),
+        F.col("c_cur").cast("bigint").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

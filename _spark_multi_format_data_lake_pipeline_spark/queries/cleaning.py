@@ -561,7 +561,13 @@ def q234_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— the dataset-split primitive randomSplit cannot provide: "
         "assignment is a pure function of the key, stable across runs, "
         "cluster sizes and row order, so re-curating the corpus never "
-        "moves a document across the leakage boundary. The query "
+        "moves a document across the leakage boundary. Deliberately "
+        "distinct from q144 (leakage_safe_split: dedup-GROUP-aware "
+        "assignment via sha hash_bucket modulo — WHO shares a split) — "
+        "this row is the FRACTION surface: arbitrary named splits from "
+        "a fraction dict via hex thresholds (no modulo quantization to "
+        "100 buckets) plus a salt for drawing fresh independent "
+        "assignments, reported as a stratification. The query "
         "reports the split x language stratification with a char-mass "
         "payload, so the driver hash checks the exact per-cell "
         "membership both engines derive from the same md5 CASE. "

@@ -328,3 +328,46 @@ def q236_versioned_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in od.filter(k % 250 == 0).select("o_orderkey").collect()
     ]
     return read_version_keyed(spark, t, keys)
+
+
+@register(
+    "q239_versioned_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+    doc="End-to-end per-file BLOOM INDEX: create a versioned orders "
+        "table clustered by ORDER key (6 range files) with "
+        "bloom_by=['o_custkey'] — the side column a customer lookup "
+        "probes, which the clustering spreads across every file so "
+        "zone-map ranges cannot prune — then read_version_bloom the "
+        "%100==0 customers. Commit time built one fixed-size hex "
+        "bitmask per (file, column) from one scan of the new files "
+        "(Kirsch-Mitzenmacher double hashing over xxhash64+murmur3); "
+        "the read recomputes the probe bits with the same JVM "
+        "expressions and opens only bloom-passing files. The driver "
+        "hash checks the whole commit->mask->probe->read pipeline: a "
+        "single wrong bit drops or misroutes rows. "
+        "sinks/versioned.py:_build_blooms / read_version_bloom — the "
+        "Delta/Iceberg bloom-index contract; mask carry/refresh across "
+        "copy-on-write is pinned in tests/test_versioned.py.",
+)
+def q239_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import read_version_bloom, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q239_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    versioned_write(
+        od.repartitionByRange(6, "o_orderkey"), t, bloom_by=["o_custkey"]
+    )
+    keys = [
+        r["o_custkey"]
+        for r in od.filter(F.col("o_custkey") % 100 == 0)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    ]
+    return read_version_bloom(spark, t, "o_custkey", keys)

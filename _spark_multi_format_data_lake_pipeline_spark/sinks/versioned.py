@@ -253,6 +253,69 @@ def _partition_values(rel: str, schema_json: dict | None) -> dict:
 
 _BUCKET_COL = "__bucket"
 
+# Per-file bloom-filter index defaults: m bits per (file, column), k
+# probe positions per value (Kirsch-Mitzenmacher double hashing).  At
+# m=8192 / k=3 a file with 1000 distinct values has ~3% false-positive
+# rate and the manifest carries a fixed 2 KB hex mask per file/column —
+# metadata stays O(files), never O(rows).
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_positions(col: str, m: int, k: int):
+    """The k bloom bit positions of a column value: double hashing
+    ``(h1 + i*h2) mod m`` from the two independent JVM hashes Spark
+    ships (xxhash64 + murmur3) — deterministic across sessions, so the
+    writer's committed bits and a reader's probe bits always agree.
+    NULL values hash to NULL and drop out (IN-list probes can't match
+    NULL anyway)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    h1 = F.pmod(F.xxhash64(c), F.lit(m))
+    h2 = F.lit(1) + F.pmod(F.hash(c), F.lit(m - 1))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+
+
+def _build_blooms(
+    spark: SparkSession,
+    path: str,
+    new_files: list[str],
+    spec: dict,
+) -> dict[str, dict[str, str]]:
+    """Commit-time bloom construction over the NEW data files only: one
+    scan per bloom column, keyed by scan lineage (``_metadata.
+    file_path``), reducing each file to its distinct bit positions
+    (map-side-combined collect_set — at most m=8k ints per file reach
+    the driver, regardless of row count).  Returns {file: {col: hex
+    bitmask}} for the manifest."""
+    from pyspark.sql import functions as F
+
+    cols, m, k = spec["cols"], int(spec["m"]), int(spec["k"])
+    out: dict[str, dict[str, str]] = {}
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[str(Path(path) / f) for f in new_files]
+    )
+    src = _attach_lineage(src, path)
+    for c in cols:
+        if c not in src.columns:
+            continue  # pre-evolution commit: files without the column
+        rows = (
+            src.select(
+                F.col("__dv_file").alias("f"),
+                F.explode(_bloom_positions(c, m, k)).alias("p"),
+            )
+            .groupBy("f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        for r in rows:
+            mask = 0
+            for p in r["ps"]:
+                mask |= 1 << p
+            out.setdefault(r["f"], {})[c] = format(mask, "x")
+    return out
+
 
 def _bucket_expr(col: str, n: int):
     """The bucket-transform expression: ``pmod(hash(col), n)`` with
@@ -280,6 +343,7 @@ def _write_snapshot(
     partition_by: list[str] | None = None,
     carry_files: list[str] | None = None,
     bucket_by: tuple[str, int] | None = None,
+    bloom_by: list[str] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -329,6 +393,21 @@ def _write_snapshot(
                 f"append bucket spec {bb} != table spec {prev_bb}; "
                 "changing the spec requires an overwrite"
             )
+    prev_bloom_spec = prev.get("bloom_by")
+    if bloom_by is None:
+        bspec = prev_bloom_spec
+    else:
+        bspec = (
+            {"cols": list(bloom_by), "m": _BLOOM_M, "k": _BLOOM_K}
+            if bloom_by
+            else None
+        )
+        if mode == "append" and vs and bspec != prev_bloom_spec:
+            raise ValueError(
+                f"append bloom spec {bspec} != table spec "
+                f"{prev_bloom_spec}; changing the spec requires an "
+                "overwrite"
+            )
     if partition_by is None:
         pb = prev.get("partition_by") or []
         pb = [c for c in pb if c != _BUCKET_COL]
@@ -346,6 +425,13 @@ def _write_snapshot(
     if bb:
         df = _attach_bucket(df, bb)
         pb = pb + [_BUCKET_COL]
+    if bspec:
+        bad = [c for c in bspec["cols"] if c in pb]
+        if bad:
+            raise ValueError(
+                f"bloom_by columns {bad} are partition/bucket columns — "
+                "their [v, v] zone-map ranges already prune exactly"
+            )
     if carry_files is None:
         carry_files = prev["files"] if mode == "append" else []
     constraints = prev.get("constraints", {})
@@ -386,6 +472,15 @@ def _write_snapshot(
         **{f: prev_meta[f] for f in carry_files if f in prev_meta},
         **new_meta,
     }
+    # Bloom indexes ride per-file like stats: carried files keep their
+    # committed masks verbatim, new files get one extra scan per bloom
+    # column (NEW data only — the unchanged portion costs zero I/O here
+    # too).  A false positive only costs an extra file open, and DV'd
+    # rows staying in a mask is harmless for the same reason.
+    prev_blooms = prev.get("bloom") or {}
+    blooms = {f: prev_blooms[f] for f in carry_files if f in prev_blooms}
+    if bspec and new_files:
+        blooms.update(_build_blooms(df.sparkSession, path, new_files, bspec))
     # Delete vectors ride with the files they address: a carried file
     # keeps its DV'd positions (the DV parquet keys rows by immutable
     # (file, pos), so entries for rewritten/dropped files go dead
@@ -420,6 +515,10 @@ def _write_snapshot(
         manifest["partition_by"] = pb
     if bb:
         manifest["bucket_by"] = list(bb)
+    if bspec:
+        manifest["bloom_by"] = bspec
+        if blooms:
+            manifest["bloom"] = blooms
     if constraints:
         manifest["constraints"] = constraints
     if txn_id is not None:
@@ -466,6 +565,7 @@ def versioned_write(
     mode: str = "append",
     partition_by: list[str] | None = None,
     bucket_by: tuple[str, int] | None = None,
+    bloom_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -490,9 +590,22 @@ def versioned_write(
     as a hidden partition value, so ``read_version_keyed`` point
     lookups and keyed upserts open only the touched buckets even for
     uniformly-distributed keys where min/max zone maps cannot prune.
-    Inherited on later writes exactly like the partition spec."""
+    Inherited on later writes exactly like the partition spec.
+
+    ``bloom_by=[col, ...]`` commits a per-file BLOOM INDEX for each
+    listed column (Delta/Iceberg bloom filter indexes): one fixed-size
+    hex bitmask per file/column in the manifest, built from one scan of
+    the new files at commit time.  ``read_version_bloom`` then prunes
+    point/IN lookups on columns the layout does NOT cluster — the
+    third pruning tier after zone-map ranges (sorted/z-ordered
+    columns) and hash buckets (the bucket key)."""
     return _write_snapshot(
-        df, path, mode, partition_by=partition_by, bucket_by=bucket_by
+        df,
+        path,
+        mode,
+        partition_by=partition_by,
+        bucket_by=bucket_by,
+        bloom_by=bloom_by,
     )
 
 
@@ -767,6 +880,73 @@ def read_version_keyed(
         if b is not None and b[0] == b[1] and b[0] not in touched:
             continue
         kept.append(f)  # no bucket stat → conservative keep
+    return _read_files(spark, path, kept, m).filter(F.col(col).isin(vals))
+
+
+def read_version_bloom(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point/IN lookup pruned by the manifest's per-file bloom indexes:
+    opens only files whose committed bitmask could contain at least one
+    requested value (all k probe bits set — double hashing recomputed
+    by the same JVM expressions the writer used, on values cast to the
+    committed column type).  Composed with the zone-map range split, so
+    a sorted table prunes on BOTH structure and content.  Result is
+    always exactly ``read_version(...).filter(col IN values)`` — a
+    bloom false positive costs one extra file open, never a wrong row;
+    files without a committed mask are conservatively kept.  This is
+    the pruning tier for columns the layout does not cluster (the
+    Delta/Iceberg bloom index contract): a needle lookup on a
+    high-cardinality side column touches ~fpp of a 100 TB table's
+    files instead of all of them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    spec = m.get("bloom_by")
+    if not spec or col not in spec["cols"]:
+        raise ValueError(
+            f"table at {path} has no bloom index on {col!r}; "
+            f"bloom_by covers {spec['cols'] if spec else []}"
+        )
+    vals = [x for x in values if x is not None]  # IN never matches NULL
+    if not vals:
+        return _read_files(spark, path, [], m)
+    full = StructType.fromJson(m["schema"])
+    vdf = spark.createDataFrame(
+        [(x,) for x in vals],
+        StructType([StructField(col, full[col].dataType)]),
+    )
+    probes = [
+        r["ps"]
+        for r in vdf.select(
+            _bloom_positions(col, int(spec["m"]), int(spec["k"])).alias("ps")
+        ).collect()
+    ]
+    keep, _ = _candidate_split(m, col, min(vals), max(vals))
+    blooms = m.get("bloom") or {}
+    kept: list[str] = []
+    for f in keep:
+        hexmask = blooms.get(f, {}).get(col)
+        if hexmask is None:
+            kept.append(f)  # no mask committed → conservative keep
+            continue
+        mask = int(hexmask, 16)
+        if any(
+            ps and all(p is not None and (mask >> p) & 1 for p in ps)
+            for ps in probes
+        ):  # a NULL probe value never matches (neither does IN)
+            kept.append(f)
     return _read_files(spark, path, kept, m).filter(F.col(col).isin(vals))
 
 

@@ -126,6 +126,18 @@ HEADLINE = [
     "q228_chi_square_independence",
     "q229_versioned_apply_cdc_state",
     "q230_versioned_history_audit",
+    # r8 wave 3: merge-on-read + bucket-layout verbs (again full
+    # build→mutate→read pipelines at SF scale) and the fact-sized
+    # analytics rows (orders/lineitem groupBys, corpus word explode)
+    "q231_versioned_dv_delete",
+    "q232_rfm_segments",
+    "q233_grouped_ols",
+    "q234_source_js_divergence",
+    "q235_dataset_split",
+    "q236_versioned_bucket_lookup",
+    "q237_revenue_acf",
+    "q238_wilson_ci",
+    "q239_versioned_bloom_lookup",
 ]
 
 

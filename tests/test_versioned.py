@@ -1364,3 +1364,79 @@ def test_bucket_composes_with_partition_by(spark, tmp_path):
     pruned = read_version_pruned(spark, t, "day", lo="d1", hi="d1")
     assert all(r["day"] == "d1" for r in pruned.collect())
     assert len(pruned.collect()) == 10
+
+
+def test_bloom_index_commit_and_point_lookup(spark, tmp_path):
+    """bloom_by commits one hex bitmask per (file, column); point
+    lookups open only bloom-passing files and equal the full filter
+    read; the spec inherits on append; partition/bucket columns are
+    refused (zone maps already prune those exactly)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_bloom
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, tag: spark.createDataFrame(
+        [(lo + i, f"{tag}{i}") for i in range(10)], "id int, v string"
+    ).coalesce(1)
+    versioned_write(mk(0, "a"), t, bloom_by=["v"])
+    versioned_write(mk(10, "b"), t)  # spec inherited
+    versioned_write(mk(20, "c"), t)
+    m = _read_manifest(t, 3)
+    assert m["bloom_by"]["cols"] == ["v"] and len(m["files"]) == 3
+    assert all("v" in m["bloom"][f] for f in m["files"])
+    got = read_version_bloom(spark, t, "v", ["b3", "b7"])
+    assert _rows(got) == [(13, "b3"), (17, "b7")]
+    # only the b-file opened: every opened file's mask contains b3's bits
+    opened = {
+        f for f in m["files"] if any(u.endswith(f) for u in got.inputFiles())
+    }
+    assert len(opened) == 1
+    # negative probe: no rows, (almost surely) no files
+    miss = read_version_bloom(spark, t, "v", ["zzz"])
+    assert miss.count() == 0 and len(miss.inputFiles()) <= 1
+    # exactness on a cross-file probe
+    both = read_version_bloom(spark, t, "v", ["a1", "c9", "nope"])
+    assert _rows(both) == _rows(
+        read_version(spark, t).filter("v IN ('a1', 'c9', 'nope')")
+    )
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_version_bloom(spark, t, "id", [1])
+    t2 = str(tmp_path / "part")
+    with pytest.raises(ValueError, match="partition/bucket"):
+        versioned_write(
+            spark.createDataFrame([(1, "a", "d1")], "id int, v string, day string"),
+            t2,
+            partition_by=["day"],
+            bloom_by=["day"],
+        )
+
+
+def test_bloom_masks_carry_and_refresh_through_upsert(spark, tmp_path):
+    """Copy-on-write rewrite: carried files keep committed masks
+    verbatim, rewritten files get freshly built ones — lookups stay
+    exact across the mutation; files lacking the column (pre-evolution
+    appends) are conservatively kept."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_bloom,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, tag: spark.createDataFrame(
+        [(lo + i, f"{tag}{i}") for i in range(10)], "id int, v string"
+    ).coalesce(1)
+    versioned_write(mk(0, "a"), t, bloom_by=["v"])
+    versioned_write(mk(100, "b"), t)
+    m1 = _read_manifest(t, 2)
+    versioned_upsert(
+        spark.createDataFrame([(3, "XX")], "id int, v string"), t, ["id"]
+    )
+    m2 = _read_manifest(t, 3)
+    carried = [f for f in m2["files"] if f in m1["files"]]
+    fresh = [f for f in m2["files"] if f not in m1["files"]]
+    assert carried and fresh
+    for f in carried:
+        assert m2["bloom"][f] == m1["bloom"][f]
+    assert all("v" in m2["bloom"][f] for f in fresh)
+    assert _rows(read_version_bloom(spark, t, "v", ["XX"])) == [(3, "XX")]
+    assert _rows(read_version_bloom(spark, t, "v", ["a3"])) == []
+    assert _rows(read_version_bloom(spark, t, "v", ["b5"])) == [(105, "b5")]
