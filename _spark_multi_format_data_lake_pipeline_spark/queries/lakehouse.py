@@ -371,3 +371,48 @@ def q239_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return read_version_bloom(spark, t, "o_custkey", keys)
+
+
+@register(
+    "q241_versioned_clone_upsert",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+    """,
+    doc="End-to-end SHALLOW CLONE + divergent mutation: build a "
+        "versioned source (even orders keys, 4 range files), "
+        "clone_table it — one JSON commit, zero data copied; the "
+        "clone's manifest maps every file to the source root via "
+        "file_base — then versioned_upsert the %10==0 updates plus the "
+        "odd %5==0 inserts INTO THE CLONE and read it: rewritten files "
+        "land under the clone, untouched files are still read in place "
+        "from the source (the per-file base resolution in _data_path), "
+        "and the source table is never modified. The driver hash "
+        "checks the mixed-base read path exactly — a wrong base or a "
+        "leaked rewrite surfaces as missing/duplicated rows. "
+        "sinks/versioned.py:clone_table / _data_path; zero-copy and "
+        "source-isolation invariants are pinned in "
+        "tests/test_versioned.py.",
+)
+def q241_versioned_clone_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import clone_table, read_version, versioned_upsert, versioned_write
+
+    base = tempfile.mkdtemp(prefix="q241_vtbl_")
+    src, dst = base + "/src", base + "/dst"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), src
+    )
+    clone_table(src, dst)
+    chg = od.filter((k % 10 == 0) | ((k % 2 == 1) & (k % 5 == 0))).withColumn(
+        "o_totalprice",
+        F.when(k % 10 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    versioned_upsert(chg, dst, ["o_orderkey"])
+    return read_version(spark, dst)

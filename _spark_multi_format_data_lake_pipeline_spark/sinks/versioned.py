@@ -66,7 +66,16 @@ hidden ``__bucket = pmod(hash(col), n)`` partition column, committed
 into the same zone maps as a [b, b] range.  ``read_version_keyed``
 point lookups and keyed upserts/CDC applies then confine themselves to
 the touched buckets — the prune that works when keys are uniformly
-distributed and min/max ranges span every file.
+distributed and min/max ranges span every file.  ``bloom_by=[cols]``
+adds the third pruning tier: per-file bloom bitmasks in the manifest
+for point/IN lookups (``read_version_bloom``) on columns the layout
+does NOT cluster.
+
+``clone_table`` is SHALLOW CLONE (metadata-only commit whose
+``file_base`` reads the source's files in place; rewrites materialize
+locally, ``compact`` completes the divorce) and ``create_tag`` /
+``read_tag`` are Iceberg-style named snapshot refs that ``vacuum``
+retention-protects.
 
 Deliberate divergences from the real formats, documented: identity and
 hash-bucket partition transforms only (no truncate/hour), delete
@@ -481,6 +490,11 @@ def _write_snapshot(
     blooms = {f: prev_blooms[f] for f in carry_files if f in prev_blooms}
     if bspec and new_files:
         blooms.update(_build_blooms(df.sparkSession, path, new_files, bspec))
+    # Shallow-clone lineage: carried files keep their source-table base
+    # (zero-copy); every rewrite lands locally, so mutation gradually
+    # materializes the clone and compact()/overwrite completes it.
+    prev_fb = prev.get("file_base") or {}
+    file_base = {f: prev_fb[f] for f in carry_files if f in prev_fb}
     # Delete vectors ride with the files they address: a carried file
     # keeps its DV'd positions (the DV parquet keys rows by immutable
     # (file, pos), so entries for rewritten/dropped files go dead
@@ -490,10 +504,16 @@ def _write_snapshot(
     dv_counts = {
         f: prev_dv_counts[f] for f in carry_files if f in prev_dv_counts
     }
+    if dv_counts:  # carried DV parquet files keep their base too
+        for f in prev.get("dv_files") or []:
+            if f in prev_fb:
+                file_base[f] = prev_fb[f]
     carried_rows = (
         prev["row_count"]
         if mode == "append"
-        else sum(_file_rows(path, f, prev_meta) for f in carry_files)
+        else sum(
+            _file_rows(path, f, prev_meta, prev_fb) for f in carry_files
+        )
         - sum(dv_counts.values())
     )
     import time
@@ -519,6 +539,8 @@ def _write_snapshot(
         manifest["bloom_by"] = bspec
         if blooms:
             manifest["bloom"] = blooms
+    if file_base:
+        manifest["file_base"] = file_base
     if constraints:
         manifest["constraints"] = constraints
     if txn_id is not None:
@@ -527,7 +549,9 @@ def _write_snapshot(
     return manifest["version"]
 
 
-def _file_rows(path: str, rel: str, meta: dict[str, dict]) -> int:
+def _file_rows(
+    path: str, rel: str, meta: dict[str, dict], file_base: dict | None = None
+) -> int:
     """Row count of a carried file: the manifest's recorded count when
     present, else one footer read (legacy manifests) — never a scan."""
     rows = meta.get(rel, {}).get("rows")
@@ -535,7 +559,8 @@ def _file_rows(path: str, rel: str, meta: dict[str, dict]) -> int:
         return rows
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(str(Path(path) / rel)).metadata.num_rows
+    base = (file_base or {}).get(rel)
+    return pq.ParquetFile(str(Path(base or path) / rel)).metadata.num_rows
 
 
 def _merge_schemas(prev_json: dict, new_json: dict) -> dict:
@@ -635,22 +660,35 @@ def _lineage_prefix(path: str) -> str:
     return "file:" + str(Path(path).resolve()) + "/"
 
 
-def _attach_lineage(df: DataFrame, path: str) -> DataFrame:
+def _attach_lineage(
+    df: DataFrame, path: str, extra_bases: tuple[str, ...] = ()
+) -> DataFrame:
     """Add ``__dv_file`` (manifest-relative data file) and ``__dv_pos``
     (row position within that file) from the scan's ``_metadata``
     pseudo-column — the (file, position) identity that delete vectors
-    address rows by, computed JVM-side at scan time."""
+    address rows by, computed JVM-side at scan time.  ``extra_bases``
+    are additional table roots to strip (shallow-cloned files live
+    under their SOURCE table's root; stripping it yields the same
+    manifest-relative name the clone's manifest keys by — uuid write
+    dirs make cross-base collisions impossible in practice)."""
     from pyspark.sql import functions as F
 
+    rel = F.col("_metadata.file_path")
+    for b in [path, *dict.fromkeys(extra_bases)]:
+        rel = F.replace(rel, F.lit(_lineage_prefix(b)), F.lit(""))
     return df.select(
         "*",
-        F.replace(
-            F.col("_metadata.file_path"),
-            F.lit(_lineage_prefix(path)),
-            F.lit(""),
-        ).alias("__dv_file"),
+        rel.alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
+
+
+def _data_path(path: str, manifest: dict, f: str) -> str:
+    """Absolute path of a manifest-listed file: the table root, unless
+    the manifest's ``file_base`` maps it elsewhere (shallow clones
+    reference their source table's files in place — zero copy)."""
+    base = (manifest.get("file_base") or {}).get(f)
+    return str(Path(base or path) / f)
 
 
 # Broadcast the delete-vector side of the merge-on-read anti-join while
@@ -680,7 +718,9 @@ def _apply_delete_vectors(
     dv_files = manifest.get("dv_files") or []
     if not dv_files:
         return df
-    dv = spark.read.parquet(*[str(Path(path) / f) for f in dv_files])
+    dv = spark.read.parquet(
+        *[_data_path(path, manifest, f) for f in dv_files]
+    )
     dv = dv.select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
     )
@@ -742,16 +782,17 @@ def _read_files(
     dv_counts = manifest.get("dv_counts") or {}
     need_dv = keep_lineage or any(f in dv_counts for f in files)
     pb = manifest.get("partition_by") or []
+    bases = tuple((manifest.get("file_base") or {}).values())
     from pyspark.sql import functions as F
 
     if not pb:
         # mergeSchema: pre-evolution files surface added columns as NULL
         out = spark.read.option("mergeSchema", "true").parquet(
-            *[str(Path(path) / f) for f in files]
+            *[_data_path(path, manifest, f) for f in files]
         )
         if not need_dv:
             return out
-        out = _attach_lineage(out, path)
+        out = _attach_lineage(out, path, bases)
         out = _apply_delete_vectors(spark, out, path, manifest, files)
         return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
@@ -762,10 +803,10 @@ def _read_files(
     for d, fs in sorted(groups.items()):
         vals = _partition_values(d + "/", manifest["schema"])
         part = spark.read.option("mergeSchema", "true").parquet(
-            *[str(Path(path) / f) for f in fs]
+            *[_data_path(path, manifest, f) for f in fs]
         )
         if need_dv:
-            part = _attach_lineage(part, path)
+            part = _attach_lineage(part, path, bases)
         for c in pb:
             part = part.withColumn(
                 c, F.lit(vals.get(c)).cast(full[c].dataType)
@@ -1048,16 +1089,127 @@ def rollback(path: str, to_version: int) -> int:
     return nxt
 
 
+def clone_table(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``, Iceberg
+    snapshot-ref semantics): commit ``dst`` v1 as a metadata-only copy
+    of ``src``'s snapshot — the manifest carries every file entry
+    (stats, blooms, buckets, delete vectors) verbatim plus a
+    ``file_base`` mapping each file to the SOURCE table's root, so the
+    clone reads the source's data files in place.  Cloning a 100 TB
+    table costs one JSON write.
+
+    The clone is immediately a first-class table: reads, pruned reads,
+    time travel (its own history), upserts/deletes/CDC applies — every
+    rewrite lands under ``dst`` and drops the rewritten files'
+    ``file_base`` entries, so mutation gradually materializes the clone
+    and ``compact()``/overwrite completes the divorce (no ``file_base``
+    left).  The zero-copy caveat is Delta's, documented not hidden:
+    ``vacuum`` on the SOURCE can reclaim files a live clone still
+    references — vacuum sources only when their clones are
+    materialized or disposable."""
+    import time
+
+    vs = versions(src)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {src}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    if versions(dst):
+        raise ValueError(f"clone target {dst} already has commits")
+    m = _read_manifest(src, v)
+    src_abs = str(Path(src).resolve())
+    file_base = dict(m.get("file_base") or {})  # clone-of-clone: keep
+    for f in list(m["files"]) + list(m.get("dv_files") or []):
+        file_base.setdefault(f, src_abs)
+    manifest = {
+        **m,
+        "version": 1,
+        "mode": f"clone:{src_abs}@v{v}",
+        "committed_at": time.time(),
+        "file_base": file_base,
+    }
+    manifest.pop("txn_id", None)
+    _commit(dst, 1, manifest)
+    return 1
+
+
+def _refs_dir(path: str) -> Path:
+    return Path(path) / "_refs"
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Iceberg-style TAG: a named, immutable reference to a snapshot
+    version, stored as one JSON under ``_refs/``.  Tagged versions are
+    RETENTION-PROTECTED: ``vacuum`` keeps their manifests and data
+    files regardless of ``keep_last``, so a ``release-2026-08`` tag
+    keeps that snapshot readable forever (until ``delete_tag``).
+    Creation is write-once (re-tagging a name requires deleting it
+    first — tags never silently move, the audit property that makes
+    them trustworthy)."""
+    import json as _json
+    import time
+
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    _refs_dir(path).mkdir(parents=True, exist_ok=True)
+    ref = _refs_dir(path) / f"{name}.json"
+    if ref.exists():
+        raise ValueError(f"tag {name!r} already exists (delete it first)")
+    tmp = ref.with_suffix(".json.tmp")
+    tmp.write_text(_json.dumps({"version": v, "created_at": time.time()}))
+    tmp.rename(ref)
+    return v
+
+
+def delete_tag(path: str, name: str) -> None:
+    ref = _refs_dir(path) / f"{name}.json"
+    if not ref.exists():
+        raise ValueError(f"no tag {name!r} at {path}")
+    ref.unlink()
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """{tag name: version} for every tag on the table."""
+    d = _refs_dir(path)
+    if not d.is_dir():
+        return {}
+    out: dict[str, int] = {}
+    for p in sorted(d.glob("*.json")):
+        out[p.stem] = json.loads(p.read_text())["version"]
+    return out
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read AS OF a tag (``VERSION AS OF 'release-x'``)."""
+    tags = list_tags(path)
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} at {path}; tags: {sorted(tags)}")
+    return read_version(spark, path, tags[name])
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop data files referenced by NO retained manifest (the last
     ``keep_last`` versions survive; earlier manifests are removed).
     Returns the deleted file list. The one deliberately destructive
     operation in the module — time travel before the retention horizon
-    is gone after this, which is exactly Iceberg/Delta VACUUM."""
+    is gone after this, which is exactly Iceberg/Delta VACUUM.
+    TAGGED versions (``create_tag``) are always retained — manifest and
+    files — whatever ``keep_last`` says; shallow clones of THIS table
+    are not visible here and do not protect it (the documented Delta
+    caveat — see ``clone_table``)."""
     vs = versions(path)
     if not vs:
         return []
-    keep = vs[-keep_last:] if keep_last > 0 else []
+    keep = set(vs[-keep_last:] if keep_last > 0 else [])
+    keep |= set(list_tags(path).values()) & set(vs)
+    keep = sorted(keep)
     live: set[str] = set()
     for v in keep:
         m = _read_manifest(path, v)
@@ -1168,7 +1320,7 @@ def compact(
             b = meta.get(f, {}).get("bytes")
             if b is None:
                 try:
-                    b = (Path(path) / f).stat().st_size
+                    b = Path(_data_path(path, m, f)).stat().st_size
                 except OSError:
                     b = 0
             total += b

@@ -138,6 +138,8 @@ HEADLINE = [
     "q237_revenue_acf",
     "q238_wilson_ci",
     "q239_versioned_bloom_lookup",
+    "q240_psi_price_drift",
+    "q241_versioned_clone_upsert",
 ]
 
 

@@ -1440,3 +1440,133 @@ def test_bloom_masks_carry_and_refresh_through_upsert(spark, tmp_path):
     assert _rows(read_version_bloom(spark, t, "v", ["XX"])) == [(3, "XX")]
     assert _rows(read_version_bloom(spark, t, "v", ["a3"])) == []
     assert _rows(read_version_bloom(spark, t, "v", ["b5"])) == [(105, "b5")]
+
+
+def test_shallow_clone_zero_copy_and_independent_mutation(spark, tmp_path):
+    """clone_table commits metadata only (no data files under the
+    clone), reads the source's files in place, and diverges
+    independently: upserts rewrite locally while untouched files keep
+    their source base; the source never changes."""
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import clone_table, versioned_upsert
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for lo in (0, 100):
+        _write_ranged(spark, src, lo)
+    assert clone_table(src, dst) == 1
+    # zero copy: not a single parquet under the clone's root
+    assert not list(Path(dst).rglob("*.parquet"))
+    assert _rows(read_version(spark, dst)) == _rows(read_version(spark, src))
+    m1 = _read_manifest(dst, 1)
+    assert set(m1["file_base"]) == set(m1["files"])
+    # mutate the clone: the touched file materializes locally,
+    # the carried file keeps its source base
+    versioned_upsert(
+        spark.createDataFrame([(5, "NEW")], "id int, v string"), dst, ["id"]
+    )
+    m2 = _read_manifest(dst, 2)
+    local = [f for f in m2["files"] if f not in (m2.get("file_base") or {})]
+    assert local and (Path(dst) / local[0]).exists()
+    assert any(f in (m2.get("file_base") or {}) for f in m2["files"])
+    rows = dict(_rows(read_version(spark, dst)))
+    assert rows[5] == "NEW" and rows[105] == "v105" and len(rows) == 20
+    # the source saw nothing
+    assert dict(_rows(read_version(spark, src)))[5] == "v5"
+    # source appends after the clone don't leak into the clone
+    _write_ranged(spark, src, 200)
+    assert len(_rows(read_version(spark, dst))) == 20
+    # clone into a non-empty table is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has commits"):
+        clone_table(src, dst)
+
+
+def test_clone_preserves_layout_dv_and_materializes_on_compact(
+    spark, tmp_path
+):
+    """A clone of a bucketed+bloomed table keeps every pruning tier and
+    the source's delete vectors; its own DV deletes stay local; compact
+    divorces it from the source entirely."""
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        clone_table,
+        compact,
+        read_version_bloom,
+        read_version_keyed,
+        versioned_delete,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id int, v string"
+    )
+    versioned_write(df, src, bucket_by=("id", 4), bloom_by=["v"])
+    versioned_delete(spark, src, "id = 7", strategy="dv")
+    clone_table(src, dst)
+    got = sorted(i for i, _ in _rows(read_version(spark, dst)))
+    assert 7 not in got and len(got) == 39  # source DV applies on clone
+    assert _rows(read_version_keyed(spark, dst, [3, 11])) == [
+        (3, "v3"),
+        (11, "v11"),
+    ]
+    assert _rows(read_version_bloom(spark, dst, "v", ["v9"])) == [(9, "v9")]
+    # clone-local DV delete: source unaffected
+    versioned_delete(spark, dst, "id = 8", strategy="dv")
+    assert sorted(i for i, _ in _rows(read_version(spark, dst))) == [
+        i for i in range(40) if i not in (7, 8)
+    ]
+    assert 8 in {i for i, _ in _rows(read_version(spark, src))}
+    # compact: full materialization — no file_base, no dv, rows identical
+    compact(spark, dst, target_files=2)
+    m = _read_manifest(dst, 3)
+    assert "file_base" not in m and "dv_files" not in m
+    assert all((Path(dst) / f).exists() for f in m["files"])
+    assert sorted(i for i, _ in _rows(read_version(spark, dst))) == [
+        i for i in range(40) if i not in (7, 8)
+    ]
+
+
+def test_tags_protect_snapshots_from_vacuum(spark, tmp_path):
+    """create_tag pins a version against vacuum (manifest AND files);
+    delete_tag releases it; tags are write-once."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        create_tag,
+        delete_tag,
+        list_tags,
+        read_tag,
+    )
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0)
+    versioned_write(
+        spark.createDataFrame([(50, "x")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    versioned_write(
+        spark.createDataFrame([(60, "y")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    assert create_tag(t, "release-1", 1) == 1
+    assert list_tags(t) == {"release-1": 1}
+    vacuum(t, keep_last=1)
+    # v1 survives via the tag; v2 is reclaimed
+    assert versions(t) == [1, 3]
+    assert _rows(read_tag(spark, t, "release-1")) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(t, "release-1")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        create_tag(t, "a/b")
+    delete_tag(t, "release-1")
+    vacuum(t, keep_last=1)
+    assert versions(t) == [3]
+    with pytest.raises(ValueError, match="no tag"):
+        read_tag(spark, t, "release-1")
