@@ -416,3 +416,52 @@ def q241_versioned_clone_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versioned_upsert(chg, dst, ["o_orderkey"])
     return read_version(spark, dst)
+
+
+@register(
+    "q242_versioned_stream_follow",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="End-to-end STREAMING read of a versioned table: two append "
+        "commits (keys %3==0, then %3==1), then one availableNow run of "
+        "the versioned_changes source (sources/versioned_stream.py — "
+        "micro-batch partitions are planned driver-side from the JSON "
+        "manifests as exactly the files each commit added, read "
+        "executor-side with pyarrow; the Delta table-as-stream "
+        "contract, with rewrite commits refused unless "
+        "skipChangeCommits) into a parquet sink, whose contents the "
+        "oracle hash-checks: both commits' rows exactly once, none "
+        "dropped, none duplicated. Exactly-once across restarts is "
+        "pinned in tests/test_streaming.py.",
+)
+def q242_versioned_stream_follow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import versioned_write
+    from ..sources import versioned_stream
+
+    versioned_stream.register(spark)
+    base = tempfile.mkdtemp(prefix="q242_vtbl_")
+    t, out, ckpt = base + "/t", base + "/out", base + "/ckpt"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 3 == 0), t)
+    versioned_write(od.filter(k % 3 == 1), t)
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).parquet(out)

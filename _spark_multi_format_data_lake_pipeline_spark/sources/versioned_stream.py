@@ -1,0 +1,202 @@
+"""Streaming source over versioned tables (``sinks/versioned.py``) —
+the Delta "table as a stream" contract, jar-free.
+
+``spark.readStream.format("versioned_changes").option("path", t)``
+follows a versioned table's commit log: each micro-batch covers the
+versions committed since the last offset, and its input partitions are
+exactly the DATA FILES those commits added — planned driver-side from
+the JSON manifests (metadata only), read executor-side with pyarrow.
+Nothing is ever collected on the driver; a batch's cost is the new
+files' bytes, however large the table is.
+
+Semantics mirror Delta's streaming source: APPEND commits stream their
+new rows; a commit that rewrites or logically deletes rows (upsert /
+delete / compact / overwrite / DV commit) is refused with an error —
+an append-only stream cannot represent it — unless
+``skipChangeCommits=true``, which ignores those commits' file changes
+and keeps streaming subsequent appends (Delta's ``skipChangeCommits``).
+Offsets are plain ``{"version": N}`` dicts checkpointed by the engine;
+replaying a (start, end] range re-plans the same manifests and re-reads
+the same immutable files, which is the replayability contract
+Structured Streaming requires.
+
+Partition-column handling matches the batch reader: values are parsed
+from the Hive path through the COMMITTED schema (never re-inferred) and
+re-attached as constants; the hidden ``__bucket`` layout column stays
+hidden.  Row emission is tuple-based (file-at-a-time pyarrow read);
+switching to Arrow RecordBatch emission is the documented optimization
+if change volumes grow — the planning path is already O(new files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..sinks.versioned import (
+    _BUCKET_COL,
+    _partition_values,
+    _read_manifest,
+    versions,
+)
+
+# commit modes whose file additions are pure appends (the initial commit
+# is append-like whatever verb created it: there were no prior rows to
+# change)
+_APPEND_MODES = ("append",)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str, part_values: dict):
+        self.abs_path = abs_path
+        self.part_values = part_values
+
+
+def _visible_fields(schema_json: dict, has_buckets: bool) -> list[dict]:
+    return [
+        f
+        for f in schema_json["fields"]
+        if not (has_buckets and f["name"] == _BUCKET_COL)
+    ]
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("versioned_changes: option 'path' is required")
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        start = options.get("startingVersion", "0")
+        self.start_version = int(start)
+        # the emitted field list is FIXED at stream start (the declared
+        # schema): later schema evolution adds columns new files carry
+        # but this stream does not emit — restart the stream to widen,
+        # exactly Delta's behavior
+        vs = versions(self.path)
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed versions at {self.path}"
+            )
+        m = _read_manifest(self.path, vs[-1])
+        self._fields = _visible_fields(
+            m["schema"], bool(m.get("bucket_by"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = versions(self.path)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        out: list[_FilePartition] = []
+        vs = versions(self.path)
+        prev_files: set[str] | None = None
+        for v in vs:
+            if v <= start["version"] or v > end["version"]:
+                continue
+            m = _read_manifest(self.path, v)
+            if prev_files is None:
+                pm = [pv for pv in vs if pv < v]
+                prev_files = (
+                    set(_read_manifest(self.path, pm[-1])["files"])
+                    if pm
+                    else set()
+                )
+            is_first = v == vs[0]
+            is_append = m.get("mode") in _APPEND_MODES or is_first
+            new_files = [f for f in m["files"] if f not in prev_files]
+            prev_files = set(m["files"])
+            if not is_append:
+                if not self.skip_change_commits:
+                    raise ValueError(
+                        f"versioned_changes: version {v} is a "
+                        f"{m.get('mode')!r} commit — an append-only "
+                        "stream cannot represent row changes; set "
+                        "skipChangeCommits=true to ignore them "
+                        "(Delta's contract)"
+                    )
+                continue
+            fb = m.get("file_base") or {}
+            for f in new_files:
+                out.append(
+                    _FilePartition(
+                        str(Path(fb.get(f, self.path)) / f),
+                        _partition_values(f, m["schema"]),
+                    )
+                )
+        if prev_files is None and end["version"] > start["version"]:
+            # range referenced versions that no longer exist (vacuumed):
+            # honest error beats silently streaming nothing
+            raise ValueError(
+                f"versioned_changes: no manifests in "
+                f"({start['version']}, {end['version']}] at {self.path}"
+            )
+        return out
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        fields = self._fields
+        table = pq.read_table(partition.abs_path)
+        cols = {name: table.column(name).to_pylist() for name in table.column_names}
+        n = table.num_rows
+        pv = partition.part_values
+        series = []
+        for f in fields:
+            name = f["name"]
+            if name in cols:
+                series.append(cols[name])
+            elif name in pv:
+                series.append([pv[name]] * n)
+            else:
+                series.append([None] * n)  # pre-evolution file
+        yield from zip(*series)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are the log; nothing external to clean up
+
+
+class VersionedChangesDataSource(DataSource):
+    """``spark.readStream.format("versioned_changes")
+    .option("path", table_root).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("versioned_changes: option 'path' is required")
+        vs = versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        m = _read_manifest(path, vs[-1])
+        return StructType.fromJson(
+            {
+                **m["schema"],
+                "fields": _visible_fields(
+                    m["schema"], bool(m.get("bucket_by"))
+                ),
+            }
+        )
+
+    def streamReader(self, schema) -> VersionedChangesStreamReader:
+        return VersionedChangesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is safe)."""
+    spark.dataSource.register(VersionedChangesDataSource)

@@ -814,3 +814,71 @@ def test_scd2_swap_crash_window_recovers_not_rebuilds(spark):
     )
     assert len(rows) == 5 and (3, "bronze") in rows
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_versioned_changes_stream_follows_appends(spark, tmp_path):
+    """The versioned-table streaming source: each availableNow run
+    drains the commits since the checkpointed version — batch 1 streams
+    the initial snapshot, later runs exactly the appended rows; a
+    partitioned table re-attaches its partition values; a rewrite
+    commit is refused at planning unless skipChangeCommits."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    versioned_stream.register(spark)
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, day: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}", day) for i in range(5)],
+        "id int, v string, day string",
+    )
+    versioned_write(mk(0, "d1"), t, partition_by=["day"])
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_changes")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema("id int, v string, day string").parquet(
+            out
+        ).collect()
+
+    got = drain()
+    assert sorted(r.id for r in got) == list(range(5))
+    assert {r.day for r in got} == {"d1"}  # partition value re-attached
+    # appends stream exactly once, across separate drains
+    versioned_write(mk(10, "d2"), t)
+    versioned_write(mk(20, "d1"), t)
+    got = drain()
+    assert sorted(r.id for r in got) == sorted(
+        list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+    )
+    assert {r.day for r in got if r.id >= 10 and r.id < 15} == {"d2"}
+    # an overwrite is not representable in an append-only stream
+    versioned_write(mk(90, "d1"), t, mode="overwrite")
+    rd = VersionedChangesStreamReader({"path": t})
+    with pytest.raises(ValueError, match="append-only stream"):
+        rd.partitions({"version": 3}, {"version": 4})
+    # ... unless the caller opts into skipping change commits; later
+    # appends keep flowing
+    versioned_write(mk(100, "d2"), t)
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "skipChangeCommits": "true"}
+    )
+    parts = rd2.partitions({"version": 3}, {"version": 5})
+    rows = [row for p in parts for row in rd2.read(p)]
+    assert sorted(r[0] for r in rows) == list(range(100, 105))
