@@ -143,24 +143,55 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             )
         return out
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         fields = self._fields
         table = pq.read_table(partition.abs_path)
-        cols = {name: table.column(name).to_pylist() for name in table.column_names}
         n = table.num_rows
         pv = partition.part_values
-        series = []
-        for f in fields:
-            name = f["name"]
-            if name in cols:
-                series.append(cols[name])
-            elif name in pv:
-                series.append([pv[name]] * n)
-            else:
-                series.append([None] * n)  # pre-evolution file
-        yield from zip(*series)
+        try:
+            # Arrow fast path: emit whole RecordBatches — column data
+            # moves parquet → arrow → Spark with zero per-row Python.
+            # Target arrow types come from the committed Spark schema
+            # (the same conversion Spark's arrow ingest uses), partition
+            # values become constant arrays, evolved-away columns nulls.
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            target = to_arrow_schema(
+                StructType.fromJson({"type": "struct", "fields": fields})
+            )
+            arrays = []
+            for i, f in enumerate(fields):
+                name, at = f["name"], target.field(i).type
+                if name in table.column_names:
+                    arrays.append(
+                        table.column(name).combine_chunks().cast(at)
+                    )
+                elif name in pv:
+                    arrays.append(
+                        pa.array([pv[name]] * n).cast(at)
+                    )
+                else:
+                    arrays.append(pa.nulls(n, at))  # pre-evolution file
+            yield from pa.Table.from_arrays(
+                arrays, schema=target
+            ).to_batches()
+        except Exception:
+            # tuple fallback: exotic types the cast path can't bridge
+            # still stream correctly, one row at a time
+            series = []
+            for f in fields:
+                name = f["name"]
+                if name in table.column_names:
+                    series.append(table.column(name).to_pylist())
+                elif name in pv:
+                    series.append([pv[name]] * n)
+                else:
+                    series.append([None] * n)
+            yield from zip(*series)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are the log; nothing external to clean up

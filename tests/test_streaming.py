@@ -880,5 +880,9 @@ def test_versioned_changes_stream_follows_appends(spark, tmp_path):
         {"path": t, "skipChangeCommits": "true"}
     )
     parts = rd2.partitions({"version": 3}, {"version": 5})
-    rows = [row for p in parts for row in rd2.read(p)]
-    assert sorted(r[0] for r in rows) == list(range(100, 105))
+    # read() emits Arrow RecordBatches on the fast path
+    rows = [
+        r for p in parts for b in rd2.read(p) for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows) == list(range(100, 105))
+    assert {r["day"] for r in rows} == {"d2"}
