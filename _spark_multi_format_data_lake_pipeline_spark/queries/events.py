@@ -1239,3 +1239,74 @@ def q237_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("prod") / F.any_value("den"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — Wald SPRT sequential test over daily conversion batches
+# ---------------------------------------------------------------------------
+
+@register(
+    "q243_sprt_sequential",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT day, n, k,
+               SUM(k * LN(0.52 / 0.48)
+                   + (n - k) * LN((1.0 - 0.52) / (1.0 - 0.48)))
+                   OVER (ORDER BY day) AS cum
+        FROM d
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n, k,
+           ROUND(cum, 6) AS cum_llr,
+           CASE WHEN cum >= LN(19.0) THEN 'accept_h1'
+                WHEN cum <= -LN(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c
+    """,
+    doc="Wald's sequential probability ratio test on the daily "
+        "fulfilled-order rate (H0 p=0.48 vs H1 p=0.52, alpha=beta=0.05 "
+        "-> symmetric ln(19) thresholds): each day adds its batch "
+        "log-likelihood k*ln(p1/p0) + (n-k)*ln(q1/q0) to a cumulative "
+        "walk, and the decision column shows WHEN the experiment could "
+        "have stopped — the always-valid sequential layer beside q238's "
+        "fixed-n Wilson interval and q205's CUPED lift (SPRT is the "
+        "optimal-stopping test; peeking at a fixed-n test inflates "
+        "alpha, which is exactly what SPRT exists to fix). Daily k/n "
+        "are exact ints from one map-side groupBy; the LLR literals "
+        "mirror the identical IEEE expression; the cumulative sum is a "
+        "window over the bounded |days| grain (sanctioned), never over "
+        "raw orders.",
+)
+def q243_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    d = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("k"),
+    )
+    lr1 = F.log(F.lit(0.52) / F.lit(0.48))
+    lr0 = F.log((F.lit(1.0) - F.lit(0.52)) / (F.lit(1.0) - F.lit(0.48)))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn(
+        "cum", F.sum(F.col("k") * lr1 + (F.col("n") - F.col("k")) * lr0).over(w)
+    )
+    thr = F.log(F.lit(19.0))
+    return c.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "k",
+        F.round("cum", 6).alias("cum_llr"),
+        F.when(F.col("cum") >= thr, "accept_h1")
+        .when(F.col("cum") <= -thr, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

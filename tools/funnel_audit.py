@@ -67,6 +67,7 @@ SANCTIONED: dict[str, tuple[int, str]] = {
     "q234_source_js_divergence": (1, "1-row corpus-token-total reduce (q217's shape)"),
     "q237_revenue_acf": (2, "1-row mean + 1-row denominator reduces over the bounded |days| table"),
     "q240_psi_price_drift": (3, "1-row reference-decile reduce + 1-row totals reduce over the 10-bin table (+1 plan-shared)"),
+    "q243_sprt_sequential": (1, "|days|-row cumulative-LLR window over the bounded day grain"),
 }
 
 
