@@ -140,6 +140,7 @@ HEADLINE = [
     "q239_versioned_bloom_lookup",
     "q240_psi_price_drift",
     "q241_versioned_clone_upsert",
+    "q243_sprt_sequential",
 ]
 
 
