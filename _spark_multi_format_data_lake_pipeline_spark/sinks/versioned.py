@@ -1194,21 +1194,41 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     return read_version(spark, path, tags[name])
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_last: int = 1, retain_hours: float | None = None
+) -> list[str]:
     """Drop data files referenced by NO retained manifest (the last
     ``keep_last`` versions survive; earlier manifests are removed).
     Returns the deleted file list. The one deliberately destructive
     operation in the module — time travel before the retention horizon
     is gone after this, which is exactly Iceberg/Delta VACUUM.
+    ``retain_hours`` is Delta's ``RETAIN N HOURS``: every version
+    committed within the horizon is ALSO kept (commit clock, mtime
+    fallback for legacy manifests), so time travel over the recent
+    window survives an aggressive ``keep_last`` — the union of both
+    policies is retained, never the intersection.
     TAGGED versions (``create_tag``) are always retained — manifest and
-    files — whatever ``keep_last`` says; shallow clones of THIS table
+    files — whatever the policies say; shallow clones of THIS table
     are not visible here and do not protect it (the documented Delta
     caveat — see ``clone_table``)."""
+    import time
+
     vs = versions(path)
     if not vs:
         return []
     keep = set(vs[-keep_last:] if keep_last > 0 else [])
     keep |= set(list_tags(path).values()) & set(vs)
+    if retain_hours is not None:
+        horizon = time.time() - retain_hours * 3600.0
+        for v in vs:
+            at = _read_manifest(path, v).get("committed_at")
+            if at is None:
+                try:
+                    at = (_manifest_dir(path) / f"v{v}.json").stat().st_mtime
+                except OSError:
+                    continue
+            if at >= horizon:
+                keep.add(v)
     keep = sorted(keep)
     live: set[str] = set()
     for v in keep:

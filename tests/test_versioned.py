@@ -1570,3 +1570,37 @@ def test_tags_protect_snapshots_from_vacuum(spark, tmp_path):
     assert versions(t) == [3]
     with pytest.raises(ValueError, match="no tag"):
         read_tag(spark, t, "release-1")
+
+
+def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
+    """Delta's RETAIN N HOURS: versions committed inside the horizon
+    survive an aggressive keep_last; backdating a commit clock puts it
+    back in vacuum's reach."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0)
+    versioned_write(
+        spark.createDataFrame([(50, "x")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    versioned_write(
+        spark.createDataFrame([(60, "y")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    # all three commits are seconds old: a 1-hour horizon keeps them all
+    assert vacuum(t, keep_last=1, retain_hours=1.0) == []
+    assert versions(t) == [1, 2, 3]
+    # backdate v1 and v2 beyond the horizon: only the keep_last floor
+    # and the recent window remain
+    for v in (1, 2):
+        m = _read_manifest(t, v)
+        m["committed_at"] = m["committed_at"] - 7200.0
+        (tmp_path / "tbl" / "_manifests" / f"v{v}.json").write_text(
+            json.dumps(m)
+        )
+    deleted = vacuum(t, keep_last=1, retain_hours=1.0)
+    assert deleted and versions(t) == [3]
+    assert _rows(read_version(spark, t)) == [(60, "y")]
