@@ -1134,6 +1134,51 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     return 1
 
 
+def create_branch(path: str, name: str, version: int | None = None) -> str:
+    """Writable BRANCH (Iceberg branch semantics via the shallow-clone
+    mechanism): a full versioned table under ``<path>/_branches/<name>``
+    whose v1 zero-copy-references the parent snapshot.  Branch writes,
+    upserts, compactions and tags are ordinary table operations on the
+    returned path; the parent never sees them.  Unlike an external
+    ``clone_table``, branches are VACUUM-SAFE: the parent's ``vacuum``
+    scans its own branches and keeps every parent file a live branch
+    manifest still references, so 'dev branch of prod' cannot be
+    silently broken by parent retention.  Returns the branch root."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid branch name {name!r}")
+    dst = str(Path(path) / "_branches" / name)
+    clone_table(path, dst, version=version)
+    return dst
+
+
+def list_branches(path: str) -> dict[str, str]:
+    """{branch name: branch table root} for every branch of the table."""
+    d = Path(path) / "_branches"
+    if not d.is_dir():
+        return {}
+    return {
+        p.name: str(p)
+        for p in sorted(d.iterdir())
+        if (p / "_manifests").is_dir()
+    }
+
+
+def _branch_live_files(path: str) -> set[str]:
+    """Parent-relative file names still referenced by ANY version of
+    ANY branch (via their file_base mappings back to this root) —
+    vacuum keeps these, making branches retention-safe."""
+    root = str(Path(path).resolve())
+    live: set[str] = set()
+    for broot in list_branches(path).values():
+        for v in versions(broot):
+            m = _read_manifest(broot, v)
+            fb = m.get("file_base") or {}
+            for f in list(m["files"]) + list(m.get("dv_files") or []):
+                if fb.get(f) == root:
+                    live.add(f)
+    return live
+
+
 def _refs_dir(path: str) -> Path:
     return Path(path) / "_refs"
 
@@ -1208,9 +1253,11 @@ def vacuum(
     window survives an aggressive ``keep_last`` — the union of both
     policies is retained, never the intersection.
     TAGGED versions (``create_tag``) are always retained — manifest and
-    files — whatever the policies say; shallow clones of THIS table
-    are not visible here and do not protect it (the documented Delta
-    caveat — see ``clone_table``)."""
+    files — whatever the policies say.  Files still referenced by a
+    BRANCH of this table (``create_branch``) are also kept — branches
+    are vacuum-safe; only EXTERNAL shallow clones are not visible here
+    and do not protect it (the documented Delta caveat — see
+    ``clone_table``)."""
     import time
 
     vs = versions(path)
@@ -1235,6 +1282,7 @@ def vacuum(
         m = _read_manifest(path, v)
         live.update(m["files"])
         live.update(m.get("dv_files") or [])
+    live |= _branch_live_files(path)
     deleted = []
     for root_name in ("data", "_deletes"):
         data_root = Path(path) / root_name

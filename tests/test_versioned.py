@@ -1604,3 +1604,53 @@ def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
     deleted = vacuum(t, keep_last=1, retain_hours=1.0)
     assert deleted and versions(t) == [3]
     assert _rows(read_version(spark, t)) == [(60, "y")]
+
+
+def test_branches_are_writable_and_vacuum_safe(spark, tmp_path):
+    """create_branch = zero-copy writable fork under _branches/; parent
+    vacuum keeps every parent file a live branch still references
+    (unlike an external clone), and dropping to branch-unreferenced
+    state frees them."""
+    import shutil
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        create_branch,
+        list_branches,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        _write_ranged(spark, t, lo)
+    b = create_branch(t, "dev")
+    assert list_branches(t) == {"dev": b}
+    assert _rows(read_version(spark, b)) == _rows(read_version(spark, t))
+    # diverge the branch; parent unaffected
+    versioned_upsert(
+        spark.createDataFrame([(5, "DEV")], "id int, v string"), b, ["id"]
+    )
+    assert dict(_rows(read_version(spark, b)))[5] == "DEV"
+    assert dict(_rows(read_version(spark, t)))[5] == "v5"
+    # parent overwrite would normally free v1/v2 files at vacuum time —
+    # but the branch still references the 100-file (its 0-file was
+    # rewritten by the upsert), so vacuum must keep it
+    versioned_write(
+        spark.createDataFrame([(999, "z")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    vacuum(t, keep_last=1)
+    assert sorted(i for i, _ in _rows(read_version(spark, b))) == sorted(
+        list(range(10)) + list(range(100, 110))
+    )
+    # delete the branch: its references die; the next vacuum frees them
+    shutil.rmtree(b)
+    assert list_branches(t) == {}
+    deleted = vacuum(t, keep_last=1)
+    assert deleted  # the formerly branch-pinned parent files are gone
+    assert _rows(read_version(spark, t)) == [(999, "z")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(t, "a/b")
