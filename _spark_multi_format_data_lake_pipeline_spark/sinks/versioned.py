@@ -12,8 +12,16 @@ what a table format actually is:
 - data files are immutable parquet files under ``<path>/data/``, each
   written once under a UUID name and never rewritten;
 - a snapshot is a JSON manifest under ``<path>/_manifests/v{N}.json``
-  listing exactly the data files (+ row count, schema) visible at
-  version N;
+  resolving to exactly the data files (+ row count, schema) visible at
+  version N.  The metadata plane is LOG-STRUCTURED, the Delta-log /
+  Iceberg-manifest-list shape: most commits are DELTA manifests
+  (files added/removed + their per-file stats/blooms/bases — commit
+  bytes scale with the CHANGED files, never the table), every
+  ``_CHECKPOINT_INTERVAL``-th version is a full checkpoint bounding the
+  resolution chain, and readers resolve checkpoint + tail once per
+  version (memoized).  Pre-delta tables (every manifest full) read
+  unchanged, and ``vacuum`` re-anchors any retained delta whose base it
+  drops;
 - a commit is the CREATION of the next manifest — staged to a temp name
   and atomically renamed with O_EXCL semantics, so of two concurrent
   committers exactly one wins and the loser gets a clean
@@ -121,8 +129,159 @@ def versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# --- manifest metadata plane: delta commits + periodic checkpoints ----
+#
+# A naive table format serializes the FULL file list (+ per-file stats,
+# sizes, partition values, bloom masks) into every commit — O(table
+# files) of JSON per commit, which at the module's 100 TB design point
+# (~800k files at 128 MB) is hundreds of MB rewritten by an append of
+# ONE file, and the streaming sink commits once per micro-batch.  This
+# is exactly why Delta has a delta log + parquet checkpoints and
+# Iceberg has manifest files + a manifest list.  Same shape here:
+#
+# - most commits are DELTA manifests: ``{"kind": "delta", "base": N-1,
+#   "remove": [...], "append": [...], "entries": {file: per-file
+#   metadata}}`` plus the O(columns) table-level keys (schema, specs,
+#   constraints, row_count, mode, clock, txn) stored fully — commit
+#   bytes scale with the CHANGED files, never the table;
+# - every ``_CHECKPOINT_INTERVAL``-th version (and v1, and any commit
+#   whose carried-file order a delta can't express) is a FULL
+#   checkpoint in the exact legacy format (no "kind" key), so pre-delta
+#   tables read unchanged and the resolution chain is bounded;
+# - ``_read_manifest`` resolves checkpoint + delta tail into the full
+#   snapshot dict every consumer already expects, memoized per
+#   (path, version, file signature) so repeated reads cost O(1);
+# - ``vacuum`` re-anchors any RETAINED delta whose base manifest is
+#   being dropped by rewriting it as its resolved full form first.
+_CHECKPOINT_INTERVAL = 10
+
+# Per-file metadata plane keys (dicts keyed by data-file name) that are
+# delta-encoded between commits; everything else in a manifest is
+# O(columns)/O(1) and travels fully in every commit.
+_PLANE_KEYS = ("file_stats", "file_meta", "bloom", "file_base", "dv_counts")
+_DELTA_ONLY_KEYS = ("kind", "base", "remove", "append", "entries")
+
+
+def _file_entry(m: dict, f: str) -> dict:
+    """The per-file metadata-plane view of one file: {plane key: value}
+    for every plane dict that has an entry for ``f``."""
+    e = {}
+    for k in _PLANE_KEYS:
+        d = m.get(k)
+        if d and f in d:
+            e[k] = d[f]
+    return e
+
+
+def _make_delta(prev: dict, state: dict) -> dict | None:
+    """Encode snapshot ``state`` as a delta against ``prev``, or None
+    when the carried files' ORDER deviates from the previous manifest
+    (e.g. bucket-confined carries interleave) — the caller then writes
+    a full checkpoint; correctness never depends on delta encoding.
+    ``entries`` carries the per-file plane for appended files AND any
+    carried file whose plane entry changed (a DV delete incrementing a
+    file's deleted-row count is the canonical case)."""
+    pf, nf = prev["files"], state["files"]
+    ps, ns = set(pf), set(nf)
+    removed = [f for f in pf if f not in ns]
+    appended = [f for f in nf if f not in ps]
+    if [f for f in pf if f in ns] + appended != nf:
+        return None
+    # the per-file plane also covers delete-vector parquet files (their
+    # shallow-clone ``file_base`` entries live in the same dicts)
+    prev_universe = ps | set(prev.get("dv_files") or [])
+    universe = list(nf) + [
+        f for f in (state.get("dv_files") or []) if f not in ns
+    ]
+    entries: dict[str, dict] = {}
+    for f in universe:
+        e = _file_entry(state, f)
+        if f not in prev_universe:
+            if e:
+                entries[f] = e
+        elif e != _file_entry(prev, f):
+            entries[f] = e
+    delta = {
+        k: v
+        for k, v in state.items()
+        if k != "files" and k not in _PLANE_KEYS and k not in _DELTA_ONLY_KEYS
+    }
+    delta.update(
+        {
+            "kind": "delta",
+            "base": prev["version"],
+            "remove": removed,
+            "append": appended,
+            "entries": entries,
+        }
+    )
+    return delta
+
+
+def _apply_delta(base: dict, d: dict) -> dict:
+    """Resolve a delta manifest against its (resolved) base into the
+    full snapshot dict — the exact shape a full manifest carries."""
+    removed = set(d["remove"])
+    entries = d["entries"]
+    files = [f for f in base["files"] if f not in removed] + d["append"]
+    state = {k: v for k, v in d.items() if k not in _DELTA_ONLY_KEYS}
+    state["files"] = files
+    fileset = set(files)
+    universe = files + [
+        f for f in (state.get("dv_files") or []) if f not in fileset
+    ]
+    for k in _PLANE_KEYS:
+        prev_d = base.get(k) or {}
+        nd = {
+            f: prev_d[f] for f in universe if f in prev_d and f not in entries
+        }
+        for f, e in entries.items():
+            if k in e:
+                nd[f] = e[k]
+        if nd:
+            state[k] = nd
+    return state
+
+
+# Resolved-manifest memo: manifests are immutable once committed (the
+# atomic link in ``_commit`` never overwrites), so (path, version) plus
+# the manifest file's (mtime, size) signature — which changes on the two
+# sanctioned in-place rewrites, vacuum's re-anchoring and test fixture
+# surgery — is a safe cache key.
+_RESOLVE_CACHE: dict[tuple, dict] = {}
+_RESOLVE_CACHE_MAX = 512
+
+
 def _read_manifest(path: str, version: int) -> dict:
-    return json.loads((_manifest_dir(path) / f"v{version}.json").read_text())
+    p = _manifest_dir(path) / f"v{version}.json"
+    st = p.stat()
+    key = (str(Path(path).resolve()), version, st.st_mtime_ns, st.st_size)
+    state = _RESOLVE_CACHE.get(key)
+    if state is None:
+        raw = json.loads(p.read_text())
+        if raw.get("kind") == "delta":
+            state = _apply_delta(_read_manifest(path, raw["base"]), raw)
+        else:
+            state = raw
+        if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_MAX:
+            _RESOLVE_CACHE.clear()
+        _RESOLVE_CACHE[key] = state
+    # shallow copy: callers may rebind top-level keys on the result
+    return dict(state)
+
+
+def _commit_state(path: str, state: dict, prev: dict | None) -> int:
+    """Commit snapshot ``state`` (full resolved form) as either a delta
+    against ``prev`` or a full checkpoint.  Checkpoint when there is no
+    previous snapshot, on every ``_CHECKPOINT_INTERVAL``-th version (the
+    Delta-log cadence — bounds the resolution chain), or when the delta
+    encoding can't express the carried-file order."""
+    version = state["version"]
+    raw = None
+    if prev is not None and version % _CHECKPOINT_INTERVAL != 0:
+        raw = _make_delta(prev, state)
+    _commit(path, version, raw if raw is not None else state)
+    return version
 
 
 def _commit(path: str, version: int, manifest: dict) -> None:
@@ -545,8 +704,7 @@ def _write_snapshot(
         manifest["constraints"] = constraints
     if txn_id is not None:
         manifest["txn_id"] = txn_id
-    _commit(path, manifest["version"], manifest)
-    return manifest["version"]
+    return _commit_state(path, manifest, prev if vs else None)
 
 
 def _file_rows(
@@ -1085,8 +1243,7 @@ def rollback(path: str, to_version: int) -> int:
     }
     if txn is not None:
         manifest["rolled_back_txn_id"] = txn
-    _commit(path, nxt, manifest)
-    return nxt
+    return _commit_state(path, manifest, _read_manifest(path, vs[-1]))
 
 
 def clone_table(src: str, dst: str, version: int | None = None) -> int:
@@ -1307,6 +1464,23 @@ def vacuum(
                 elif leftover.is_dir():
                     leftover.rmdir()
             d.rmdir()
+    # Re-anchor retained DELTA manifests whose base commit is being
+    # dropped: rewrite them as their resolved full form (ascending, so
+    # a kept chain re-anchors once at its earliest survivor and later
+    # kept deltas keep chaining).  The one sanctioned in-place manifest
+    # rewrite — same logical content, new physical encoding.
+    drop = set(vs) - set(keep)
+    for v in keep:
+        mp = _manifest_dir(path) / f"v{v}.json"
+        try:
+            raw = json.loads(mp.read_text())
+        except OSError:
+            continue
+        if raw.get("kind") == "delta" and raw["base"] in drop:
+            full = _read_manifest(path, v)
+            tmp = mp.with_suffix(".json.reanchor")
+            tmp.write_text(json.dumps(full, indent=1))
+            os.replace(tmp, mp)
     for v in vs:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
@@ -1610,8 +1784,7 @@ def _delete_with_vectors(
     if total:
         manifest["dv_counts"] = dv_counts
         manifest["dv_files"] = (m.get("dv_files") or []) + new_dv_files
-    _commit(path, manifest["version"], manifest)
-    return manifest["version"]
+    return _commit_state(path, manifest, m)
 
 
 def versioned_apply_changes(
@@ -1700,8 +1873,7 @@ def add_check_constraint(
         "constraints": {**m.get("constraints", {}), name: expr},
     }
     manifest.pop("txn_id", None)
-    _commit(path, manifest["version"], manifest)
-    return manifest["version"]
+    return _commit_state(path, manifest, m)
 
 
 def drop_check_constraint(path: str, name: str) -> int:
@@ -1724,8 +1896,7 @@ def drop_check_constraint(path: str, name: str) -> int:
         "constraints": cons,
     }
     manifest.pop("txn_id", None)
-    _commit(path, manifest["version"], manifest)
-    return manifest["version"]
+    return _commit_state(path, manifest, m)
 
 
 def _validate_constraints(
