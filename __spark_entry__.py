@@ -37,14 +37,25 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  The two r7 entries — q191, q188 —
-    # came back green in CORRECTNESS_r07 and leave per the removal
-    # rule.  r8: exact_substring_cuts gained a min_occ parameter (the
-    # q225 short-span pass); the default (2) preserves q209/q213
-    # semantics exactly — re-proven locally at sf0.01 — but the
-    # consumed-helper rule lists them for a fresh driver row anyway.
-    "q209_duplicate_span_cuts",
-    "q213_span_removed_corpus",
+    # their latest green record.  The two r8 entries — q209, q213 —
+    # came back green in CORRECTNESS_r09 and leave per the removal
+    # rule.  r9 rewrote the manifest metadata plane (delta commits +
+    # checkpoints + vacuum re-anchoring in sinks/versioned.py
+    # _commit_state/_read_manifest) and r10 hardened the
+    # versioned_changes source + vacuum ordering: every query that
+    # builds or reads a versioned table consumes those helpers, so the
+    # consumed-helper rule lists the full lakehouse set for fresh
+    # driver rows.
+    "q222_versioned_upsert_changes",
+    "q223_versioned_delete_rows",
+    "q224_versioned_partition_read",
+    "q229_versioned_apply_cdc_state",
+    "q230_versioned_history_audit",
+    "q231_versioned_dv_delete",
+    "q236_versioned_bucket_lookup",
+    "q239_versioned_bloom_lookup",
+    "q241_versioned_clone_upsert",
+    "q242_versioned_stream_follow",
 )
 
 

@@ -176,8 +176,16 @@ def hash_split(
     expr = None
     for name in names[:-1]:
         cum += fr[name]
-        t = format(int(cum * 16**8), "08x")
-        cond = h < F.lit(t)
+        ival = int(cum * 16**8)
+        if ival >= 16**8:
+            # trailing zero fractions: the cumulative threshold reaches
+            # the full range, and format() would emit the 9-char
+            # '100000000' whose LEXICOGRAPHIC compare misroutes every
+            # hash starting a-f — this split simply takes everything
+            # left
+            cond = F.lit(True)
+        else:
+            cond = h < F.lit(format(ival, "08x"))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])

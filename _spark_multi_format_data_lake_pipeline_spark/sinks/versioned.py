@@ -247,12 +247,26 @@ def _apply_delta(base: dict, d: dict) -> dict:
 # atomic link in ``_commit`` never overwrites), so (path, version) plus
 # the manifest file's (mtime, size) signature — which changes on the two
 # sanctioned in-place rewrites, vacuum's re-anchoring and test fixture
-# surgery — is a safe cache key.
+# surgery — is a safe cache key.  Re-anchoring ALSO invalidates the
+# version's entries explicitly (``_uncache_version``), so a same-size
+# rewrite landing within a coarse filesystem's mtime granularity cannot
+# serve stale state in-process; cross-process, mtime_ns granularity is
+# the guard (nanoseconds on every filesystem this targets).
 _RESOLVE_CACHE: dict[tuple, dict] = {}
 _RESOLVE_CACHE_MAX = 512
 
 
+def _uncache_version(path: str, version: int) -> None:
+    """Drop every cached resolution of (path, version) — called by the
+    sanctioned in-place manifest rewrite (vacuum re-anchoring)."""
+    root = str(Path(path).resolve())
+    for k in [k for k in _RESOLVE_CACHE if k[0] == root and k[1] == version]:
+        del _RESOLVE_CACHE[k]
+
+
 def _read_manifest(path: str, version: int) -> dict:
+    from types import MappingProxyType
+
     p = _manifest_dir(path) / f"v{version}.json"
     st = p.stat()
     key = (str(Path(path).resolve()), version, st.st_mtime_ns, st.st_size)
@@ -263,6 +277,18 @@ def _read_manifest(path: str, version: int) -> dict:
             state = _apply_delta(_read_manifest(path, raw["base"]), raw)
         else:
             state = raw
+        # Freeze the per-file plane dicts before caching: the resolved
+        # state is SHARED across cache hits and across versions (delta
+        # resolution reuses the base's entries), so a caller writing
+        # into e.g. ``m["file_stats"][f]`` would silently corrupt every
+        # other reader's snapshot.  The read-only view turns that bug
+        # class into an immediate TypeError at zero copy cost; writers
+        # already build fresh dicts, and ``_commit`` serializes views
+        # via ``default=dict``.
+        for k in _PLANE_KEYS:
+            v = state.get(k)
+            if isinstance(v, dict):
+                state[k] = MappingProxyType(v)
         if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_MAX:
             _RESOLVE_CACHE.clear()
         _RESOLVE_CACHE[key] = state
@@ -291,7 +317,9 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     d = _manifest_dir(path)
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
-    tmp.write_text(json.dumps(manifest, indent=1))
+    # default=dict: plane values of manifests derived from a cached
+    # resolution ({**m, ...}) are read-only mapping views
+    tmp.write_text(json.dumps(manifest, indent=1, default=dict))
     target = d / f"v{version}.json"
     try:
         os.link(tmp, target)  # atomic, fails if target exists
@@ -435,8 +463,12 @@ def _bloom_positions(col: str, m: int, k: int):
     ``(h1 + i*h2) mod m`` from the two independent JVM hashes Spark
     ships (xxhash64 + murmur3) — deterministic across sessions, so the
     writer's committed bits and a reader's probe bits always agree.
-    NULL values hash to NULL and drop out (IN-list probes can't match
-    NULL anyway)."""
+    NULL values hash to the functions' SEED constants (Spark's
+    ``hash(NULL)``/``xxhash64(NULL)`` return the seed, they do not
+    propagate NULL), so NULL-bearing rows set one fixed bit pattern per
+    column at build time; readers filter NULL probe values out
+    (``IN`` never matches NULL), so those bits can only ever cost a
+    false-positive file open, never a wrong row."""
     from pyspark.sql import functions as F
 
     c = F.col(col)
@@ -1057,7 +1089,7 @@ def read_version_keyed(
             "read_version_pruned for zone-map range pruning"
         )
     col, n = bb[0], int(bb[1])
-    vals = list(values)
+    vals = [x for x in values if x is not None]  # IN never matches NULL
     if not vals:
         return _read_files(spark, path, [], m)
     full = StructType.fromJson(m["schema"])
@@ -1440,6 +1472,24 @@ def vacuum(
         live.update(m["files"])
         live.update(m.get("dv_files") or [])
     live |= _branch_live_files(path)
+    # Re-anchor retained DELTA manifests whose base commit is being
+    # dropped: rewrite them as their resolved full form (ascending, so
+    # a kept chain re-anchors once at its earliest survivor and later
+    # kept deltas keep chaining).  The one sanctioned in-place manifest
+    # rewrite — same logical content, new physical encoding.  This runs
+    # BEFORE anything is deleted: an unreadable kept manifest aborts
+    # the whole vacuum with zero damage, instead of leaving a retained
+    # delta pointing at an unlinked base.
+    drop = set(vs) - set(keep)
+    for v in keep:
+        mp = _manifest_dir(path) / f"v{v}.json"
+        raw = json.loads(mp.read_text())  # OSError → abort, nothing deleted
+        if raw.get("kind") == "delta" and raw["base"] in drop:
+            full = _read_manifest(path, v)
+            tmp = mp.with_suffix(".json.reanchor")
+            tmp.write_text(json.dumps(full, indent=1, default=dict))
+            os.replace(tmp, mp)
+            _uncache_version(path, v)
     deleted = []
     for root_name in ("data", "_deletes"):
         data_root = Path(path) / root_name
@@ -1464,23 +1514,6 @@ def vacuum(
                 elif leftover.is_dir():
                     leftover.rmdir()
             d.rmdir()
-    # Re-anchor retained DELTA manifests whose base commit is being
-    # dropped: rewrite them as their resolved full form (ascending, so
-    # a kept chain re-anchors once at its earliest survivor and later
-    # kept deltas keep chaining).  The one sanctioned in-place manifest
-    # rewrite — same logical content, new physical encoding.
-    drop = set(vs) - set(keep)
-    for v in keep:
-        mp = _manifest_dir(path) / f"v{v}.json"
-        try:
-            raw = json.loads(mp.read_text())
-        except OSError:
-            continue
-        if raw.get("kind") == "delta" and raw["base"] in drop:
-            full = _read_manifest(path, v)
-            tmp = mp.with_suffix(".json.reanchor")
-            tmp.write_text(json.dumps(full, indent=1))
-            os.replace(tmp, mp)
     for v in vs:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)

@@ -20,12 +20,23 @@ replaying a (start, end] range re-plans the same manifests and re-reads
 the same immutable files, which is the replayability contract
 Structured Streaming requires.
 
+Metadata-only commits (add/drop CHECK constraint — any commit whose
+data-file list AND delete-vector state are unchanged) are no-ops: they
+change what future writes must satisfy, not what rows exist, so the
+stream passes over them without raising (and without needing
+``skipChangeCommits``).  A checkpointed offset that has fallen behind
+the vacuum retention horizon RAISES (Delta's offset-behind-retention
+error): the trimmed manifests make the missed changes unreconstructable
+and re-emitting the surviving snapshot would silently duplicate every
+row the stream already delivered.
+
 Partition-column handling matches the batch reader: values are parsed
 from the Hive path through the COMMITTED schema (never re-inferred) and
 re-attached as constants; the hidden ``__bucket`` layout column stays
-hidden.  Row emission is tuple-based (file-at-a-time pyarrow read);
-switching to Arrow RecordBatch emission is the documented optimization
-if change volumes grow — the planning path is already O(new files).
+hidden.  Row emission is Arrow RecordBatches (file-at-a-time pyarrow
+read, cast to the committed schema — zero per-row Python on the fast
+path) with a tuple-per-row fallback for exotic types the cast path
+can't bridge; the planning path is O(new files) either way.
 """
 
 from __future__ import annotations
@@ -100,22 +111,50 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         out: list[_FilePartition] = []
         vs = versions(self.path)
-        prev_files: set[str] | None = None
+        sv = start["version"]
+        if vs and end["version"] > sv:
+            # Offset behind the vacuum retention horizon: version
+            # numbering starts at 1, so an offset sv needs manifest sv
+            # (its diff base) unless sv==0 streams the never-vacuumed
+            # full history.  When that base is gone the missed changes
+            # are unreconstructable — treating the earliest survivor as
+            # a pure append would silently re-emit the whole snapshot
+            # as duplicates, so RAISE instead (Delta's
+            # offset-behind-retention contract).
+            if (0 < sv < vs[0]) or (sv == 0 and vs[0] > 1):
+                raise ValueError(
+                    f"versioned_changes: checkpointed offset version "
+                    f"{sv} predates the earliest surviving manifest "
+                    f"v{vs[0]} at {self.path} — the intervening commits "
+                    "were vacuumed and cannot be replayed; restart the "
+                    "stream from a fresh checkpoint (rows before the "
+                    "retention horizon must be reprocessed explicitly)"
+                )
+        prev: dict | None = None
         for v in vs:
-            if v <= start["version"] or v > end["version"]:
+            if v <= sv or v > end["version"]:
                 continue
             m = _read_manifest(self.path, v)
-            if prev_files is None:
+            if prev is None:
                 pm = [pv for pv in vs if pv < v]
-                prev_files = (
-                    set(_read_manifest(self.path, pm[-1])["files"])
-                    if pm
-                    else set()
+                prev = (
+                    _read_manifest(self.path, pm[-1]) if pm else {"files": []}
                 )
             is_first = v == vs[0]
+            pf = set(prev["files"])
+            new_files = [f for f in m["files"] if f not in pf]
+            removed = [f for f in prev["files"] if f not in set(m["files"])]
+            dv_same = (m.get("dv_files") or []) == (
+                prev.get("dv_files") or []
+            ) and (m.get("dv_counts") or {}) == (prev.get("dv_counts") or {})
+            prev = m
+            if not is_first and not new_files and not removed and dv_same:
+                # metadata-only commit (add/drop-constraint, or any
+                # verb that touched neither data files nor delete
+                # vectors): no rows changed — pass over it instead of
+                # stalling the stream
+                continue
             is_append = m.get("mode") in _APPEND_MODES or is_first
-            new_files = [f for f in m["files"] if f not in prev_files]
-            prev_files = set(m["files"])
             if not is_append:
                 if not self.skip_change_commits:
                     raise ValueError(
@@ -134,12 +173,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         _partition_values(f, m["schema"]),
                     )
                 )
-        if prev_files is None and end["version"] > start["version"]:
+        if prev is None and end["version"] > sv:
             # range referenced versions that no longer exist (vacuumed):
             # honest error beats silently streaming nothing
             raise ValueError(
                 f"versioned_changes: no manifests in "
-                f"({start['version']}, {end['version']}] at {self.path}"
+                f"({sv}, {end['version']}] at {self.path}"
             )
         return out
 

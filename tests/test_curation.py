@@ -136,3 +136,24 @@ def test_hash_split_deterministic_salted_and_exhaustive(spark):
     }
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_hash_split_trailing_zero_fractions(spark):
+    """Edge the lexicographic CASE used to misroute: a trailing ZERO
+    fraction makes the cumulative threshold reach the full hex range,
+    where format() emits a 9-char string and every md5 starting a-f
+    compared greater — the clamp assigns the full-range split
+    everything and zero-fraction splits nothing."""
+    from _spark_multi_format_data_lake_pipeline_spark.llm.curation import hash_split
+
+    df = spark.range(0, 500).selectExpr("CAST(id AS string) AS doc_id")
+    a = hash_split(df, "doc_id", fractions={"train": 1.0, "test": 0.0})
+    assert a.groupBy("split").count().collect()[0]["split"] == "train"
+    assert a.filter("split = 'test'").count() == 0
+    # zero fraction in the MIDDLE: its threshold equals the previous
+    # one, so it captures nothing; the others keep their mass
+    b = hash_split(
+        df, "doc_id", fractions={"a": 0.5, "b": 0.0, "c": 0.5}
+    ).groupBy("split").count()
+    got = {r["split"]: r["count"] for r in b.collect()}
+    assert got.get("b", 0) == 0 and got["a"] + got["c"] == 500

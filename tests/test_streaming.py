@@ -886,3 +886,63 @@ def test_versioned_changes_stream_follows_appends(spark, tmp_path):
     ]
     assert sorted(r["id"] for r in rows) == list(range(100, 105))
     assert {r["day"] for r in rows} == {"d2"}
+
+
+def test_versioned_changes_metadata_only_commit_is_noop(spark, tmp_path):
+    """A metadata-only commit (add/drop CHECK constraint) changes what
+    future writes must satisfy, not what rows exist — the stream must
+    pass over it without raising and without skipChangeCommits, and
+    keep delivering later appends exactly once."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_check_constraint,
+        drop_check_constraint,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    versioned_write(mk(0), t)
+    add_check_constraint(spark, t, "id_nonneg", "id >= 0")  # v2: metadata only
+    versioned_write(mk(10), t)  # v3
+    drop_check_constraint(t, "id_nonneg")  # v4: metadata only
+    versioned_write(mk(20), t)  # v5
+    rd = VersionedChangesStreamReader({"path": t})
+    parts = rd.partitions({"version": 1}, {"version": 5})
+    rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == [10, 11, 12, 20, 21, 22]
+
+
+def test_versioned_changes_offset_behind_retention_raises(spark, tmp_path):
+    """After vacuum trims manifests past a lagging stream's offset, the
+    missed changes are unreconstructable: the source must RAISE (Delta's
+    offset-behind-retention), never silently re-emit the surviving
+    snapshot as duplicates.  Offsets at or after the earliest surviving
+    manifest keep streaming."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import vacuum, versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    for lo in (0, 10, 20, 30):
+        versioned_write(mk(lo), t)
+    vacuum(t, keep_last=2)  # manifests v1, v2 gone; vs = [3, 4]
+    rd = VersionedChangesStreamReader({"path": t})
+    # a checkpointed offset from before the horizon (v1, v2 diffs lost)
+    for behind in (0, 1, 2):
+        with pytest.raises(ValueError, match="retention|predates"):
+            rd.partitions({"version": behind}, {"version": 4})
+    # at/after the earliest survivor: exactly the v4 rows, no duplicates
+    parts = rd.partitions({"version": 3}, {"version": 4})
+    rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == [30, 31, 32]

@@ -1599,7 +1599,7 @@ def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
         m = _read_manifest(t, v)
         m["committed_at"] = m["committed_at"] - 7200.0
         (tmp_path / "tbl" / "_manifests" / f"v{v}.json").write_text(
-            json.dumps(m)
+            json.dumps(m, default=dict)  # plane values are frozen views
         )
     deleted = vacuum(t, keep_last=1, retain_hours=1.0)
     assert deleted and versions(t) == [3]
@@ -1654,3 +1654,195 @@ def test_branches_are_writable_and_vacuum_safe(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="invalid branch name"):
         create_branch(t, "a/b")
+
+
+# --- log-structured metadata plane: delta commits + checkpoints -------
+
+
+def _raw_manifest(t, v):
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(t) / "_manifests" / f"v{v}.json").read_text())
+
+
+def test_append_commit_bytes_independent_of_table_file_count(spark, tmp_path):
+    """THE scale property of the metadata plane: committing an append
+    writes O(changed files) of JSON, never O(table files) — a 1-file
+    append to a 64-file table and to a 2-file table must cost about the
+    same bytes, and both far less than the big table's full
+    checkpoint."""
+    from pathlib import Path
+
+    big, small = str(tmp_path / "big"), str(tmp_path / "small")
+    wide = spark.range(0, 6400).selectExpr("CAST(id AS int) AS id", "CAST(id AS string) AS v")
+    versioned_write(wide.repartition(64), big)
+    versioned_write(wide.limit(200).repartition(2), small)
+    one = spark.createDataFrame([(99999, "x")], "id int, v string").coalesce(1)
+    versioned_write(one, big)
+    versioned_write(one, small)
+    b2 = (Path(big) / "_manifests" / "v2.json").stat().st_size
+    s2 = (Path(small) / "_manifests" / "v2.json").stat().st_size
+    b1 = (Path(big) / "_manifests" / "v1.json").stat().st_size
+    assert _raw_manifest(big, 2).get("kind") == "delta"
+    assert _raw_manifest(small, 2).get("kind") == "delta"
+    # delta size tracks the CHANGE (1 file), not the table (64 vs 2
+    # files): the two deltas are within noise of each other and the big
+    # table's delta is a small fraction of its full checkpoint
+    assert b2 < 1.5 * s2 + 512
+    assert b2 < b1 / 5
+    # and the resolved snapshots still read exactly
+    assert read_version(spark, big).count() == 6401
+    assert read_version(spark, small).count() == 201
+
+
+def test_checkpoint_cadence_full_at_interval(spark, tmp_path):
+    """v1 and every _CHECKPOINT_INTERVAL-th version are FULL manifests
+    (legacy format, no 'kind'); everything between is a delta whose
+    base is the previous version — so a resolution chain is bounded by
+    the interval."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _CHECKPOINT_INTERVAL
+
+    t = str(tmp_path / "tbl")
+    n = 2 * _CHECKPOINT_INTERVAL + 1
+    for lo in range(0, n * 10, 10):
+        _write_ranged(spark, t, lo, n=2)
+    for v in versions(t):
+        raw = _raw_manifest(t, v)
+        if v == 1 or v % _CHECKPOINT_INTERVAL == 0:
+            assert "kind" not in raw, f"v{v} should be a full checkpoint"
+        else:
+            assert raw.get("kind") == "delta" and raw["base"] == v - 1
+    # every version still resolves and reads exactly
+    assert read_version(spark, t, 1).count() == 2
+    assert read_version(spark, t, n).count() == 2 * n
+
+
+def test_delta_resolution_equals_all_full_manifests(spark, tmp_path):
+    """Ground truth: rewrite every manifest of a cloned table dir as
+    its RESOLVED full form (the pre-delta legacy format), then compare
+    _read_manifest version by version — byte-identical logical state
+    proves delta encode/resolve loses nothing.  Covers appends, a
+    copy-on-write upsert, a DV delete and a metadata-only constraint
+    commit."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _RESOLVE_CACHE,
+        add_check_constraint,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        _write_ranged(spark, t, lo)
+    versioned_upsert(
+        spark.createDataFrame([(5, "UP"), (100, "NEW")], "id int, v string"),
+        t,
+        ["id"],
+    )
+    versioned_delete(spark, t, "id BETWEEN 20 AND 22", strategy="dv")
+    add_check_constraint(spark, t, "id_nonneg", "id >= 0")
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(t, legacy)
+    for v in versions(legacy):
+        full = _read_manifest(t, v)  # resolved through the delta chain
+        (Path(legacy) / "_manifests" / f"v{v}.json").write_text(
+            json.dumps(full, default=dict)
+        )
+    _RESOLVE_CACHE.clear()
+    for v in versions(t):
+        a, b = _read_manifest(t, v), _read_manifest(legacy, v)
+        assert a == b, f"v{v} resolution differs from all-full form"
+    # the legacy (all-full) table is a first-class table: reads match
+    # and a NEW commit on top of a full manifest delta-encodes cleanly
+    assert _rows(read_version(spark, legacy)) == _rows(read_version(spark, t))
+    _write_ranged(spark, legacy, 500)
+    assert _raw_manifest(legacy, versions(legacy)[-1]).get("kind") == "delta"
+    assert dict(_rows(read_version(spark, legacy)))[500] == "v500"
+
+
+def test_dv_delete_commits_as_delta_with_plane_entries(spark, tmp_path):
+    """A merge-on-read DV delete changes NO data files — its commit
+    must be a tiny delta whose 'entries' carry the per-file dv_counts,
+    and the resolved snapshot must apply the vectors exactly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0, n=10)
+    versioned_delete(spark, t, "id < 3", strategy="dv")
+    raw = _raw_manifest(t, 2)
+    assert raw.get("kind") == "delta"
+    assert raw["remove"] == [] and raw["append"] == []
+    assert any("dv_counts" in e for e in raw["entries"].values())
+    m = _read_manifest(t, 2)
+    assert sum((m.get("dv_counts") or {}).values()) == 3
+    assert _rows(read_version(spark, t)) == [(i, f"v{i}") for i in range(3, 10)]
+
+
+def test_vacuum_reanchors_kept_delta_and_invalidates_cache(spark, tmp_path):
+    """Vacuum dropping a delta's base rewrites the kept delta as its
+    resolved FULL form (re-anchoring) BEFORE deleting anything, drops
+    the version's resolve-cache entries, and later kept deltas keep
+    chaining; reads and time travel stay exact."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _RESOLVE_CACHE
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20, 30, 40):
+        _write_ranged(spark, t, lo)
+    assert _raw_manifest(t, 4).get("kind") == "delta"
+    _read_manifest(t, 4)  # populate the resolve cache
+    root = str(__import__("pathlib").Path(t).resolve())
+    old_keys = [k for k in _RESOLVE_CACHE if k[0] == root and k[1] == 4]
+    assert old_keys
+    vacuum(t, keep_last=2)
+    assert versions(t) == [4, 5]
+    # v4 re-anchored to full; v5 still a delta on v4
+    assert "kind" not in _raw_manifest(t, 4)
+    assert _raw_manifest(t, 5).get("kind") == "delta"
+    # the rewrite explicitly dropped the stale cached resolutions —
+    # even a same-size rewrite inside mtime granularity can't serve
+    # stale state in-process
+    assert all(k not in _RESOLVE_CACHE for k in old_keys)
+    assert read_version(spark, t, 4).count() == 40
+    assert read_version(spark, t, 5).count() == 50
+    # post-vacuum commits keep delta-encoding against the re-anchor
+    _write_ranged(spark, t, 50)
+    assert _raw_manifest(t, 6).get("kind") == "delta"
+    assert read_version(spark, t).count() == 60
+
+
+def test_vacuum_reanchor_preserves_branch_reads(spark, tmp_path):
+    """Re-anchoring interacts safely with branches: a branch cloned at
+    an early parent version keeps reading after the parent vacuums past
+    that version (branch file-pinning + parent re-anchoring are
+    independent planes)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_branch
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        _write_ranged(spark, t, lo)
+    b = create_branch(t, "dev")
+    for lo in (30, 40):
+        _write_ranged(spark, t, lo)
+    vacuum(t, keep_last=2)
+    assert versions(t) == [4, 5]
+    assert "kind" not in _raw_manifest(t, 4)  # re-anchored
+    assert read_version(spark, b).count() == 30  # branch pinned at v3
+    assert read_version(spark, t).count() == 50
+
+
+def test_read_version_keyed_ignores_null_probe_values(spark, tmp_path):
+    """NULL in the probe list: IN never matches NULL, so NULLs are
+    filtered before hashing/min-max (previously min/max over a
+    NULL-containing list raised TypeError)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_keyed
+
+    t = str(tmp_path / "tbl")
+    _write_ranged(spark, t, 0, bucket_by=("id", 4))
+    got = read_version_keyed(spark, t, [None, 3, None, 7])
+    assert sorted(r["id"] for r in got.collect()) == [3, 7]
+    assert read_version_keyed(spark, t, [None]).count() == 0
