@@ -56,6 +56,9 @@ _RECHECK = (
     "q239_versioned_bloom_lookup",
     "q241_versioned_clone_upsert",
     "q242_versioned_stream_follow",
+    # r10: apply_cdc_batch gained conditional-clause support (all-None
+    # path byte-identical, re-proven locally) — consumed-helper rule
+    "q118_cdc_apply",
 )
 
 

@@ -465,3 +465,71 @@ def q242_versioned_stream_follow(
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).parquet(out)
+
+
+@register(
+    "q244_versioned_conditional_merge",
+    oracle="""
+    -- conditional MERGE onto v1 = even keys:
+    --   WHEN MATCHED AND t.o_orderstatus = 'O' THEN UPDATE (price+1.0)
+    --     (changes: keys %6==0, %14<>0 — all even, so all matched)
+    --   WHEN MATCHED AND t.o_totalprice > 150000.0 THEN DELETE
+    --     (changes: keys %14==0; odd ones unmatched -> no-op)
+    --   WHEN NOT MATCHED AND s.o_totalprice < 100000.0 THEN INSERT
+    --     (changes: odd keys %5==0 — never matched)
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 6 = 0 AND o_orderkey % 14 <> 0
+                     AND o_orderstatus = 'O'
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 2 = 0
+           AND NOT (o_orderkey % 14 = 0 AND o_totalprice > 150000.0))
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+           AND o_totalprice < 100000.0)
+    """,
+    doc="End-to-end CONDITIONAL MERGE — the full Iceberg/Delta clause "
+        "surface (WHEN MATCHED AND <cond> THEN UPDATE / WHEN MATCHED "
+        "AND <cond> THEN DELETE / WHEN NOT MATCHED AND <cond> THEN "
+        "INSERT), of which the reference's unconditional UPDATE SET * / "
+        "INSERT * (utils/merge_utils.py:74-80) is the special case: "
+        "build a versioned table (v1 = even orders keys), apply one "
+        "I/U/D batch where updates fire only on status-'O' targets, "
+        "deletes only on totalprice>150000 matches ('delete only stale "
+        "matches'), inserts only on cheap unmatched rows — one "
+        "full-outer-join commit via "
+        "sinks/cdc.py::apply_cdc_batch clause predicates (t_/s_ "
+        "prefixed, pure JVM column math) under "
+        "sinks/versioned.py:versioned_apply_changes file confinement. "
+        "The driver hash checks every clause's fire/no-fire row "
+        "verbatim; the clause matrix is pinned in tests/test_cdc.py.",
+)
+def q244_versioned_conditional_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_apply_changes, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q244_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    updates = (
+        od.filter((k % 6 == 0) & (k % 14 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = od.filter((k % 2 == 1) & (k % 5 == 0)).withColumn(
+        "op", F.lit("I")
+    )
+    deletes = od.filter(k % 14 == 0).withColumn("op", F.lit("D"))
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    versioned_apply_changes(
+        changes,
+        t,
+        ["o_orderkey"],
+        matched_condition="t_o_orderstatus = 'O'",
+        not_matched_condition="s_o_totalprice < 100000.0",
+        matched_delete_condition="t_o_totalprice > 150000.0",
+    )
+    return read_version(spark, t)

@@ -31,6 +31,9 @@ def apply_cdc_batch(
     key_cols: Sequence[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    matched_delete_condition: str | None = None,
 ) -> DataFrame:
     """Next table state = target ⊳ changes (anti on keys) ∪ latest upserts.
 
@@ -41,6 +44,29 @@ def apply_cdc_batch(
     key — without it the winner is arbitrary, so it is required for
     correctness whenever upstream can emit multiple changes per key per
     batch.
+
+    The three optional conditions are the per-clause predicates of full
+    Iceberg/Delta MERGE (``WHEN MATCHED AND <cond> THEN UPDATE`` /
+    ``WHEN MATCHED AND <cond> THEN DELETE`` / ``WHEN NOT MATCHED AND
+    <cond> THEN INSERT``) — the reference's unconditional ``UPDATE SET *
+    / INSERT *`` form (reference utils/merge_utils.py:74-80) is the
+    all-``None`` special case.  Each is a SQL boolean expression over
+    the key columns (unprefixed) plus ``t_<col>`` (the CURRENT target
+    row) and ``s_<col>`` (the INCOMING change row) for every non-key
+    column — the ``target.<col>`` / ``source.<col>`` qualifiers of SQL
+    MERGE, spelled as prefixes so one flat row evaluates them:
+
+    - ``matched_condition``: a matched U/I change updates the row only
+      when TRUE; otherwise the target row stays unchanged.
+    - ``matched_delete_condition``: a matched D change deletes only
+      when TRUE ("delete only stale matches"); otherwise the row stays.
+    - ``not_matched_condition``: an unmatched U/I change inserts only
+      when TRUE; otherwise it is discarded.
+
+    NULL conditions (unknown) take no action, SQL's WHEN-clause
+    behavior.  With any condition set the plan is ONE full-outer join
+    on the keys — the same single shuffle the unconditional anti-join
+    path costs; per-row clause evaluation is pure JVM column math.
     """
     keys = list(key_cols)
     if seq_col is not None:
@@ -52,9 +78,58 @@ def apply_cdc_batch(
         )
     else:
         latest = changes
-    survivors = target.join(latest.select(*keys), keys, "left_anti")
-    upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
-    return survivors.unionByName(upserts)
+    if (
+        matched_condition is None
+        and not_matched_condition is None
+        and matched_delete_condition is None
+    ):
+        survivors = target.join(latest.select(*keys), keys, "left_anti")
+        upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
+        return survivors.unionByName(upserts)
+
+    payload = [c for c in target.columns if c not in keys]
+    t = target.select(
+        *keys,
+        *[F.col(c).alias(f"t_{c}") for c in payload],
+        F.lit(True).alias("_t_present"),
+    )
+    s = latest.select(
+        *keys,
+        *[F.col(c).alias(f"s_{c}") for c in payload],
+        F.col(op_col).alias("_s_op"),
+    )
+    j = t.join(s, keys, "full_outer")
+
+    def _cond(expr: str | None):
+        # SQL WHEN-clause semantics: only a provably-TRUE condition
+        # fires the clause; NULL (unknown) does not
+        return (
+            F.lit(True)
+            if expr is None
+            else F.coalesce(F.expr(expr), F.lit(False))
+        )
+
+    matched = F.col("_t_present").isNotNull() & F.col("_s_op").isNotNull()
+    deletes = matched & (F.col("_s_op") == "D") & _cond(
+        matched_delete_condition
+    )
+    take_source = (
+        matched & (F.col("_s_op") != "D") & _cond(matched_condition)
+    ) | (
+        F.col("_t_present").isNull()
+        & (F.col("_s_op") != "D")
+        & _cond(not_matched_condition)
+    )
+    emit = take_source | (F.col("_t_present").isNotNull() & ~deletes)
+    out_cols = [
+        F.col(c)
+        if c in keys
+        else F.when(take_source, F.col(f"s_{c}"))
+        .otherwise(F.col(f"t_{c}"))
+        .alias(c)
+        for c in target.columns
+    ]
+    return j.filter(emit).select(*out_cols)
 
 
 def table_diff(

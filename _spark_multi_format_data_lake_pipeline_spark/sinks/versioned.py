@@ -1827,6 +1827,9 @@ def versioned_apply_changes(
     op_col: str = "op",
     seq_col: str | None = None,
     prune_col: str | None = None,
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    matched_delete_condition: str | None = None,
 ) -> int:
     """Full MERGE with delete clause: apply an I/U/D change batch
     (``sinks/cdc.py::apply_cdc_batch`` schema — the target's columns
@@ -1844,7 +1847,17 @@ def versioned_apply_changes(
     are therefore no-ops by construction — correct, since a delete
     targets existing rows.  Commits even when the batch changes nothing
     (a new version with the same rows), keeping version numbering
-    aligned with batch application."""
+    aligned with batch application.
+
+    ``matched_condition`` / ``not_matched_condition`` /
+    ``matched_delete_condition`` are the per-clause predicates of full
+    Iceberg/Delta MERGE (``WHEN MATCHED AND <cond> THEN UPDATE/DELETE``,
+    ``WHEN NOT MATCHED AND <cond> THEN INSERT``) — SQL expressions over
+    the unprefixed key columns plus ``t_<col>`` (current row) /
+    ``s_<col>`` (incoming row); see ``sinks/cdc.py::apply_cdc_batch``.
+    The reference's unconditional MERGE (utils/merge_utils.py:74-80) is
+    the all-``None`` case; file confinement is unchanged — conditions
+    only restrict which confined rows act."""
     from .cdc import apply_cdc_batch
 
     keys = list(key_cols)
@@ -1854,9 +1867,20 @@ def versioned_apply_changes(
     spark = changes.sparkSession
     from pyspark.sql import functions as F
 
+    clause_kw = dict(
+        matched_condition=matched_condition,
+        not_matched_condition=not_matched_condition,
+        matched_delete_condition=matched_delete_condition,
+    )
     if not vs:
-        out = changes.filter(F.col(op_col) != "D").drop(
-            op_col, *( [seq_col] if seq_col else [] )
+        # first commit: every change row is unmatched — route through
+        # the same clause logic against an empty target so
+        # not_matched_condition gates the initial inserts too
+        target0 = changes.drop(
+            op_col, *([seq_col] if seq_col else [])
+        ).limit(0)
+        out = apply_cdc_batch(
+            target0, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw
         )
         return _write_snapshot(out, path, "upsert", carry_files=[])
     m = _read_manifest(path, vs[-1])
@@ -1866,7 +1890,9 @@ def versioned_apply_changes(
         m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
     )
     cur = _read_files(spark, path, candidates, m)
-    out = apply_cdc_batch(cur, changes, keys, op_col=op_col, seq_col=seq_col)
+    out = apply_cdc_batch(
+        cur, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw
+    )
     return _write_snapshot(out, path, "upsert", carry_files=untouched)
 
 

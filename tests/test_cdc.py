@@ -130,3 +130,70 @@ def test_table_diff_round_trip_property(spark):
         new = spark.createDataFrame(new_rows, "id int, s string, v double")
         applied = apply_cdc_batch(old, table_diff(old, new, ["id"]), ["id"])
         assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new_rows)), trial
+
+
+def test_cdc_conditional_merge_clause_matrix(spark):
+    """Full Iceberg/Delta conditional MERGE: per-clause predicates over
+    t_<col> (current row) / s_<col> (incoming row).  Matrix: matched
+    update fires / blocked, matched delete fires / blocked, unmatched
+    insert fires / blocked, unmatched delete is a no-op, NULL condition
+    takes no action."""
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k int, v string, n int",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "A", 100, "U"),   # matched U, s_n>t_n     -> update
+            (2, "B", 5, "U"),     # matched U, s_n<t_n     -> blocked
+            (3, None, None, "D"), # matched D, t_n>=30     -> delete
+            (4, "D2", 99, "U"),   # matched U, t_n NULL    -> cond NULL, no action
+            (5, "e", 50, "I"),    # unmatched I, s_n>=50   -> insert
+            (6, "f", 7, "I"),     # unmatched I, s_n<50    -> blocked
+            (7, None, None, "D"), # unmatched D            -> no-op
+        ],
+        "k int, v string, n int, op string",
+    )
+    out = apply_cdc_batch(
+        target,
+        changes,
+        ["k"],
+        matched_condition="s_n > t_n",
+        not_matched_condition="s_n >= 50",
+        matched_delete_condition="t_n >= 30",
+    )
+    got = {r.k: (r.v, r.n) for r in out.collect()}
+    assert got == {
+        1: ("A", 100),
+        2: ("b", 20),
+        4: ("d", None),
+        5: ("e", 50),
+    }
+    # all-None conditions == the unconditional fast path
+    uncond = apply_cdc_batch(target, changes, ["k"])
+    cond_equiv = apply_cdc_batch(
+        target, changes, ["k"],
+        matched_condition=None,
+        not_matched_condition=None,
+        matched_delete_condition=None,
+    )
+    assert {tuple(r) for r in uncond.collect()} == {
+        tuple(r) for r in cond_equiv.collect()
+    }
+
+
+def test_cdc_conditional_merge_with_seq_dedup(spark):
+    """Conditions compose with seq_col: the LAST change per key is
+    picked first, then its clause predicate decides."""
+    target = spark.createDataFrame([(1, "a", 10)], "k int, v string, n int")
+    changes = spark.createDataFrame(
+        [
+            (1, "x", 999, "U", 1),
+            (1, "y", 5, "U", 2),  # last change, but s_n<t_n -> blocked
+        ],
+        "k int, v string, n int, op string, seq int",
+    )
+    out = apply_cdc_batch(
+        target, changes, ["k"], seq_col="seq", matched_condition="s_n > t_n"
+    )
+    assert [(r.k, r.v, r.n) for r in out.collect()] == [(1, "a", 10)]

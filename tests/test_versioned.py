@@ -1846,3 +1846,41 @@ def test_read_version_keyed_ignores_null_probe_values(spark, tmp_path):
     got = read_version_keyed(spark, t, [None, 3, None, 7])
     assert sorted(r["id"] for r in got.collect()) == [3, 7]
     assert read_version_keyed(spark, t, [None]).count() == 0
+
+
+def test_versioned_apply_changes_conditional_clauses(spark, tmp_path):
+    """Conditional MERGE against a versioned table: clause predicates
+    gate updates/deletes/inserts through the same confined commit path;
+    the empty-table first commit routes inserts through
+    not_matched_condition too."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_apply_changes
+
+    t = str(tmp_path / "tbl")
+    # first commit on an empty table: only rows passing the insert gate
+    seed = spark.createDataFrame(
+        [(1, "a", 10, "I"), (2, "b", 200, "I"), (3, "c", 30, "I")],
+        "id int, v string, n int, op string",
+    )
+    versioned_apply_changes(
+        seed, t, ["id"], not_matched_condition="s_n < 100"
+    )
+    assert sorted(r.id for r in read_version(spark, t).collect()) == [1, 3]
+    # conditional clauses on an existing table (one op per key — no seq)
+    batch = spark.createDataFrame(
+        [
+            (1, "A", 99, "U"),
+            (3, "C", 5, "U"),
+            (4, "d", 40, "I"),
+            (5, "e", 500, "I"),
+        ],
+        "id int, v string, n int, op string",
+    )
+    versioned_apply_changes(
+        batch,
+        t,
+        ["id"],
+        matched_condition="s_n > t_n",
+        not_matched_condition="s_n < 100",
+    )
+    got = {r.id: (r.v, r.n) for r in read_version(spark, t).collect()}
+    assert got == {1: ("A", 99), 3: ("c", 30), 4: ("d", 40)}
