@@ -533,3 +533,62 @@ def q244_versioned_conditional_merge(
         matched_delete_condition="t_o_totalprice > 150000.0",
     )
     return read_version(spark, t)
+
+
+@register(
+    "q245_versioned_bloom_multi_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 100 = 0
+      AND o_totalprice IN (SELECT o_totalprice FROM orders
+                           WHERE o_custkey % 100 = 0
+                             AND o_orderkey % 3 = 0)
+    """,
+    doc="End-to-end MULTI-COLUMN bloom lookup (q239's conjunctive "
+        "sibling): create a versioned orders table clustered by ORDER "
+        "key (6 range files) with bloom_by=['o_custkey','o_totalprice'] "
+        "— two side columns the clustering spreads across every file — "
+        "then read_version_bloom_multi the (%100==0 customers) AND "
+        "(prices of keys %500==0) conjunction: probe bits for BOTH "
+        "columns are computed in ONE unioned JVM job, each file must "
+        "pass EVERY column's committed mask (false-positive rates "
+        "multiply, so the opened set shrinks toward fpp^2), and the "
+        "result equals the unpruned AND filter exactly — doubles "
+        "round-trip IEEE-exactly through collect/isin on both engines. "
+        "sinks/versioned.py:read_version_bloom_multi; AND-composition "
+        "file-open confinement is pinned in tests/test_versioned.py.",
+)
+def q245_versioned_bloom_multi_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version_bloom_multi, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q245_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    versioned_write(
+        od.repartitionByRange(6, "o_orderkey"),
+        t,
+        bloom_by=["o_custkey", "o_totalprice"],
+    )
+    custs = [
+        r["o_custkey"]
+        for r in od.filter(F.col("o_custkey") % 100 == 0)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    ]
+    prices = [
+        r["o_totalprice"]
+        for r in od.filter(
+            (F.col("o_custkey") % 100 == 0) & (F.col("o_orderkey") % 3 == 0)
+        )
+        .select("o_totalprice")
+        .distinct()
+        .collect()
+    ]
+    return read_version_bloom_multi(
+        spark, t, {"o_custkey": custs, "o_totalprice": prices}
+    )

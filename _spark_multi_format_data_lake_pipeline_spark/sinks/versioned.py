@@ -1133,7 +1133,33 @@ def read_version_bloom(
     the pruning tier for columns the layout does not cluster (the
     Delta/Iceberg bloom index contract): a needle lookup on a
     high-cardinality side column touches ~fpp of a 100 TB table's
-    files instead of all of them."""
+    files instead of all of them.  The single-column case of
+    :func:`read_version_bloom_multi`."""
+    return read_version_bloom_multi(spark, path, {col: values}, version)
+
+
+def read_version_bloom_multi(
+    spark: SparkSession,
+    path: str,
+    probes: dict[str, list],
+    version: int | None = None,
+) -> DataFrame:
+    """AND-composed multi-column bloom lookup with batched probes:
+    result is exactly ``read_version(...).filter(AND_c col_c IN
+    vals_c)``, opening only files that pass EVERY probed column's
+    bloom mask AND zone-map range — a conjunctive needle lookup
+    (customer X AND clerk Y) multiplies the per-column false-positive
+    rates, so the opened-file set shrinks toward fpp^n_cols of the
+    table.  All columns' probe bit positions are computed in ONE JVM
+    job (per-column frames cast to the committed types, unioned on a
+    common (col, positions) shape, single collect) — n_cols × n_values
+    probes never cost n jobs.  Per-column semantics match
+    :func:`read_version_bloom`: NULL probe values drop (IN never
+    matches NULL), an empty value list makes the conjunction
+    empty-by-definition (zero files), maskless files are
+    conservatively kept for that column."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -1145,40 +1171,57 @@ def read_version_bloom(
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(path, v)
     spec = m.get("bloom_by")
-    if not spec or col not in spec["cols"]:
-        raise ValueError(
-            f"table at {path} has no bloom index on {col!r}; "
-            f"bloom_by covers {spec['cols'] if spec else []}"
-        )
-    vals = [x for x in values if x is not None]  # IN never matches NULL
-    if not vals:
+    if not probes:
+        raise ValueError("read_version_bloom_multi: probes must be non-empty")
+    for col in probes:
+        if not spec or col not in spec["cols"]:
+            raise ValueError(
+                f"table at {path} has no bloom index on {col!r}; "
+                f"bloom_by covers {spec['cols'] if spec else []}"
+            )
+    vals = {
+        c: [x for x in pv if x is not None]  # IN never matches NULL
+        for c, pv in probes.items()
+    }
+    if any(not pv for pv in vals.values()):
         return _read_files(spark, path, [], m)
     full = StructType.fromJson(m["schema"])
-    vdf = spark.createDataFrame(
-        [(x,) for x in vals],
-        StructType([StructField(col, full[col].dataType)]),
-    )
-    probes = [
-        r["ps"]
-        for r in vdf.select(
-            _bloom_positions(col, int(spec["m"]), int(spec["k"])).alias("ps")
-        ).collect()
+    bm, bk = int(spec["m"]), int(spec["k"])
+    frames = [
+        spark.createDataFrame(
+            [(x,) for x in pv],
+            StructType([StructField(c, full[c].dataType)]),
+        ).select(
+            F.lit(c).alias("c"), _bloom_positions(c, bm, bk).alias("ps")
+        )
+        for c, pv in vals.items()
     ]
-    keep, _ = _candidate_split(m, col, min(vals), max(vals))
+    pos: dict[str, list] = {c: [] for c in vals}
+    for r in reduce(lambda a, b: a.unionByName(b), frames).collect():
+        pos[r["c"]].append(r["ps"])
+    # zone-map range split per column, intersected (manifest order kept)
+    keep = list(m["files"])
+    for c, pv in vals.items():
+        split, _ = _candidate_split(m, c, min(pv), max(pv))
+        allowed = set(split)
+        keep = [f for f in keep if f in allowed]
     blooms = m.get("bloom") or {}
-    kept: list[str] = []
-    for f in keep:
-        hexmask = blooms.get(f, {}).get(col)
+
+    def _passes(f: str, c: str) -> bool:
+        hexmask = blooms.get(f, {}).get(c)
         if hexmask is None:
-            kept.append(f)  # no mask committed → conservative keep
-            continue
+            return True  # no mask committed → conservative keep
         mask = int(hexmask, 16)
-        if any(
+        return any(
             ps and all(p is not None and (mask >> p) & 1 for p in ps)
-            for ps in probes
-        ):  # a NULL probe value never matches (neither does IN)
-            kept.append(f)
-    return _read_files(spark, path, kept, m).filter(F.col(col).isin(vals))
+            for ps in pos[c]
+        )
+
+    kept = [f for f in keep if all(_passes(f, c) for c in vals)]
+    pred = reduce(
+        lambda a, b: a & b, [F.col(c).isin(pv) for c, pv in vals.items()]
+    )
+    return _read_files(spark, path, kept, m).filter(pred)
 
 
 def _bucket_confine(
@@ -1278,7 +1321,9 @@ def rollback(path: str, to_version: int) -> int:
     return _commit_state(path, manifest, _read_manifest(path, vs[-1]))
 
 
-def clone_table(src: str, dst: str, version: int | None = None) -> int:
+def clone_table(
+    src: str, dst: str, version: int | None = None, deep: bool = False
+) -> int:
     """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``, Iceberg
     snapshot-ref semantics): commit ``dst`` v1 as a metadata-only copy
     of ``src``'s snapshot — the manifest carries every file entry
@@ -1295,7 +1340,23 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     left).  The zero-copy caveat is Delta's, documented not hidden:
     ``vacuum`` on the SOURCE can reclaim files a live clone still
     references — vacuum sources only when their clones are
-    materialized or disposable."""
+    materialized or disposable.
+
+    ``deep=True`` is SNAPSHOT EXPORT (Delta ``DEEP CLONE``): the live
+    file set — data files AND delete-vector parquet, each resolved
+    through its current ``file_base`` — is COPIED under ``dst`` at the
+    same relative paths (so every per-file manifest entry stays valid
+    verbatim) and the committed manifest carries no ``file_base`` at
+    all.  The export is a self-contained table on any root, including a
+    different lake/filesystem: replication's escape hatch for the
+    vacuum-on-source caveat above.  Files are copied BEFORE the commit
+    (the manifest link stays the atomicity point — a crash mid-copy
+    leaves no committed table, only reclaimable bytes), in a thread
+    pool since the work is pure I/O.  This is the ONE deliberately
+    byte-moving verb of the clone family — at warehouse scale it is
+    DistCp-shaped (cost = snapshot bytes), which is exactly Delta's
+    deep-clone economics; everything incremental should use
+    ``read_changes`` ∘ ``versioned_apply_changes`` instead."""
     import time
 
     vs = versions(src)
@@ -1314,11 +1375,26 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
     manifest = {
         **m,
         "version": 1,
-        "mode": f"clone:{src_abs}@v{v}",
+        "mode": (
+            f"export:{src_abs}@v{v}" if deep else f"clone:{src_abs}@v{v}"
+        ),
         "committed_at": time.time(),
         "file_base": file_base,
     }
     manifest.pop("txn_id", None)
+    if deep:
+        import shutil
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cp(f: str) -> None:
+            out = Path(dst) / f
+            out.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(Path(file_base[f]) / f, out)
+
+        live = list(m["files"]) + list(m.get("dv_files") or [])
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(_cp, live))  # list() surfaces the first error
+        manifest.pop("file_base")
     _commit(dst, 1, manifest)
     return 1
 

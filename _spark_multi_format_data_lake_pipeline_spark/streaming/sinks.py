@@ -756,3 +756,135 @@ def stream_quarantine_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming drift monitor (PSI / JSD vs a fixed reference) ---------
+
+
+def drift_bin_expr(col: str, edges: list | None):
+    """The binning expression shared by the batch PSI query (q240,
+    queries/affinity.py) and the streaming fold: with ``edges`` (the
+    reference period's quantile cuts, ascending), bin = 1 + #(value >
+    edge) — pure JVM comparisons, no width_bucket divergence; without
+    edges the column IS the bin (categorical drift, q124/q234's
+    shape)."""
+    from pyspark.sql import functions as F
+
+    if edges is None:
+        return F.col(col).cast("string")
+    b = F.lit(1)
+    for e in edges:
+        b = b + (F.col(col) > F.lit(e)).cast("int")
+    return b.cast("string")
+
+
+def fold_drift_batch(
+    batch_spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    target_table: str,
+    col: str,
+    edges: list | None = None,
+) -> None:
+    """Fold one micro-batch's per-bin counts into the persisted drift
+    monitor, exactly once: counts ADD across batches (CMS-counter
+    algebra), so each batch's partial lands in its own ``batch_id``
+    partition via ``_fold_partitioned`` and a foreachBatch replay
+    rewrites the same partition with identical content. Module-level so
+    tests can drive a replay directly."""
+    from pyspark.sql import functions as F
+
+    partial = (
+        batch_df.select(drift_bin_expr(col, edges).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    _fold_partitioned(batch_spark, partial, target_table)
+
+
+def drift_stream_merged(spark, target_table: str) -> DataFrame:
+    """The queryable observed histogram: per-bin totals over all folded
+    batches — identical to one groupBy over the full history, without
+    rescanning it (proven by the converges-to-batch test)."""
+    from pyspark.sql import functions as F
+
+    return spark.table(target_table).groupBy("bin").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def drift_report(cur: DataFrame, ref: DataFrame) -> DataFrame:
+    """Score the OBSERVED (streamed) histogram against the REFERENCE
+    one: per-bin PSI terms with the batch twin's +0.5/+5.0 Laplace
+    smoothing (q240 — an emptied bin stays finite) and exact JSD terms
+    (zeros need no smoothing: p=0 term is 0, q=0 term is p*ln2; sums
+    are bounded by ln2).  Inputs are (bin, n) DataFrames — ``cur``
+    from ``drift_stream_merged``, ``ref`` from one groupBy of the
+    reference period (or a persisted baseline).  Plan: full outer join
+    on bin + two 1-row broadcast totals — O(bins), never O(rows);
+    ``sum(psi_term)`` / ``sum(jsd_term)`` give the headline indices."""
+    from pyspark.sql import functions as F
+
+    c = cur.select("bin", F.col("n").cast("double").alias("c_cur"))
+    r = ref.select("bin", F.col("n").cast("double").alias("c_ref"))
+    j = c.join(r, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("c_cur", F.lit(0.0)).alias("c_cur"),
+        F.coalesce("c_ref", F.lit(0.0)).alias("c_ref"),
+    )
+    t = j.agg(
+        F.sum("c_cur").alias("n_cur"), F.sum("c_ref").alias("n_ref")
+    )
+    j = j.crossJoin(F.broadcast(t))
+    p_s = (F.col("c_cur") + F.lit(0.5)) / (F.col("n_cur") + F.lit(5.0))
+    q_s = (F.col("c_ref") + F.lit(0.5)) / (F.col("n_ref") + F.lit(5.0))
+    p = F.col("c_cur") / F.col("n_cur")
+    q = F.col("c_ref") / F.col("n_ref")
+    jsd_p = F.when(
+        F.col("c_cur") > 0, p * F.log(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0))
+    jsd_q = F.when(
+        F.col("c_ref") > 0, q * F.log(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "bin",
+        F.col("c_ref").cast("bigint").alias("n_ref"),
+        F.col("c_cur").cast("bigint").alias("n_cur"),
+        ((p_s - q_s) * F.log(p_s / q_s)).alias("psi_term"),
+        (F.lit(0.5) * (jsd_p + jsd_q)).alias("jsd_term"),
+    )
+
+
+def stream_drift_sink(
+    stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    col: str,
+    edges: list | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch incremental drift monitor — the streaming fold of
+    the batch PSI/JSD twins (q240 numeric deciles-of-reference, q234's
+    categorical shape): every micro-batch reduces to per-bin counts
+    (map-side, O(bins) rows) folded exactly-once into ``target_table``;
+    ``drift_report(drift_stream_merged(...), ref)`` scores the stream's
+    full observed history against the fixed reference at any moment
+    without rescanning it.  ``edges`` = the reference quantile cuts for
+    numeric drift (computed ONCE from the reference period — PSI's
+    defining move); None = categorical (the column's values are the
+    bins)."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_drift_batch(
+            batch_df.sparkSession, batch_df, batch_id, target_table, col, edges
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -946,3 +946,92 @@ def test_versioned_changes_offset_behind_retention_raises(spark, tmp_path):
     parts = rd.partitions({"version": 3}, {"version": 4})
     rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
     assert sorted(r["id"] for r in rows) == [30, 31, 32]
+
+
+def test_stream_drift_converges_and_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Streaming drift monitor: the per-batch bin-count fold must (a)
+    converge to the one-pass batch histogram — so drift_report over the
+    merged stream equals the report over the full current period in one
+    batch — and (b) be a no-op under a foreachBatch replay (counts ADD;
+    partition overwrite is the exactly-once design).  Numeric PSI path
+    (reference decile edges) and categorical JSD path both covered."""
+    import math
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        drift_bin_expr,
+        drift_report,
+        drift_stream_merged,
+        fold_drift_batch,
+        stream_drift_sink,
+    )
+
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    ref = od.filter(F.col("o_totalprice") <= 100000.0)
+    cur = od.filter(F.col("o_totalprice") > 100000.0)
+    edges = list(
+        ref.agg(
+            *[F.percentile("o_totalprice", i / 10.0) for i in range(1, 10)]
+        ).collect()[0]
+    )
+    src = tmp_path / "drift_src"
+    cur.filter(F.pmod(F.xxhash64(F.col("o_totalprice").cast("string")), F.lit(3)) == 0).coalesce(1).write.parquet(str(src / "a"))
+    cur.filter(F.pmod(F.xxhash64(F.col("o_totalprice").cast("string")), F.lit(3)) == 1).coalesce(1).write.parquet(str(src / "b"))
+    cur.filter(F.pmod(F.xxhash64(F.col("o_totalprice").cast("string")), F.lit(3)) == 2).coalesce(1).write.parquet(str(src / "c"))
+    tbl = f"drift_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_drift_sink(
+        stream, tbl, str(tmp_path / "ckpt"), "o_totalprice", edges=edges
+    )
+    q.awaitTermination()
+
+    ref_hist = ref.select(
+        drift_bin_expr("o_totalprice", edges).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    cur_hist_batch = cur.select(
+        drift_bin_expr("o_totalprice", edges).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+    got = sorted(
+        map(tuple, drift_report(drift_stream_merged(spark, tbl), ref_hist).collect())
+    )
+    want = sorted(map(tuple, drift_report(cur_hist_batch, ref_hist).collect()))
+    assert got == want
+    # the shifted-right current period must show real drift, finite terms
+    psi = sum(r[3] for r in got)
+    jsd = sum(r[4] for r in got)
+    assert psi > 0.1 and math.isfinite(psi)
+    assert 0.0 < jsd <= math.log(2.0) + 1e-9
+
+    # replay the last folded batch: partition overwrite must be a no-op
+    last_batch = spark.table(tbl).agg(F.max("batch_id")).collect()[0][0]
+    part_c = spark.read.parquet(str(src / "c"))
+    fold_drift_batch(spark, part_c, last_batch, tbl, "o_totalprice", edges)
+    again = sorted(
+        map(tuple, drift_report(drift_stream_merged(spark, tbl), ref_hist).collect())
+    )
+    assert again == got
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # categorical path: bins are the values themselves; disjoint bins
+    # exercise the q=0 (p*ln2) and p=0 (0) JSD branches exactly
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "v string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "v string")
+    rep = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["jsd_term"])
+        for r in drift_report(
+            b.groupBy(F.col("v").alias("bin")).agg(F.count(F.lit(1)).alias("n")),
+            a.groupBy(F.col("v").alias("bin")).agg(F.count(F.lit(1)).alias("n")),
+        ).collect()
+    }
+    assert set(rep) == {"x", "y", "z"}
+    assert rep["y"][1] == 0 and rep["z"][0] == 0
+    total_jsd = sum(v[2] for v in rep.values())
+    assert 0.0 < total_jsd <= math.log(2.0) + 1e-9

@@ -1884,3 +1884,102 @@ def test_versioned_apply_changes_conditional_clauses(spark, tmp_path):
     )
     got = {r.id: (r.v, r.n) for r in read_version(spark, t).collect()}
     assert got == {1: ("A", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_deep_clone_exports_self_contained_snapshot(spark, tmp_path):
+    """clone_table(deep=True) = snapshot EXPORT: the live file set
+    (including DV parquet and files a shallow clone was still reading
+    from its source) is materialized under dst at the same relative
+    paths, file_base is gone, and vacuuming the source afterwards
+    cannot break the export — the documented shallow-clone caveat,
+    closed."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        clone_table,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    src = str(tmp_path / "lakeA" / "tbl")
+    for lo in (0, 10):
+        _write_ranged(spark, src, lo)
+    versioned_delete(spark, src, "id IN (3, 4)", strategy="dv")  # DV files
+    # an intermediate SHALLOW clone that still reads src in place
+    mid = str(tmp_path / "lakeA" / "mid")
+    clone_table(src, mid)
+    versioned_upsert(
+        spark.createDataFrame([(100, "MID")], "id int, v string"), mid, ["id"]
+    )
+    expect = _rows(read_version(spark, mid))
+    # export the shallow clone into a DIFFERENT lake root
+    dst = str(tmp_path / "lakeB" / "tbl")
+    clone_table(mid, dst, deep=True)
+    m = _read_manifest(dst, 1)
+    assert "file_base" not in m and m["mode"].startswith("export:")
+    assert _rows(read_version(spark, dst)) == expect
+    # destroy the source lake entirely: the export still reads
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "lakeA"))
+    assert _rows(read_version(spark, dst)) == expect
+    # and the export is a first-class table: it takes new commits
+    versioned_upsert(
+        spark.createDataFrame([(200, "B")], "id int, v string"), dst, ["id"]
+    )
+    assert dict(_rows(read_version(spark, dst)))[200] == "B"
+
+
+def test_bloom_multi_column_and_composition(spark, tmp_path):
+    """read_version_bloom_multi: AND-composed probes open only files
+    passing EVERY column's mask — a cross-file conjunction (v in file
+    A, w in file C only) opens (almost surely) nothing, and the result
+    always equals the full AND filter; probe positions for all columns
+    come from ONE unioned job."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_bloom,
+        read_version_bloom_multi,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, tag: spark.createDataFrame(
+        [(lo + i, f"{tag}{i}", f"w{tag}{i}") for i in range(10)],
+        "id int, v string, w string",
+    ).coalesce(1)
+    versioned_write(mk(0, "a"), t, bloom_by=["v", "w"])
+    versioned_write(mk(10, "b"), t)
+    versioned_write(mk(20, "c"), t)
+    m = _read_manifest(t, 3)
+    assert all(
+        set(m["bloom"][f]) == {"v", "w"} for f in m["files"]
+    )
+    # conjunction satisfiable in exactly one file
+    got = read_version_bloom_multi(spark, t, {"v": ["b3"], "w": ["wb3"]})
+    assert [(r.id, r.v, r.w) for r in got.collect()] == [(13, "b3", "wb3")]
+    opened = {
+        f for f in m["files"] if any(u.endswith(f) for u in got.inputFiles())
+    }
+    assert len(opened) == 1
+    # cross-file conjunction: v lives in the a-file, w in the c-file —
+    # AND-composition prunes everything a single column could not
+    cross = read_version_bloom_multi(spark, t, {"v": ["a1"], "w": ["wc5"]})
+    assert cross.count() == 0 and len(cross.inputFiles()) == 0
+    single = read_version_bloom(spark, t, "v", ["a1"])
+    assert len(single.inputFiles()) == 1  # one column alone keeps a file
+    # exactness vs the unpruned AND filter on a multi-value batch
+    batch = read_version_bloom_multi(
+        spark, t, {"v": ["a1", "c9", "nope"], "w": ["wa1", "wc9"]}
+    )
+    want = read_version(spark, t).filter(
+        "v IN ('a1', 'c9', 'nope') AND w IN ('wa1', 'wc9')"
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # empty-after-NULL-filter list: conjunction is empty by definition
+    assert (
+        read_version_bloom_multi(spark, t, {"v": ["a1"], "w": [None]}).count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no bloom index"):
+        read_version_bloom_multi(spark, t, {"id": [1]})
