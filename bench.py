@@ -141,6 +141,8 @@ HEADLINE = [
     "q240_psi_price_drift",
     "q241_versioned_clone_upsert",
     "q243_sprt_sequential",
+    "q244_versioned_conditional_merge",
+    "q245_versioned_bloom_multi_lookup",
 ]
 
 
