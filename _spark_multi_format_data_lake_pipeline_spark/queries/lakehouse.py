@@ -592,3 +592,248 @@ def q245_versioned_bloom_multi_lookup(
     return read_version_bloom_multi(
         spark, t, {"o_custkey": custs, "o_totalprice": prices}
     )
+
+
+@register(
+    "q246_versioned_compact_dv_zorder",
+    oracle="""
+    -- two appends (%4==0, %4==1), a DELETION-VECTOR delete of %20==0
+    -- (a subset of the first append), then OPTIMIZE ZORDER: the
+    -- compacted snapshot materializes the vectors and must hold
+    -- exactly the surviving rows, byte-identical prices
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 20 <> 0
+    """,
+    doc="End-to-end OPTIMIZE ZORDER over deletion vectors: two append "
+        "commits (orders keys %4==0 then %4==1), a strategy='dv' "
+        "row-level delete of %20==0 (write cost O(matched rows) — the "
+        "side file under _deletes/, every data file carried verbatim), "
+        "then compact(zorder_cols=[o_totalprice]) which materializes "
+        "the outstanding vectors back into plain parquet re-clustered "
+        "along the z-curve, exactly Delta's REORG TABLE ... APPLY "
+        "(PURGE) + OPTIMIZE ZORDER. The driver hash checks the "
+        "materialized snapshot — a vector applied twice, dropped, or a "
+        "compaction bin losing rows surfaces directly. "
+        "sinks/versioned.py:compact / _delete_with_vectors / "
+        "_apply_delete_vectors; zone-map tightening and DV carry "
+        "semantics are pinned in tests/test_versioned.py.",
+)
+def q246_versioned_compact_dv_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import compact, read_version, versioned_delete, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q246_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 4 == 0).repartition(3), t)
+    versioned_write(od.filter(k % 4 == 1).repartition(3), t)
+    versioned_delete(spark, t, "o_orderkey % 20 = 0", strategy="dv")
+    compact(spark, t, zorder_cols=["o_totalprice"])
+    return read_version(spark, t)
+
+
+@register(
+    "q247_versioned_rollback_append",
+    oracle="""
+    -- v1=%3==0, v2 appends %3==1, v3 = ROLLBACK to v1 (append-only
+    -- history: a NEW commit whose state equals v1), v4 appends %3==2:
+    -- the %3==1 rows are gone, both other residues present once
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 2)
+    """,
+    doc="End-to-end ROLLBACK as append-only history (Iceberg rollback "
+        "snapshot semantics): append orders keys %3==0 (v1) and %3==1 "
+        "(v2), rollback(to_version=1) — a NEW v3 manifest carrying v1's "
+        "file set, no file deleted, v2 still time-travelable — then "
+        "append %3==2 on top (v4). The final read must hold residues "
+        "{0,2} exactly once and none of the rolled-back %3==1 rows; a "
+        "rollback that mutated history in place, carried v2 files, or "
+        "broke the post-rollback delta-manifest chain surfaces in the "
+        "hash. sinks/versioned.py:rollback; txn-ledger and "
+        "read_as_of-clock interactions are pinned in "
+        "tests/test_versioned.py.",
+)
+def q247_versioned_rollback_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, rollback, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q247_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 3 == 0).repartition(2), t)
+    versioned_write(od.filter(k % 3 == 1).repartition(2), t)
+    rollback(t, 1)
+    versioned_write(od.filter(k % 3 == 2).repartition(2), t)
+    return read_version(spark, t)
+
+
+@register(
+    "q248_versioned_branch_isolation",
+    oracle="""
+    -- parent v1 = even keys; branch 'dev' deletes price>150000 rows;
+    -- parent then appends odd %3==0 rows. Each side sees ONLY its own
+    -- mutation: dev = even & cheap, main = even + (odd %3==0)
+    SELECT 'dev' AS src, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_totalprice <= 150000.0
+    UNION ALL
+    SELECT 'main' AS src, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+    """,
+    doc="End-to-end WRITABLE BRANCH isolation (Iceberg branch "
+        "semantics): parent table v1 = even orders keys, "
+        "create_branch('dev') — a zero-copy table under "
+        "_branches/dev whose manifest file_base-references the parent "
+        "snapshot — then DIVERGE both sides: a copy-on-write DELETE of "
+        "o_totalprice>150000 on the branch, an append of odd %3==0 "
+        "keys on the parent. The returned union (src-tagged) must show "
+        "the branch holding only cheap even rows (its delete rewrote "
+        "parent-referenced files into branch-local ones) while main "
+        "holds every even row at full price plus its own append — any "
+        "leak in either direction flips rows between the two groups. "
+        "sinks/versioned.py:create_branch / _branch_live_files; "
+        "vacuum-safety of parent files live in branch manifests is "
+        "pinned in tests/test_versioned.py.",
+)
+def q248_versioned_branch_isolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import create_branch, read_version, versioned_delete, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q248_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 2 == 0).repartition(3), t)
+    dev = create_branch(t, "dev")
+    versioned_delete(spark, dev, "o_totalprice > 150000.0")
+    versioned_write(od.filter((k % 2 == 1) & (k % 3 == 0)), t)
+    return (
+        read_version(spark, dev)
+        .select(F.lit("dev").alias("src"), "o_orderkey", "o_totalprice")
+        .unionByName(
+            read_version(spark, t).select(
+                F.lit("main").alias("src"), "o_orderkey", "o_totalprice"
+            )
+        )
+    )
+
+
+@register(
+    "q249_versioned_constraint_gate",
+    oracle="""
+    -- v1 = even keys; CHECK (o_totalprice > 0) added; an append whose
+    -- prices were negated is REJECTED whole (no partial commit); the
+    -- clean %5==0 odd append lands; after DROP CONSTRAINT a %7==0 odd
+    -- append (disjoint from the %5 set) lands unchecked
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+           AND o_orderkey % 5 <> 0)
+    """,
+    doc="End-to-end CHECK-constraint lifecycle (Delta ALTER TABLE ADD "
+        "CONSTRAINT): v1 = even orders keys, add_check_constraint "
+        "validates existing data then persists CHECK(o_totalprice>0) "
+        "as a metadata-only commit; an append of price-NEGATED odd "
+        "%5==0 rows must raise CheckConstraintViolation BEFORE any "
+        "data file is written (the caught failure leaves no partial "
+        "version); the same rows un-negated then commit; "
+        "drop_check_constraint (metadata-only) re-opens the gate and "
+        "a disjoint odd %7==0 append lands unchecked. The driver hash "
+        "proves the rejected batch left zero rows and the accepted "
+        "ones landed exactly once. sinks/versioned.py:"
+        "add_check_constraint / _validate_constraints / "
+        "drop_check_constraint; TRUE-or-NULL pass semantics are pinned "
+        "in tests/test_versioned.py.",
+)
+def q249_versioned_constraint_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        CheckConstraintViolation,
+        add_check_constraint,
+        drop_check_constraint,
+        read_version,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q249_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 2 == 0).repartition(2), t)
+    add_check_constraint(spark, t, "price_pos", "o_totalprice > 0")
+    clean = od.filter((k % 2 == 1) & (k % 5 == 0))
+    poisoned = clean.withColumn("o_totalprice", -F.col("o_totalprice"))
+    try:
+        versioned_write(poisoned, t)
+        raise AssertionError("constraint gate did not fire")
+    except CheckConstraintViolation:
+        pass
+    versioned_write(clean, t)
+    drop_check_constraint(t, "price_pos")
+    versioned_write(od.filter((k % 2 == 1) & (k % 7 == 0) & (k % 5 != 0)), t)
+    return read_version(spark, t)
+
+
+@register(
+    "q250_versioned_deep_clone_export",
+    oracle="""
+    -- src = even keys minus a DV-deleted %20==0 subset, deep-cloned to
+    -- an external root, then src is upserted AND vacuumed to
+    -- keep_last=1: the export must still read the clone-time snapshot
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 20 <> 0
+    """,
+    doc="End-to-end DEEP CLONE export (snapshot replication between "
+        "lakes, q241's materializing sibling): src v1 = even orders "
+        "keys (4 range files), v2 = a strategy='dv' delete of %20==0 "
+        "(live snapshot now includes a delete-vector side file the "
+        "export must carry), clone_table(deep=True) copies the "
+        "resolved live file set — data AND dv parquet — under the "
+        "destination root with NO file_base mapping, then the source "
+        "is upserted (%6==0, price+9) and vacuum(keep_last=1)ed, which "
+        "would break a shallow clone (the documented caveat this verb "
+        "closes). The export read must still equal the clone-time "
+        "snapshot: original prices, deleted rows absent. "
+        "sinks/versioned.py:clone_table deep=True; cross-root "
+        "round-trip and source-destruction safety are pinned in "
+        "tests/test_versioned.py.",
+)
+def q250_versioned_deep_clone_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        clone_table,
+        read_version,
+        vacuum,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    base = tempfile.mkdtemp(prefix="q250_vtbl_")
+    src, dst = base + "/src", base + "/exported"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), src
+    )
+    versioned_delete(spark, src, "o_orderkey % 20 = 0", strategy="dv")
+    clone_table(src, dst, deep=True)
+    versioned_upsert(
+        od.filter(k % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(9.0)
+        ),
+        src,
+        ["o_orderkey"],
+    )
+    vacuum(src, keep_last=1)
+    return read_version(spark, dst)

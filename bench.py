@@ -143,6 +143,11 @@ HEADLINE = [
     "q243_sprt_sequential",
     "q244_versioned_conditional_merge",
     "q245_versioned_bloom_multi_lookup",
+    "q246_versioned_compact_dv_zorder",
+    "q247_versioned_rollback_append",
+    "q248_versioned_branch_isolation",
+    "q249_versioned_constraint_gate",
+    "q250_versioned_deep_clone_export",
 ]
 
 
