@@ -238,6 +238,32 @@ def _ingest_benchmarks(spark) -> dict[str, float]:
     return out
 
 
+def _host_probe() -> dict[str, float]:
+    """Fixed deterministic CPU workloads timed on the bare host.
+
+    The recorded suite totals stepped ~1.2x between two rounds with
+    byte-identical code, data, and plans; an A/B rerun of the old
+    checkout on the new host state reproduced the inflation exactly
+    (SCALING.md "Bench host variance, root-caused"). These two numbers
+    — single-thread interpreter speed and threaded BLAS throughput —
+    let any consumer of BENCH_r{N}.json normalize suite totals across
+    rounds instead of re-litigating host drift per query.
+    """
+    import numpy as np
+
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    py_ms = (time.time() - t0) * 1e3
+    a = np.full((1024, 1024), 1.0002)
+    t0 = time.time()
+    for _ in range(5):
+        a = np.clip(a @ a, 0.5, 1.5)
+    np_ms = (time.time() - t0) * 1e3
+    return {"py_loop_ms": round(py_ms, 1), "np_matmul_ms": round(np_ms, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -280,7 +306,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     ingest = {k: v for k, v in timings.items() if k.startswith("ingest_")}
+    try:
+        host_probe = _host_probe()
+    except Exception:  # noqa: BLE001
+        host_probe = {}
     detail = {
+        "host_probe": host_probe,
         "metric": "headline_suite_seconds_detail",
         "value": total if not errors else None,
         "unit": "sec",
@@ -320,6 +351,7 @@ def main() -> None:
                 "cold_total": cold_total if not errors else None,
                 "n_errors": len(errors),
                 "detail_file": side,
+                "host_probe": host_probe,
                 "sf": sf,
             }
         )
