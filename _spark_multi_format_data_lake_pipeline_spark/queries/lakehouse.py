@@ -837,3 +837,99 @@ def q250_versioned_deep_clone_export(
     )
     vacuum(src, keep_last=1)
     return read_version(spark, dst)
+
+
+@register(
+    "q251_versioned_tag_retention",
+    oracle="""
+    -- v1 (%3==0) tagged 'release', then two OVERWRITES (%3==1, %3==2)
+    -- and vacuum keep_last=1: the untagged middle snapshot is
+    -- reclaimed, the tag pins v1's manifest AND data files
+    SELECT 'tagged' AS src, o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'current' AS src, o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    doc="End-to-end TAG retention protection (Iceberg tags): v1 = "
+        "orders keys %3==0, create_tag('release'), then two OVERWRITE "
+        "commits (%3==1, then %3==2 — fresh file lists, no carry) and "
+        "vacuum(keep_last=1). Only the latest manifest survives "
+        "keep_last, but the tag pins v1: its manifest and data files "
+        "must survive the reclamation that deletes the untagged v2's. "
+        "The src-tagged union hash-checks BOTH the pinned snapshot "
+        "(full original content through read_tag, 'VERSION AS OF "
+        "release') and the current one — a vacuum that reclaimed a "
+        "tagged file or spared the untagged middle commit's rows "
+        "surfaces directly. sinks/versioned.py:create_tag / read_tag / "
+        "vacuum tag-liveness; write-once tag semantics are pinned in "
+        "tests/test_versioned.py.",
+)
+def q251_versioned_tag_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import create_tag, read_tag, read_version, vacuum, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q251_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 3 == 0).repartition(2), t)
+    create_tag(t, "release")
+    versioned_write(od.filter(k % 3 == 1), t, mode="overwrite")
+    versioned_write(od.filter(k % 3 == 2), t, mode="overwrite")
+    vacuum(t, keep_last=1)
+    return (
+        read_tag(spark, t, "release")
+        .select(
+            F.lit("tagged").alias("src"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .unionByName(
+            read_version(spark, t).select(
+                F.lit("current").alias("src"),
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+
+
+@register(
+    "q252_versioned_timetravel_asof",
+    oracle="""
+    -- TIMESTAMP AS OF the midpoint between v1's and v2's commit
+    -- clocks resolves to v1 = even keys only
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="End-to-end TIMESTAMP AS OF time travel (Delta/Iceberg "
+        "timestamp travel): v1 = even orders keys, v2 appends the odd "
+        "ones; the probe timestamp is computed DETERMINISTICALLY as "
+        "the midpoint of the two commits' manifest-recorded "
+        "committed_at clocks (read from table_history, the DESCRIBE "
+        "HISTORY surface — never wall-clock sampling, so the query "
+        "cannot race its own commits), and read_as_of must resolve it "
+        "to the greatest committed_at <= ts, i.e. v1: even keys only, "
+        "none of v2's rows. sinks/versioned.py:read_as_of / "
+        "table_history; rollback-interaction (max-by-time, not "
+        "max-by-version) and pre-first-commit raises are pinned in "
+        "tests/test_versioned.py.",
+)
+def q252_versioned_timetravel_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_as_of, table_history, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q252_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 2 == 0).repartition(2), t)
+    versioned_write(od.filter(k % 2 == 1).repartition(2), t)
+    clocks = {
+        r["version"]: r["committed_at"]
+        for r in table_history(spark, t).collect()
+    }
+    return read_as_of(spark, t, (clocks[1] + clocks[2]) / 2.0)

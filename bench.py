@@ -148,6 +148,8 @@ HEADLINE = [
     "q248_versioned_branch_isolation",
     "q249_versioned_constraint_gate",
     "q250_versioned_deep_clone_export",
+    "q251_versioned_tag_retention",
+    "q252_versioned_timetravel_asof",
 ]
 
 
