@@ -933,3 +933,49 @@ def q252_versioned_timetravel_asof(
         for r in table_history(spark, t).collect()
     }
     return read_as_of(spark, t, (clocks[1] + clocks[2]) / 2.0)
+
+
+@register(
+    "q253_versioned_update_rows",
+    oracle="""
+    -- UPDATE t SET o_orderstatus='X', o_totalprice=o_totalprice+5.0
+    -- WHERE o_totalprice > 200000.0 on a table of even orders keys:
+    -- both assignments fire together on exactly the TRUE rows
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000.0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_totalprice > 200000.0 THEN o_totalprice + 5.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="End-to-end row-level UPDATE (Delta/Iceberg UPDATE ... SET ... "
+        "WHERE, the verb completing the MERGE/DELETE/apply-changes "
+        "family): build a versioned table of even orders keys (4 range "
+        "files), versioned_update both o_orderstatus and o_totalprice "
+        "where o_totalprice > 200000 — one copy-on-write commit whose "
+        "assignments evaluate simultaneously over the pre-update row "
+        "and cast to the existing column types — and read the result. "
+        "The driver hash checks every updated and every untouched row "
+        "verbatim (the +5.0 is an exact IEEE add, so fired rows always "
+        "differ). sinks/versioned.py:versioned_update; simultaneity, "
+        "file confinement, DV materialization and constraint gating "
+        "are pinned in tests/test_versioned.py.",
+)
+def q253_versioned_update_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_update, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q253_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    versioned_update(
+        spark,
+        t,
+        {"o_orderstatus": "'X'", "o_totalprice": "o_totalprice + 5.0"},
+        "o_totalprice > 200000.0",
+    )
+    return read_version(spark, t)

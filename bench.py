@@ -150,6 +150,7 @@ HEADLINE = [
     "q250_versioned_deep_clone_export",
     "q251_versioned_tag_retention",
     "q252_versioned_timetravel_asof",
+    "q253_versioned_update_rows",
 ]
 
 

@@ -1983,3 +1983,123 @@ def test_bloom_multi_column_and_composition(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no bloom index"):
         read_version_bloom_multi(spark, t, {"id": [1]})
+
+
+# ---------------------------------------------------------------- r10 —
+# row-level UPDATE (Delta/Iceberg UPDATE t SET ... WHERE ...)
+
+
+def test_update_simultaneous_assignment_and_null_predicate(spark, tmp_path):
+    """SET a = b, b = a must SWAP (assignments read the pre-update row),
+    NULL-predicate rows are kept unchanged, and assignments cast to the
+    column's existing type so the schema never drifts."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_update
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 10.0, 100.0), (2, 20.0, None), (3, 30.0, 300.0)],
+            "id int, a double, b double",
+        ),
+        t,
+    )
+    v = versioned_update(
+        spark, t, {"a": "b", "b": "a"}, "b > 50"
+    )
+    assert v == 2
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in read_version(spark, t).collect()
+    }
+    assert got[1] == (100.0, 10.0)  # swapped, not a=b=100
+    assert got[2] == (20.0, None)  # NULL predicate -> untouched
+    assert got[3] == (300.0, 30.0)
+    # integer-typed column: the SET expression result casts back
+    t2 = str(tmp_path / "tbl2")
+    versioned_write(
+        spark.createDataFrame([(1, 5), (2, 6)], "id int, n int"), t2
+    )
+    versioned_update(spark, t2, {"n": "n + 1"}, "id = 2")
+    m = _read_manifest(t2, 2)
+    assert [f["name"] for f in m["schema"]["fields"]] == ["id", "n"]
+    assert {"integer"} == {
+        f["type"] for f in m["schema"]["fields"] if f["name"] == "n"
+    }
+    assert dict(
+        (r["id"], r["n"]) for r in read_version(spark, t2).collect()
+    ) == {1: 5, 2: 7}
+
+
+def test_update_confines_rewrite_to_pruned_files(spark, tmp_path):
+    """With a prune range, proven-disjoint files are carried VERBATIM
+    (same physical paths) and only may-intersect candidates rewrite —
+    the versioned_delete contract applied to UPDATE."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_update
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        _write_ranged(spark, t, lo)
+    m_before = _read_manifest(t, 3)
+    v = versioned_update(
+        spark,
+        t,
+        {"v": "upper(v)"},
+        "id BETWEEN 103 AND 106",
+        prune_col="id",
+        lo=103,
+        hi=106,
+    )
+    assert v == 4
+    got = dict(_rows(read_version(spark, t)))
+    assert len(got) == 30
+    assert all(got[i] == f"V{i}" for i in range(103, 107))
+    assert got[102] == "v102" and got[0] == "v0" and got[209] == "v209"
+    m_after = _read_manifest(t, 4)
+    # exactly the middle file was rewritten; the other two carried
+    assert len(set(m_before["files"]) & set(m_after["files"])) == 2
+    assert len(set(m_before["files"]) - set(m_after["files"])) == 1
+    # no-candidate fast path: a range outside every file is a no-op
+    assert (
+        versioned_update(
+            spark, t, {"v": "'x'"}, "id = 999", prune_col="id", lo=999, hi=999
+        )
+        == 4
+    )
+
+
+def test_update_applies_delete_vectors_and_checks_constraints(
+    spark, tmp_path
+):
+    """An update over a DV'd file materializes the vectors (deleted rows
+    must NOT resurrect), CHECK constraints re-validate rewritten rows,
+    and unknown SET columns are refused."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        CheckConstraintViolation,
+        add_check_constraint,
+        versioned_delete,
+        versioned_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, x double"
+        ),
+        t,
+    )
+    versioned_delete(spark, t, "id = 2", strategy="dv")
+    versioned_update(spark, t, {"x": "x + 1"}, "id >= 1")
+    got = dict(
+        (r["id"], r["x"]) for r in read_version(spark, t).collect()
+    )
+    assert got == {1: 11.0, 3: 31.0}  # id=2 did not resurrect
+    assert not _read_manifest(t, 3).get("dv_counts")  # materialized
+    add_check_constraint(spark, t, "x_pos", "x > 0")
+    with pytest.raises(CheckConstraintViolation):
+        versioned_update(spark, t, {"x": "-x"}, "id = 1")
+    with pytest.raises(ValueError, match="nope"):
+        versioned_update(spark, t, {"nope": "1"}, "id = 1")
+    with pytest.raises(ValueError, match="non-empty"):
+        versioned_update(spark, t, {}, "id = 1")
