@@ -979,3 +979,49 @@ def q253_versioned_update_rows(
         "o_totalprice > 200000.0",
     )
     return read_version(spark, t)
+
+
+@register(
+    "q254_versioned_partition_evolution",
+    oracle="""
+    -- v1 = even keys UNPARTITIONED (o_orderstatus lives in the data),
+    -- spec evolved, v2 appends odd %3==0 keys PARTITIONED BY
+    -- o_orderstatus (status lives in the path): the mixed-layout read
+    -- must reconstruct every row's status from wherever its file put it
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+    """,
+    doc="End-to-end PARTITION-SPEC EVOLUTION (the headline Iceberg "
+        "property Hive tables lack): v1 = even orders keys written "
+        "UNPARTITIONED, then an evolve_partitioning=True append of the "
+        "odd %3==0 keys PARTITIONED BY o_orderstatus — v1's files are "
+        "carried verbatim (never rewritten), v2's files Hive-encode "
+        "status in their paths, and the snapshot read reconstructs "
+        "each file by its OWN layout (path-encoded values re-attached "
+        "per file, data columns read where the file kept them). The "
+        "driver hash checks every row's status and price across both "
+        "layouts — an attach that nulled a data column or a spec "
+        "applied to the wrong generation of files surfaces directly. "
+        "sinks/versioned.py:versioned_write(evolve_partitioning) / "
+        "_read_files per-file reconstruction; cross-layout pruning and "
+        "compact-materializes-current-spec are pinned in "
+        "tests/test_versioned.py.",
+)
+def q254_versioned_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q254_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.filter(k % 2 == 0).repartition(3), t)
+    versioned_write(
+        od.filter((k % 2 == 1) & (k % 3 == 0)),
+        t,
+        partition_by=["o_orderstatus"],
+        evolve_partitioning=True,
+    )
+    return read_version(spark, t)

@@ -544,6 +544,7 @@ def _write_snapshot(
     carry_files: list[str] | None = None,
     bucket_by: tuple[str, int] | None = None,
     bloom_by: list[str] | None = None,
+    evolve_partitioning: bool = False,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -623,11 +624,18 @@ def _write_snapshot(
         prev_pb = [
             c for c in (prev.get("partition_by") or []) if c != _BUCKET_COL
         ]
-        if mode == "append" and vs and pb != prev_pb:
+        if (
+            mode == "append"
+            and vs
+            and pb != prev_pb
+            and not evolve_partitioning
+        ):
             raise ValueError(
                 f"append partition spec {pb} != table spec "
-                f"{prev_pb}; changing the spec "
-                "requires an overwrite"
+                f"{prev_pb}; changing the spec requires an overwrite "
+                "or an explicit evolve_partitioning=True append "
+                "(Iceberg partition-spec evolution: existing files "
+                "keep their layout, new files use the new spec)"
             )
     if bb:
         df = _attach_bucket(df, bb)
@@ -788,6 +796,7 @@ def versioned_write(
     partition_by: list[str] | None = None,
     bucket_by: tuple[str, int] | None = None,
     bloom_by: list[str] | None = None,
+    evolve_partitioning: bool = False,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -805,7 +814,17 @@ def versioned_write(
     partitions and ``versioned_upsert``/``versioned_delete`` confine
     rewrites to touched partitions.  Omit it on later writes — the
     table's committed spec is inherited; an append with a DIFFERENT
-    explicit spec is refused (spec changes require an overwrite).
+    explicit spec is refused UNLESS ``evolve_partitioning=True``, which
+    is Iceberg PARTITION-SPEC EVOLUTION: the new spec applies to THIS
+    and later writes only, existing files keep their old layout
+    forever (no rewrite — the headline Iceberg property Hive tables
+    lack), and every reader reconstructs each file by its OWN layout
+    (path-encoded values re-attached per file; a column that moved
+    between path and data is read from wherever that file put it).
+    Zone-map pruning keeps working across the boundary because
+    partition values were recorded per file as [v, v] ranges when each
+    file was committed; ``compact()`` rewrites everything under the
+    current spec, completing the migration when wanted.
 
     ``bucket_by=(col, n)`` hash-buckets the layout (Iceberg's
     ``bucket(n, col)`` transform): files carry ``pmod(hash(col), n)``
@@ -828,6 +847,7 @@ def versioned_write(
         partition_by=partition_by,
         bucket_by=bucket_by,
         bloom_by=bloom_by,
+        evolve_partitioning=evolve_partitioning,
     )
 
 
@@ -982,7 +1002,18 @@ def _read_files(
     bases = tuple((manifest.get("file_base") or {}).values())
     from pyspark.sql import functions as F
 
-    if not pb:
+    # Partition evolution (Iceberg spec-evolution semantics) means the
+    # CURRENT spec says nothing about how an OLD file is laid out: a
+    # file written before the evolution may carry a current partition
+    # column as ordinary parquet data, or path-encode a column the
+    # current spec dropped.  Reconstruction is therefore per-FILE, not
+    # per-spec: any file with Hive k=v path components routes through
+    # the grouped scan, which re-attaches exactly the values its own
+    # path encodes and lets everything else come from the data.
+    grouped = bool(pb) or any(
+        "=" in comp for f in files for comp in f.split("/")[:-1]
+    )
+    if not grouped:
         # mergeSchema: pre-evolution files surface added columns as NULL
         out = spark.read.option("mergeSchema", "true").parquet(
             *[_data_path(path, manifest, f) for f in files]
@@ -1004,10 +1035,13 @@ def _read_files(
         )
         if need_dv:
             part = _attach_lineage(part, path, bases)
-        for c in pb:
-            part = part.withColumn(
-                c, F.lit(vals.get(c)).cast(full[c].dataType)
-            )
+        # attach only what THIS group's path encodes (an explicit None
+        # is the Hive null partition and is attached as NULL); columns
+        # the path doesn't encode come from the parquet data or, when
+        # absent there too, from the schema-alignment pad below
+        for c, v in vals.items():
+            if c in full.fieldNames():
+                part = part.withColumn(c, F.lit(v).cast(full[c].dataType))
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )

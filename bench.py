@@ -151,6 +151,7 @@ HEADLINE = [
     "q251_versioned_tag_retention",
     "q252_versioned_timetravel_asof",
     "q253_versioned_update_rows",
+    "q254_versioned_partition_evolution",
 ]
 
 

@@ -2103,3 +2103,99 @@ def test_update_applies_delete_vectors_and_checks_constraints(
         versioned_update(spark, t, {"nope": "1"}, "id = 1")
     with pytest.raises(ValueError, match="non-empty"):
         versioned_update(spark, t, {}, "id = 1")
+
+
+# ---------------------------------------------------------------- r10 —
+# partition-spec evolution (Iceberg: new spec for new files only)
+
+
+def test_partition_evolution_mixed_layout_reads_exactly(spark, tmp_path):
+    """Evolving the spec must not rewrite old files, and every reader
+    reconstructs each file by its OWN layout: a column that moved
+    between parquet data and the Hive path is read from wherever that
+    file put it."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_update
+
+    t = str(tmp_path / "tbl")
+    rows1 = [(1, "a", "x", 1.0), (2, "b", "y", 2.0)]
+    rows2 = [(3, "a", "x", 3.0), (4, "c", "z", 4.0)]
+    # v1 unpartitioned, v2 partitioned by day (evolution #1)
+    versioned_write(
+        spark.createDataFrame(rows1, "id int, day string, cat string, x double"),
+        t,
+    )
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        versioned_write(
+            spark.createDataFrame(
+                rows2, "id int, day string, cat string, x double"
+            ),
+            t,
+            partition_by=["day"],
+        )
+    versioned_write(
+        spark.createDataFrame(rows2, "id int, day string, cat string, x double"),
+        t,
+        partition_by=["day"],
+        evolve_partitioning=True,
+    )
+    m2 = _read_manifest(t, 2)
+    assert m2["partition_by"] == ["day"]
+    # v1's files are carried verbatim (no rewrite), v2's are Hive-laid
+    m1 = _read_manifest(t, 1)
+    assert set(m1["files"]) < set(m2["files"])
+    assert any("day=" in f for f in m2["files"])
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == sorted(rows1 + rows2)
+    # evolution #2: day -> cat; day moves back into the data files
+    rows3 = [(5, "b", "y", 5.0)]
+    versioned_write(
+        spark.createDataFrame(rows3, "id int, day string, cat string, x double"),
+        t,
+        partition_by=["cat"],
+        evolve_partitioning=True,
+    )
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == sorted(rows1 + rows2 + rows3)
+    # all three layouts still exact after a row-level op commits on top
+    versioned_update(spark, t, {"x": "x + 10"}, "day = 'a'")
+    got = {r["id"]: r["x"] for r in read_version(spark, t).collect()}
+    assert got == {1: 11.0, 2: 2.0, 3: 13.0, 4: 4.0, 5: 5.0}
+
+
+def test_partition_evolution_pruning_spans_both_layouts(spark, tmp_path):
+    """Zone-map pruning on an evolved-away or evolved-in partition
+    column keeps confining file opens: old files recorded [v, v] from
+    their paths, new files carry footer min/max for the same column."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        read_version_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    old = [(i, "d1" if i < 5 else "d2", float(i)) for i in range(10)]
+    versioned_write(
+        spark.createDataFrame(old, "id int, day string, x double"),
+        t,
+        partition_by=["day"],
+    )
+    new = [(100 + i, "d3", float(i)) for i in range(4)]
+    versioned_write(
+        spark.createDataFrame(new, "id int, day string, x double").coalesce(1),
+        t,
+        partition_by=[],
+        evolve_partitioning=True,
+    )
+    # prune on day: d1 must open only the d1 partition's files (the new
+    # unpartitioned file is d3-only, footer stats exclude it)
+    d1 = read_version_pruned(spark, t, "day", lo="d1", hi="d1")
+    assert sorted(r["id"] for r in d1.collect()) == list(range(5))
+    assert all("day=d1" in f for f in d1.inputFiles())
+    d3 = read_version_pruned(spark, t, "day", lo="d3", hi="d3")
+    assert sorted(r["id"] for r in d3.collect()) == [100, 101, 102, 103]
+    assert len(d3.inputFiles()) == 1
+    # compact materializes the CURRENT spec: one layout again, same rows
+    compact(spark, t)
+    m = _read_manifest(t, 3)
+    assert not any("=" in f.rsplit("/", 2)[-2] for f in m["files"])
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == sorted([r[0] for r in old] + [r[0] for r in new])
