@@ -1025,3 +1025,60 @@ def q254_versioned_partition_evolution(
         evolve_partitioning=True,
     )
     return read_version(spark, t)
+
+
+@register(
+    "q255_versioned_type_widening",
+    oracle="""
+    -- v1 = even keys committed NARROW (o_orderkey INT, o_totalprice
+    -- REAL/float32), then an allow_type_widening append of the odd
+    -- %3==0 keys at LONG/DOUBLE: the committed schema widens, v1's
+    -- narrow files are never rewritten, and the read upcasts them
+    -- exactly (DuckDB mirrors the float32 round-trip with REAL)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+    """,
+    doc="End-to-end TYPE WIDENING (Delta 4.x): v1 = even orders keys "
+        "written with o_orderkey cast to INT and o_totalprice to FLOAT "
+        "(narrow physical parquet), then an allow_type_widening=True "
+        "append of the odd %3==0 keys at the natural LONG/DOUBLE — the "
+        "committed schema resolves to the WIDER lattice point "
+        "(int→long, float→double), v1's files are carried verbatim, "
+        "and the snapshot read scans with the explicit committed "
+        "schema so the vectorized reader upcasts narrow values "
+        "exactly. The oracle mirrors the float32 round-trip with "
+        "CAST(... AS REAL) — IEEE round-to-nearest is identical on "
+        "both engines, so the driver hash checks every upcast bit. "
+        "sinks/versioned.py:_merge_schemas(allow_type_widening) / "
+        "_widened / _read_files explicit-schema scan; refusal edges "
+        "(incompatible pairs, hash-indexed bloom/bucket columns) are "
+        "pinned in tests/test_versioned.py.",
+)
+def q255_versioned_type_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q255_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+        .repartition(3),
+        t,
+    )
+    versioned_write(
+        od.filter((k % 2 == 1) & (k % 3 == 0)),
+        t,
+        allow_type_widening=True,
+    )
+    return read_version(spark, t)

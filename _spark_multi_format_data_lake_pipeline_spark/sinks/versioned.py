@@ -42,7 +42,11 @@ predicate BEFORE Spark ever lists them — the zone-map/data-skipping
 half of the table-format story.  Files without stats for the probed
 column are conservatively kept, so pruning is always correctness-safe.
 Appends may ADD columns (``_merge_schemas``; readers see NULL for
-pre-evolution files via parquet mergeSchema), and ``compact`` is the
+pre-evolution files via explicit committed-schema scans) and, with
+``allow_type_widening=True``, WIDEN them along the safe
+byte→short→int→long / float→double lattices (Delta type widening —
+old files keep their narrow physical type, the reader upcasts
+exactly), and ``compact`` is the
 OPTIMIZE half of maintenance: rewrite the current snapshot into fewer
 files as a new version, history intact until vacuum.
 
@@ -545,6 +549,7 @@ def _write_snapshot(
     bucket_by: tuple[str, int] | None = None,
     bloom_by: list[str] | None = None,
     evolve_partitioning: bool = False,
+    allow_type_widening: bool = False,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -670,7 +675,31 @@ def _write_snapshot(
     )
     schema = df.schema.jsonValue()
     if carry_files and prev.get("schema"):
-        schema = _merge_schemas(prev["schema"], schema)
+        schema = _merge_schemas(
+            prev["schema"], schema, allow_type_widening=allow_type_widening
+        )
+        # a widened column's committed bloom masks / bucket assignments
+        # hash the NARROW physical values — Spark hashes int and long of
+        # the same value differently, so a widened probe would silently
+        # MISS files (false negatives).  Zone maps compare values, not
+        # hashes, and stay exact; the hash-indexed layouts must refuse.
+        changed = {
+            f["name"]
+            for f, p in zip(schema["fields"], prev["schema"]["fields"])
+            if f["name"] == p["name"] and f["type"] != p["type"]
+        }
+        if changed:
+            hashed = set(bspec["cols"] if bspec else []) | (
+                {bb[0]} if bb else set()
+            )
+            bad = sorted(changed & hashed)
+            if bad:
+                raise ValueError(
+                    f"type widening refused for {bad}: the column(s) "
+                    "back a hash-indexed layout (bloom index / hash "
+                    "buckets) whose committed masks hash the narrow "
+                    "type; rebuild via overwrite or compact first"
+                )
     new_stats, new_meta = _harvest(path, new_files)
     if pb:
         for rel in new_files:
@@ -768,13 +797,41 @@ def _file_rows(
     return pq.ParquetFile(str(Path(base or path) / rel)).metadata.num_rows
 
 
-def _merge_schemas(prev_json: dict, new_json: dict) -> dict:
+# Safe type-widening lattices (Delta 4.x type widening): values written
+# at the narrow type re-read EXACTLY at the wide one (parquet vectorized
+# upcast, probed on this Spark build).  Narrowing is never allowed — a
+# narrow read of wide data silently truncates (int 70000 read as short
+# becomes 4464, no error).
+_WIDEN_INT = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_WIDEN_FLOAT = {"float": 0, "double": 1}
+
+
+def _widened(a: str, b: str) -> str | None:
+    """The wider of two primitive types along a safe lattice, or None
+    when they aren't widening-compatible."""
+    for fam in (_WIDEN_INT, _WIDEN_FLOAT):
+        if a in fam and b in fam:
+            return a if fam[a] >= fam[b] else b
+    return None
+
+
+def _merge_schemas(
+    prev_json: dict, new_json: dict, allow_type_widening: bool = False
+) -> dict:
     """Schema evolution for appends: the snapshot schema is the union of
     the previous schema and the appended frame's (new columns ADD; a
     shared name with a different type is refused — no implicit type
     widening, the same conservative rule as Delta's default).  Readers
-    see added columns as NULL for pre-evolution files (parquet
-    mergeSchema reconciliation in ``read_version``)."""
+    see added columns as NULL for pre-evolution files (explicit
+    committed-schema reconciliation in ``read_version``).
+
+    ``allow_type_widening=True`` is Delta's TYPE WIDENING: a shared
+    name whose two types sit on a safe widening lattice (byte→short→
+    int→long, float→double) resolves to the WIDER type — whether the
+    new data widens the column or merely arrives narrower than the
+    committed type.  Old files are never rewritten; every reader scans
+    with the committed (wide) schema and the parquet reader upcasts
+    narrow physical values exactly.  Incompatible pairs still refuse."""
     prev_fields = {f["name"]: f for f in prev_json["fields"]}
     merged = list(prev_json["fields"])
     for f in new_json["fields"]:
@@ -782,10 +839,29 @@ def _merge_schemas(prev_json: dict, new_json: dict) -> dict:
         if old is None:
             merged.append(f)
         elif old["type"] != f["type"]:
-            raise ValueError(
-                f"schema evolution: column {f['name']!r} type changed "
-                f"({old['type']!r} -> {f['type']!r}); no implicit widening"
+            w = (
+                _widened(old["type"], f["type"])
+                if allow_type_widening
+                and isinstance(old["type"], str)
+                and isinstance(f["type"], str)
+                else None
             )
+            if w is None:
+                hint = (
+                    "types not widening-compatible"
+                    if allow_type_widening
+                    else "pass allow_type_widening=True for safe "
+                    "byte/short/int/long and float/double widening"
+                )
+                raise ValueError(
+                    f"schema evolution: column {f['name']!r} type "
+                    f"changed ({old['type']!r} -> {f['type']!r}); {hint}"
+                )
+            if w != old["type"]:
+                merged = [
+                    {**mf, "type": w} if mf["name"] == f["name"] else mf
+                    for mf in merged
+                ]
     return {**prev_json, "fields": merged}
 
 
@@ -797,6 +873,7 @@ def versioned_write(
     bucket_by: tuple[str, int] | None = None,
     bloom_by: list[str] | None = None,
     evolve_partitioning: bool = False,
+    allow_type_widening: bool = False,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -848,6 +925,7 @@ def versioned_write(
         bucket_by=bucket_by,
         bloom_by=bloom_by,
         evolve_partitioning=evolve_partitioning,
+        allow_type_widening=allow_type_widening,
     )
 
 
@@ -958,7 +1036,9 @@ def _read_files(
     """Materialize a scan over an explicit manifest file list.
 
     Unpartitioned tables take the single-scan fast path (one parquet
-    relation, mergeSchema reconciles evolved columns).  Partitioned
+    relation over the explicit committed schema — added columns read
+    NULL from pre-evolution files, widened columns upcast from narrow
+    physical values).  Partitioned
     tables group the files by partition directory and re-attach each
     group's partition values as typed literal columns — explicit file
     lists bypass Spark's directory-based partition discovery, and
@@ -1014,8 +1094,12 @@ def _read_files(
         "=" in comp for f in files for comp in f.split("/")[:-1]
     )
     if not grouped:
-        # mergeSchema: pre-evolution files surface added columns as NULL
-        out = spark.read.option("mergeSchema", "true").parquet(
+        # explicit committed schema, never mergeSchema: pre-evolution
+        # files surface added columns as NULL, and files written before
+        # a type widening hold narrow physical values the vectorized
+        # reader upcasts exactly (mergeSchema would refuse to merge an
+        # int file with a long file at all)
+        out = spark.read.schema(full).parquet(
             *[_data_path(path, manifest, f) for f in files]
         )
         if not need_dv:
@@ -1030,7 +1114,13 @@ def _read_files(
     out = None
     for d, fs in sorted(groups.items()):
         vals = _partition_values(d + "/", manifest["schema"])
-        part = spark.read.option("mergeSchema", "true").parquet(
+        # committed schema minus this group's path-encoded columns (a
+        # partition value is never in the data); same explicit-schema
+        # rationale as the fast path above
+        from pyspark.sql.types import StructType as _St
+
+        gschema = _St([f for f in full.fields if f.name not in vals])
+        part = spark.read.schema(gschema).parquet(
             *[_data_path(path, manifest, f) for f in fs]
         )
         if need_dv:

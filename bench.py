@@ -152,6 +152,7 @@ HEADLINE = [
     "q252_versioned_timetravel_asof",
     "q253_versioned_update_rows",
     "q254_versioned_partition_evolution",
+    "q255_versioned_type_widening",
 ]
 
 

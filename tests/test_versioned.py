@@ -297,9 +297,17 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", 9.5)}
     names = [f["name"] for f in _read_manifest(t, 2)["schema"]["fields"]]
     assert names == ["id", "v", "score"]
-    with pytest.raises(ValueError, match="no implicit widening"):
+    # string -> int is not widening-compatible, so the append refuses
+    # even though the hint now points at allow_type_widening
+    with pytest.raises(ValueError, match="type changed"):
         versioned_write(
             spark.createDataFrame([(3, 7)], "id int, v int"), t
+        )
+    with pytest.raises(ValueError, match="not widening-compatible"):
+        versioned_write(
+            spark.createDataFrame([(3, 7)], "id int, v int"),
+            t,
+            allow_type_widening=True,
         )
 
 
@@ -2199,3 +2207,128 @@ def test_partition_evolution_pruning_spans_both_layouts(spark, tmp_path):
     assert not any("=" in f.rsplit("/", 2)[-2] for f in m["files"])
     got = sorted(r["id"] for r in read_version(spark, t).collect())
     assert got == sorted([r[0] for r in old] + [r[0] for r in new])
+
+
+# ---------------------------------------------------------------- r10 —
+# type widening (Delta 4.x: byte→short→int→long, float→double)
+
+
+def test_type_widening_append_reads_exactly(spark, tmp_path):
+    """Widening an int column to long (and float to double) via an
+    allow_type_widening append: old files keep their narrow physical
+    type, the committed schema widens, and reads upcast exactly —
+    including values only representable at the wide type."""
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "a int, x float"), t
+    )
+    big = 10_000_000_000  # needs long
+    with pytest.raises(ValueError, match="allow_type_widening"):
+        versioned_write(
+            spark.createDataFrame([(big, 3.5)], "a long, x double"), t
+        )
+    versioned_write(
+        spark.createDataFrame([(big, 3.5)], "a long, x double"),
+        t,
+        allow_type_widening=True,
+    )
+    m = _read_manifest(t, 2)
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    assert types == {"a": "long", "x": "double"}
+    # v1's files carried verbatim, narrow physical
+    assert set(_read_manifest(t, 1)["files"]) < set(m["files"])
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == [(1, 1.5), (2, 2.5), (big, 3.5)]
+    # time travel to the pre-widening snapshot keeps its narrow schema
+    assert dict(read_version(spark, t, 1).dtypes) == {
+        "a": "int", "x": "float"
+    }
+    # NARROWER new data after widening: committed type stays wide
+    versioned_write(
+        spark.createDataFrame([(7, 7.5)], "a int, x float"),
+        t,
+        allow_type_widening=True,
+    )
+    m3 = _read_manifest(t, 3)
+    assert {f["name"]: f["type"] for f in m3["schema"]["fields"]} == {
+        "a": "long", "x": "double"
+    }
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == [(1, 1.5), (2, 2.5), (7, 7.5), (big, 3.5)]
+
+
+def test_type_widening_refusals_and_hash_layout_guard(spark, tmp_path):
+    """Incompatible pairs refuse even with the flag; widening a column
+    that backs a bloom index or hash buckets refuses (committed masks
+    hash the narrow type — a widened probe would silently miss files)."""
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "a int, v string"), t
+    )
+    with pytest.raises(ValueError, match="not widening-compatible"):
+        versioned_write(
+            spark.createDataFrame([("x", "b")], "a string, v string"),
+            t,
+            allow_type_widening=True,
+        )
+    tb = str(tmp_path / "tbl_bloom")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a int, k int"),
+        tb,
+        bloom_by=["k"],
+    )
+    with pytest.raises(ValueError, match="hash-indexed"):
+        versioned_write(
+            spark.createDataFrame([(2, 20_000_000_000)], "a int, k long"),
+            tb,
+            allow_type_widening=True,
+        )
+    tk = str(tmp_path / "tbl_bucket")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a int, k int"),
+        tk,
+        bucket_by=("k", 4),
+    )
+    with pytest.raises(ValueError, match="hash-indexed"):
+        versioned_write(
+            spark.createDataFrame([(2, 20_000_000_000)], "a int, k long"),
+            tk,
+            allow_type_widening=True,
+        )
+    # a NON-hashed column of the same tables still widens fine
+    versioned_write(
+        spark.createDataFrame([(30_000_000_000, 30)], "a long, k int"),
+        tb,
+        allow_type_widening=True,
+    )
+    got = sorted(map(tuple, read_version(spark, tb).collect()))
+    assert got == [(1, 10), (30_000_000_000, 30)]
+
+
+def test_type_widening_partitioned_and_row_level_ops(spark, tmp_path):
+    """Widening composes with Hive partitioning (grouped explicit-schema
+    scan) and with a row-level UPDATE on the mixed-width table."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_update
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "d1", 1.5), (2, "d2", 2.5)], "a int, day string, x float"
+        ),
+        t,
+        partition_by=["day"],
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(40_000_000_000, "d1", 4.5)], "a long, day string, x double"
+        ),
+        t,
+        allow_type_widening=True,
+    )
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == [
+        (1, "d1", 1.5), (2, "d2", 2.5), (40_000_000_000, "d1", 4.5),
+    ]
+    versioned_update(spark, t, {"x": "x + 10"}, "day = 'd1'")
+    got = {r["a"]: r["x"] for r in read_version(spark, t).collect()}
+    assert got == {1: 11.5, 2: 2.5, 40_000_000_000: 14.5}
