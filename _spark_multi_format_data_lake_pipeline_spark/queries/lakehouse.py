@@ -1082,3 +1082,55 @@ def q255_versioned_type_widening(
         allow_type_widening=True,
     )
     return read_version(spark, t)
+
+
+@register(
+    "q256_versioned_generated_partition",
+    oracle="""
+    -- even keys partitioned by a GENERATED price band (floor(p/10000)):
+    -- the engine computes the band on both commits (the second append
+    -- does not supply it), lays files out by it, and the read
+    -- reconstructs every band value from the Hive paths
+    SELECT o_orderkey, o_totalprice,
+           CAST(FLOOR(o_totalprice / 10000) AS INTEGER) AS band
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="End-to-end GENERATED-COLUMN PARTITIONING (Delta generated "
+        "columns, the date_trunc pattern): commit even orders keys "
+        "%4==0 with generated_columns={band: CAST(floor(o_totalprice/"
+        "10000) AS INT)} and partition_by=['band'] — the engine "
+        "computes the band (generation is authoritative, callers never "
+        "supply it), Hive-lays the files by it — then append the "
+        "remaining even keys WITHOUT the column: the carried spec "
+        "regenerates it. The read recovers every band value from the "
+        "partition paths, so the driver hash checks expression "
+        "computation, layout routing, and path-value reconstruction "
+        "at once. sinks/versioned.py generated_columns; "
+        "authoritative-overwrite, spec carry/clear, pruning and "
+        "UPDATE-regenerates-partition are pinned in "
+        "tests/test_versioned.py.",
+)
+def q256_versioned_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q256_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    # co-locate each band in one task BEFORE the partitioned write so
+    # every band directory gets one file instead of one per upstream
+    # partition — the standard layout prep for a Hive-partitioned write
+    band = F.floor(F.col("o_totalprice") / 10000).cast("int")
+    versioned_write(
+        od.filter(k % 4 == 0).repartition(16, band),
+        t,
+        partition_by=["band"],
+        generated_columns={
+            "band": "CAST(floor(o_totalprice / 10000) AS INT)"
+        },
+    )
+    versioned_write(
+        od.filter((k % 2 == 0) & (k % 4 != 0)).repartition(16, band), t
+    )
+    return read_version(spark, t)

@@ -550,6 +550,7 @@ def _write_snapshot(
     bloom_by: list[str] | None = None,
     evolve_partitioning: bool = False,
     allow_type_widening: bool = False,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -642,6 +643,26 @@ def _write_snapshot(
                 "(Iceberg partition-spec evolution: existing files "
                 "keep their layout, new files use the new spec)"
             )
+    # GENERATED COLUMNS (Delta generated columns): the spec rides the
+    # manifest like constraints and generation is AUTHORITATIVE — the
+    # engine always (re)computes each generated column from its SQL
+    # expression over the same row, so the invariant holds by
+    # construction on every write path (append, upsert survivors+changes,
+    # UPDATE of a source column, CDC apply), a caller-supplied value is
+    # simply overwritten, and no write-time validation scan is needed.
+    # Computed BEFORE bucket attach / partitionBy so generated columns
+    # can drive the layout (Delta's generated-column partitioning, the
+    # date_trunc pattern).
+    gen = (
+        dict(generated_columns)
+        if generated_columns is not None
+        else prev.get("generated_columns", {})
+    )
+    if gen:
+        from pyspark.sql import functions as F
+
+        for n, e in gen.items():
+            df = df.withColumn(n, F.expr(e))
     if bb:
         df = _attach_bucket(df, bb)
         pb = pb + [_BUCKET_COL]
@@ -778,6 +799,8 @@ def _write_snapshot(
         manifest["file_base"] = file_base
     if constraints:
         manifest["constraints"] = constraints
+    if gen:
+        manifest["generated_columns"] = gen
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     return _commit_state(path, manifest, prev if vs else None)
@@ -874,6 +897,7 @@ def versioned_write(
     bloom_by: list[str] | None = None,
     evolve_partitioning: bool = False,
     allow_type_widening: bool = False,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -916,7 +940,21 @@ def versioned_write(
     the new files at commit time.  ``read_version_bloom`` then prunes
     point/IN lookups on columns the layout does NOT cluster — the
     third pruning tier after zone-map ranges (sorted/z-ordered
-    columns) and hash buckets (the bucket key)."""
+    columns) and hash buckets (the bucket key).
+
+    ``generated_columns={name: sql_expr, ...}`` persists GENERATED
+    COLUMNS (Delta generated columns): the spec rides the manifest
+    like constraints, and EVERY subsequent write — append, upsert,
+    row-level UPDATE of a source column, CDC apply — (re)computes each
+    generated column from its expression over the same row before any
+    file is written.  Generation is authoritative: a caller-supplied
+    value is overwritten, so the invariant holds by construction and
+    an UPDATE touching a source column can never leave the generated
+    column stale.  Combine with ``partition_by=[name]`` for Delta's
+    generated-column partitioning (the ``date_trunc`` pattern: cheap
+    hidden-partitioning on an expression of a data column, with
+    partition pruning via the [v, v] zone-map ranges).  Pass ``{}`` to
+    drop the spec."""
     return _write_snapshot(
         df,
         path,
@@ -926,6 +964,7 @@ def versioned_write(
         bloom_by=bloom_by,
         evolve_partitioning=evolve_partitioning,
         allow_type_widening=allow_type_widening,
+        generated_columns=generated_columns,
     )
 
 
@@ -1108,33 +1147,52 @@ def _read_files(
         out = _apply_delete_vectors(spark, out, path, manifest, files)
         return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
-    groups: dict[str, list[str]] = {}
-    for f in files:
-        groups.setdefault(f.rsplit("/", 1)[0], []).append(f)
-    out = None
-    for d, fs in sorted(groups.items()):
-        vals = _partition_values(d + "/", manifest["schema"])
-        # committed schema minus this group's path-encoded columns (a
-        # partition value is never in the data); same explicit-schema
-        # rationale as the fast path above
-        from pyspark.sql.types import StructType as _St
+    # ONE scan over every file with the committed schema, path-encoded
+    # partition values re-attached via a single broadcast join on the
+    # scan's file lineage.  Plan width stays O(1) however many
+    # partition directories the snapshot holds — a per-directory union
+    # would plan 100k relations on a 100k-partition table, a
+    # driver-side bottleneck the 100 TB story can't afford.  A column
+    # is read from wherever each FILE put it (partition evolution):
+    # path-encoded files surface it as NULL under the explicit schema
+    # and the coalesce takes the path value; data-carried files keep
+    # their parquet value (a file never holds a column in both places).
+    from pyspark.sql.types import StructField, StructType as _St
 
-        gschema = _St([f for f in full.fields if f.name not in vals])
-        part = spark.read.schema(gschema).parquet(
-            *[_data_path(path, manifest, f) for f in fs]
+    per_file = {
+        f: {
+            c: v
+            for c, v in _partition_values(f, manifest["schema"]).items()
+            if c in full.fieldNames()
+        }
+        for f in files
+    }
+    path_cols = sorted({c for vals in per_file.values() for c in vals})
+    out = spark.read.schema(full).parquet(
+        *[_data_path(path, manifest, f) for f in files]
+    )
+    out = _attach_lineage(out, path, bases)
+    if path_cols:
+        from pyspark.sql.types import StringType
+
+        pv_schema = _St(
+            [StructField("__pv_file", StringType(), False)]
+            + [
+                StructField(f"__pv_{c}", full[c].dataType, True)
+                for c in path_cols
+            ]
         )
-        if need_dv:
-            part = _attach_lineage(part, path, bases)
-        # attach only what THIS group's path encodes (an explicit None
-        # is the Hive null partition and is attached as NULL); columns
-        # the path doesn't encode come from the parquet data or, when
-        # absent there too, from the schema-alignment pad below
-        for c, v in vals.items():
-            if c in full.fieldNames():
-                part = part.withColumn(c, F.lit(v).cast(full[c].dataType))
-        out = part if out is None else out.unionByName(
-            part, allowMissingColumns=True
-        )
+        pv_rows = [
+            tuple([f] + [per_file[f].get(c) for c in path_cols])
+            for f in files
+        ]
+        pv = F.broadcast(spark.createDataFrame(pv_rows, pv_schema))
+        out = out.join(pv, F.col("__dv_file") == F.col("__pv_file"), "left")
+        for c in path_cols:
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__pv_{c}"))
+            )
+        out = out.drop("__pv_file", *[f"__pv_{c}" for c in path_cols])
     if need_dv:
         out = _apply_delete_vectors(spark, out, path, manifest, files)
     # align to the committed schema: column order and evolved columns

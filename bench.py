@@ -153,6 +153,7 @@ HEADLINE = [
     "q253_versioned_update_rows",
     "q254_versioned_partition_evolution",
     "q255_versioned_type_widening",
+    "q256_versioned_generated_partition",
 ]
 
 

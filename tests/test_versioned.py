@@ -2332,3 +2332,81 @@ def test_type_widening_partitioned_and_row_level_ops(spark, tmp_path):
     versioned_update(spark, t, {"x": "x + 10"}, "day = 'd1'")
     got = {r["a"]: r["x"] for r in read_version(spark, t).collect()}
     assert got == {1: 11.5, 2: 2.5, 40_000_000_000: 14.5}
+
+
+# ---------------------------------------------------------------- r10 —
+# generated columns (Delta generated columns + generated-col partitioning)
+
+
+def test_generated_columns_computed_authoritative_and_carried(
+    spark, tmp_path
+):
+    """The engine computes generated columns on every write; a
+    caller-supplied value is overwritten (generation is authoritative);
+    the spec is carried across commits and cleared with {}."""
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, 12.0), (2, 27.0)], "id int, x double"),
+        t,
+        generated_columns={"band": "CAST(floor(x / 10) AS INT)"},
+    )
+    got = {r["id"]: r["band"] for r in read_version(spark, t).collect()}
+    assert got == {1: 1, 2: 2}
+    # append WITHOUT the column: computed from the carried spec
+    versioned_write(spark.createDataFrame([(3, 35.0)], "id int, x double"), t)
+    # append WITH a wrong value: overwritten, invariant holds
+    versioned_write(
+        spark.createDataFrame([(4, 41.0, 999)], "id int, x double, band int"),
+        t,
+    )
+    got = {r["id"]: r["band"] for r in read_version(spark, t).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+    assert _read_manifest(t, 3)["generated_columns"] == {
+        "band": "CAST(floor(x / 10) AS INT)"
+    }
+    # clearing the spec: later appends stop generating
+    versioned_write(
+        spark.createDataFrame([(5, 55.0, 777)], "id int, x double, band int"),
+        t,
+        generated_columns={},
+    )
+    got = {r["id"]: r["band"] for r in read_version(spark, t).collect()}
+    assert got[5] == 777
+    assert "generated_columns" not in _read_manifest(t, 4)
+
+
+def test_generated_column_partitioning_prunes_and_update_regenerates(
+    spark, tmp_path
+):
+    """Delta's generated-column partitioning: partition_by a generated
+    column lays files out by the expression value and pruned reads
+    confine file opens; a row-level UPDATE of the SOURCE column
+    regenerates the partition value (never stale)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_pruned,
+        versioned_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, float(i)) for i in range(30)]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, x double"),
+        t,
+        partition_by=["band"],
+        generated_columns={"band": "CAST(floor(x / 10) AS INT)"},
+    )
+    m = _read_manifest(t, 1)
+    assert any("band=" in f for f in m["files"])
+    b1 = read_version_pruned(spark, t, "band", lo=1, hi=1)
+    assert sorted(r["id"] for r in b1.collect()) == list(range(10, 20))
+    assert all("band=1" in f for f in b1.inputFiles())
+    # UPDATE moves x across the band boundary: band regenerates and the
+    # rewritten row lands in the new partition directory
+    versioned_update(spark, t, {"x": "x + 10"}, "id = 5")
+    got = {
+        r["id"]: (r["x"], r["band"])
+        for r in read_version(spark, t).collect()
+    }
+    assert got[5] == (15.0, 1)
+    moved = read_version_pruned(spark, t, "band", lo=1, hi=1)
+    assert 5 in {r["id"] for r in moved.collect()}
