@@ -1035,3 +1035,67 @@ def test_stream_drift_converges_and_replay_is_idempotent(spark, sf_dir, tmp_path
     assert rep["y"][1] == 0 and rep["z"][0] == 0
     total_jsd = sum(v[2] for v in rep.values())
     assert 0.0 < total_jsd <= math.log(2.0) + 1e-9
+
+
+def test_versioned_changes_stream_over_widened_and_evolved_table(
+    spark, tmp_path
+):
+    """A stream started AFTER a type widening and a partition-spec
+    evolution drains every commit with the wide committed schema:
+    narrow pre-widening files upcast exactly through the Arrow cast,
+    and files from both partition layouts reconstruct their values
+    from wherever each file put them (data vs path)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+
+    versioned_stream.register(spark)
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 1.5, "d1"), (2, 2.5, "d1")], "id int, x float, day string"
+        ),
+        t,
+    )
+    big = 10_000_000_000
+    versioned_write(
+        spark.createDataFrame(
+            [(big, 3.5, "d2")], "id long, x double, day string"
+        ),
+        t,
+        allow_type_widening=True,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(4, 4.5, "d3")], "id long, x double, day string"
+        ),
+        t,
+        partition_by=["day"],
+        evolve_partitioning=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema("id long, x double, day string")
+            .parquet(out)
+            .collect(),
+        )
+    )
+    assert got == [
+        (1, 1.5, "d1"),
+        (2, 2.5, "d1"),
+        (4, 4.5, "d3"),
+        (big, 3.5, "d2"),
+    ]
