@@ -1694,13 +1694,21 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
 
 
 def vacuum(
-    path: str, keep_last: int = 1, retain_hours: float | None = None
+    path: str,
+    keep_last: int = 1,
+    retain_hours: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop data files referenced by NO retained manifest (the last
     ``keep_last`` versions survive; earlier manifests are removed).
     Returns the deleted file list. The one deliberately destructive
     operation in the module — time travel before the retention horizon
     is gone after this, which is exactly Iceberg/Delta VACUUM.
+    ``dry_run=True`` is Delta's ``VACUUM ... DRY RUN``: return exactly
+    the data-file list a real run would delete, touching NOTHING — no
+    file unlinked, no manifest dropped or re-anchored, no cache entry
+    invalidated — so retention policy can be audited before the
+    irreversible step.
     ``retain_hours`` is Delta's ``RETAIN N HOURS``: every version
     committed within the horizon is ALSO kept (commit clock, mtime
     fallback for legacy manifests), so time travel over the recent
@@ -1737,6 +1745,17 @@ def vacuum(
         live.update(m["files"])
         live.update(m.get("dv_files") or [])
     live |= _branch_live_files(path)
+    if dry_run:
+        would = []
+        for root_name in ("data", "_deletes"):
+            data_root = Path(path) / root_name
+            if not data_root.is_dir():
+                continue
+            for p in sorted(data_root.rglob("*.parquet")):
+                rel = str(p.relative_to(path))
+                if rel not in live:
+                    would.append(rel)
+        return would
     # Re-anchor retained DELTA manifests whose base commit is being
     # dropped: rewrite them as their resolved full form (ascending, so
     # a kept chain re-anchors once at its earliest survivor and later

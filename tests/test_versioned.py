@@ -2410,3 +2410,63 @@ def test_generated_column_partitioning_prunes_and_update_regenerates(
     assert got[5] == (15.0, 1)
     moved = read_version_pruned(spark, t, "band", lo=1, hi=1)
     assert 5 in {r["id"] for r in moved.collect()}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """dry_run=True returns exactly the list a real vacuum then
+    deletes, and touches nothing: every manifest, data file, and
+    time-travel read survives the dry run."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        _write_ranged(spark, t, lo, **{"mode": "overwrite"} if lo else {})
+    assert versions(t) == [1, 2, 3]
+    would = vacuum(t, keep_last=1, dry_run=True)
+    assert would  # v1/v2 overwritten files are reclaimable
+    # nothing happened: all manifests and files intact, old reads exact
+    assert versions(t) == [1, 2, 3]
+    for rel in would:
+        assert (tmp_path / "tbl" / rel).exists()
+    assert len(_rows(read_version(spark, t, 1))) == 10
+    # the real run deletes exactly the reported set
+    deleted = vacuum(t, keep_last=1)
+    assert sorted(deleted) == sorted(would)
+    assert versions(t) == [3]
+
+
+def test_deep_clone_of_widened_evolved_dv_table(spark, tmp_path):
+    """Deep clone copies the resolved live set of a table that has been
+    type-widened, partition-evolved, and DV-deleted — relative paths
+    preserved, so the export reconstructs path-encoded values and
+    applies the copied delete vectors identically; source vacuum+mutation
+    cannot touch it."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        clone_table,
+        versioned_delete,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "exported")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, 1.5, "d1"), (2, 2.5, "d1")], "id int, x float, day string"
+        ),
+        src,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(10_000_000_000, 3.5, "d2"), (4, 4.5, "d2")],
+            "id long, x double, day string",
+        ),
+        src,
+        partition_by=["day"],
+        evolve_partitioning=True,
+        allow_type_widening=True,
+    )
+    versioned_delete(spark, src, "id = 4", strategy="dv")
+    clone_table(src, dst, deep=True)
+    want = [(1, 1.5, "d1"), (2, 2.5, "d1"), (10_000_000_000, 3.5, "d2")]
+    assert sorted(map(tuple, read_version(spark, dst).collect())) == want
+    # destroy the source: the export is self-contained
+    versioned_delete(spark, src, "id = 1")
+    vacuum(src, keep_last=1)
+    assert sorted(map(tuple, read_version(spark, dst).collect())) == want
