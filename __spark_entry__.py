@@ -37,27 +37,24 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  The two r8 entries — q209, q213 —
-    # came back green in CORRECTNESS_r09 and leave per the removal
-    # rule.  r9 rewrote the manifest metadata plane (delta commits +
-    # checkpoints + vacuum re-anchoring in sinks/versioned.py
-    # _commit_state/_read_manifest) and r10 hardened the
-    # versioned_changes source + vacuum ordering: every query that
-    # builds or reads a versioned table consumes those helpers, so the
-    # consumed-helper rule lists the full lakehouse set for fresh
-    # driver rows.
-    "q222_versioned_upsert_changes",
-    "q223_versioned_delete_rows",
+    # their latest green record.  The twelve r10 entries (11 lakehouse
+    # + q118) all came back green in CORRECTNESS_r10 and leave per the
+    # removal rule.  r11 changed three consumed helpers: the manifest
+    # resolve-cache key gained a content fingerprint (_read_manifest),
+    # _attach_lineage now percent-decodes _metadata.file_path to raw
+    # filesystem names (every versioned read, DV apply, bloom build),
+    # and the O(1)-width partitioned read carries partition values as
+    # strings cast in the coalesce — so the lakehouse queries that
+    # exercise those planes rotate back in, plus q244/q118 whose
+    # apply_cdc_batch gained the by-source clause family (all-absent
+    # path re-proven identical in tests/test_cdc.py).
     "q224_versioned_partition_read",
-    "q229_versioned_apply_cdc_state",
-    "q230_versioned_history_audit",
     "q231_versioned_dv_delete",
     "q236_versioned_bucket_lookup",
     "q239_versioned_bloom_lookup",
-    "q241_versioned_clone_upsert",
-    "q242_versioned_stream_follow",
-    # r10: apply_cdc_batch gained conditional-clause support (all-None
-    # path byte-identical, re-proven locally) — consumed-helper rule
+    "q245_versioned_bloom_multi_lookup",
+    "q254_versioned_partition_evolution",
+    "q244_versioned_conditional_merge",
     "q118_cdc_apply",
 )
 

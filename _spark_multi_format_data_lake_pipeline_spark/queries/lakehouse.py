@@ -550,7 +550,7 @@ def q244_versioned_conditional_merge(
         "key (6 range files) with bloom_by=['o_custkey','o_totalprice'] "
         "— two side columns the clustering spreads across every file — "
         "then read_version_bloom_multi the (%100==0 customers) AND "
-        "(prices of keys %500==0) conjunction: probe bits for BOTH "
+        "(prices of keys %3==0) conjunction: probe bits for BOTH "
         "columns are computed in ONE unioned JVM job, each file must "
         "pass EVERY column's committed mask (false-positive rates "
         "multiply, so the opened set shrinks toward fpp^2), and the "
@@ -1132,5 +1132,68 @@ def q256_versioned_generated_partition(
     )
     versioned_write(
         od.filter((k % 2 == 0) & (k % 4 != 0)).repartition(16, band), t
+    )
+    return read_version(spark, t)
+
+
+@register(
+    "q257_versioned_merge_by_source",
+    oracle="""
+    -- three-way MERGE (sync) onto v1 = all orders; source = keys %3==0:
+    --   WHEN MATCHED AND t.o_orderstatus = 'O' THEN UPDATE (price+1.0)
+    --   WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 100000.0
+    --     THEN DELETE
+    --   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'S'
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 <> 0 THEN 'S'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 AND o_orderstatus = 'O'
+                THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 = 0 OR o_totalprice <= 100000.0
+    """,
+    doc="End-to-end THREE-WAY MERGE — Delta's WHEN NOT MATCHED BY "
+        "SOURCE clause family completing the merge grammar (q244 is "
+        "the two-way conditional case, the reference's unconditional "
+        "merge utils/merge_utils.py:74-80 the base case): build a "
+        "versioned table of ALL orders, merge a source batch of keys "
+        "%3==0 where matched 'O' rows update (price+1.0), unmatched-"
+        "by-source rows above 100000.0 DELETE (purge stale expensive "
+        "rows) and the remaining unmatched rows get flagged "
+        "o_orderstatus='S' — the standard 'sync target to source' job "
+        "expressed as ONE full-outer-join commit "
+        "(sinks/cdc.py::apply_cdc_batch by-source clauses; delete "
+        "clause wins over update on the same row; file confinement "
+        "deliberately disabled — every target row's membership is "
+        "decided, sinks/versioned.py:versioned_apply_changes). The "
+        "driver hash-checks all four fates; the clause matrix and the "
+        "confinement-trap regression are pinned in tests/test_cdc.py.",
+)
+def q257_versioned_merge_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        read_version,
+        versioned_apply_changes,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q257_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(od.repartitionByRange(4, "o_orderkey"), t)
+    changes = (
+        od.filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("op", F.lit("U"))
+    )
+    versioned_apply_changes(
+        changes,
+        t,
+        ["o_orderkey"],
+        matched_condition="t_o_orderstatus = 'O'",
+        not_matched_by_source_delete="t_o_totalprice > 100000.0",
+        not_matched_by_source_update={"o_orderstatus": "'S'"},
     )
     return read_version(spark, t)

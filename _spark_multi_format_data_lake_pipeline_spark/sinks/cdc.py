@@ -34,6 +34,9 @@ def apply_cdc_batch(
     matched_condition: str | None = None,
     not_matched_condition: str | None = None,
     matched_delete_condition: str | None = None,
+    not_matched_by_source_delete: bool | str = False,
+    not_matched_by_source_update: dict[str, str] | None = None,
+    not_matched_by_source_update_condition: str | None = None,
 ) -> DataFrame:
     """Next table state = target ⊳ changes (anti on keys) ∪ latest upserts.
 
@@ -67,8 +70,42 @@ def apply_cdc_batch(
     behavior.  With any condition set the plan is ONE full-outer join
     on the keys — the same single shuffle the unconditional anti-join
     path costs; per-row clause evaluation is pure JVM column math.
+
+    ``WHEN NOT MATCHED BY SOURCE`` (the Delta three-way-merge clause
+    family the two-way grammar above can't express — "sync: delete or
+    flag target rows absent from the source") acts on TARGET rows no
+    change row keys to.  There is no source row, so these conditions /
+    assignments see only the unprefixed keys and ``t_<col>``:
+
+    - ``not_matched_by_source_delete``: ``True`` deletes every
+      unmatched target row (the full-sync form), a SQL string deletes
+      those where it's TRUE (``WHEN NOT MATCHED BY SOURCE AND <cond>
+      THEN DELETE``), ``False`` (default) leaves the clause absent —
+      the two-way behavior, unmatched rows carry unchanged.
+    - ``not_matched_by_source_update``: ``{col: sql_expr}`` assignments
+      applied to unmatched target rows (``… THEN UPDATE SET``), gated
+      by ``not_matched_by_source_update_condition`` when given.
+      Assigning a key column refuses (rekeying rows the source never
+      saw is a different operation).  Assignments cast to the target
+      column's type, like ``UPDATE``.
+
+    When both by-source clauses are present the DELETE clause is
+    evaluated first (a row it deletes is never updated) — the
+    clause-order rule of SQL MERGE with the delete written first.
     """
     keys = list(key_cols)
+    bs_update = dict(not_matched_by_source_update or {})
+    if bad := sorted(set(bs_update) & set(keys)):
+        raise ValueError(
+            "apply_cdc_batch: not_matched_by_source_update cannot "
+            f"assign key column(s) {bad}"
+        )
+    if bad := sorted(set(bs_update) - set(target.columns)):
+        raise ValueError(
+            "apply_cdc_batch: not_matched_by_source_update assigns "
+            f"unknown column(s) {bad}"
+        )
+    has_by_source = bool(not_matched_by_source_delete) or bool(bs_update)
     if seq_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
         latest = (
@@ -82,6 +119,7 @@ def apply_cdc_batch(
         matched_condition is None
         and not_matched_condition is None
         and matched_delete_condition is None
+        and not has_by_source
     ):
         survivors = target.join(latest.select(*keys), keys, "left_anti")
         upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
@@ -113,6 +151,28 @@ def apply_cdc_batch(
     deletes = matched & (F.col("_s_op") == "D") & _cond(
         matched_delete_condition
     )
+    # WHEN NOT MATCHED BY SOURCE: target-present, no source row.  The
+    # delete clause wins over the update clause on the same row.  The
+    # conditions and assignments see the unprefixed keys plus t_<col>
+    # (there IS no s_ row) — the same prefix convention as the other
+    # clause conditions.
+    by_source = F.col("_t_present").isNotNull() & F.col("_s_op").isNull()
+    if not_matched_by_source_delete:
+        bs_del = by_source & _cond(
+            None
+            if not_matched_by_source_delete is True
+            else not_matched_by_source_delete
+        )
+    else:
+        bs_del = F.lit(False)
+    if bs_update:
+        bs_upd = (
+            by_source
+            & ~bs_del
+            & _cond(not_matched_by_source_update_condition)
+        )
+    else:
+        bs_upd = F.lit(False)
     take_source = (
         matched & (F.col("_s_op") != "D") & _cond(matched_condition)
     ) | (
@@ -120,15 +180,23 @@ def apply_cdc_batch(
         & (F.col("_s_op") != "D")
         & _cond(not_matched_condition)
     )
-    emit = take_source | (F.col("_t_present").isNotNull() & ~deletes)
-    out_cols = [
-        F.col(c)
-        if c in keys
-        else F.when(take_source, F.col(f"s_{c}"))
-        .otherwise(F.col(f"t_{c}"))
-        .alias(c)
-        for c in target.columns
-    ]
+    emit = take_source | (
+        F.col("_t_present").isNotNull() & ~deletes & ~bs_del
+    )
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.col(c))
+            continue
+        cur = F.when(take_source, F.col(f"s_{c}")).otherwise(
+            F.col(f"t_{c}")
+        )
+        if c in bs_update:
+            assigned = F.expr(bs_update[c]).cast(
+                target.schema[c].dataType
+            )
+            cur = F.when(bs_upd, assigned).otherwise(cur)
+        out_cols.append(cur.alias(c))
     return j.filter(emit).select(*out_cols)
 
 

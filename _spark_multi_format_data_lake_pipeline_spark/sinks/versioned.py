@@ -100,6 +100,7 @@ exactly as Delta-on-S3 does)."""
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -158,6 +159,11 @@ def versions(path: str) -> list[int]:
 # - ``vacuum`` re-anchors any RETAINED delta whose base manifest is
 #   being dropped by rewriting it as its resolved full form first.
 _CHECKPOINT_INTERVAL = 10
+
+# How many consecutive lost commit races an APPEND re-validates and
+# re-links through before giving up (each retry rebases onto the then-
+# current head, so livelock needs a sustained faster writer).
+_COMMIT_RETRIES = 5
 
 # Per-file metadata plane keys (dicts keyed by data-file name) that are
 # delta-encoded between commits; everything else in a manifest is
@@ -252,10 +258,12 @@ def _apply_delta(base: dict, d: dict) -> dict:
 # the manifest file's (mtime, size) signature — which changes on the two
 # sanctioned in-place rewrites, vacuum's re-anchoring and test fixture
 # surgery — is a safe cache key.  Re-anchoring ALSO invalidates the
-# version's entries explicitly (``_uncache_version``), so a same-size
-# rewrite landing within a coarse filesystem's mtime granularity cannot
-# serve stale state in-process; cross-process, mtime_ns granularity is
-# the guard (nanoseconds on every filesystem this targets).
+# version's entries explicitly (``_uncache_version``); the key further
+# carries a first-64KiB CONTENT fingerprint so a rewrite that somehow
+# preserves both size and mtime_ns (coarse-clock filesystem, tar-style
+# restore) still misses the cache — the fingerprint costs one small
+# read per lookup, well under the JSON parse + delta resolution it can
+# skip.
 _RESOLVE_CACHE: dict[tuple, dict] = {}
 _RESOLVE_CACHE_MAX = 512
 
@@ -273,7 +281,16 @@ def _read_manifest(path: str, version: int) -> dict:
 
     p = _manifest_dir(path) / f"v{version}.json"
     st = p.stat()
-    key = (str(Path(path).resolve()), version, st.st_mtime_ns, st.st_size)
+    with open(p, "rb") as fh:
+        head = fh.read(65536)
+    fp = hashlib.blake2b(head, digest_size=8).hexdigest()
+    key = (
+        str(Path(path).resolve()),
+        version,
+        st.st_mtime_ns,
+        st.st_size,
+        fp,
+    )
     state = _RESOLVE_CACHE.get(key)
     if state is None:
         raw = json.loads(p.read_text())
@@ -663,6 +680,43 @@ def _write_snapshot(
 
         for n, e in gen.items():
             df = df.withColumn(n, F.expr(e))
+    # Narrow arrival on a hash-indexed column (int data appended to a
+    # committed-long column, the legal type-widening dual): bloom masks
+    # and bucket ids hash the PHYSICAL type, and Spark's murmur3 hashes
+    # int and long of the same value differently — left as-is, a reader
+    # probing with the committed wide type would silently MISS the new
+    # files (false negatives).  Zone maps compare values and stay
+    # exact; the hashed layouts need writer and reader to hash the same
+    # type, so incoming hashed columns are UPCAST to the committed type
+    # before bucket attach / write.  Only the narrow→wide direction is
+    # cast here: a WIDER arrival is left alone so the widening guard
+    # below still refuses it (a downcast would silently truncate).
+    _will_carry = (
+        carry_files
+        if carry_files is not None
+        else (prev["files"] if mode == "append" else [])
+    )
+    if _will_carry and prev.get("schema"):
+        from pyspark.sql import functions as F
+
+        _committed = {
+            f["name"]: f["type"]
+            for f in prev["schema"]["fields"]
+            if isinstance(f["type"], str)
+        }
+        _hashed = set(bspec["cols"] if bspec else []) | (
+            {bb[0]} if bb else set()
+        )
+        for _fld in df.schema.fields:
+            _t = _committed.get(_fld.name)
+            _in = _fld.dataType.jsonValue()
+            if (
+                _fld.name in _hashed
+                and _t is not None
+                and _in != _t
+                and _widened(_t, _in) == _t
+            ):
+                df = df.withColumn(_fld.name, F.col(_fld.name).cast(_t))
     if bb:
         df = _attach_bucket(df, bb)
         pb = pb + [_BUCKET_COL]
@@ -803,7 +857,112 @@ def _write_snapshot(
         manifest["generated_columns"] = gen
     if txn_id is not None:
         manifest["txn_id"] = txn_id
-    return _commit_state(path, manifest, prev if vs else None)
+    # Optimistic-concurrency conflict resolution (the Delta/Iceberg
+    # commit protocol): the loser of a version race re-reads the new
+    # head, re-VALIDATES its commit against it, and re-links at head+1.
+    # Only APPENDs auto-rebase — an append's read set is empty, so two
+    # writers landing disjoint file sets both commit whatever the
+    # interleaving (the common multi-writer case; Delta's
+    # append-vs-append rule).  Rebase re-checks everything the head
+    # could have changed underfoot: layout specs must be unchanged,
+    # concurrently-added CHECK constraints re-validate the new rows,
+    # schemas re-merge, and a concurrent widening of a hash-indexed
+    # column refuses (our committed masks hash the narrow type).
+    # Row-level rewrites (upsert/delete/update/compact/overwrite)
+    # DECIDED rows over the snapshot they read; a concurrent commit may
+    # have changed those rows, so they fail deterministically and the
+    # caller re-runs against the new head — correctness first, the
+    # same conservative rule Delta applies to overlapping rewrites.
+    _norm = lambda v: json.loads(json.dumps(v, default=dict))  # noqa: E731
+    for _ in range(_COMMIT_RETRIES):
+        try:
+            return _commit_state(path, manifest, prev if vs else None)
+        except ConcurrentCommitError as e:
+            if mode != "append":
+                raise ConcurrentCommitError(
+                    f"{mode} at {path} lost a commit race for version "
+                    f"{manifest['version']}: the snapshot it decided "
+                    "rows over is stale — re-run the operation against "
+                    "the new head (row-level rewrites do not "
+                    "auto-rebase; only appends do)"
+                ) from e
+            head_vs = versions(path)
+            head = _read_manifest(path, head_vs[-1])
+            for k in (
+                "partition_by",
+                "bucket_by",
+                "bloom_by",
+                "generated_columns",
+            ):
+                if _norm(head.get(k)) != _norm(manifest.get(k)):
+                    raise ConcurrentCommitError(
+                        f"append at {path} lost a commit race and the "
+                        f"winner changed the table's {k} spec "
+                        f"({_norm(manifest.get(k))!r} -> "
+                        f"{_norm(head.get(k))!r}); cannot rebase"
+                    ) from e
+            ours = manifest.get("constraints") or {}
+            extra = {
+                n: x
+                for n, x in (head.get("constraints") or {}).items()
+                if ours.get(n) != x
+            }
+            if extra and new_files:
+                _validate_constraints(
+                    df, extra, "append rebase (constraint added concurrently)"
+                )
+            merged = _merge_schemas(
+                head["schema"],
+                schema,
+                allow_type_widening=allow_type_widening,
+            )
+            hashed = set(bspec["cols"] if bspec else []) | (
+                {bb[0]} if bb else set()
+            )
+            mine = {f["name"]: f["type"] for f in schema["fields"]}
+            for fld in merged["fields"]:
+                if (
+                    fld["name"] in hashed
+                    and fld["name"] in mine
+                    and fld["type"] != mine[fld["name"]]
+                ):
+                    raise ConcurrentCommitError(
+                        f"append at {path} lost a commit race and the "
+                        f"winner widened hash-indexed column "
+                        f"{fld['name']!r}; our committed masks hash "
+                        "the narrow type — re-run the append"
+                    ) from e
+            new_blooms = {f: blooms[f] for f in new_files if f in blooms}
+            head_blooms = head.get("bloom") or {}
+            manifest = {
+                **manifest,
+                "version": head["version"] + 1,
+                "committed_at": time.time(),
+                "files": list(head["files"]) + new_files,
+                "row_count": head["row_count"] + n_new,
+                "schema": merged,
+                "file_stats": {
+                    **(head.get("file_stats") or {}),
+                    **new_stats,
+                },
+                "file_meta": {**(head.get("file_meta") or {}), **new_meta},
+            }
+            for k, v in (
+                ("dv_counts", head.get("dv_counts")),
+                ("dv_files", head.get("dv_files")),
+                ("bloom", {**head_blooms, **new_blooms}),
+                ("file_base", head.get("file_base")),
+                ("constraints", head.get("constraints")),
+            ):
+                if v:
+                    manifest[k] = v
+                else:
+                    manifest.pop(k, None)
+            prev, vs = head, head_vs
+    raise ConcurrentCommitError(
+        f"append at {path} lost {_COMMIT_RETRIES} consecutive commit "
+        "races; giving up (retry externally)"
+    )
 
 
 def _file_rows(
@@ -1010,6 +1169,15 @@ def _attach_lineage(
     rel = F.col("_metadata.file_path")
     for b in [path, *dict.fromkeys(extra_bases)]:
         rel = F.replace(rel, F.lit(_lineage_prefix(b)), F.lit(""))
+    # ``file_path`` is a URI: Hadoop percent-encodes path characters
+    # (space→%20 and, crucially, the writer's own Hive-escape '%'→%25 —
+    # a timestamp partition dir ``ts=.. 12%3A00`` arrives as
+    # ``ts=..%2012%253A00``).  Manifests key files by their RAW
+    # filesystem names, so decode back before anything joins on the
+    # name.  ``url_decode`` is form-decoding ('+' would become a
+    # space), so literal '+' is re-encoded first — the composition is
+    # exact percent-decoding, JVM-side.
+    rel = F.url_decode(F.replace(rel, F.lit("+"), F.lit("%2B")))
     return df.select(
         "*",
         rel.alias("__dv_file"),
@@ -1077,15 +1245,17 @@ def _read_files(
     Unpartitioned tables take the single-scan fast path (one parquet
     relation over the explicit committed schema — added columns read
     NULL from pre-evolution files, widened columns upcast from narrow
-    physical values).  Partitioned
-    tables group the files by partition directory and re-attach each
-    group's partition values as typed literal columns — explicit file
+    physical values).  Partitioned tables plan ONE scan over every
+    file plus a single broadcast join on the scan's file lineage
+    (``_metadata.file_path``) that re-attaches each file's path-encoded
+    partition values via ``coalesce(data, path_value)`` — explicit file
     lists bypass Spark's directory-based partition discovery, and
-    literals parsed through the COMMITTED schema are exact where
+    values parsed through the COMMITTED schema are exact where
     re-inference could mangle types (a string partition value '01'
-    would re-infer as the integer 1).  The plan is a union of
-    per-partition scans: its width is the snapshot's partition count,
-    the same fan-out a Hive-style partitioned scan plans anyway.
+    would re-infer as the integer 1).  Plan width stays O(1) however
+    many partition directories the snapshot holds; per-FILE coalesce
+    also makes partition-spec evolution free at read time (a column is
+    read from wherever each file put it — path or data).
 
     Delete vectors recorded in the manifest are ALWAYS applied — every
     reader (snapshot, pruned, time travel, copy-on-write rewrite) sees
@@ -1175,22 +1345,37 @@ def _read_files(
     if path_cols:
         from pyspark.sql.types import StringType
 
+        # _partition_values keeps date/timestamp/decimal values as the
+        # ISO strings the writer path-encoded; createDataFrame's type
+        # verification rejects str for those Spark types, so the __pv_
+        # columns stay StringType here and the coalesce casts to the
+        # committed type (ints/floats/bools arrive typed and round-trip
+        # through the string cast unchanged).
         pv_schema = _St(
             [StructField("__pv_file", StringType(), False)]
             + [
-                StructField(f"__pv_{c}", full[c].dataType, True)
+                StructField(f"__pv_{c}", StringType(), True)
                 for c in path_cols
             ]
         )
         pv_rows = [
-            tuple([f] + [per_file[f].get(c) for c in path_cols])
+            tuple(
+                [f]
+                + [
+                    None if (v := per_file[f].get(c)) is None else str(v)
+                    for c in path_cols
+                ]
+            )
             for f in files
         ]
         pv = F.broadcast(spark.createDataFrame(pv_rows, pv_schema))
         out = out.join(pv, F.col("__dv_file") == F.col("__pv_file"), "left")
         for c in path_cols:
             out = out.withColumn(
-                c, F.coalesce(F.col(c), F.col(f"__pv_{c}"))
+                c,
+                F.coalesce(
+                    F.col(c), F.col(f"__pv_{c}").cast(full[c].dataType)
+                ),
             )
         out = out.drop("__pv_file", *[f"__pv_{c}" for c in path_cols])
     if need_dv:
@@ -2187,6 +2372,9 @@ def versioned_apply_changes(
     matched_condition: str | None = None,
     not_matched_condition: str | None = None,
     matched_delete_condition: str | None = None,
+    not_matched_by_source_delete: bool | str = False,
+    not_matched_by_source_update: dict[str, str] | None = None,
+    not_matched_by_source_update_condition: str | None = None,
 ) -> int:
     """Full MERGE with delete clause: apply an I/U/D change batch
     (``sinks/cdc.py::apply_cdc_batch`` schema — the target's columns
@@ -2214,7 +2402,19 @@ def versioned_apply_changes(
     ``s_<col>`` (incoming row); see ``sinks/cdc.py::apply_cdc_batch``.
     The reference's unconditional MERGE (utils/merge_utils.py:74-80) is
     the all-``None`` case; file confinement is unchanged — conditions
-    only restrict which confined rows act."""
+    only restrict which confined rows act.
+
+    ``not_matched_by_source_delete`` / ``not_matched_by_source_update``
+    (+ its condition) complete the merge grammar with Delta's ``WHEN
+    NOT MATCHED BY SOURCE`` clauses — the standard sync job "make the
+    target's key set equal the source's" is
+    ``not_matched_by_source_delete=True``.  These clauses decide the
+    fate of EVERY target row, including rows in files the change
+    batch's key range provably misses, so file confinement is disabled
+    for the commit (the whole snapshot re-runs the merge — the same
+    full-table cost Delta pays for a by-source merge); see
+    ``sinks/cdc.py::apply_cdc_batch`` for the clause semantics
+    (conditions/assignments over unprefixed keys + ``t_<col>``)."""
     from .cdc import apply_cdc_batch
 
     keys = list(key_cols)
@@ -2228,6 +2428,14 @@ def versioned_apply_changes(
         matched_condition=matched_condition,
         not_matched_condition=not_matched_condition,
         matched_delete_condition=matched_delete_condition,
+        not_matched_by_source_delete=not_matched_by_source_delete,
+        not_matched_by_source_update=not_matched_by_source_update,
+        not_matched_by_source_update_condition=(
+            not_matched_by_source_update_condition
+        ),
+    )
+    has_by_source = bool(not_matched_by_source_delete) or bool(
+        not_matched_by_source_update
     )
     if not vs:
         # first commit: every change row is unmatched — route through
@@ -2241,11 +2449,19 @@ def versioned_apply_changes(
         )
         return _write_snapshot(out, path, "upsert", carry_files=[])
     m = _read_manifest(path, vs[-1])
-    pc = prune_col or keys[0]
-    rng = changes.agg(F.min(pc).alias("lo"), F.max(pc).alias("hi")).first()
-    candidates, untouched = _bucket_confine(
-        m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
-    )
+    if has_by_source:
+        # by-source clauses touch rows no change-row key points at:
+        # zone-map confinement on the batch's key range would leave
+        # unmatched rows in carried files un-deleted/un-updated
+        candidates, untouched = list(m["files"]), []
+    else:
+        pc = prune_col or keys[0]
+        rng = changes.agg(
+            F.min(pc).alias("lo"), F.max(pc).alias("hi")
+        ).first()
+        candidates, untouched = _bucket_confine(
+            m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
+        )
     cur = _read_files(spark, path, candidates, m)
     out = apply_cdc_batch(
         cur, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw

@@ -28,7 +28,12 @@ stream passes over them without raising (and without needing
 the vacuum retention horizon RAISES (Delta's offset-behind-retention
 error): the trimmed manifests make the missed changes unreconstructable
 and re-emitting the surviving snapshot would silently duplicate every
-row the stream already delivered.
+row the stream already delivered.  A FRESH stream (no checkpoint) on an
+ever-vacuumed table instead bootstraps: it has delivered nothing, so
+``initialOffset`` serves the earliest surviving snapshot as the initial
+load (Delta's initial-snapshot behavior) via a marked offset that
+replays batch 0 identically; ``startingVersion='earliest'`` requests
+the same bootstrap explicitly.
 
 Partition-column handling matches the batch reader: values are parsed
 from the Hive path through the COMMITTED schema (never re-inferred) and
@@ -86,7 +91,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         start = options.get("startingVersion", "0")
-        self.start_version = int(start)
+        if str(start).strip().lower() == "earliest":
+            # explicit "bootstrap from whatever survives" request
+            self.start_version = 0
+            self.from_earliest = True
+        else:
+            self.start_version = int(start)
+            self.from_earliest = False
         # the emitted field list is FIXED at stream start (the declared
         # schema): later schema evolution adds columns new files carry
         # but this stream does not emit — restart the stream to widen,
@@ -102,6 +113,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        # A FRESH stream (no checkpoint — the engine only calls
+        # initialOffset then) on an ever-vacuumed table has delivered
+        # nothing, so serving the earliest surviving snapshot as the
+        # initial load duplicates nothing — Delta's initial-snapshot
+        # behavior.  The marked offset is checkpointed with batch 0 and
+        # replays identically; genuinely checkpointed plain offsets
+        # that fell behind retention still raise in ``partitions``.
+        vs = versions(self.path)
+        if (
+            vs
+            and vs[0] > 1
+            and (self.from_earliest or self.start_version == 0)
+        ):
+            return {"version": vs[0] - 1, "snapshot_start": True}
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -121,7 +146,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # a pure append would silently re-emit the whole snapshot
             # as duplicates, so RAISE instead (Delta's
             # offset-behind-retention contract).
-            if (0 < sv < vs[0]) or (sv == 0 and vs[0] > 1):
+            # A snapshot-start offset (fresh stream bootstrapping an
+            # ever-vacuumed table, produced by ``initialOffset``) is
+            # valid exactly while it still points one below the
+            # earliest survivor: the first version then plans against
+            # an empty prev and emits the full surviving snapshot.  If
+            # vacuum moved the horizon past it (between checkpoint and
+            # replay), replay could no longer reproduce batch 0, so it
+            # degrades to the same behind-retention error.
+            snapshot_ok = start.get("snapshot_start") and sv == vs[0] - 1
+            if not snapshot_ok and (
+                (0 < sv < vs[0]) or (sv == 0 and vs[0] > 1)
+            ):
                 raise ValueError(
                     f"versioned_changes: checkpointed offset version "
                     f"{sv} predates the earliest surviving manifest "

@@ -197,3 +197,143 @@ def test_cdc_conditional_merge_with_seq_dedup(spark):
         target, changes, ["k"], seq_col="seq", matched_condition="s_n > t_n"
     )
     assert [(r.k, r.v, r.n) for r in out.collect()] == [(1, "a", 10)]
+
+
+def test_cdc_not_matched_by_source_clause_matrix(spark):
+    """WHEN NOT MATCHED BY SOURCE (Delta three-way merge): target rows
+    no change keys to can be deleted (sync) or updated (flag-stale),
+    unconditionally or gated by a t_-prefixed condition; the delete
+    clause wins over the update clause on the same row; absent clauses
+    reproduce the two-way behavior exactly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, v string, n int",
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 200, "U"), (5, "e", 50, "I"), (3, None, None, "D")],
+        "k int, v string, n int, op string",
+    )
+    # full sync: unmatched 1 and 4 deleted, matched D deletes 3
+    out = apply_cdc_batch(
+        target, changes, ["k"], not_matched_by_source_delete=True
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (2, "B", 200), (5, "e", 50)
+    ]
+    # conditional by-source delete: only rows with t_n >= 40
+    out = apply_cdc_batch(
+        target, changes, ["k"], not_matched_by_source_delete="t_n >= 40"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 10), (2, "B", 200), (5, "e", 50)
+    ]
+    # by-source update: flag unmatched rows, others untouched
+    out = apply_cdc_batch(
+        target,
+        changes,
+        ["k"],
+        not_matched_by_source_update={"v": "concat(t_v, '_stale')"},
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a_stale", 10), (2, "B", 200), (4, "d_stale", 40), (5, "e", 50)
+    ]
+    # both clauses: delete t_n>=40 first, update the remaining
+    # unmatched rows where the update condition holds
+    out = apply_cdc_batch(
+        target,
+        changes,
+        ["k"],
+        not_matched_by_source_delete="t_n >= 40",
+        not_matched_by_source_update={"n": "t_n + 1"},
+        not_matched_by_source_update_condition="t_n < 15",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 11), (2, "B", 200), (5, "e", 50)
+    ]
+    # NULL condition (unknown) takes no action, SQL WHEN semantics
+    t2 = spark.createDataFrame([(1, "a", None)], "k int, v string, n int")
+    c2 = spark.createDataFrame([(9, "z", 1, "I")], "k int, v string, n int, op string")
+    out = apply_cdc_batch(
+        t2, c2, ["k"], not_matched_by_source_delete="t_n >= 0"
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, "a", None), (9, "z", 1)]
+    # key-column assignment refuses; unknown column refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="key column"):
+        apply_cdc_batch(
+            target, changes, ["k"],
+            not_matched_by_source_update={"k": "t_n"},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        apply_cdc_batch(
+            target, changes, ["k"],
+            not_matched_by_source_update={"nope": "t_n"},
+        )
+    # composes with the two-way clause conditions in one pass
+    out = apply_cdc_batch(
+        target,
+        changes,
+        ["k"],
+        matched_condition="s_n > t_n",
+        not_matched_condition="s_n >= 50",
+        not_matched_by_source_delete=True,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (2, "B", 200), (5, "e", 50)
+    ]
+
+
+def test_versioned_apply_changes_by_source_sync(spark, tmp_path):
+    """The by-source clauses reach versioned tables through
+    versioned_apply_changes as ONE commit, and file confinement is
+    disabled for it: unmatched rows in files the change batch's key
+    range provably misses are still deleted/updated."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versioned_apply_changes,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    # two range-disjoint files: keys 1-3 and 100-102
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in (1, 2, 3)], "k int, v string"
+        ),
+        t,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in (100, 101, 102)], "k int, v string"
+        ),
+        t,
+    )
+    # change batch touches only the low range; by-source delete must
+    # still remove unmatched HIGH-range rows (the confinement trap)
+    changes = spark.createDataFrame(
+        [(1, "V1", "U"), (2, "v2", "U")], "k int, v string, op string"
+    )
+    versioned_apply_changes(
+        changes, t, ["k"], not_matched_by_source_delete=True
+    )
+    got = sorted(map(tuple, read_version(spark, t).collect()))
+    assert got == [(1, "V1"), (2, "v2")]
+    # by-source update across disjoint files
+    t2 = str(tmp_path / "tbl2")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (200, "b")], "k int, v string"
+        ),
+        t2,
+    )
+    versioned_apply_changes(
+        spark.createDataFrame([(1, "A", "U")], "k int, v string, op string"),
+        t2,
+        ["k"],
+        not_matched_by_source_update={"v": "concat(t_v, '!')"},
+    )
+    got = sorted(map(tuple, read_version(spark, t2).collect()))
+    assert got == [(1, "A"), (200, "b!")]

@@ -948,6 +948,80 @@ def test_versioned_changes_offset_behind_retention_raises(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == [30, 31, 32]
 
 
+def test_versioned_changes_fresh_stream_bootstraps_vacuumed_table(
+    spark, tmp_path
+):
+    """A BRAND-NEW stream (no checkpoint: the engine starts from
+    ``initialOffset``) on an ever-vacuumed table has delivered nothing,
+    so there is no duplication hazard — it must bootstrap by emitting
+    the earliest surviving snapshot as the initial load (Delta's
+    initial-snapshot behavior), then follow later appends.  The raise
+    stays for genuinely checkpointed plain offsets (previous test)."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import vacuum, versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    for lo in (0, 10, 20, 30):
+        versioned_write(mk(lo), t)
+    vacuum(t, keep_last=2)  # vs = [3, 4]; v3 holds rows 0..22
+    rd = VersionedChangesStreamReader({"path": t})
+    off0 = rd.initialOffset()
+    assert off0 == {"version": 2, "snapshot_start": True}
+    parts = rd.partitions(off0, rd.latestOffset())
+    rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
+    # full surviving snapshot (v3: 0..22) + the v4 append (30..32),
+    # each exactly once
+    assert sorted(r["id"] for r in rows) == [
+        0, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31, 32
+    ]
+    # replaying batch 0 from the checkpointed marked offset is identical
+    rows2 = [
+        r
+        for p in rd.partitions(off0, {"version": 4})
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows2) == sorted(r["id"] for r in rows)
+    # explicit startingVersion='earliest' requests the same bootstrap
+    rd_e = VersionedChangesStreamReader(
+        {"path": t, "startingVersion": "earliest"}
+    )
+    assert rd_e.initialOffset() == {"version": 2, "snapshot_start": True}
+    # a marked offset the horizon moved past can no longer reproduce
+    # batch 0 — degrades to the behind-retention error
+    versioned_write(mk(40), t)  # v5
+    vacuum(t, keep_last=2)  # vs = [4, 5]
+    with pytest.raises(ValueError, match="retention|predates"):
+        rd.partitions(
+            {"version": 2, "snapshot_start": True}, {"version": 5}
+        )
+    # a fresh reader created NOW bootstraps from the new horizon
+    rd2 = VersionedChangesStreamReader({"path": t})
+    assert rd2.initialOffset() == {"version": 3, "snapshot_start": True}
+    rows3 = [
+        r
+        for p in rd2.partitions(rd2.initialOffset(), {"version": 5})
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows3) == [
+        0, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42
+    ]
+    # non-vacuumed table: fresh start stays the plain {"version": 0}
+    t2 = str(tmp_path / "tbl2")
+    versioned_write(mk(0), t2)
+    assert VersionedChangesStreamReader({"path": t2}).initialOffset() == {
+        "version": 0
+    }
+
+
 def test_stream_drift_converges_and_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Streaming drift monitor: the per-batch bin-count fold must (a)
     converge to the one-pass batch histogram — so drift_report over the

@@ -2305,6 +2305,128 @@ def test_type_widening_refusals_and_hash_layout_guard(spark, tmp_path):
     assert got == [(1, 10), (30_000_000_000, 30)]
 
 
+def test_narrow_arrival_on_hashed_columns_upcasts_before_hashing(
+    spark, tmp_path
+):
+    """The dual of the hash-layout widening guard: INT data appended to
+    a committed-LONG bloom/bucket column (legal under type widening —
+    the committed type does not change) must be UPCAST before masks /
+    bucket ids are computed, because Spark's murmur3 hashes int and
+    long of the same value differently — unfixed, readers probing with
+    the committed wide type silently DROP the new files' rows (false
+    negatives, not errors)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_bloom,
+        read_version_keyed,
+    )
+
+    tb = str(tmp_path / "tbl_bloom")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a int, k long"),
+        tb,
+        bloom_by=["k"],
+    )
+    versioned_write(
+        spark.createDataFrame([(2, 20), (3, 30)], "a int, k int"),
+        tb,
+        allow_type_widening=True,
+    )
+    # committed type stays long; the narrow-arrival rows must be FOUND
+    got = sorted(map(tuple, read_version_bloom(spark, tb, "k", [20, 30]).collect()))
+    assert got == [(2, 20), (3, 30)]
+    assert dict(read_version(spark, tb).dtypes)["k"] == "bigint"
+
+    tk = str(tmp_path / "tbl_bucket")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a int, k long"),
+        tk,
+        bucket_by=("k", 8),
+    )
+    versioned_write(
+        spark.createDataFrame([(2, 20), (3, 30)], "a int, k int"),
+        tk,
+        allow_type_widening=True,
+    )
+    got = sorted(map(tuple, read_version_keyed(spark, tk, [20, 30]).collect()))
+    assert got == [(2, 20), (3, 30)]
+    # a WIDER-than-committed arrival is NOT downcast to the committed
+    # narrow type (truncation would be silent corruption): the widening
+    # guard still sees the type change and refuses it
+    ti = str(tmp_path / "tbl_bloom_int")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a long, k int"),
+        ti,
+        bloom_by=["k"],
+    )
+    with pytest.raises(ValueError, match="hash-indexed"):
+        versioned_write(
+            spark.createDataFrame(
+                [(4, 40_000_000_000)], "a long, k long"
+            ),
+            ti,
+            allow_type_widening=True,
+        )
+
+
+def test_partition_by_date_column_reads(spark, tmp_path):
+    """Partition columns of date/timestamp/decimal types: the writer
+    path-encodes them as ISO strings, and the broadcast re-attach plan
+    must carry them as strings and CAST in the coalesce (createDataFrame
+    rejects str for DateType) — a regression in the O(1)-width read
+    plan rewrite."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl_date")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1), 10.0),
+            (2, datetime.date(2024, 1, 1), 20.0),
+            (3, datetime.date(2024, 2, 1), 30.0),
+        ],
+        "id int, d date, v double",
+    )
+    versioned_write(df, t, partition_by=["d"])
+    got = read_version(spark, t)
+    assert dict(got.dtypes)["d"] == "date"
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # pruning on the date partition still works through the string
+    # zone-map ranges (ISO order == value order)
+    sub = got.filter(F.col("d") == F.lit("2024-02-01").cast("date"))
+    assert sorted(r["id"] for r in sub.collect()) == [3]
+
+    tt = str(tmp_path / "tbl_ts")
+    dft = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+            (2, datetime.datetime(2024, 3, 1, 6, 30, 0)),
+        ],
+        "id int, ts timestamp",
+    )
+    versioned_write(dft, tt, partition_by=["ts"])
+    gt = read_version(spark, tt)
+    assert dict(gt.dtypes)["ts"] == "timestamp"
+    assert sorted(map(tuple, gt.collect())) == sorted(
+        map(tuple, dft.collect())
+    )
+
+    td = str(tmp_path / "tbl_dec")
+    dfd = spark.createDataFrame(
+        [(1, Decimal("1.50")), (2, Decimal("2.25"))],
+        "id int, amt decimal(10,2)",
+    )
+    versioned_write(dfd, td, partition_by=["amt"])
+    gd = read_version(spark, td)
+    assert dict(gd.dtypes)["amt"] == "decimal(10,2)"
+    assert sorted(map(tuple, gd.collect())) == sorted(
+        map(tuple, dfd.collect())
+    )
+
+
 def test_type_widening_partitioned_and_row_level_ops(spark, tmp_path):
     """Widening composes with Hive partitioning (grouped explicit-schema
     scan) and with a row-level UPDATE on the mixed-width table."""
@@ -2470,3 +2592,153 @@ def test_deep_clone_of_widened_evolved_dv_table(spark, tmp_path):
     versioned_delete(spark, src, "id = 1")
     vacuum(src, keep_last=1)
     assert sorted(map(tuple, read_version(spark, dst).collect())) == want
+
+
+def test_concurrent_append_rebases_and_both_land(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency retry: when an append loses the version
+    race, it re-reads the new head, re-validates, and re-links at
+    head+1 — two writers appending disjoint file sets BOTH land, in
+    commit order, with the head manifest carrying both writers' files,
+    stats and row counts (the Delta append-vs-append rule)."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    versioned_write(mk(0), t)  # v1
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        # writer B sneaks in and wins version 2 the moment writer A
+        # tries to commit it
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(mk(100), path)  # B lands v2 via the real path
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_cs)
+    v = versioned_write(mk(10), t)  # A: loses v2, rebases, lands v3
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3
+    assert versions(t) == [1, 2, 3]
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == [0, 1, 2, 10, 11, 12, 100, 101, 102]
+    m = _read_manifest(t, 3)
+    assert m["row_count"] == 9
+    # every file (both writers') has carried/harvested stats + meta
+    assert set(m["file_stats"]) == set(m["files"])
+    assert set(m["file_meta"]) == set(m["files"])
+
+
+def test_concurrent_rowlevel_rewrite_fails_deterministically(
+    spark, tmp_path, monkeypatch
+):
+    """A row-level rewrite (upsert here) that loses the race decided
+    rows over a stale snapshot — it must raise ConcurrentCommitError
+    telling the caller to re-run, never auto-rebase (the winner may
+    have changed the very rows it read)."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    versioned_write(mk(0), t)
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(mk(100), path)
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_cs)
+    with pytest.raises(ConcurrentCommitError, match="re-run|stale"):
+        versioned_upsert(
+            spark.createDataFrame([(1, "X")], "id int, v string"),
+            t,
+            ["id"],
+        )
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    # the winner's commit is intact; the loser changed nothing
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == [0, 1, 2, 100, 101, 102]
+
+
+def test_concurrent_append_rebase_validations(spark, tmp_path, monkeypatch):
+    """Rebase re-validates what the winner changed underfoot: a
+    concurrent layout-spec change refuses; a concurrently added CHECK
+    constraint re-validates the loser's new rows (violations abort with
+    nothing committed; clean rows land and carry the constraint)."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        CheckConstraintViolation,
+        ConcurrentCommitError,
+        add_check_constraint,
+    )
+
+    mk = lambda lo, n=3: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    real_cs = V._commit_state
+
+    # (a) winner re-partitioned the table (overwrite with new spec)
+    t1 = str(tmp_path / "t1")
+    versioned_write(mk(0), t1)
+    fired = {"done": False}
+
+    def spec_change_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(mk(100), path, mode="overwrite", partition_by=["v"])
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", spec_change_cs)
+    with pytest.raises(ConcurrentCommitError, match="partition_by"):
+        versioned_write(mk(10), t1)
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+
+    # (b) winner added a CHECK constraint the loser's rows violate
+    t2 = str(tmp_path / "t2")
+    versioned_write(mk(0), t2)
+    fired = {"done": False}
+
+    def constraint_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            add_check_constraint(spark, path, "id_small", "id < 50")
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", constraint_cs)
+    with pytest.raises(CheckConstraintViolation):
+        versioned_write(mk(100), t2)  # 100 >= 50 violates
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert versions(t2) == [1, 2]  # loser committed nothing
+
+    # (c) clean rows rebase fine and CARRY the new constraint
+    t3 = str(tmp_path / "t3")
+    versioned_write(mk(0), t3)
+    fired = {"done": False}
+
+    def constraint_cs3(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            add_check_constraint(spark, path, "id_small", "id < 50")
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", constraint_cs3)
+    v = versioned_write(mk(10), t3)
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3
+    assert _read_manifest(t3, 3)["constraints"] == {"id_small": "id < 50"}
+    got = sorted(r["id"] for r in read_version(spark, t3).collect())
+    assert got == [0, 1, 2, 10, 11, 12]
