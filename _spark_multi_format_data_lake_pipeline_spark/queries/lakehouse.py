@@ -1197,3 +1197,90 @@ def q257_versioned_merge_by_source(
         not_matched_by_source_update={"o_orderstatus": "'S'"},
     )
     return read_version(spark, t)
+
+
+@register(
+    "q258_versioned_column_rename",
+    oracle="""
+    -- rename is metadata-only: v1 (even keys) committed under
+    -- o_totalprice, renamed to price, odd keys appended under the NEW
+    -- name; a pruned read on the renamed column spans both eras
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+    FROM orders
+    WHERE o_totalprice >= 100000.0
+    """,
+    doc="End-to-end COLUMN RENAME without rewrite (Delta column "
+        "mapping, name mode): build a versioned orders table (v1 = "
+        "even keys, 4 range files), rename_column o_totalprice→price "
+        "(metadata-only commit — the driver-checked result only "
+        "matches if zero data files were touched yet every reader "
+        "aliases physical→logical), append odd keys under the NEW "
+        "logical name (files keep writing the ORIGINAL physical name), "
+        "then read_version_pruned on the renamed column — zone maps "
+        "stay keyed physical, so pruning spans pre- and post-rename "
+        "files through the mapping. sinks/versioned.py:rename_column + "
+        "_column_mapping; layout-spec follow and refusal matrix pinned "
+        "in tests/test_versioned.py.",
+)
+def q258_versioned_column_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        read_version_pruned,
+        rename_column,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q258_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    rename_column(t, "o_totalprice", "price")
+    versioned_write(
+        od.filter(k % 2 == 1).withColumnRenamed("o_totalprice", "price"),
+        t,
+    )
+    return read_version_pruned(spark, t, "price", lo=100000.0)
+
+
+@register(
+    "q259_versioned_drop_readd_column",
+    oracle="""
+    -- dropped columns never resurrect: price is dropped (metadata
+    -- only, files keep dead bytes), then RE-ADDED by the odd-keys
+    -- append — the fresh physical name makes pre-drop files read NULL
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice
+                ELSE NULL END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="End-to-end DROP COLUMN + tombstoned re-add: build a versioned "
+        "table (v1 = keys %3==0), drop_column o_totalprice (metadata-"
+        "only — files untouched), append keys %3==1 WITH an "
+        "o_totalprice column — the same logical name re-added gets a "
+        "FRESH physical name via the manifest tombstone, so the "
+        "pre-drop files read NULL instead of resurrecting the dropped "
+        "values (the hazard Delta/Iceberg field-ids exist for), while "
+        "the new files carry real values. The driver hash checks both "
+        "eras' NULL/value split verbatim. "
+        "sinks/versioned.py:drop_column + dropped_physical tombstones; "
+        "refusals and rename/drop interplay pinned in "
+        "tests/test_versioned.py.",
+)
+def q259_versioned_drop_readd_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import drop_column, read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q259_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 3 == 0).repartitionByRange(3, "o_orderkey"), t
+    )
+    drop_column(t, "o_totalprice")
+    versioned_write(od.filter(k % 3 == 1), t)
+    return read_version(spark, t)

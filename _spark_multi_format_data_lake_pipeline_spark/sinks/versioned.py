@@ -428,7 +428,25 @@ def _harvest(
 _INT_TYPES = ("byte", "short", "integer", "long")
 
 
-def _partition_values(rel: str, schema_json: dict | None) -> dict:
+def _column_mapping(manifest: dict) -> dict:
+    """The table's logical→physical column-name map (Delta column
+    mapping, name mode).  Physical names are what parquet files, path
+    components, zone-map/bloom plane keys and DV lineage carry; the
+    committed schema, layout specs, constraints and every user-facing
+    API speak logical names.  Only columns whose two names differ have
+    entries (a never-renamed table maps identically and costs nothing);
+    ``rename_column`` adds entries without touching a single data file."""
+    return manifest.get("column_mapping") or {}
+
+
+def _phys(manifest: dict, col: str) -> str:
+    """Physical name of a logical column (identity when unmapped)."""
+    return _column_mapping(manifest).get(col, col)
+
+
+def _partition_values(
+    rel: str, schema_json: dict | None, cmap: dict | None = None
+) -> dict:
     """Typed partition values parsed from a data file's ``k=v`` path
     components (Hive layout, as ``partitionBy`` writes them).  Values
     are coerced through the committed schema (int/float/bool); anything
@@ -436,7 +454,10 @@ def _partition_values(rel: str, schema_json: dict | None) -> dict:
     whose lexicographic order matches the value order, so [v, v] string
     ranges in the zone maps still prune correctly.  The Hive null
     sentinel maps to Python ``None`` (no range is recorded for it, so
-    null-partition files are conservatively kept)."""
+    null-partition files are conservatively kept).  Path components are
+    PHYSICAL column names; with a column mapping the result is keyed by
+    the LOGICAL name (types come from the committed schema, which is
+    logical)."""
     import urllib.parse
 
     types = (
@@ -444,11 +465,13 @@ def _partition_values(rel: str, schema_json: dict | None) -> dict:
         if schema_json
         else {}
     )
+    rev = {v: k for k, v in (cmap or {}).items()}
     out: dict = {}
     for comp in rel.split("/")[:-1]:
         if "=" not in comp:
             continue
         name, raw = comp.split("=", 1)
+        name = rev.get(name, name)
         raw = urllib.parse.unquote(raw)
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[name] = None
@@ -503,13 +526,15 @@ def _build_blooms(
     path: str,
     new_files: list[str],
     spec: dict,
+    cmap: dict | None = None,
 ) -> dict[str, dict[str, str]]:
     """Commit-time bloom construction over the NEW data files only: one
     scan per bloom column, keyed by scan lineage (``_metadata.
     file_path``), reducing each file to its distinct bit positions
     (map-side-combined collect_set — at most m=8k ints per file reach
     the driver, regardless of row count).  Returns {file: {col: hex
-    bitmask}} for the manifest."""
+    bitmask}} for the manifest; mask keys are PHYSICAL column names
+    (the files' names — what probes translate to at consult time)."""
     from pyspark.sql import functions as F
 
     cols, m, k = spec["cols"], int(spec["m"]), int(spec["k"])
@@ -518,7 +543,8 @@ def _build_blooms(
         *[str(Path(path) / f) for f in new_files]
     )
     src = _attach_lineage(src, path)
-    for c in cols:
+    for lc in cols:
+        c = (cmap or {}).get(lc, lc)
         if c not in src.columns:
             continue  # pre-evolution commit: files without the column
         rows = (
@@ -734,10 +760,42 @@ def _write_snapshot(
         # persisted CHECK constraints gate every commit's NEW rows
         # (carried files were validated when they were new)
         _validate_constraints(df, constraints, f"{mode} write")
+    # Column mapping (Delta name-mode): data files, path components and
+    # the stats/bloom planes speak PHYSICAL names; everything above
+    # this point spoke logical.  The mapping is a table property that
+    # rides every commit like constraints.  A column re-added after a
+    # ``drop_column`` gets a FRESH physical name — old files still hold
+    # dead data under the tombstoned one, which must read as NULL, not
+    # as resurrected values.
+    cmap = dict(prev.get("column_mapping") or {})
+    dropped = list(prev.get("dropped_physical") or [])
+    if cmap or dropped:
+        prev_names = {
+            f["name"] for f in (prev.get("schema") or {}).get("fields", [])
+        }
+        taken = set(cmap.values())
+        for fld in df.schema.fields:
+            if fld.name in cmap or fld.name in prev_names:
+                continue
+            # a NEW logical column whose identity physical name is a
+            # tombstone (re-add after drop) or another column's
+            # physical (its logical name was renamed away) — either way
+            # old files hold UNRELATED data under that name
+            if fld.name in dropped or fld.name in taken:
+                cmap[fld.name] = f"{fld.name}_r{uuid.uuid4().hex[:8]}"
+    if cmap:
+        from pyspark.sql import functions as F
+
+        df_w = df.select(
+            [F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+        )
+        pb_w = [cmap.get(c, c) for c in pb]
+    else:
+        df_w, pb_w = df, pb
     data_dir = Path(path) / "data" / uuid.uuid4().hex
-    writer = df.write.mode("error")
-    if pb:
-        writer = writer.partitionBy(*pb)
+    writer = df_w.write.mode("error")
+    if pb_w:
+        writer = writer.partitionBy(*pb_w)
     writer.parquet(str(data_dir))
     new_files = sorted(
         str(p.relative_to(path))
@@ -778,9 +836,11 @@ def _write_snapshot(
     new_stats, new_meta = _harvest(path, new_files)
     if pb:
         for rel in new_files:
-            for name, v in _partition_values(rel, schema).items():
+            for name, v in _partition_values(rel, schema, cmap).items():
                 if v is not None:
-                    new_stats.setdefault(rel, {})[name] = [v, v]
+                    new_stats.setdefault(rel, {})[
+                        cmap.get(name, name)
+                    ] = [v, v]
     prev_stats = prev.get("file_stats", {})
     prev_meta = prev.get("file_meta", {})
     file_stats = {
@@ -799,7 +859,9 @@ def _write_snapshot(
     prev_blooms = prev.get("bloom") or {}
     blooms = {f: prev_blooms[f] for f in carry_files if f in prev_blooms}
     if bspec and new_files:
-        blooms.update(_build_blooms(df.sparkSession, path, new_files, bspec))
+        blooms.update(
+            _build_blooms(df.sparkSession, path, new_files, bspec, cmap)
+        )
     # Shallow-clone lineage: carried files keep their source-table base
     # (zero-copy); every rewrite lands locally, so mutation gradually
     # materializes the clone and compact()/overwrite completes it.
@@ -855,6 +917,10 @@ def _write_snapshot(
         manifest["constraints"] = constraints
     if gen:
         manifest["generated_columns"] = gen
+    if cmap:
+        manifest["column_mapping"] = cmap
+    if dropped:
+        manifest["dropped_physical"] = dropped
     if txn_id is not None:
         manifest["txn_id"] = txn_id
     # Optimistic-concurrency conflict resolution (the Delta/Iceberg
@@ -893,6 +959,8 @@ def _write_snapshot(
                 "bucket_by",
                 "bloom_by",
                 "generated_columns",
+                "column_mapping",
+                "dropped_physical",
             ):
                 if _norm(head.get(k)) != _norm(manifest.get(k)):
                     raise ConcurrentCommitError(
@@ -1291,6 +1359,30 @@ def _read_files(
     bases = tuple((manifest.get("file_base") or {}).values())
     from pyspark.sql import functions as F
 
+    # Column mapping: files carry PHYSICAL names, so the scan schema is
+    # the committed schema with fields renamed logical→physical, and
+    # the result renames back right after the scan (after lineage
+    # attach — a select would drop the _metadata pseudo-column).  A
+    # rename therefore costs zero I/O and zero plan complexity: same
+    # one scan, aliased projection.
+    cmap = _column_mapping(manifest)
+    from pyspark.sql.types import StructField as _Sf
+
+    phys = StructType(
+        [
+            _Sf(cmap.get(f.name, f.name), f.dataType, True)
+            for f in full.fields
+        ]
+    )
+
+    def _to_logical(df: DataFrame) -> DataFrame:
+        if not cmap:
+            return df
+        rev = {v: k for k, v in cmap.items()}
+        return df.select(
+            [F.col(c).alias(rev.get(c, c)) for c in df.columns]
+        )
+
     # Partition evolution (Iceberg spec-evolution semantics) means the
     # CURRENT spec says nothing about how an OLD file is laid out: a
     # file written before the evolution may carry a current partition
@@ -1308,12 +1400,12 @@ def _read_files(
         # a type widening hold narrow physical values the vectorized
         # reader upcasts exactly (mergeSchema would refuse to merge an
         # int file with a long file at all)
-        out = spark.read.schema(full).parquet(
+        out = spark.read.schema(phys).parquet(
             *[_data_path(path, manifest, f) for f in files]
         )
         if not need_dv:
-            return out
-        out = _attach_lineage(out, path, bases)
+            return _to_logical(out)
+        out = _to_logical(_attach_lineage(out, path, bases))
         out = _apply_delete_vectors(spark, out, path, manifest, files)
         return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
@@ -1332,16 +1424,18 @@ def _read_files(
     per_file = {
         f: {
             c: v
-            for c, v in _partition_values(f, manifest["schema"]).items()
+            for c, v in _partition_values(
+                f, manifest["schema"], cmap
+            ).items()
             if c in full.fieldNames()
         }
         for f in files
     }
     path_cols = sorted({c for vals in per_file.values() for c in vals})
-    out = spark.read.schema(full).parquet(
+    out = spark.read.schema(phys).parquet(
         *[_data_path(path, manifest, f) for f in files]
     )
-    out = _attach_lineage(out, path, bases)
+    out = _to_logical(_attach_lineage(out, path, bases))
     if path_cols:
         from pyspark.sql.types import StringType
 
@@ -1582,7 +1676,7 @@ def read_version_bloom_multi(
     blooms = m.get("bloom") or {}
 
     def _passes(f: str, c: str) -> bool:
-        hexmask = blooms.get(f, {}).get(c)
+        hexmask = blooms.get(f, {}).get(_phys(m, c))
         if hexmask is None:
             return True  # no mask committed → conservative keep
         mask = int(hexmask, 16)
@@ -1642,7 +1736,9 @@ def _candidate_split(
     copy-on-write upsert/delete (rewrite only may-intersect).  Files
     with no usable stats — including a type-mismatched comparison
     (e.g. a string-kept partition value probed with an int) — land on
-    the may-intersect side: correctness never depends on a prune."""
+    the may-intersect side: correctness never depends on a prune.
+    ``col`` is the LOGICAL name; the stats plane keys by physical."""
+    col = _phys(manifest, col)
     all_stats = manifest.get("file_stats", {})
     keep: list[str] = []
     skipped: list[str] = []
@@ -2467,6 +2563,184 @@ def versioned_apply_changes(
         cur, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw
     )
     return _write_snapshot(out, path, "upsert", carry_files=untouched)
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Delta column-mapping RENAME (name mode): change a column's
+    LOGICAL name in a metadata-only commit — zero data files touched,
+    however large the table.  The manifest's ``column_mapping`` records
+    the logical→physical indirection: files keep their physical column
+    names forever, every reader scans physical and aliases back, the
+    stats/bloom planes stay keyed physical, and new files keep writing
+    the ORIGINAL physical name so one scan covers pre- and post-rename
+    files alike.  Layout specs (partition_by / bucket_by / bloom_by)
+    and a generated column's own name follow the rename; a column
+    REFERENCED inside a CHECK constraint or generated-column expression
+    refuses (the stored SQL text would silently break — Delta refuses
+    these too).  Renaming a column back to its physical name drops the
+    mapping entry.  Time travel before the rename shows the old name,
+    exactly like Delta."""
+    import re
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    names = [f["name"] for f in m["schema"]["fields"]]
+    if old not in names:
+        raise ValueError(
+            f"rename_column: no column {old!r} at {path} (have {names})"
+        )
+    if new in names or new == _BUCKET_COL:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    pat = re.compile(rf"\b{re.escape(old)}\b")
+    refs = sorted(
+        [
+            f"constraint {n!r}"
+            for n, e in (m.get("constraints") or {}).items()
+            if pat.search(e)
+        ]
+        + [
+            f"generated column {n!r}"
+            for n, e in (m.get("generated_columns") or {}).items()
+            if pat.search(e)
+        ]
+    )
+    if refs:
+        raise ValueError(
+            f"rename_column: {old!r} is referenced by {refs}; drop and "
+            "re-add those definitions around the rename"
+        )
+    cmap = dict(m.get("column_mapping") or {})
+    physical = cmap.pop(old, old)
+    if physical != new:
+        cmap[new] = physical
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": f"rename-column:{old}->{new}",
+        "committed_at": time.time(),
+        "schema": {
+            **m["schema"],
+            "fields": [
+                {**f, "name": new} if f["name"] == old else dict(f)
+                for f in m["schema"]["fields"]
+            ],
+        },
+    }
+    if cmap:
+        manifest["column_mapping"] = cmap
+    else:
+        manifest.pop("column_mapping", None)
+    if old in (m.get("partition_by") or []):
+        manifest["partition_by"] = [
+            new if c == old else c for c in m["partition_by"]
+        ]
+    bb = m.get("bucket_by")
+    if bb and bb[0] == old:
+        manifest["bucket_by"] = [new, bb[1]]
+    bs = m.get("bloom_by")
+    if bs and old in bs["cols"]:
+        manifest["bloom_by"] = {
+            **bs, "cols": [new if c == old else c for c in bs["cols"]]
+        }
+    gen = m.get("generated_columns") or {}
+    if old in gen:
+        manifest["generated_columns"] = {
+            (new if k == old else k): v for k, v in gen.items()
+        }
+    manifest.pop("txn_id", None)
+    return _commit_state(path, manifest, m)
+
+
+def drop_column(path: str, name: str) -> int:
+    """Column-mapping DROP: remove a column from the committed schema
+    in a metadata-only commit — data files keep the (now dead) bytes
+    until compaction naturally rewrites them, readers simply never
+    select the physical column again.  The physical name is TOMBSTONED
+    in the manifest: re-adding a column with the same logical name
+    later assigns a FRESH physical name, so old files read NULL for it
+    instead of resurrecting the dropped values (the hazard Delta/
+    Iceberg solve with field-ids).  Refuses while the column backs the
+    layout (partition/bucket/bloom) or is referenced by a CHECK
+    constraint or another generated column's expression; dropping a
+    generated column removes its generation spec with it."""
+    import re
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    names = [f["name"] for f in m["schema"]["fields"]]
+    if name not in names:
+        raise ValueError(
+            f"drop_column: no column {name!r} at {path} (have {names})"
+        )
+    visible = [n for n in names if n != _BUCKET_COL]
+    if len(visible) <= 1:
+        raise ValueError("drop_column: cannot drop the last column")
+    if name in (m.get("partition_by") or []):
+        raise ValueError(
+            f"drop_column: {name!r} is a partition column; re-layout "
+            "via overwrite/evolve_partitioning first"
+        )
+    bb = m.get("bucket_by")
+    if bb and bb[0] == name:
+        raise ValueError(f"drop_column: {name!r} backs the bucket layout")
+    bs = m.get("bloom_by")
+    if bs and name in bs["cols"]:
+        raise ValueError(f"drop_column: {name!r} backs a bloom index")
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    refs = sorted(
+        [
+            f"constraint {n!r}"
+            for n, e in (m.get("constraints") or {}).items()
+            if pat.search(e)
+        ]
+        + [
+            f"generated column {n!r}"
+            for n, e in (m.get("generated_columns") or {}).items()
+            if n != name and pat.search(e)
+        ]
+    )
+    if refs:
+        raise ValueError(
+            f"drop_column: {name!r} is referenced by {refs}; drop those "
+            "definitions first"
+        )
+    cmap = dict(m.get("column_mapping") or {})
+    physical = cmap.pop(name, name)
+    dropped = list(m.get("dropped_physical") or [])
+    if physical not in dropped:
+        dropped.append(physical)
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": f"drop-column:{name}",
+        "committed_at": time.time(),
+        "schema": {
+            **m["schema"],
+            "fields": [
+                dict(f) for f in m["schema"]["fields"] if f["name"] != name
+            ],
+        },
+        "dropped_physical": dropped,
+    }
+    if cmap:
+        manifest["column_mapping"] = cmap
+    else:
+        manifest.pop("column_mapping", None)
+    gen = m.get("generated_columns") or {}
+    if name in gen:
+        g2 = {k: v for k, v in gen.items() if k != name}
+        if g2:
+            manifest["generated_columns"] = g2
+        else:
+            manifest.pop("generated_columns", None)
+    manifest.pop("txn_id", None)
+    return _commit_state(path, manifest, m)
 
 
 class CheckConstraintViolation(ValueError):

@@ -69,9 +69,10 @@ _APPEND_MODES = ("append",)
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_values: dict):
+    def __init__(self, abs_path: str, part_values: dict, cmap: dict):
         self.abs_path = abs_path
-        self.part_values = part_values
+        self.part_values = part_values  # keyed by LOGICAL column name
+        self.cmap = cmap  # logical → physical (files carry physical)
 
 
 def _visible_fields(schema_json: dict, has_buckets: bool) -> list[dict]:
@@ -202,11 +203,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     )
                 continue
             fb = m.get("file_base") or {}
+            cmap = m.get("column_mapping") or {}
             for f in new_files:
                 out.append(
                     _FilePartition(
                         str(Path(fb.get(f, self.path)) / f),
-                        _partition_values(f, m["schema"]),
+                        _partition_values(f, m["schema"], cmap),
+                        cmap,
                     )
                 )
         if prev is None and end["version"] > sv:
@@ -241,9 +244,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             arrays = []
             for i, f in enumerate(fields):
                 name, at = f["name"], target.field(i).type
-                if name in table.column_names:
+                phys = partition.cmap.get(name, name)
+                if phys in table.column_names:
                     arrays.append(
-                        table.column(name).combine_chunks().cast(at)
+                        table.column(phys).combine_chunks().cast(at)
                     )
                 elif name in pv:
                     arrays.append(
@@ -260,8 +264,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             series = []
             for f in fields:
                 name = f["name"]
-                if name in table.column_names:
-                    series.append(table.column(name).to_pylist())
+                phys = partition.cmap.get(name, name)
+                if phys in table.column_names:
+                    series.append(table.column(phys).to_pylist())
                 elif name in pv:
                     series.append([pv[name]] * n)
                 else:

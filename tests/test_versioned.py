@@ -2742,3 +2742,311 @@ def test_concurrent_append_rebase_validations(spark, tmp_path, monkeypatch):
     assert _read_manifest(t3, 3)["constraints"] == {"id_small": "id < 50"}
     got = sorted(r["id"] for r in read_version(spark, t3).collect())
     assert got == [0, 1, 2, 10, 11, 12]
+
+
+def test_rename_column_zero_rewrite_and_reads(spark, tmp_path):
+    """rename_column is a metadata-only commit: the file list is
+    byte-identical, reads surface the new logical name with the same
+    values, time travel before the rename shows the old name, and a
+    rename back to the physical name drops the mapping entry."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import rename_column
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id int, v string, amt double"
+        ),
+        t,
+    )
+    files_v1 = _read_manifest(t, 1)["files"]
+    v = rename_column(t, "amt", "price")
+    assert v == 2
+    m = _read_manifest(t, 2)
+    assert m["files"] == files_v1
+    assert m["column_mapping"] == {"price": "amt"}
+    got = read_version(spark, t)
+    assert got.columns == ["id", "v", "price"]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a", 10.0), (2, "b", 20.0)
+    ]
+    # time travel: the pre-rename snapshot still speaks the old name
+    old = read_version(spark, t, 1)
+    assert old.columns == ["id", "v", "amt"]
+    # chained rename keeps pointing at the ORIGINAL physical name
+    rename_column(t, "price", "cost")
+    assert _read_manifest(t, 3)["column_mapping"] == {"cost": "amt"}
+    assert read_version(spark, t).columns == ["id", "v", "cost"]
+    # renaming back to the physical name drops the entry
+    rename_column(t, "cost", "amt")
+    assert "column_mapping" not in _read_manifest(t, 4)
+    assert read_version(spark, t).columns == ["id", "v", "amt"]
+
+
+def test_rename_column_pruning_append_and_upsert(spark, tmp_path):
+    """Zone maps stay keyed by PHYSICAL name: pruning on the renamed
+    column still skips files (pre- AND post-rename ones), appends after
+    the rename write the original physical name, and a copy-on-write
+    upsert keyed on the renamed column confines correctly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _candidate_split,
+        read_version_pruned,
+        rename_column,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, float(lo + i)) for i in range(5)], "k int, x double"
+    )
+    versioned_write(mk(0).coalesce(1), t)  # file A: k in 0..4
+    rename_column(t, "k", "key")
+    versioned_write(
+        mk(100).coalesce(1).withColumnRenamed("k", "key"), t
+    )  # file B: key in 100..104, written under PHYSICAL name k
+    m = _read_manifest(t, 3)
+    # new file's stats keyed physical, covering both files
+    for f in m["files"]:
+        assert "k" in m["file_stats"][f], m["file_stats"][f]
+    keep, skipped = _candidate_split(m, "key", 100, 200)
+    assert len(keep) == 1 and len(skipped) == 1
+    got = read_version_pruned(spark, t, "key", lo=100, hi=200)
+    assert sorted(r["key"] for r in got.collect()) == [100, 101, 102, 103, 104]
+    # upsert keyed on the renamed column
+    versioned_upsert(
+        spark.createDataFrame([(2, 99.0)], "key int, x double"),
+        t,
+        ["key"],
+    )
+    got = {r["key"]: r["x"] for r in read_version(spark, t).collect()}
+    assert got[2] == 99.0 and got[100] == 100.0 and len(got) == 10
+
+
+def test_rename_column_bloom_bucket_partition_layouts(spark, tmp_path):
+    """Layout specs follow the rename: bloom probes and bucket lookups
+    on the NEW name consult the committed physical masks/stats exactly
+    (pre- and post-rename files), and a renamed partition column
+    re-attaches under the new name while new files keep physical
+    directories."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version_bloom,
+        read_version_keyed,
+        rename_column,
+    )
+
+    # bloom
+    tb = str(tmp_path / "tb")
+    versioned_write(
+        spark.createDataFrame([(i, i * 10) for i in range(50)], "a int, k int")
+        .repartitionByRange(4, "a"),
+        tb,
+        bloom_by=["k"],
+    )
+    rename_column(tb, "k", "kk")
+    versioned_write(
+        spark.createDataFrame([(100, 9999)], "a int, kk int").coalesce(1),
+        tb,
+    )
+    m = _read_manifest(tb, 3)
+    assert m["bloom_by"]["cols"] == ["kk"]
+    # masks keyed physical for every file, including the post-rename one
+    assert all("k" in m["bloom"][f] for f in m["files"])
+    got = read_version_bloom(spark, tb, "kk", [120, 9999])
+    assert sorted(r["kk"] for r in got.collect()) == [120, 9999]
+
+    # bucket
+    tk = str(tmp_path / "tk")
+    versioned_write(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k int, v string"),
+        tk,
+        bucket_by=("k", 8),
+    )
+    rename_column(tk, "k", "key")
+    assert _read_manifest(tk, 2)["bucket_by"] == ["key", 8]
+    got = read_version_keyed(spark, tk, [3, 11])
+    assert sorted(r["key"] for r in got.collect()) == [3, 11]
+    # append after rename keeps the bucket layout on the physical name
+    versioned_write(
+        spark.createDataFrame([(100, "x")], "key int, v string"), tk
+    )
+    got = read_version_keyed(spark, tk, [100])
+    assert [r["key"] for r in got.collect()] == [100]
+
+    # partition
+    tp = str(tmp_path / "tp")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)],
+            "id int, grp string, v double",
+        ),
+        tp,
+        partition_by=["grp"],
+    )
+    rename_column(tp, "grp", "bucket_name")
+    got = read_version(spark, tp)
+    assert set(got.columns) == {"id", "bucket_name", "v"}
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)
+    ]
+    versioned_write(
+        spark.createDataFrame(
+            [(4, "z", 4.0)], "id int, bucket_name string, v double"
+        ),
+        tp,
+    )
+    got = read_version(spark, tp)
+    assert sorted(r["bucket_name"] for r in got.collect()) == [
+        "x", "x", "y", "z"
+    ]
+    # the post-rename file path-encodes the PHYSICAL name
+    m = _read_manifest(tp, 3)
+    newf = [f for f in m["files"] if f not in _read_manifest(tp, 1)["files"]]
+    assert all("grp=" in f for f in newf)
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    """Rename refuses: target name exists, source missing, and columns
+    referenced inside CHECK constraints or generated-column
+    expressions (the stored SQL would silently break)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_check_constraint,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, 2, 3)], "a int, b int, c int"),
+        t,
+        generated_columns={"d": "a + b"},
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(t, "a", "b")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(t, "zzz", "w")
+    with pytest.raises(ValueError, match="generated column"):
+        rename_column(t, "a", "a2")  # referenced by d's expression
+    add_check_constraint(spark, t, "c_pos", "c > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(t, "c", "c2")
+    # renaming the GENERATED column itself is fine (its key moves)
+    rename_column(t, "d", "total")
+    m = _read_manifest(t, versions(t)[-1])
+    assert m["generated_columns"] == {"total": "a + b"}
+    versioned_write(
+        spark.createDataFrame([(10, 20, 30)], "a int, b int, c int"), t
+    )
+    got = {r["a"]: r["total"] for r in read_version(spark, t).collect()}
+    assert got == {1: 3, 10: 30}
+
+
+def test_drop_column_and_tombstoned_readd(spark, tmp_path):
+    """drop_column removes the column metadata-only (files untouched);
+    re-adding the same logical name assigns a FRESH physical name so
+    old files read NULL instead of resurrecting dropped values."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import drop_column
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id int, v string, amt double"
+        ),
+        t,
+    )
+    files_v1 = _read_manifest(t, 1)["files"]
+    drop_column(t, "amt")
+    m = _read_manifest(t, 2)
+    assert m["files"] == files_v1
+    assert m["dropped_physical"] == ["amt"]
+    got = read_version(spark, t)
+    assert got.columns == ["id", "v"]
+    # re-add the same logical name: fresh physical, old files read NULL
+    versioned_write(
+        spark.createDataFrame([(3, "c", 99.0)], "id int, v string, amt double"),
+        t,
+    )
+    m = _read_manifest(t, 3)
+    assert m["column_mapping"]["amt"].startswith("amt_r")
+    got = {r["id"]: r["amt"] for r in read_version(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: 99.0}
+    # time travel still shows the ORIGINAL values pre-drop
+    old = {r["id"]: r["amt"] for r in read_version(spark, t, 1).collect()}
+    assert old == {1: 10.0, 2: 20.0}
+
+
+def test_drop_column_refusals_and_rename_drop_interplay(spark, tmp_path):
+    """Drop refuses while the column backs layout or stored SQL; a new
+    column whose name collides with a renamed-away physical name gets a
+    fresh physical name (old files hold unrelated bytes under it)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_check_constraint,
+        drop_column,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "x", 5)], "k int, p string, n int"),
+        t,
+        partition_by=["p"],
+        bloom_by=["n"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        drop_column(t, "p")
+    with pytest.raises(ValueError, match="bloom"):
+        drop_column(t, "n")
+    add_check_constraint(spark, t, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(t, "k")
+
+    # rename a→b, then append a NEW column named a: physical collision
+    t2 = str(tmp_path / "t2")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "a int, other int"), t2
+    )
+    rename_column(t2, "a", "b")
+    versioned_write(
+        spark.createDataFrame([(2, 20, 7)], "b int, other int, a int"),
+        t2,
+        # 'a' is a brand-new logical column; identity physical 'a' is
+        # taken by b's files
+    )
+    m = _read_manifest(t2, 3)
+    assert m["column_mapping"]["b"] == "a"
+    assert m["column_mapping"]["a"].startswith("a_r")
+    rows = {r["b"]: (r["other"], r["a"]) for r in read_version(spark, t2).collect()}
+    assert rows == {1: (10, None), 2: (20, 7)}
+
+
+def test_rename_column_streams_and_row_level_ops(spark, tmp_path):
+    """The versioned_changes stream reads renamed tables through the
+    mapping (physical file columns surface under logical names), and
+    DV deletes / UPDATE on renamed tables stay exact."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        rename_column,
+        versioned_delete,
+        versioned_update,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id int, x double"
+        ),
+        t,
+    )
+    rename_column(t, "x", "score")
+    versioned_write(
+        spark.createDataFrame([(10, 10.0)], "id int, score double"), t
+    )
+    rd = VersionedChangesStreamReader({"path": t})
+    parts = rd.partitions({"version": 0}, {"version": 3})
+    rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
+    assert all(set(r) == {"id", "score"} for r in rows)
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4, 5, 10]
+    # DV delete + UPDATE through the mapping
+    versioned_delete(spark, t, "score >= 4.0 AND score < 10.0", strategy="dv")
+    versioned_update(spark, t, {"score": "score + 0.5"}, "id = 1")
+    got = {r["id"]: r["score"] for r in read_version(spark, t).collect()}
+    assert got == {0: 0.0, 1: 1.5, 2: 2.0, 3: 3.0, 10: 10.0}
