@@ -1284,3 +1284,49 @@ def q259_versioned_drop_readd_column(
     drop_column(t, "o_totalprice")
     versioned_write(od.filter(k % 3 == 1), t)
     return read_version(spark, t)
+
+
+@register(
+    "q260_versioned_identity_column",
+    oracle="""
+    -- deterministic identity: v1 = even keys get rid 1..n_even in key
+    -- order, the odd-keys append continues the watermark at n_even+1
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_orderkey % 2 AS par,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey % 2
+                                ORDER BY o_orderkey) AS rk
+      FROM orders
+    ), n AS (SELECT COUNT(*) AS ne FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN par = 0 THEN rk ELSE ne + rk END AS rid
+    FROM ranked CROSS JOIN n
+    """,
+    doc="End-to-end IDENTITY column (Delta GENERATED BY DEFAULT AS "
+        "IDENTITY): create a versioned orders table (v1 = even keys) "
+        "with identity_columns={'rid': {'order_by': ['o_orderkey']}} — "
+        "ids 1..n assigned by the parallel range-partition prefix-sum "
+        "numbering (operators/ids.py, never a global ROW_NUMBER "
+        "funnel) — then append the odd keys, whose ids continue from "
+        "the manifest's high-water mark. The driver hash checks every "
+        "id verbatim, which only matches if assignment is "
+        "deterministic, contiguous, and the watermark persisted "
+        "exactly. sinks/versioned.py identity_columns (+ the rebase "
+        "guard refusing concurrent id consumption, "
+        "tests/test_versioned.py).",
+)
+def q260_versioned_identity_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q260_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0),
+        t,
+        identity_columns={"rid": {"order_by": ["o_orderkey"]}},
+    )
+    versioned_write(od.filter(k % 2 == 1), t)
+    return read_version(spark, t)

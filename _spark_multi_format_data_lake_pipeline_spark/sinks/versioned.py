@@ -594,6 +594,7 @@ def _write_snapshot(
     evolve_partitioning: bool = False,
     allow_type_widening: bool = False,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -706,6 +707,73 @@ def _write_snapshot(
 
         for n, e in gen.items():
             df = df.withColumn(n, F.expr(e))
+    # IDENTITY columns (Delta GENERATED BY DEFAULT AS IDENTITY): rows
+    # arriving with NULL in an identity column get fresh ids from the
+    # manifest's high-water mark; non-NULL values pass through — which
+    # is exactly what carried-row rewrites, upsert survivors and UPDATE
+    # pre-images produce, so every write path composes for free and
+    # only genuinely NEW rows consume ids.  Assignment is DETERMINISTIC
+    # (ids = start + step × running count, ranked by the spec's
+    # ``order_by`` key within the commit) and fully parallel — the
+    # range-partition prefix-sum numbering of
+    # ``operators/ids.py::assign_contiguous_ids``, never a global
+    # ROW_NUMBER funnel.  Like Delta, BY DEFAULT does not police
+    # uniqueness of user-supplied values.
+    ident = (
+        {k: dict(v) for k, v in identity_columns.items()}
+        if identity_columns is not None
+        else {k: dict(v) for k, v in prev.get("identity_columns", {}).items()}
+    )
+    if ident:
+        from pyspark.sql import functions as F
+
+        if bad := sorted(set(ident) & set(gen)):
+            raise ValueError(
+                f"identity column(s) {bad} are also generated columns; "
+                "generation would overwrite every assigned id"
+            )
+        for name, sp in ident.items():
+            ob = sp.get("order_by")
+            if not ob:
+                raise ValueError(
+                    f"identity column {name!r}: spec needs 'order_by' "
+                    "(a unique key among inserted rows) — deterministic "
+                    "assignment is the contract"
+                )
+            start = int(sp.get("start", 1))
+            step = int(sp.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column {name!r}: step must be nonzero")
+            assigned = int(sp.get("assigned", 0))
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast("long"))
+            else:
+                df = df.withColumn(name, F.col(name).cast("long"))
+            need = df.filter(F.col(name).isNull())
+            n_null = need.count()
+            if n_null:
+                from ..operators.ids import assign_contiguous_ids
+
+                numbered = assign_contiguous_ids(
+                    need.drop(name), list(ob), id_col="__ident_rank"
+                ).withColumn(
+                    name,
+                    (
+                        F.lit(start)
+                        + F.lit(step)
+                        * (F.lit(assigned) + F.col("__ident_rank"))
+                    ).cast("long"),
+                ).drop("__ident_rank")
+                df = df.filter(F.col(name).isNotNull()).unionByName(
+                    numbered.select(*df.columns)
+                )
+                sp["assigned"] = assigned + n_null
+            ident[name] = {
+                "start": start,
+                "step": step,
+                "order_by": list(ob),
+                "assigned": sp.get("assigned", assigned),
+            }
     # Narrow arrival on a hash-indexed column (int data appended to a
     # committed-long column, the legal type-widening dual): bloom masks
     # and bucket ids hash the PHYSICAL type, and Spark's murmur3 hashes
@@ -917,6 +985,8 @@ def _write_snapshot(
         manifest["constraints"] = constraints
     if gen:
         manifest["generated_columns"] = gen
+    if ident:
+        manifest["identity_columns"] = ident
     if cmap:
         manifest["column_mapping"] = cmap
     if dropped:
@@ -969,6 +1039,19 @@ def _write_snapshot(
                         f"({_norm(manifest.get(k))!r} -> "
                         f"{_norm(head.get(k))!r}); cannot rebase"
                     ) from e
+            # identity watermark: compare the head against the spec the
+            # loser STARTED from (prev), not its output spec — both
+            # racers advance 'assigned' identically from the same base,
+            # so output specs can agree while the assigned id RANGES
+            # collide.  Any concurrent consumption refuses.
+            if _norm(head.get("identity_columns")) != _norm(
+                prev.get("identity_columns")
+            ):
+                raise ConcurrentCommitError(
+                    f"append at {path} lost a commit race and the "
+                    "winner consumed identity-column ids; the ids "
+                    "assigned here would collide — re-run the append"
+                ) from e
             ours = manifest.get("constraints") or {}
             extra = {
                 n: x
@@ -1125,6 +1208,7 @@ def versioned_write(
     evolve_partitioning: bool = False,
     allow_type_widening: bool = False,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -1181,7 +1265,18 @@ def versioned_write(
     generated-column partitioning (the ``date_trunc`` pattern: cheap
     hidden-partitioning on an expression of a data column, with
     partition pruning via the [v, v] zone-map ranges).  Pass ``{}`` to
-    drop the spec."""
+    drop the spec.
+
+    ``identity_columns={name: {"start": 1, "step": 1, "order_by":
+    [cols]}}`` is Delta's GENERATED BY DEFAULT AS IDENTITY: rows
+    arriving with NULL in the column get fresh ids continuing from the
+    manifest's high-water mark (``assigned`` in the spec), rows with
+    values keep them — so row-level rewrites/upserts/UPDATEs preserve
+    ids for free and only NEW rows consume.  Assignment is
+    deterministic (ranked by ``order_by``, which must be a unique key
+    among the inserted rows) and fully parallel (range-partition
+    prefix-sum numbering, no ROW_NUMBER funnel).  Spec inherited like
+    the partition spec; pass ``{}`` to drop."""
     return _write_snapshot(
         df,
         path,
@@ -1192,6 +1287,7 @@ def versioned_write(
         evolve_partitioning=evolve_partitioning,
         allow_type_widening=allow_type_widening,
         generated_columns=generated_columns,
+        identity_columns=identity_columns,
     )
 
 

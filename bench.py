@@ -154,6 +154,10 @@ HEADLINE = [
     "q254_versioned_partition_evolution",
     "q255_versioned_type_widening",
     "q256_versioned_generated_partition",
+    "q257_versioned_merge_by_source",
+    "q258_versioned_column_rename",
+    "q259_versioned_drop_readd_column",
+    "q260_versioned_identity_column",
 ]
 
 
@@ -316,8 +320,60 @@ def main() -> None:
         host_probe = _host_probe()
     except Exception:  # noqa: BLE001
         host_probe = {}
+    # Round-over-round drift triage, automated: BENCH_DETAIL.json is
+    # committed once per round, so the copy on disk BEFORE this run
+    # overwrites it is the PREVIOUS round's detail.  The common-set
+    # median ratio divided by the host-probe speed ratio separates code
+    # regressions from host drift (the r8→r9 ~1.4x step was pure host —
+    # SCALING.md "Bench host variance, root-caused"); a normalized
+    # ratio near 1.0 means "same code speed, different host weather".
+    drift = {}
+    try:
+        side_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(side_path) as fh:
+            prev = json.load(fh)
+        if str(prev.get("sf")) != str(sf):
+            raise ValueError("previous detail is a different SF")
+        prev_q = prev.get("queries") or {}
+        common = sorted(
+            n
+            for n, t in timings.items()
+            if n in prev_q and prev_q[n] and t
+        )
+        if common:
+            ratios = sorted(timings[n] / prev_q[n] for n in common)
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            pp = prev.get("host_probe") or {}
+            probe_factor = None
+            fs = [
+                host_probe[k] / pp[k]
+                for k in ("py_loop_ms", "np_matmul_ms")
+                if host_probe.get(k) and pp.get(k)
+            ]
+            if fs:
+                probe_factor = sum(fs) / len(fs)
+            drift = {
+                "n_common": len(common),
+                "common_set_median_ratio": round(med, 3),
+                "host_probe_factor": (
+                    round(probe_factor, 3) if probe_factor else None
+                ),
+                "normalized_ratio": (
+                    round(med / probe_factor, 3) if probe_factor else None
+                ),
+            }
+    except Exception:  # noqa: BLE001 - drift triage is best-effort
+        drift = {}
     detail = {
         "host_probe": host_probe,
+        "vs_prev_round": drift,
         "metric": "headline_suite_seconds_detail",
         "value": total if not errors else None,
         "unit": "sec",
@@ -358,6 +414,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "detail_file": side,
                 "host_probe": host_probe,
+                "vs_prev_round": drift,
                 "sf": sf,
             }
         )

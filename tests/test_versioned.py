@@ -3050,3 +3050,106 @@ def test_rename_column_streams_and_row_level_ops(spark, tmp_path):
     versioned_update(spark, t, {"score": "score + 0.5"}, "id = 1")
     got = {r["id"]: r["score"] for r in read_version(spark, t).collect()}
     assert got == {0: 0.0, 1: 1.5, 2: 2.0, 3: 3.0, 10: 10.0}
+
+
+def test_identity_columns_assign_and_preserve(spark, tmp_path):
+    """GENERATED BY DEFAULT AS IDENTITY: NULL-arriving rows get fresh
+    deterministic ids continuing the manifest high-water mark (ranked
+    by the spec's order_by, parallel prefix-sum numbering); rows with
+    values keep them — upsert survivors, UPDATE pre-images and carried
+    rewrites preserve ids for free, inserts consume new ones."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_update,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(30, "c"), (10, "a"), (20, "b")], "k int, v string"),
+        t,
+        identity_columns={"rid": {"order_by": ["k"]}},
+    )
+    assert sorted(map(tuple, read_version(spark, t).collect())) == [
+        (10, "a", 1), (20, "b", 2), (30, "c", 3)
+    ]
+    assert _read_manifest(t, 1)["identity_columns"]["rid"]["assigned"] == 3
+    # append continues the watermark; spec inherited
+    versioned_write(
+        spark.createDataFrame([(50, "e"), (40, "d")], "k int, v string"), t
+    )
+    got = {r["k"]: r["rid"] for r in read_version(spark, t).collect()}
+    assert got == {10: 1, 20: 2, 30: 3, 40: 4, 50: 5}
+    # upsert: matched row keeps its id, NULL-id insert gets the next
+    versioned_upsert(
+        spark.createDataFrame(
+            [(10, "A", 1), (60, "f", None)], "k int, v string, rid long"
+        ),
+        t,
+        ["k"],
+    )
+    got = {r["k"]: (r["v"], r["rid"]) for r in read_version(spark, t).collect()}
+    assert got[10] == ("A", 1) and got[60] == ("f", 6) and len(got) == 6
+    # UPDATE rewrite preserves ids
+    versioned_update(spark, t, {"v": "upper(v)"}, "k = 20")
+    got = {r["k"]: r["rid"] for r in read_version(spark, t).collect()}
+    assert got == {10: 1, 20: 2, 30: 3, 40: 4, 50: 5, 60: 6}
+    assert _read_manifest(
+        t, versions(t)[-1]
+    )["identity_columns"]["rid"]["assigned"] == 6
+    # start/step respected
+    t2 = str(tmp_path / "t2")
+    versioned_write(
+        spark.createDataFrame([(1,), (2,)], "k int"),
+        t2,
+        identity_columns={"rid": {"start": 100, "step": 10, "order_by": ["k"]}},
+    )
+    assert sorted(r["rid"] for r in read_version(spark, t2).collect()) == [
+        100, 110
+    ]
+
+
+def test_identity_columns_refusals_and_concurrency(spark, tmp_path, monkeypatch):
+    """Spec validation (order_by required, no identity∩generated) and
+    the rebase guard: an append that assigned ids against a stale
+    watermark must NOT rebase past a winner that consumed ids (the id
+    ranges would collide)."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import ConcurrentCommitError
+
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="order_by"):
+        versioned_write(
+            spark.createDataFrame([(1,)], "k int"),
+            t,
+            identity_columns={"rid": {}},
+        )
+    with pytest.raises(ValueError, match="generated"):
+        versioned_write(
+            spark.createDataFrame([(1,)], "k int"),
+            t,
+            identity_columns={"rid": {"order_by": ["k"]}},
+            generated_columns={"rid": "k + 1"},
+        )
+    versioned_write(
+        spark.createDataFrame([(1,)], "k int"),
+        t,
+        identity_columns={"rid": {"order_by": ["k"]}},
+    )
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(
+                spark.createDataFrame([(100,)], "k int"), path
+            )  # winner consumes id 2
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_cs)
+    with pytest.raises(ConcurrentCommitError, match="identity"):
+        versioned_write(spark.createDataFrame([(50,)], "k int"), t)
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    # the winner's ids are intact and the table is consistent
+    got = {r["k"]: r["rid"] for r in read_version(spark, t).collect()}
+    assert got == {1: 1, 100: 2}
