@@ -1330,3 +1330,62 @@ def q260_versioned_identity_column(
     )
     versioned_write(od.filter(k % 2 == 1), t)
     return read_version(spark, t)
+
+
+@register(
+    "q261_versioned_merge_schema_evolution",
+    oracle="""
+    -- MERGE WITH SCHEMA EVOLUTION onto v1 = even keys; source = keys
+    -- %3==0 carrying a NEW channel column and NO o_totalprice:
+    -- updates keep the unmentioned price, inserts read NULL for it,
+    -- rows the source never touched read NULL for channel
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+                ELSE NULL END AS o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN 'ch' || CAST(o_orderkey % 5 AS VARCHAR)
+                ELSE NULL END AS channel
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+    """,
+    doc="End-to-end MERGE WITH SCHEMA EVOLUTION (Delta's flag): build "
+        "a versioned table (v1 = even keys with price), merge a change "
+        "batch of keys %3==0 that ADDS a channel column and OMITS "
+        "o_totalprice — the committed schema gains channel (carried "
+        "files read NULL through the explicit-schema scan), matched "
+        "updates keep the unmentioned price (an absent column is NOT "
+        "an assignment to NULL — Delta's rule), inserted odd rows read "
+        "NULL for it, and the whole thing is ONE commit. The driver "
+        "hash checks all four column-fate combinations verbatim. "
+        "sinks/cdc.py::apply_cdc_batch(allow_schema_evolution=True) + "
+        "sinks/versioned.py:versioned_apply_changes; drift refusal and "
+        "update-keeps-value semantics pinned in tests/test_cdc.py.",
+)
+def q261_versioned_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        read_version,
+        versioned_apply_changes,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q261_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    changes = (
+        od.filter(k % 3 == 0)
+        .drop("o_totalprice")
+        .withColumn(
+            "channel",
+            F.concat(F.lit("ch"), (k % 5).cast("string")),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    versioned_apply_changes(
+        changes, t, ["o_orderkey"], allow_schema_evolution=True
+    )
+    return read_version(spark, t)

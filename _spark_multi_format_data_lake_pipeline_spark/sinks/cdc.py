@@ -37,6 +37,7 @@ def apply_cdc_batch(
     not_matched_by_source_delete: bool | str = False,
     not_matched_by_source_update: dict[str, str] | None = None,
     not_matched_by_source_update_condition: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Next table state = target ⊳ changes (anti on keys) ∪ latest upserts.
 
@@ -92,8 +93,53 @@ def apply_cdc_batch(
     When both by-source clauses are present the DELETE clause is
     evaluated first (a row it deletes is never updated) — the
     clause-order rule of SQL MERGE with the delete written first.
+
+    ``allow_schema_evolution=True`` is Delta's ``MERGE WITH SCHEMA
+    EVOLUTION``: change columns missing from the target are ADDED to
+    the result (existing target rows read NULL for them), and target
+    columns missing from the change batch surface as NULL on inserted
+    rows (updates keep the current value — Delta's rule: an unmentioned
+    column is not an assignment to NULL).  Without the flag, a change
+    batch whose non-key columns don't cover the target's refuses, and
+    extra change columns refuse — schema drift must be explicit.
     """
     keys = list(key_cols)
+    meta_cols = {op_col} | ({seq_col} if seq_col else set())
+    extra = [
+        f
+        for f in changes.schema.fields
+        if f.name not in meta_cols and f.name not in target.columns
+    ]
+    missing = [
+        f
+        for f in target.schema.fields
+        if f.name not in changes.columns
+    ]
+    if (extra or missing) and not allow_schema_evolution:
+        raise ValueError(
+            "apply_cdc_batch: change batch schema drifts from the "
+            f"target (extra={[f.name for f in extra]}, "
+            f"missing={[f.name for f in missing]}); pass "
+            "allow_schema_evolution=True to add new columns / "
+            "NULL-fill absent ones (Delta's MERGE WITH SCHEMA "
+            "EVOLUTION), or align the schemas explicitly"
+        )
+    if extra:
+        for f in extra:
+            target = target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    missing_names = {f.name for f in missing}
+    if missing:
+        # inserted rows read NULL for the absent columns; matched
+        # updates must KEEP the current value, not null it (Delta's
+        # rule: an unmentioned column is not an assignment to NULL) —
+        # forces the conditional path, whose per-column exprs below
+        # emit t_<col> verbatim for these columns
+        for f in missing:
+            changes = changes.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
     bs_update = dict(not_matched_by_source_update or {})
     if bad := sorted(set(bs_update) & set(keys)):
         raise ValueError(
@@ -120,6 +166,7 @@ def apply_cdc_batch(
         and not_matched_condition is None
         and matched_delete_condition is None
         and not has_by_source
+        and not missing_names
     ):
         survivors = target.join(latest.select(*keys), keys, "left_anti")
         upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
@@ -187,6 +234,12 @@ def apply_cdc_batch(
     for c in target.columns:
         if c in keys:
             out_cols.append(F.col(c))
+            continue
+        if c in missing_names:
+            # column absent from the source: matched updates keep the
+            # current value, inserts read NULL — both are t_<col>
+            # (NULL when no target row exists)
+            out_cols.append(F.col(f"t_{c}").alias(c))
             continue
         cur = F.when(take_source, F.col(f"s_{c}")).otherwise(
             F.col(f"t_{c}")

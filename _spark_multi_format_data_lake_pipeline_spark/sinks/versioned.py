@@ -2567,6 +2567,7 @@ def versioned_apply_changes(
     not_matched_by_source_delete: bool | str = False,
     not_matched_by_source_update: dict[str, str] | None = None,
     not_matched_by_source_update_condition: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Full MERGE with delete clause: apply an I/U/D change batch
     (``sinks/cdc.py::apply_cdc_batch`` schema — the target's columns
@@ -2625,6 +2626,7 @@ def versioned_apply_changes(
         not_matched_by_source_update_condition=(
             not_matched_by_source_update_condition
         ),
+        allow_schema_evolution=allow_schema_evolution,
     )
     has_by_source = bool(not_matched_by_source_delete) or bool(
         not_matched_by_source_update

@@ -158,6 +158,7 @@ HEADLINE = [
     "q258_versioned_column_rename",
     "q259_versioned_drop_readd_column",
     "q260_versioned_identity_column",
+    "q261_versioned_merge_schema_evolution",
 ]
 
 

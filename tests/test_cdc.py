@@ -337,3 +337,87 @@ def test_versioned_apply_changes_by_source_sync(spark, tmp_path):
     )
     got = sorted(map(tuple, read_version(spark, t2).collect()))
     assert got == [(1, "A"), (200, "b!")]
+
+
+def test_cdc_merge_schema_evolution(spark):
+    """MERGE WITH SCHEMA EVOLUTION: extra change columns ADD to the
+    result (existing rows read NULL), target columns absent from the
+    batch stay untouched on updates and NULL on inserts; without the
+    flag schema drift refuses in both directions."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, n int"
+    )
+    chg = spark.createDataFrame(
+        [(2, "B", "hot", "U"), (3, "c", "new", "I")],
+        "k int, v string, note string, op string",
+    )
+    with pytest.raises(ValueError, match="schema drift|drifts"):
+        apply_cdc_batch(tgt, chg, ["k"])
+    out = apply_cdc_batch(tgt, chg, ["k"], allow_schema_evolution=True)
+    got = sorted(map(tuple, out.select("k", "v", "n", "note").collect()))
+    assert got == [
+        (1, "a", 10, None),     # untouched; new column NULL
+        (2, "B", 20, "hot"),    # update keeps the unmentioned n
+        (3, "c", None, "new"),  # insert reads NULL for absent n
+    ]
+    # composes with clause conditions and by-source clauses
+    out = apply_cdc_batch(
+        tgt,
+        chg,
+        ["k"],
+        allow_schema_evolution=True,
+        matched_condition="s_v > t_v",
+        not_matched_by_source_delete="t_n >= 20",
+    )
+    got = sorted(map(tuple, out.select("k", "v", "n", "note").collect()))
+    # k=1 unmatched-by-source, n=10 < 20 -> kept; k=2 matched, 'B' > 'b'
+    # is FALSE (lowercase sorts after uppercase) -> blocked, stays 'b'
+    assert got == [(1, "a", 10, None), (2, "b", 20, None), (3, "c", None, "new")]
+    # seq dedup composes: last change per key wins, then evolution
+    chg2 = spark.createDataFrame(
+        [(2, "x", "first", "U", 1), (2, "y", "last", "U", 2)],
+        "k int, v string, note string, op string, seq int",
+    )
+    out = apply_cdc_batch(
+        tgt, chg2, ["k"], seq_col="seq", allow_schema_evolution=True
+    )
+    got = {r["k"]: (r["v"], r["n"], r["note"]) for r in out.collect()}
+    assert got == {1: ("a", 10, None), 2: ("y", 20, "last")}
+
+
+def test_versioned_apply_changes_schema_evolution(spark, tmp_path):
+    """Evolution reaches versioned tables as one commit: the committed
+    schema gains the new column, carried (untouched) files read NULL
+    for it, rewritten candidates carry real values."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versioned_apply_changes,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in (1, 2, 100, 101)], "k int, v string"
+        ).repartitionByRange(2, "k"),
+        t,
+    )
+    versioned_apply_changes(
+        spark.createDataFrame(
+            [(1, "V1", "hot", "U")], "k int, v string, note string, op string"
+        ),
+        t,
+        ["k"],
+        allow_schema_evolution=True,
+    )
+    got = {r["k"]: (r["v"], r["note"]) for r in read_version(spark, t).collect()}
+    assert got == {
+        1: ("V1", "hot"),
+        2: ("v2", None),
+        100: ("v100", None),  # carried file: NULL via committed schema
+        101: ("v101", None),
+    }
