@@ -56,6 +56,11 @@ _RECHECK = (
     "q254_versioned_partition_evolution",
     "q244_versioned_conditional_merge",
     "q118_cdc_apply",
+    # r11 also touched read_changes (rename/drop bridging) and
+    # apply_cdc_batch (schema evolution; all-flags-absent path
+    # re-proven identical in tests/test_cdc.py)
+    "q222_versioned_upsert_changes",
+    "q229_versioned_apply_cdc_state",
 )
 
 

@@ -2972,6 +2972,15 @@ def read_changes(
     equals ``read_version(N)`` — so the CDC apply family can consume a
     versioned table as a change SOURCE.
 
+    Column renames between the versions are bridged through PHYSICAL
+    identity (column mapping): the feed speaks ``to_version``'s logical
+    names, a renamed column's values flow through unchanged (a pure
+    rename between M and N emits an EMPTY feed — no rows changed), and
+    ``key_cols`` are the NEW names.  Columns dropped by ``to_version``
+    leave the feed (Delta CDF also serves the current schema); a
+    re-added name compares as a brand-new column (fresh physical
+    identity), so pre-drop values never leak into the diff.
+
     Scale shape: two manifest-listed scans + ONE full-outer join on the
     key; nothing global.  (A delete-vector format could serve file-level
     changes without the join; with copy-on-write commits the row diff
@@ -2982,6 +2991,26 @@ def read_changes(
 
     old = read_version(spark, path, from_version)
     new = read_version(spark, path, to_version)
+    m_from = _read_manifest(path, from_version)
+    m_to = _read_manifest(path, to_version)
+    cf, ct = _column_mapping(m_from), _column_mapping(m_to)
+    if cf or ct:
+        phys_to_from = {
+            cf.get(f["name"], f["name"]): f["name"]
+            for f in m_from["schema"]["fields"]
+        }
+        renames = {}
+        for f in m_to["schema"]["fields"]:
+            src = phys_to_from.get(ct.get(f["name"], f["name"]))
+            if src is not None and src != f["name"]:
+                renames[src] = f["name"]
+        if renames:
+            old = old.withColumnsRenamed(renames)
+    # drop_column between the versions: the feed serves to_version's
+    # schema, so the vanished column leaves the comparison entirely
+    dropped_cols = [c for c in old.columns if c not in new.columns]
+    if dropped_cols:
+        old = old.drop(*dropped_cols)
     for c in new.columns:
         if c not in old.columns:
             old = old.withColumn(

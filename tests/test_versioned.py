@@ -3153,3 +3153,52 @@ def test_identity_columns_refusals_and_concurrency(spark, tmp_path, monkeypatch)
     # the winner's ids are intact and the table is consistent
     got = {r["k"]: r["rid"] for r in read_version(spark, t).collect()}
     assert got == {1: 1, 100: 2}
+
+
+def test_read_changes_across_rename_and_drop(spark, tmp_path):
+    """CDF bridges column mapping through PHYSICAL identity: a pure
+    rename emits an EMPTY feed (no rows changed), a post-rename data
+    change emits under the NEW name, a dropped column leaves the feed,
+    and a tombstoned re-add compares as a brand-new column (pre-drop
+    values never leak)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        drop_column,
+        read_changes,
+        rename_column,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id int, v string, amt double"
+        ),
+        t,
+    )
+    rename_column(t, "amt", "price")  # v2
+    # pure rename: nothing changed
+    assert read_changes(spark, t, 1, 2, ["id"]).count() == 0
+    versioned_upsert(
+        spark.createDataFrame([(2, "B", 99.0)], "id int, v string, price double"),
+        t,
+        ["id"],
+    )  # v3
+    feed = read_changes(spark, t, 1, 3, ["id"]).collect()
+    assert len(feed) == 1
+    r = feed[0]
+    assert (r["id"], r["op"], r["price"]) == (2, "U", 99.0)
+    # drop then re-add: the dropped column leaves the feed; the re-add
+    # is a fresh column, so old values never resurface as changes
+    drop_column(t, "price")  # v4
+    assert read_changes(spark, t, 3, 4, ["id"]).count() == 0
+    versioned_write(
+        spark.createDataFrame(
+            [(3, "c", 7.0)], "id int, v string, price double"
+        ),
+        t,
+    )  # v5: re-added price under a fresh physical name
+    feed = {r["id"]: (r["op"], r["price"]) for r in read_changes(spark, t, 4, 5, ["id"]).collect()}
+    assert feed == {3: ("I", 7.0)}
+    # across the whole span: v1 price values never leak into the feed
+    feed = {r["id"]: r["op"] for r in read_changes(spark, t, 1, 5, ["id"]).collect()}
+    assert feed == {2: "U", 3: "I"}
