@@ -421,3 +421,26 @@ def test_versioned_apply_changes_schema_evolution(spark, tmp_path):
         100: ("v100", None),  # carried file: NULL via committed schema
         101: ("v101", None),
     }
+
+
+def test_cdc_full_sync_law(spark):
+    """Algebraic law of the three-way sync: with only U/I changes and
+    an unconditional by-source delete, the result equals the change
+    batch's latest-per-key rows — the target is fully replaced by the
+    source, regardless of what the target held."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch
+
+    target = spark.createDataFrame(
+        [(i, f"old{i}", i * 10) for i in range(20)], "k int, v string, n int"
+    )
+    changes = spark.createDataFrame(
+        [(k, f"new{k}", k, "U" if k % 2 else "I", s)
+         for k in range(5, 15) for s in (1, 2)],
+        "k int, v string, n int, op string, seq int",
+    )
+    out = apply_cdc_batch(
+        target, changes, ["k"], seq_col="seq",
+        not_matched_by_source_delete=True,
+    )
+    expect = sorted((k, f"new{k}", k) for k in range(5, 15))
+    assert sorted(map(tuple, out.collect())) == expect
