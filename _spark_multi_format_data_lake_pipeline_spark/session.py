@@ -57,6 +57,11 @@ def default_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # -- timestamps: parquet ns columns (events.ts) read losslessly
         "spark.sql.session.timeZone": "UTC",
+        # write modern TIMESTAMP_MICROS, not the deprecated INT96 Spark
+        # still defaults to: INT96 columns carry NO parquet min/max
+        # statistics, which silently disables every time-range prune
+        # (versioned zone maps AND row-group skipping) on LTZ columns
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
         "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
         # Spark rejects parquet TIMESTAMP(NANOS) outright; read the raw int64

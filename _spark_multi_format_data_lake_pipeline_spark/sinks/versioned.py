@@ -352,13 +352,39 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def _ts_str(v) -> str:
+    """Hive-partition-style string for a date/timestamp value — the
+    SAME normal form Spark's ``partitionBy`` path-encodes, so
+    footer-derived ranges and path-derived [v, v] ranges stay
+    lexicographically comparable even when partition evolution mixes
+    both sources for one column: space separator, fractional seconds
+    stripped of trailing zeros (``.500000``→``.5``, ``.000000``→
+    dropped).  ISO lexicographic order equals value order, which is
+    what lets string zone maps prune time ranges exactly."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        s = v.isoformat(sep=" ")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
+    return v.isoformat()
+
+
 def _harvest_file_stats(path: str, files: list[str]) -> dict[str, dict]:
     """Per-file column (min, max) ranges from the parquet footers the
     write just produced — driver-side, but bounded by the COMMIT's file
     count (one footer read per task output, the same work an Iceberg
-    manifest writer does), never by table size.  Only primitive
-    int/float/string/bool stats are kept; anything else (timestamps,
-    decimals, nested) is skipped and those files simply never prune.
+    manifest writer does), never by table size.  Primitive
+    int/float/string/bool stats are kept typed; date/timestamp stats
+    are kept as Hive-normal-form ISO strings (lexicographic order ==
+    value order; ``_candidate_split`` coerces typed probes to the same
+    form), so time-range file pruning — the dominant prune on
+    time-series at scale — works from the same zone maps.  Anything
+    else (decimals, nested) is skipped and those files simply never
+    prune.
 
     A column's (min, max) is recorded only when EVERY row group of the
     file contributed usable stats for it: a statless (or undecodable)
@@ -408,6 +434,16 @@ def _harvest(
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
                         continue
+                import datetime as _dt
+
+                # NTZ/MICROS timestamps carry datetime stats; legacy
+                # INT96 (LTZ under Spark's old default) has none — the
+                # session factory writes TIMESTAMP_MICROS so both
+                # flavors prune
+                if isinstance(mn, (_dt.date, _dt.datetime)) and isinstance(
+                    mx, (_dt.date, _dt.datetime)
+                ):
+                    mn, mx = _ts_str(mn), _ts_str(mx)
                 if not (
                     isinstance(mn, (bool, int, float, str))
                     and isinstance(mx, (bool, int, float, str))
@@ -1833,8 +1869,34 @@ def _candidate_split(
     with no usable stats — including a type-mismatched comparison
     (e.g. a string-kept partition value probed with an int) — land on
     the may-intersect side: correctness never depends on a prune.
-    ``col`` is the LOGICAL name; the stats plane keys by physical."""
+    ``col`` is the LOGICAL name; the stats plane keys by physical.
+    Typed date/timestamp probes coerce to the Hive-normal-form ISO
+    strings the stats plane stores for those columns, so time-range
+    pruning is exact."""
+    import datetime as _dt
+
+    logical = col
     col = _phys(manifest, col)
+    ctype = next(
+        (
+            f["type"]
+            for f in (manifest.get("schema") or {}).get("fields", [])
+            if f["name"] == logical and isinstance(f["type"], str)
+        ),
+        None,
+    )
+
+    def _coerce(v):
+        if isinstance(v, _dt.datetime) and ctype == "date":
+            # a DATE column's stats are day strings; a midnight
+            # datetime probe must compare as its day, not as the
+            # longer "YYYY-MM-DD 00:00:00" (which sorts AFTER the day)
+            return v.date().isoformat()
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return _ts_str(v)
+        return v
+
+    lo, hi = _coerce(lo), _coerce(hi)
     all_stats = manifest.get("file_stats", {})
     keep: list[str] = []
     skipped: list[str] = []

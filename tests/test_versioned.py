@@ -3202,3 +3202,73 @@ def test_read_changes_across_rename_and_drop(spark, tmp_path):
     # across the whole span: v1 price values never leak into the feed
     feed = {r["id"]: r["op"] for r in read_changes(spark, t, 1, 5, ["id"]).collect()}
     assert feed == {2: "U", 3: "I"}
+
+
+def test_timestamp_zone_maps_prune_time_ranges(spark, tmp_path, sf_dir):
+    """Date/timestamp columns get zone maps (Hive-normal-form ISO
+    strings; footer stats were previously skipped, so time-range
+    pruning never happened): typed datetime probes coerce to the same
+    form, files outside the range are proven skippable, and the pruned
+    read equals the unpruned filter exactly — the dominant prune on
+    time-series tables."""
+    import datetime
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _candidate_split, read_version_pruned
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    t = str(tmp_path / "tbl")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    versioned_write(od.repartitionByRange(6, "o_orderdate"), t)
+    m = _read_manifest(t, 1)
+    # every file carries a string range for the timestamp column
+    rngs = [m["file_stats"][f].get("o_orderdate") for f in m["files"]]
+    assert all(r is not None and isinstance(r[0], str) for r in rngs)
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 12, 31, 23, 59, 59)
+    keep, skipped = _candidate_split(m, "o_orderdate", lo, hi)
+    assert skipped, "range-clustered files outside 1997 must prune"
+    got = read_version_pruned(spark, t, "o_orderdate", lo=lo, hi=hi)
+    from pyspark.sql import functions as F
+
+    expect = (
+        read_version(spark, t)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") <= F.lit(hi))
+        )
+        .collect()
+    )
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in expect
+    )
+    # exactness at the boundary: a file whose max IS the probe lo stays
+    sub_lo = datetime.datetime(1995, 1, 1)
+    keep2, _ = _candidate_split(m, "o_orderdate", sub_lo, sub_lo)
+    assert keep2  # conservative keep on boundary files
+    # fractional-second normal form: .5 stored and probed identically
+    t2 = str(tmp_path / "t2")
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+        (2, datetime.datetime(2024, 1, 2, 0, 0, 0)),
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, ts timestamp").repartitionByRange(2, "ts"),
+        t2,
+    )
+    m2 = _read_manifest(t2, 1)
+    vals = sorted(
+        v
+        for f in m2["files"]
+        for v in m2["file_stats"][f].get("ts", [])
+    )
+    assert vals[0] == "2024-01-01 00:00:00.5"
+    got = read_version_pruned(
+        spark,
+        t2,
+        "ts",
+        lo=datetime.datetime(2024, 1, 1, 0, 0, 0, 500000),
+        hi=datetime.datetime(2024, 1, 1, 23, 0, 0),
+    )
+    assert [r["id"] for r in got.collect()] == [1]
