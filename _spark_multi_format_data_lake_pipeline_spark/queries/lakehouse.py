@@ -1389,3 +1389,52 @@ def q261_versioned_merge_schema_evolution(
         changes, t, ["o_orderkey"], allow_schema_evolution=True
     )
     return read_version(spark, t)
+
+
+@register(
+    "q262_versioned_zorder_multidim_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 400
+      AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    """,
+    doc="End-to-end MULTI-DIMENSIONAL zone-map pruning over a "
+        "Z-ORDERED table (q245's range sibling: ranges for clustered "
+        "dims, blooms for unclustered needles): build a versioned "
+        "orders table, OPTIMIZE ZORDER on (o_custkey, o_totalprice) — "
+        "Morton clustering gives BOTH columns tight per-file ranges — "
+        "then read_version_pruned_multi the conjunctive box "
+        "[200,400]×[50000,150000]: the file set shrinks toward the "
+        "product of the per-dim selectivities where single-column "
+        "clustering prunes one dim only, and the result equals the "
+        "unpruned AND filter exactly (pruning only changes file "
+        "opens). sinks/versioned.py:read_version_pruned_multi + "
+        "compact(zorder_cols); per-column exactness inherited from "
+        "read_version_pruned and pinned in tests/test_versioned.py.",
+)
+def q262_versioned_zorder_multidim_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        compact,
+        read_version_pruned_multi,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q262_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    versioned_write(od, t)
+    compact(
+        spark, t, target_files=8, zorder_cols=["o_custkey", "o_totalprice"]
+    )
+    return read_version_pruned_multi(
+        spark,
+        t,
+        {
+            "o_custkey": (200, 400),
+            "o_totalprice": (50000.0, 150000.0),
+        },
+    )

@@ -1655,6 +1655,50 @@ def read_version_pruned(
     return df
 
 
+def read_version_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """AND-composed multi-column zone-map pruning: open only files
+    whose committed (min, max) can intersect EVERY ``{col: (lo, hi)}``
+    range (``None`` bounds are open-ended).  The natural reader over a
+    Z-ORDERED table (``compact(zorder_cols=[...])``): Morton
+    clustering gives every z-column a tight per-file range, so a
+    conjunctive slice on k dims opens ~∏ selectivity of the files
+    where single-column clustering prunes on one dim only.  The
+    per-column semantics are :func:`read_version_pruned`'s (exact —
+    the predicate is re-applied to surviving rows; statless files are
+    conservatively kept), and this is its multi-column generalization
+    the same way ``read_version_bloom_multi`` generalizes the bloom
+    probe — ranges for clustered dims, blooms for unclustered
+    needles."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    if not ranges:
+        raise ValueError("read_version_pruned_multi: ranges must be non-empty")
+    m = _read_manifest(path, v)
+    keep = list(m["files"])
+    for c, (lo, hi) in ranges.items():
+        split, _ = _candidate_split(m, c, lo, hi)
+        allowed = set(split)
+        keep = [f for f in keep if f in allowed]
+    df = _read_files(spark, path, keep, m)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df
+
+
 def read_version_keyed(
     spark: SparkSession,
     path: str,

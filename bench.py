@@ -159,6 +159,7 @@ HEADLINE = [
     "q259_versioned_drop_readd_column",
     "q260_versioned_identity_column",
     "q261_versioned_merge_schema_evolution",
+    "q262_versioned_zorder_multidim_prune",
 ]
 
 

@@ -3272,3 +3272,54 @@ def test_timestamp_zone_maps_prune_time_ranges(spark, tmp_path, sf_dir):
         hi=datetime.datetime(2024, 1, 1, 23, 0, 0),
     )
     assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_read_version_pruned_multi_confines_and_exact(spark, sf_dir, tmp_path):
+    """Multi-dim zone-map pruning: over a z-ordered table a
+    conjunctive box provably opens fewer files than either single-dim
+    split alone, and the result equals the unpruned AND filter
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _candidate_split,
+        compact,
+        read_version_pruned_multi,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.lake import load_table
+
+    t = str(tmp_path / "tbl")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    versioned_write(od, t)
+    compact(spark, t, target_files=8, zorder_cols=["o_custkey", "o_totalprice"])
+    m = _read_manifest(t, 2)
+    k1, _ = _candidate_split(m, "o_custkey", 200, 400)
+    k2, _ = _candidate_split(m, "o_totalprice", 50000.0, 150000.0)
+    both = set(k1) & set(k2)
+    assert len(both) < len(m["files"]), "the box must prune something"
+    assert len(both) <= min(len(k1), len(k2))
+    got = read_version_pruned_multi(
+        spark, t, {"o_custkey": (200, 400), "o_totalprice": (50000.0, 150000.0)}
+    )
+    expect = (
+        read_version(spark, t)
+        .filter(
+            F.col("o_custkey").between(200, 400)
+            & F.col("o_totalprice").between(50000.0, 150000.0)
+        )
+        .collect()
+    )
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in expect
+    )
+    # open-ended bounds + empty ranges refuse
+    import pytest
+
+    got2 = read_version_pruned_multi(spark, t, {"o_custkey": (None, 100)})
+    assert got2.count() == read_version(spark, t).filter(
+        F.col("o_custkey") <= 100
+    ).count()
+    with pytest.raises(ValueError, match="non-empty"):
+        read_version_pruned_multi(spark, t, {})
