@@ -1438,3 +1438,45 @@ def q262_versioned_zorder_multidim_prune(
             "o_totalprice": (50000.0, 150000.0),
         },
     )
+
+
+@register(
+    "q263_versioned_null_count_prune",
+    oracle="""
+    -- v1 = even keys with an all-NULL price column, v2 = odd keys with
+    -- real prices: IS NOT NULL must skip the all-null files (no
+    -- min/max range exists to prune them) and return exactly the odd
+    -- rows
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+    """,
+    doc="End-to-end NULL-COUNT data skipping (Delta's third "
+        "data-skipping statistic, the one min/max ranges cannot "
+        "replace: an all-null column has no range at all): build a "
+        "versioned table whose v1 files carry an ALL-NULL "
+        "o_totalprice (even keys) and whose v2 append carries real "
+        "prices (odd keys), then read_version_null_pruned(is_null="
+        "False) — the committed per-file null counts (harvested from "
+        "the parquet footers into file_meta) prove the v1 files "
+        "unopenable and the result equals the unpruned IS NOT NULL "
+        "filter exactly. sinks/versioned.py:read_version_null_pruned; "
+        "both polarities + legacy-manifest degrade pinned in "
+        "tests/test_versioned.py.",
+)
+def q263_versioned_null_count_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import read_version_null_pruned, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q263_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0)
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .repartitionByRange(3, "o_orderkey"),
+        t,
+    )
+    versioned_write(od.filter(k % 2 == 1), t)
+    return read_version_null_pruned(spark, t, "o_totalprice", is_null=False)

@@ -403,7 +403,13 @@ def _harvest(
     {bytes, rows} metadata).  Sizes come from the filesystem, row counts
     from the parquet footer; both feed maintenance (size-binned
     compaction) and carried-file bookkeeping (upsert/delete row counts)
-    without ever re-scanning data."""
+    without ever re-scanning data.
+
+    ``meta[rel]["nulls"]`` additionally records per-column NULL counts
+    (Delta's third data-skipping statistic) when every row group
+    reports one: ``IS NULL`` skips files with zero nulls, ``IS NOT
+    NULL`` skips all-null files — including files the min/max ranges
+    can never prune because an all-null column has no range at all."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -411,6 +417,8 @@ def _harvest(
     for rel in files:
         stats: dict[str, list] = {}
         covered: dict[str, int] = {}
+        nulls: dict[str, int] = {}
+        nulls_covered: dict[str, int] = {}
         try:
             meta[rel] = {"bytes": (Path(path) / rel).stat().st_size}
         except OSError:
@@ -426,6 +434,10 @@ def _harvest(
             for ci in range(row.num_columns):
                 col = row.column(ci)
                 st = col.statistics
+                if st is not None and st.has_null_count:
+                    _n = col.path_in_schema
+                    nulls[_n] = nulls.get(_n, 0) + st.null_count
+                    nulls_covered[_n] = nulls_covered.get(_n, 0) + 1
                 if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
@@ -458,6 +470,15 @@ def _harvest(
         out[rel] = {
             k: v for k, v in stats.items() if covered[k] == md.num_row_groups
         }
+        # only fully-covered counts: a statless row group could hide
+        # nulls (or non-nulls), so partial coverage would mis-skip
+        full_nulls = {
+            k: v
+            for k, v in nulls.items()
+            if nulls_covered[k] == md.num_row_groups
+        }
+        if full_nulls:
+            meta[rel]["nulls"] = full_nulls
     return out, meta
 
 
@@ -1699,6 +1720,50 @@ def read_version_pruned_multi(
     return df
 
 
+def read_version_null_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    is_null: bool,
+    version: int | None = None,
+) -> DataFrame:
+    """NULL-statistics file pruning (Delta's third data-skipping
+    statistic): ``is_null=True`` opens only files whose committed
+    null count for ``col`` is nonzero, ``is_null=False`` skips files
+    that are ALL null — the case min/max ranges can never prune,
+    because an all-null column has no range at all (sparse columns on
+    append-heavy tables routinely produce whole all-null files).  The
+    predicate is re-applied to surviving rows, so the result is always
+    exactly ``read_version(...).filter(col IS [NOT] NULL)``; files
+    without a committed null count (legacy commits, statless row
+    groups, path-encoded partition columns) are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    pc = _phys(m, col)
+    fm_all = m.get("file_meta") or {}
+    keep: list[str] = []
+    for f in m["files"]:
+        fm = fm_all.get(f) or {}
+        n = (fm.get("nulls") or {}).get(pc)
+        rows = fm.get("rows")
+        if n is not None:
+            if is_null and n == 0:
+                continue
+            if not is_null and rows is not None and n == rows:
+                continue
+        keep.append(f)  # unknown count → conservative keep
+    df = _read_files(spark, path, keep, m)
+    pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+    return df.filter(pred)
+
+
 def read_version_keyed(
     spark: SparkSession,
     path: str,
@@ -2854,6 +2919,19 @@ def rename_column(path: str, old: str, new: str) -> int:
         manifest["generated_columns"] = {
             (new if k == old else k): v for k, v in gen.items()
         }
+    ident = m.get("identity_columns") or {}
+    if ident:
+        # identity specs follow the rename — both the column itself and
+        # any order_by reference (plain column lists, safe to rewrite)
+        manifest["identity_columns"] = {
+            (new if k == old else k): {
+                **sp,
+                "order_by": [
+                    new if c == old else c for c in sp.get("order_by", [])
+                ],
+            }
+            for k, sp in ident.items()
+        }
     manifest.pop("txn_id", None)
     return _commit_state(path, manifest, m)
 
@@ -2914,6 +2992,17 @@ def drop_column(path: str, name: str) -> int:
             f"drop_column: {name!r} is referenced by {refs}; drop those "
             "definitions first"
         )
+    ident = m.get("identity_columns") or {}
+    bad_ident = sorted(
+        k
+        for k, sp in ident.items()
+        if k != name and name in sp.get("order_by", [])
+    )
+    if bad_ident:
+        raise ValueError(
+            f"drop_column: {name!r} is an order_by key of identity "
+            f"column(s) {bad_ident}; deterministic assignment needs it"
+        )
     cmap = dict(m.get("column_mapping") or {})
     physical = cmap.pop(name, name)
     dropped = list(m.get("dropped_physical") or [])
@@ -2943,6 +3032,13 @@ def drop_column(path: str, name: str) -> int:
             manifest["generated_columns"] = g2
         else:
             manifest.pop("generated_columns", None)
+    if name in ident:
+        # dropping an identity column retires its spec (and watermark)
+        i2 = {k: v for k, v in ident.items() if k != name}
+        if i2:
+            manifest["identity_columns"] = i2
+        else:
+            manifest.pop("identity_columns", None)
     manifest.pop("txn_id", None)
     return _commit_state(path, manifest, m)
 

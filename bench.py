@@ -160,6 +160,7 @@ HEADLINE = [
     "q260_versioned_identity_column",
     "q261_versioned_merge_schema_evolution",
     "q262_versioned_zorder_multidim_prune",
+    "q263_versioned_null_count_prune",
 ]
 
 

@@ -3323,3 +3323,96 @@ def test_read_version_pruned_multi_confines_and_exact(spark, sf_dir, tmp_path):
     ).count()
     with pytest.raises(ValueError, match="non-empty"):
         read_version_pruned_multi(spark, t, {})
+
+
+def test_identity_rename_drop_interplay(spark, tmp_path):
+    """Identity specs follow renames (both the column and order_by
+    references); dropping an order_by key refuses; dropping the
+    identity column retires its spec and watermark."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import drop_column, rename_column
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(20, "b"), (10, "a")], "k int, v string"),
+        t,
+        identity_columns={"rid": {"order_by": ["k"]}},
+    )
+    rename_column(t, "rid", "row_id")
+    rename_column(t, "k", "key")
+    m = _read_manifest(t, versions(t)[-1])
+    assert m["identity_columns"] == {
+        "row_id": {"start": 1, "step": 1, "order_by": ["key"], "assigned": 2}
+    }
+    # assignment continues under the new names
+    versioned_write(
+        spark.createDataFrame([(30, "c")], "key int, v string"), t
+    )
+    got = {r["key"]: r["row_id"] for r in read_version(spark, t).collect()}
+    assert got == {10: 1, 20: 2, 30: 3}
+    with pytest.raises(ValueError, match="order_by"):
+        drop_column(t, "key")
+    drop_column(t, "row_id")
+    m = _read_manifest(t, versions(t)[-1])
+    assert "identity_columns" not in m
+    assert sorted(read_version(spark, t).columns) == ["key", "v"]
+
+
+def test_null_count_stats_prune(spark, tmp_path):
+    """NULL-count data skipping: IS NULL opens only files with nonzero
+    null counts, IS NOT NULL skips ALL-null files (which min/max ranges
+    can never prune — an all-null column has no range); results equal
+    the unpruned filters exactly; legacy manifests without counts are
+    conservatively kept."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_null_pruned
+
+    t = str(tmp_path / "tbl")
+    # file A: no nulls; file B: mixed; file C: all null
+    versioned_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double").coalesce(1), t
+    )
+    versioned_write(
+        spark.createDataFrame([(3, 30.0), (4, None)], "k int, x double").coalesce(1), t
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(5, None), (6, None)], "k int, x double"
+        ).coalesce(1),
+        t,
+    )
+    m = _read_manifest(t, 3)
+    counts = {
+        f: (m["file_meta"][f].get("nulls") or {}).get("x")
+        for f in m["files"]
+    }
+    assert sorted(counts.values()) == [0, 1, 2]
+    got = read_version_null_pruned(spark, t, "x", is_null=True)
+    assert sorted(r["k"] for r in got.collect()) == [4, 5, 6]
+    got = read_version_null_pruned(spark, t, "x", is_null=False)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+    # confinement: IS NULL must not open file A, IS NOT NULL not file C
+    all_null_file = next(f for f, n in counts.items() if n == 2)
+    no_null_file = next(f for f, n in counts.items() if n == 0)
+    kept_is_null = [
+        f
+        for f in m["files"]
+        if (m["file_meta"][f]["nulls"]["x"]) > 0
+    ]
+    assert no_null_file not in kept_is_null
+    assert all_null_file in kept_is_null
+    # legacy manifest without counts: strip them (rewrite v3 as a full
+    # manifest minus the nulls sub-dicts) — pruning must degrade to
+    # conservative keeps, never wrong rows
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _manifest_dir
+
+    full = _read_manifest(t, 3)
+    full["file_meta"] = {
+        f: {k: v for k, v in dict(e).items() if k != "nulls"}
+        for f, e in full["file_meta"].items()
+    }
+    (_manifest_dir(t) / "v3.json").write_text(
+        _json.dumps(full, default=dict)
+    )
+    got = read_version_null_pruned(spark, t, "x", is_null=True)
+    assert sorted(r["k"] for r in got.collect()) == [4, 5, 6]
