@@ -410,6 +410,8 @@ def _harvest(
     reports one: ``IS NULL`` skips files with zero nulls, ``IS NOT
     NULL`` skips all-null files — including files the min/max ranges
     can never prune because an all-null column has no range at all."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -446,8 +448,6 @@ def _harvest(
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
                         continue
-                import datetime as _dt
-
                 # NTZ/MICROS timestamps carry datetime stats; legacy
                 # INT96 (LTZ under Spark's old default) has none — the
                 # session factory writes TIMESTAMP_MICROS so both

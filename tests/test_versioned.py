@@ -3416,3 +3416,65 @@ def test_null_count_stats_prune(spark, tmp_path):
     )
     got = read_version_null_pruned(spark, t, "x", is_null=True)
     assert sorted(r["k"] for r in got.collect()) == [4, 5, 6]
+
+
+def test_r11_feature_composition_clone_vacuum(spark, tmp_path):
+    """Composition: a table carrying column mapping (rename), identity
+    watermarks, timestamp zone maps and null counts survives deep
+    clone (self-contained on the new root) and vacuum (re-anchored
+    manifests keep every plane), and all pruning readers keep working
+    on both tables."""
+    import datetime
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        clone_table,
+        read_version_null_pruned,
+        read_version_pruned,
+        rename_column,
+        vacuum,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "src")
+    rows = [
+        (datetime.datetime(2024, 1, 1 + i), float(i) if i % 2 else None)
+        for i in range(6)
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "ts timestamp, x double")
+        .repartitionByRange(3, "ts"),
+        t,
+        identity_columns={"rid": {"order_by": ["ts"]}},
+    )
+    rename_column(t, "x", "score")
+    versioned_write(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 2, 1), 99.0)], "ts timestamp, score double"
+        ),
+        t,
+    )
+    c = str(tmp_path / "clone")
+    clone_table(t, c, deep=True)
+    vacuum(t, keep_last=1)
+    for tbl in (t, c):
+        got = read_version(spark, tbl)
+        assert set(got.columns) == {"ts", "score", "rid"}
+        assert sorted(r["rid"] for r in got.collect()) == [1, 2, 3, 4, 5, 6, 7]
+        pruned = read_version_pruned(
+            spark,
+            tbl,
+            "ts",
+            lo=datetime.datetime(2024, 2, 1),
+        )
+        assert [r["rid"] for r in pruned.collect()] == [7]
+        nn = read_version_null_pruned(spark, tbl, "score", is_null=False)
+        assert sorted(r["rid"] for r in nn.collect()) == [2, 4, 6, 7]
+    # identity continues on BOTH tables independently post-clone/vacuum
+    versioned_write(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 1), 1.0)], "ts timestamp, score double"
+        ),
+        c,
+    )
+    got = {r["rid"] for r in read_version(spark, c).collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 7, 8}
