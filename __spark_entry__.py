@@ -56,11 +56,14 @@ _RECHECK = (
     "q254_versioned_partition_evolution",
     "q244_versioned_conditional_merge",
     "q118_cdc_apply",
-    # r11 also touched read_changes (rename/drop bridging) and
+    # r11 also touched read_changes (rename/drop bridging),
     # apply_cdc_batch (schema evolution; all-flags-absent path
-    # re-proven identical in tests/test_cdc.py)
+    # re-proven identical in tests/test_cdc.py), and compact
+    # (incremental OPTIMIZE; unscoped call now passes carry_files=[]
+    # explicitly — q246 re-proves the zorder+DV path)
     "q222_versioned_upsert_changes",
     "q229_versioned_apply_cdc_state",
+    "q246_versioned_compact_dv_zorder",
 )
 
 

@@ -1480,3 +1480,72 @@ def q263_versioned_null_count_prune(
     )
     versioned_write(od.filter(k % 2 == 1), t)
     return read_version_null_pruned(spark, t, "o_totalprice", is_null=False)
+
+
+@register(
+    "q264_versioned_incremental_compact",
+    oracle="""
+    -- scoped OPTIMIZE must be row-invisible: the table equals orders
+    -- minus the earlier DV delete, whichever files were rewritten
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 0 AND 6000 AND o_totalprice < 50000.0)
+    """,
+    doc="End-to-end INCREMENTAL OPTIMIZE (Delta's OPTIMIZE ... WHERE): "
+        "build a versioned orders table in two range-clustered waves "
+        "(8 key-disjoint files), DV-delete cheap low-key rows, then "
+        "compact ONLY the key range >= 9000 — the zone-map candidate "
+        "split proves which files the scope can touch, those rewrite "
+        "(materializing any of their deletion vectors) and every other "
+        "file carries byte-identical with its DVs intact (asserted "
+        "in-query on the file lists). The only compaction shape that "
+        "stays feasible at 100 TB: pay O(selected bytes), never "
+        "O(table). The driver hash then proves compaction is "
+        "row-invisible: the result equals orders minus the DV delete "
+        "exactly. sinks/versioned.py:compact(prune_col/max_file_bytes) "
+        "+ carry_files; scoped/small-file/DV/no-op matrix pinned in "
+        "tests/test_versioned.py.",
+)
+def q264_versioned_incremental_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        _read_manifest,
+        compact,
+        read_version,
+        versioned_delete,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q264_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(4, "o_orderkey"), t
+    )
+    versioned_delete(
+        spark,
+        t,
+        "o_orderkey BETWEEN 0 AND 6000 AND o_totalprice < 50000.0",
+        prune_col="o_orderkey",
+        lo=0,
+        hi=6000,
+        strategy="dv",
+    )
+    before = _read_manifest(t, versions(t)[-1])
+    # scope = top ~40% of the key domain, derived from the data so the
+    # query prunes files at every SF (an absolute key would cover all
+    # 8 range files at larger scales)
+    mx = od.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    v = compact(
+        spark, t, prune_col="o_orderkey", lo=int(mx) * 6 // 10, target_files=2
+    )
+    after = _read_manifest(t, v)
+    carried = set(before["files"]) & set(after["files"])
+    assert carried, "low-key files must carry byte-identical"
+    assert set(after["files"]) - set(before["files"]), "scope must rewrite"
+    return read_version(spark, t)

@@ -2387,6 +2387,10 @@ def compact(
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_cols: list[str] | None = None,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+    max_file_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE / bin-packing compaction: rewrite the CURRENT snapshot's
     rows into size-binned parquet files and commit the result as a new
@@ -2413,26 +2417,55 @@ def compact(
     re-clusters along the Morton curve of those columns
     (operators/layout.py), so the recommitted zone maps carry bounded
     per-file spans on EVERY z-column and subsequent pruned reads /
-    copy-on-write candidate splits skip files on any of them."""
+    copy-on-write candidate splits skip files on any of them.
+
+    INCREMENTAL OPTIMIZE (``prune_col``/``lo``/``hi`` and/or
+    ``max_file_bytes``) scopes the rewrite the way Delta's ``OPTIMIZE
+    ... WHERE`` and its small-file threshold do: only files whose zone
+    maps may intersect [lo, hi] on ``prune_col`` — partition-scoped
+    when that is a partition column — and/or files SMALLER than
+    ``max_file_bytes`` are rewritten; everything else carries verbatim
+    (stats, blooms, deletion vectors intact).  This is the only form
+    that stays feasible at scale: a 100 TB table is optimized one hot
+    partition / small-file backlog at a time, paying O(selected
+    bytes), never O(table).  Selecting nothing is a clean no-op (the
+    current version returns, no empty commit).  Rewritten files
+    materialize their outstanding deletion vectors; carried files keep
+    theirs."""
     import math
 
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
     m = _read_manifest(path, vs[-1])
+    meta = m.get("file_meta", {})
+
+    def _bytes(f: str) -> int:
+        b = meta.get(f, {}).get("bytes")
+        if b is None:
+            try:
+                b = Path(_data_path(path, m, f)).stat().st_size
+            except OSError:
+                b = 0
+        return b
+
+    selected = list(m["files"])
+    if prune_col is not None:
+        selected, _ = _candidate_split(m, prune_col, lo, hi)
+    if max_file_bytes is not None:
+        selected = [f for f in selected if _bytes(f) < max_file_bytes]
+    if not selected:
+        return vs[-1]  # nothing to optimize — no-op, no empty commit
+    chosen = set(selected)
+    untouched = [f for f in m["files"] if f not in chosen]
     if target_files is None:
-        meta = m.get("file_meta", {})
-        total = 0
-        for f in m["files"]:
-            b = meta.get(f, {}).get("bytes")
-            if b is None:
-                try:
-                    b = Path(_data_path(path, m, f)).stat().st_size
-                except OSError:
-                    b = 0
-            total += b
+        total = sum(_bytes(f) for f in selected)
         target_files = max(1, math.ceil(total / target_file_bytes))
-    df = read_version(spark, path)
+    df = (
+        read_version(spark, path)
+        if not untouched
+        else _read_files(spark, path, selected, m)
+    )
     pb = m.get("partition_by") or []
     if zorder_cols:
         # OPTIMIZE ZORDER (the Delta verb): re-cluster along the Morton
@@ -2458,7 +2491,7 @@ def compact(
         )
     else:
         df = df.repartition(target_files)
-    return _write_snapshot(df, path, "compact")
+    return _write_snapshot(df, path, "compact", carry_files=untouched)
 
 
 def versioned_upsert(

@@ -161,6 +161,7 @@ HEADLINE = [
     "q261_versioned_merge_schema_evolution",
     "q262_versioned_zorder_multidim_prune",
     "q263_versioned_null_count_prune",
+    "q264_versioned_incremental_compact",
 ]
 
 

@@ -3478,3 +3478,67 @@ def test_r11_feature_composition_clone_vacuum(spark, tmp_path):
     )
     got = {r["rid"] for r in read_version(spark, c).collect()}
     assert got == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_incremental_compact_scoped_and_small_file(spark, tmp_path):
+    """Incremental OPTIMIZE: a key-range-scoped compact rewrites only
+    the may-intersect files (the rest carry byte-identical, their
+    deletion vectors intact), small-file-only compaction folds the
+    micro-batch backlog without touching big files, rewritten files
+    materialize their DVs, and selecting nothing is a clean no-op."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact, versioned_delete
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "k int, v string"
+    ).coalesce(1)
+    versioned_write(mk(0, 50), t)      # file A: 0..49
+    versioned_write(mk(1000, 50), t)   # file B: 1000..1049
+    versioned_write(mk(2000, 3), t)    # file C (small): 2000..2002
+    versioned_write(mk(2100, 3), t)    # file D (small): 2100..2102
+    m1 = _read_manifest(t, 4)
+    assert len(m1["files"]) == 4
+    # DV on a file OUTSIDE the compact scope must carry verbatim
+    versioned_delete(spark, t, "k = 1000", strategy="dv")  # v5, DV on B
+    m_dv = _read_manifest(t, 5)
+    dv_file_b = next(f for f, n in m_dv["dv_counts"].items() if n == 1)
+
+    # 1) key-range-scoped compact: only C and D rewrite
+    v = compact(spark, t, target_files=1, prune_col="k", lo=1990, hi=2200)
+    m2 = _read_manifest(t, v)
+    kept = set(m_dv["files"]) & set(m2["files"])
+    assert len(kept) == 2  # A and B carried byte-identical
+    assert dv_file_b in m2["files"] and m2["dv_counts"] == {dv_file_b: 1}
+    got = sorted(r["k"] for r in read_version(spark, t).collect())
+    assert got == sorted(
+        list(range(0, 50))
+        + list(range(1001, 1050))
+        + list(range(2000, 2003))
+        + list(range(2100, 2103))
+    )
+
+    # 2) DV inside the scope materializes on rewrite
+    versioned_delete(spark, t, "k = 0", strategy="dv")
+    v = compact(spark, t, target_files=1, prune_col="k", lo=0, hi=100)
+    m3 = _read_manifest(t, v)
+    assert dv_file_b in m3["files"] and m3["dv_counts"] == {dv_file_b: 1}
+    assert 0 not in {r["k"] for r in read_version(spark, t).collect()}
+
+    # 3) small-file-only compaction: the two big files stay
+    t2 = str(tmp_path / "t2")
+    versioned_write(mk(0, 5000), t2)
+    versioned_write(mk(10000, 5000), t2)
+    for lo in (20000, 20100, 20200):
+        versioned_write(mk(lo, 2), t2)
+    m = _read_manifest(t2, 5)
+    big = sorted(m["files"], key=lambda f: -m["file_meta"][f]["bytes"])[:2]
+    v = compact(spark, t2, target_files=1, max_file_bytes=4096)
+    m2 = _read_manifest(t2, v)
+    assert set(big) <= set(m2["files"])
+    assert len(m2["files"]) == 3  # 2 big carried + 1 folded
+    assert read_version(spark, t2).count() == 10006
+
+    # 4) nothing selected → no-op, no empty commit
+    before = versions(t2)[-1]
+    assert compact(spark, t2, prune_col="k", lo=10**9, hi=2 * 10**9) == before
+    assert versions(t2)[-1] == before
