@@ -1173,3 +1173,34 @@ def test_versioned_changes_stream_over_widened_and_evolved_table(
         (4, 4.5, "d3"),
         (big, 3.5, "d2"),
     ]
+
+
+def test_versioned_changes_stream_across_incremental_compact(spark, tmp_path):
+    """An incremental (scoped) compact is a rewrite commit like any
+    other: the stream refuses it without skipChangeCommits and passes
+    over it with the flag, still delivering later appends exactly
+    once."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact, versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n=3: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "k int, v string"
+    ).coalesce(1)
+    versioned_write(mk(0), t)       # v1
+    versioned_write(mk(100), t)     # v2
+    compact(spark, t, target_files=1, prune_col="k", lo=90, hi=200)  # v3
+    versioned_write(mk(200), t)     # v4
+    rd = VersionedChangesStreamReader({"path": t})
+    with pytest.raises(ValueError, match="skipChangeCommits"):
+        rd.partitions({"version": 2}, {"version": 4})
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "skipChangeCommits": "true"}
+    )
+    parts = rd2.partitions({"version": 2}, {"version": 4})
+    rows = [r for p in parts for b in rd2.read(p) for r in b.to_pylist()]
+    assert sorted(r["k"] for r in rows) == [200, 201, 202]
