@@ -104,6 +104,19 @@ def apply_cdc_batch(
     extra change columns refuse — schema drift must be explicit.
     """
     keys = list(key_cols)
+    # A MERGE source must carry every merge-on column, schema evolution
+    # or not (Delta refuses too): NULL-filling an absent KEY would make
+    # the full-outer join match nothing, so every change row would
+    # insert with a NULL key — and combined with a by-source delete
+    # clause the entire target would be silently wiped.  Only non-key
+    # columns are eligible for the evolution NULL-fill below.
+    if absent_keys := [k for k in keys if k not in changes.columns]:
+        raise ValueError(
+            "apply_cdc_batch: change batch is missing merge key "
+            f"column(s) {absent_keys}; a MERGE source must carry every "
+            "key column — schema evolution only NULL-fills non-key "
+            "columns"
+        )
     meta_cols = {op_col} | ({seq_col} if seq_col else set())
     extra = [
         f

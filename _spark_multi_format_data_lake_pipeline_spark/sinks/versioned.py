@@ -2001,6 +2001,17 @@ def _candidate_split(
             # datetime probe must compare as its day, not as the
             # longer "YYYY-MM-DD 00:00:00" (which sorts AFTER the day)
             return v.date().isoformat()
+        if (
+            isinstance(v, _dt.date)
+            and not isinstance(v, _dt.datetime)
+            and ctype in ("timestamp", "timestamp_ntz")
+        ):
+            # the mirror edge: a TIMESTAMP column's stats carry the
+            # ' 00:00:00' normal form, and the plain day string sorts
+            # BEFORE it — probing hi=date(d) would falsely prune a file
+            # whose min is exactly midnight of d, dropping valid rows
+            # (the subsequent filter casts the date to that midnight)
+            return _ts_str(_dt.datetime.combine(v, _dt.time()))
         if isinstance(v, (_dt.date, _dt.datetime)):
             return _ts_str(v)
         return v

@@ -69,10 +69,26 @@ _APPEND_MODES = ("append",)
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_values: dict, cmap: dict):
+    def __init__(
+        self,
+        abs_path: str,
+        part_values: dict,
+        cmap: dict,
+        rel_name: str = "",
+        dv_paths: tuple[str, ...] = (),
+    ):
         self.abs_path = abs_path
         self.part_values = part_values  # keyed by LOGICAL column name
         self.cmap = cmap  # logical → physical (files carry physical)
+        # Initial-snapshot bootstrap only: the earliest surviving
+        # manifest may carry DELETION VECTORS for this file — the
+        # snapshot batch must serve current table state (Delta
+        # initial-snapshot semantics), so the DV parquet paths ride the
+        # partition and ``read`` drops the recorded positions before
+        # emitting.  ``rel_name`` is the manifest-relative name the DV
+        # rows key this file by.
+        self.rel_name = rel_name
+        self.dv_paths = tuple(dv_paths)
 
 
 def _visible_fields(schema_json: dict, has_buckets: bool) -> list[dict]:
@@ -204,12 +220,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 continue
             fb = m.get("file_base") or {}
             cmap = m.get("column_mapping") or {}
+            # The bootstrap's first version serves a SNAPSHOT, not an
+            # append: when the earliest surviving manifest carries
+            # deletion vectors (a DV delete happened before the vacuum
+            # that trimmed the history), the raw data files still hold
+            # the deleted rows — ship each DV'd file's vector paths so
+            # ``read`` filters them and the batch matches
+            # ``read_version`` exactly (Delta initial-snapshot
+            # semantics).  Non-first versions are true appends whose
+            # new files can carry no vectors.
+            dv_counts = (m.get("dv_counts") or {}) if is_first else {}
+            dv_paths = tuple(
+                str(Path(fb.get(d, self.path)) / d)
+                for d in (m.get("dv_files") or [])
+            ) if dv_counts else ()
             for f in new_files:
                 out.append(
                     _FilePartition(
                         str(Path(fb.get(f, self.path)) / f),
                         _partition_values(f, m["schema"], cmap),
                         cmap,
+                        rel_name=f,
+                        dv_paths=dv_paths if f in dv_counts else (),
                     )
                 )
         if prev is None and end["version"] > sv:
@@ -227,6 +259,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         fields = self._fields
         table = pq.read_table(partition.abs_path)
+        if partition.dv_paths:
+            # initial-snapshot bootstrap with outstanding deletion
+            # vectors: drop this file's DV'd positions (pos = row index
+            # within the file; pyarrow preserves file row order) so the
+            # snapshot batch serves current state, not resurrected rows
+            import pyarrow.dataset as ds
+
+            dv = ds.dataset(list(partition.dv_paths)).to_table(
+                filter=ds.field("file") == partition.rel_name
+            )
+            dead = set(dv.column("pos").to_pylist())
+            if dead:
+                import numpy as np
+
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[list(dead)] = False
+                table = table.filter(pa.array(mask))
         n = table.num_rows
         pv = partition.part_values
         try:

@@ -444,3 +444,33 @@ def test_cdc_full_sync_law(spark):
     )
     expect = sorted((k, f"new{k}", k) for k in range(5, 15))
     assert sorted(map(tuple, out.collect())) == expect
+
+
+def test_cdc_missing_key_column_refuses_even_with_evolution(spark):
+    """A change batch lacking a MERGE KEY column must refuse, schema
+    evolution or not: NULL-filling the key makes the full-outer join
+    match nothing, so every change inserts under a NULL key — and with
+    not_matched_by_source_delete=True the whole target would be wiped.
+    Delta refuses a MERGE source missing the merge-on columns too."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    changes = spark.createDataFrame([("X", "I")], "v string, op string")
+    for kw in (
+        {},
+        {"allow_schema_evolution": True},
+        {
+            "allow_schema_evolution": True,
+            "not_matched_by_source_delete": True,
+        },
+    ):
+        with pytest.raises(ValueError, match="key"):
+            apply_cdc_batch(target, changes, ["k"], **kw)
+    # non-key columns stay eligible for the evolution NULL-fill
+    part = spark.createDataFrame([(3, "I")], "k int, op string")
+    out = apply_cdc_batch(
+        target, part, ["k"], allow_schema_evolution=True
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a"), (2, "b"), (3, None)
+    ]

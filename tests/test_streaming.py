@@ -1204,3 +1204,49 @@ def test_versioned_changes_stream_across_incremental_compact(spark, tmp_path):
     parts = rd2.partitions({"version": 2}, {"version": 4})
     rows = [r for p in parts for b in rd2.read(p) for r in b.to_pylist()]
     assert sorted(r["k"] for r in rows) == [200, 201, 202]
+
+
+def test_versioned_changes_bootstrap_applies_deletion_vectors(
+    spark, tmp_path
+):
+    """The fresh-stream bootstrap serves CURRENT table state (Delta
+    initial-snapshot semantics): when the earliest surviving manifest
+    carries deletion vectors, the snapshot batch must filter the DV'd
+    positions — the raw data files still hold the deleted rows, and
+    emitting them would resurrect what a batch read correctly hides."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        vacuum,
+        versioned_delete,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    for lo in (0, 10, 20):
+        versioned_write(mk(lo), t)  # v1..v3: 9 rows
+    versioned_delete(spark, t, "id = 11", strategy="dv")  # v4: DV commit
+    versioned_write(mk(30), t)  # v5
+    vacuum(t, keep_last=2)  # vs = [4, 5]; v4 carries the DV
+    assert read_version(spark, t).count() == 11
+    rd = VersionedChangesStreamReader({"path": t})
+    off0 = rd.initialOffset()
+    assert off0 == {"version": 3, "snapshot_start": True}
+    parts = rd.partitions(off0, rd.latestOffset())
+    rows = [r for p in parts for b in rd.read(p) for r in b.to_pylist()]
+    got = sorted(r["id"] for r in rows)
+    # snapshot (DV applied: no 11) + the v5 append, each exactly once
+    assert got == [0, 1, 2, 10, 12, 20, 21, 22, 30, 31, 32]
+    # replaying batch 0 from the checkpointed marked offset is identical
+    rows2 = [
+        r
+        for p in rd.partitions(off0, {"version": 5})
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows2) == got

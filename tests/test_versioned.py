@@ -3542,3 +3542,49 @@ def test_incremental_compact_scoped_and_small_file(spark, tmp_path):
     before = versions(t2)[-1]
     assert compact(spark, t2, prune_col="k", lo=10**9, hi=2 * 10**9) == before
     assert versions(t2)[-1] == before
+
+
+def test_candidate_split_date_probe_on_timestamp_column(spark, tmp_path):
+    """A plain-date probe against a TIMESTAMP column must coerce to the
+    midnight normal form ('YYYY-MM-DD 00:00:00'): the bare day string
+    sorts BEFORE it, so hi=date(d) would falsely prune a file whose min
+    is exactly midnight of d while the row filter (date cast to
+    midnight timestamp) includes that row."""
+    import datetime
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _candidate_split,
+        read_version_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    rows = [
+        (1, datetime.datetime(2024, 1, 4, 12, 0, 0)),
+        (2, datetime.datetime(2024, 1, 5, 0, 0, 0)),  # exactly midnight
+        (3, datetime.datetime(2024, 1, 5, 18, 0, 0)),
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, ts timestamp")
+        .repartitionByRange(3, "ts"),
+        t,
+    )
+    m = _read_manifest(t, 1)
+    # the midnight file must stay a candidate for hi = that day
+    keep, _ = _candidate_split(
+        m, "ts", None, datetime.date(2024, 1, 5)
+    )
+    kept_mins = {m["file_stats"][f]["ts"][0] for f in keep}
+    assert "2024-01-05 00:00:00" in kept_mins
+    # end-to-end: the pruned read returns the midnight row
+    got = read_version_pruned(
+        spark, t, "ts",
+        lo=datetime.date(2024, 1, 4), hi=datetime.date(2024, 1, 5),
+    )
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    # lo as a date still prunes the strictly-earlier file exactly
+    keep2, skipped2 = _candidate_split(
+        m, "ts", datetime.date(2024, 1, 5), None
+    )
+    assert skipped2, "the Jan-4 file must prune for lo=Jan-5"
+    got2 = read_version_pruned(spark, t, "ts", lo=datetime.date(2024, 1, 5))
+    assert sorted(r["id"] for r in got2.collect()) == [2, 3]
