@@ -1549,3 +1549,80 @@ def q264_versioned_incremental_compact(
     assert carried, "low-key files must carry byte-identical"
     assert set(after["files"]) - set(before["files"]), "scope must rewrite"
     return read_version(spark, t)
+
+
+@register(
+    "q265_versioned_concurrent_append_delete",
+    oracle="""
+    -- write-serializable conflict rebase: a DELETE that loses the
+    -- commit race to a concurrent pure APPEND rebases and both land —
+    -- final state = (v1 minus deleted) plus the appended slice
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderkey <= 12000
+           AND NOT (o_orderkey % 3 = 0 AND o_orderkey <= 7500))
+       OR o_orderkey > 12000
+    """,
+    doc="End-to-end optimistic-concurrency REBASE of a row-level "
+        "rewrite (the Delta WriteSerializable rule, Iceberg's "
+        "optimistic commits under the reference's MERGE — reference "
+        "utils/merge_utils.py:70-82): build a versioned orders table "
+        "(keys <= 12000, 4 range files), then race a copy-on-write "
+        "DELETE against a concurrent APPEND of the high-key slice — "
+        "the append is injected to win version 2 at the exact moment "
+        "the delete tries to commit it.  The delete loses, re-reads "
+        "the head, proves the winner was a pure append (blind write: "
+        "the serial order delete-then-append reproduces the rebased "
+        "state exactly), and re-links at version 3.  The query asserts "
+        "all three versions landed and returns the final snapshot; the "
+        "driver hash proves the rebase lost no winner file, no loser "
+        "survivor, and no row count. "
+        "sinks/versioned.py:_write_snapshot commit-retry loop; the "
+        "overlapping-rewrite refusal and disjoint-rewrite rebase "
+        "halves are pinned in tests/test_versioned.py.",
+)
+def q265_versioned_concurrent_append_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks import versioned as V
+    from ..sinks.versioned import (
+        read_version,
+        versioned_delete,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q265_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k <= 12000).repartitionByRange(4, "o_orderkey"), t
+    )
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        # the concurrent appender wins version 2 the moment the delete
+        # tries to commit it — deterministic single-threaded injection
+        # of the multi-writer interleaving
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(od.filter(k > 12000), path)
+        return real_cs(path, state, prev)
+
+    V._commit_state = racy_cs
+    try:
+        v = versioned_delete(
+            spark,
+            t,
+            "o_orderkey % 3 = 0 AND o_orderkey <= 7500",
+            prune_col="o_orderkey",
+            lo=0,
+            hi=7500,
+        )
+    finally:
+        V._commit_state = real_cs
+    assert fired["done"] and v == 3 and versions(t) == [1, 2, 3], (
+        "both the winner append and the rebased delete must land"
+    )
+    return read_version(spark, t)

@@ -652,6 +652,8 @@ def _write_snapshot(
     allow_type_widening: bool = False,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    read_range: tuple | None = None,
+    content_independent: bool = False,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -1053,31 +1055,63 @@ def _write_snapshot(
     # Optimistic-concurrency conflict resolution (the Delta/Iceberg
     # commit protocol): the loser of a version race re-reads the new
     # head, re-VALIDATES its commit against it, and re-links at head+1.
-    # Only APPENDs auto-rebase — an append's read set is empty, so two
+    #
+    # APPENDs always rebase — an append's read set is empty, so two
     # writers landing disjoint file sets both commit whatever the
-    # interleaving (the common multi-writer case; Delta's
-    # append-vs-append rule).  Rebase re-checks everything the head
-    # could have changed underfoot: layout specs must be unchanged,
-    # concurrently-added CHECK constraints re-validate the new rows,
-    # schemas re-merge, and a concurrent widening of a hash-indexed
-    # column refuses (our committed masks hash the narrow type).
-    # Row-level rewrites (upsert/delete/update/compact/overwrite)
-    # DECIDED rows over the snapshot they read; a concurrent commit may
-    # have changed those rows, so they fail deterministically and the
-    # caller re-runs against the new head — correctness first, the
-    # same conservative rule Delta applies to overlapping rewrites.
+    # interleaving (Delta's append-vs-append rule).  ROW-LEVEL REWRITES
+    # (upsert/delete/update/compact) rebase iff the rebased result
+    # equals SOME serial order of the two commits — write
+    # serializability, Delta's default isolation level and the
+    # semantics Iceberg's optimistic commits give the reference's MERGE
+    # (/root/reference/utils/merge_utils.py:70-82):
+    #
+    # - winner was a PURE APPEND → serial order "loser first, winner
+    #   second": an append is a blind write, so it lands identically on
+    #   top of the loser's output.  Valid unconditionally — even when
+    #   the appended rows would have matched the loser's predicate (in
+    #   that serial order they arrived after the rewrite; Delta's
+    #   WriteSerializable accepts the same reordering).
+    # - winner REWROTE or DV'd rows → serial order "winner first, loser
+    #   second": valid iff the loser's decisions would have been
+    #   identical over the head — its READ SET (the candidate files it
+    #   rewrote) must be untouched (no file removed, no deletion vector
+    #   added: ``_rebase_read_set`` disjointness), and the winner's
+    #   ADDED files must be provably outside the loser's read predicate
+    #   (``read_range``) by the head's zone maps, else the loser should
+    #   have read them.  ``content_independent=True`` (compact) skips
+    #   the added-file check: compaction moves rows without deciding on
+    #   them, so a file it didn't select is merely left uncompacted.
+    # - anything else — overlapping rewrites, spec changes underfoot,
+    #   no read predicate to prove added-file disjointness with —
+    #   refuses deterministically and the caller re-runs against the
+    #   new head (the conservative Delta/Iceberg overlapping-rewrite
+    #   rule).
+    #
+    # OVERWRITE never rebases: it replaces the whole table, so no
+    # serial order preserves both commits' effects.
+    #
+    # Every rebase re-checks what the head could have changed
+    # underfoot: layout specs must be unchanged, concurrently-added
+    # CHECK constraints re-validate the new rows, schemas re-merge, a
+    # concurrent widening of a hash-indexed column refuses (our
+    # committed masks hash the narrow type), and concurrent
+    # identity-id consumption refuses (assigned ranges would collide).
     _norm = lambda v: json.loads(json.dumps(v, default=dict))  # noqa: E731
+    _rebaseable = ("append", "upsert", "delete", "update", "compact")
+    # the files this commit READ and rewrote (decisions were made over
+    # their rows): fixed at entry — later rebase iterations keep
+    # comparing against the files actually read, not the moving head
+    _read_set = set(prev.get("files") or []) - set(carry_files)
     for _ in range(_COMMIT_RETRIES):
         try:
             return _commit_state(path, manifest, prev if vs else None)
         except ConcurrentCommitError as e:
-            if mode != "append":
+            if mode not in _rebaseable:
                 raise ConcurrentCommitError(
                     f"{mode} at {path} lost a commit race for version "
-                    f"{manifest['version']}: the snapshot it decided "
-                    "rows over is stale — re-run the operation against "
-                    "the new head (row-level rewrites do not "
-                    "auto-rebase; only appends do)"
+                    f"{manifest['version']}: an overwrite replaces the "
+                    "whole table, so no serial order preserves both "
+                    "commits — re-run against the new head"
                 ) from e
             head_vs = versions(path)
             head = _read_manifest(path, head_vs[-1])
@@ -1091,7 +1125,7 @@ def _write_snapshot(
             ):
                 if _norm(head.get(k)) != _norm(manifest.get(k)):
                     raise ConcurrentCommitError(
-                        f"append at {path} lost a commit race and the "
+                        f"{mode} at {path} lost a commit race and the "
                         f"winner changed the table's {k} spec "
                         f"({_norm(manifest.get(k))!r} -> "
                         f"{_norm(head.get(k))!r}); cannot rebase"
@@ -1105,10 +1139,70 @@ def _write_snapshot(
                 prev.get("identity_columns")
             ):
                 raise ConcurrentCommitError(
-                    f"append at {path} lost a commit race and the "
+                    f"{mode} at {path} lost a commit race and the "
                     "winner consumed identity-column ids; the ids "
-                    "assigned here would collide — re-run the append"
+                    "assigned here would collide — re-run"
                 ) from e
+            prev_files = set(prev.get("files") or [])
+            winner_removed = prev_files - set(head["files"])
+            winner_added = [
+                f for f in head["files"] if f not in prev_files
+            ]
+            prev_dvc = prev.get("dv_counts") or {}
+            head_dvc = head.get("dv_counts") or {}
+            if mode != "append":
+                if conflicted := sorted(
+                    (winner_removed & _read_set)
+                    | {
+                        f
+                        for f in _read_set
+                        if head_dvc.get(f, 0) != prev_dvc.get(f, 0)
+                    }
+                ):
+                    raise ConcurrentCommitError(
+                        f"{mode} at {path} lost a commit race and the "
+                        f"winner rewrote or deleted rows in file(s) "
+                        f"{conflicted} this {mode} read and decided "
+                        "rows over — overlapping rewrites cannot "
+                        "rebase; re-run against the new head"
+                    ) from e
+                pure_append = not winner_removed and _norm(
+                    head.get("dv_counts")
+                ) == _norm(prev.get("dv_counts"))
+                if (
+                    not pure_append
+                    and not content_independent
+                    and winner_added
+                ):
+                    # serial order must be "winner first": the winner's
+                    # added files count as rows the loser SHOULD have
+                    # read unless the head zone maps prove them outside
+                    # its read predicate
+                    if read_range is None:
+                        raise ConcurrentCommitError(
+                            f"{mode} at {path} lost a commit race to a "
+                            "row-level rewrite and read the whole "
+                            "table (no prune range) — cannot prove the "
+                            "winner's added files disjoint; re-run "
+                            "against the new head"
+                        ) from e
+                    may, _skip = _candidate_split(
+                        {
+                            "files": winner_added,
+                            "file_stats": head.get("file_stats") or {},
+                            "schema": head.get("schema"),
+                            "column_mapping": head.get("column_mapping"),
+                        },
+                        *read_range,
+                    )
+                    if may:
+                        raise ConcurrentCommitError(
+                            f"{mode} at {path} lost a commit race and "
+                            f"the winner's added file(s) {may} may "
+                            "hold rows inside this rewrite's read "
+                            f"range {read_range!r} — re-run against "
+                            "the new head"
+                        ) from e
             ours = manifest.get("constraints") or {}
             extra = {
                 n: x
@@ -1117,7 +1211,9 @@ def _write_snapshot(
             }
             if extra and new_files:
                 _validate_constraints(
-                    df, extra, "append rebase (constraint added concurrently)"
+                    df,
+                    extra,
+                    f"{mode} rebase (constraint added concurrently)",
                 )
             merged = _merge_schemas(
                 head["schema"],
@@ -1135,31 +1231,79 @@ def _write_snapshot(
                     and fld["type"] != mine[fld["name"]]
                 ):
                     raise ConcurrentCommitError(
-                        f"append at {path} lost a commit race and the "
+                        f"{mode} at {path} lost a commit race and the "
                         f"winner widened hash-indexed column "
                         f"{fld['name']!r}; our committed masks hash "
-                        "the narrow type — re-run the append"
+                        "the narrow type — re-run"
                     ) from e
             new_blooms = {f: blooms[f] for f in new_files if f in blooms}
             head_blooms = head.get("bloom") or {}
+            head_meta = head.get("file_meta") or {}
+            head_fb = head.get("file_base") or {}
+            if mode == "append":
+                rebase_carry = list(head["files"])
+                carried_rows_rb = head["row_count"]
+                carried_dvc = dict(head_dvc)
+            else:
+                # winner-first serial order: the head minus the files
+                # this commit read (their rows live in new_files now)
+                rebase_carry = [
+                    f for f in head["files"] if f not in _read_set
+                ]
+                carried_dvc = {
+                    f: head_dvc[f] for f in rebase_carry if f in head_dvc
+                }
+                carried_rows_rb = sum(
+                    _file_rows(path, f, head_meta, head_fb)
+                    for f in rebase_carry
+                ) - sum(carried_dvc.values())
+            head_stats = head.get("file_stats") or {}
+            rebase_fb = {
+                f: head_fb[f] for f in rebase_carry if f in head_fb
+            }
+            if carried_dvc:
+                for f in head.get("dv_files") or []:
+                    if f in head_fb:
+                        rebase_fb[f] = head_fb[f]
             manifest = {
                 **manifest,
                 "version": head["version"] + 1,
                 "committed_at": time.time(),
-                "files": list(head["files"]) + new_files,
-                "row_count": head["row_count"] + n_new,
+                "files": rebase_carry + new_files,
+                "row_count": carried_rows_rb + n_new,
                 "schema": merged,
                 "file_stats": {
-                    **(head.get("file_stats") or {}),
+                    **{
+                        f: head_stats[f]
+                        for f in rebase_carry
+                        if f in head_stats
+                    },
                     **new_stats,
                 },
-                "file_meta": {**(head.get("file_meta") or {}), **new_meta},
+                "file_meta": {
+                    **{
+                        f: head_meta[f]
+                        for f in rebase_carry
+                        if f in head_meta
+                    },
+                    **new_meta,
+                },
             }
             for k, v in (
-                ("dv_counts", head.get("dv_counts")),
-                ("dv_files", head.get("dv_files")),
-                ("bloom", {**head_blooms, **new_blooms}),
-                ("file_base", head.get("file_base")),
+                ("dv_counts", carried_dvc),
+                ("dv_files", head.get("dv_files") if carried_dvc else None),
+                (
+                    "bloom",
+                    {
+                        **{
+                            f: head_blooms[f]
+                            for f in rebase_carry
+                            if f in head_blooms
+                        },
+                        **new_blooms,
+                    },
+                ),
+                ("file_base", rebase_fb),
                 ("constraints", head.get("constraints")),
             ):
                 if v:
@@ -1168,7 +1312,7 @@ def _write_snapshot(
                     manifest.pop(k, None)
             prev, vs = head, head_vs
     raise ConcurrentCommitError(
-        f"append at {path} lost {_COMMIT_RETRIES} consecutive commit "
+        f"{mode} at {path} lost {_COMMIT_RETRIES} consecutive commit "
         "races; giving up (retry externally)"
     )
 
@@ -2502,7 +2646,9 @@ def compact(
         )
     else:
         df = df.repartition(target_files)
-    return _write_snapshot(df, path, "compact", carry_files=untouched)
+    return _write_snapshot(
+        df, path, "compact", carry_files=untouched, content_independent=True
+    )
 
 
 def versioned_upsert(
@@ -2574,7 +2720,9 @@ def versioned_upsert(
         out = survivors.unionByName(df, allowMissingColumns=True)
     else:
         out = df
-    return _write_snapshot(out, path, "upsert", carry_files=untouched)
+    return _write_snapshot(
+        out, path, "upsert", carry_files=untouched, read_range=(pc, lo, hi)
+    )
 
 
 def versioned_delete(
@@ -2635,7 +2783,15 @@ def versioned_delete(
         return _delete_with_vectors(spark, path, predicate, m, vs, candidates)
     cur = _read_files(spark, path, candidates, m)
     survivors = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-    return _write_snapshot(survivors, path, "delete", carry_files=untouched)
+    return _write_snapshot(
+        survivors,
+        path,
+        "delete",
+        carry_files=untouched,
+        read_range=(
+            (prune_col, lo, hi) if prune_col is not None else None
+        ),
+    )
 
 
 def _delete_with_vectors(
@@ -2766,7 +2922,15 @@ def versioned_update(
             for c in cur.columns
         )
     )
-    return _write_snapshot(out, path, "update", carry_files=untouched)
+    return _write_snapshot(
+        out,
+        path,
+        "update",
+        carry_files=untouched,
+        read_range=(
+            (prune_col, lo, hi) if prune_col is not None else None
+        ),
+    )
 
 
 def versioned_apply_changes(
@@ -2863,6 +3027,7 @@ def versioned_apply_changes(
         # zone-map confinement on the batch's key range would leave
         # unmatched rows in carried files un-deleted/un-updated
         candidates, untouched = list(m["files"]), []
+        rr = None
     else:
         pc = prune_col or keys[0]
         rng = changes.agg(
@@ -2871,11 +3036,14 @@ def versioned_apply_changes(
         candidates, untouched = _bucket_confine(
             m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
         )
+        rr = (pc, rng["lo"], rng["hi"])
     cur = _read_files(spark, path, candidates, m)
     out = apply_cdc_batch(
         cur, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw
     )
-    return _write_snapshot(out, path, "upsert", carry_files=untouched)
+    return _write_snapshot(
+        out, path, "upsert", carry_files=untouched, read_range=rr
+    )
 
 
 def rename_column(path: str, old: str, new: str) -> int:

@@ -2633,18 +2633,15 @@ def test_concurrent_append_rebases_and_both_land(spark, tmp_path, monkeypatch):
     assert set(m["file_meta"]) == set(m["files"])
 
 
-def test_concurrent_rowlevel_rewrite_fails_deterministically(
+def test_concurrent_rewrite_vs_append_rebases_both_land(
     spark, tmp_path, monkeypatch
 ):
-    """A row-level rewrite (upsert here) that loses the race decided
-    rows over a stale snapshot — it must raise ConcurrentCommitError
-    telling the caller to re-run, never auto-rebase (the winner may
-    have changed the very rows it read)."""
+    """A row-level rewrite (upsert here) losing the race to a PURE
+    APPEND rebases: the append is a blind write, so the serial order
+    "rewrite first, append second" reproduces the rebased result
+    exactly (Delta WriteSerializable).  Both commits land."""
     import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
-    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
-        ConcurrentCommitError,
-        versioned_upsert,
-    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_upsert
 
     t = str(tmp_path / "tbl")
     mk = lambda lo: spark.createDataFrame(
@@ -2662,7 +2659,55 @@ def test_concurrent_rowlevel_rewrite_fails_deterministically(
         return real_cs(path, state, prev)
 
     monkeypatch.setattr(V, "_commit_state", racy_cs)
-    with pytest.raises(ConcurrentCommitError, match="re-run|stale"):
+    v = versioned_upsert(
+        spark.createDataFrame([(1, "X")], "id int, v string"),
+        t,
+        ["id"],
+    )
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3 and versions(t) == [1, 2, 3]
+    got = sorted(
+        (r["id"], r["v"]) for r in read_version(spark, t).collect()
+    )
+    assert got == [
+        (0, "v0"), (1, "X"), (2, "v2"),
+        (100, "v100"), (101, "v101"), (102, "v102"),
+    ]
+    m = _read_manifest(t, 3)
+    assert m["row_count"] == 6
+    assert set(m["file_stats"]) == set(m["files"])
+
+
+def test_concurrent_overlapping_rewrites_refuse(spark, tmp_path, monkeypatch):
+    """Two rewrites touching the SAME files cannot both win: the loser
+    read rows the winner has since rewritten, so it must raise
+    ConcurrentCommitError (re-run), never auto-rebase — the
+    Delta/Iceberg overlapping-rewrite rule."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    )
+    versioned_write(mk(0), t)  # one file holding ids 0..2
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            # winner rewrites the very file the loser's upsert read
+            versioned_delete(spark, path, "id = 2")
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_cs)
+    with pytest.raises(ConcurrentCommitError, match="overlapping|re-run"):
         versioned_upsert(
             spark.createDataFrame([(1, "X")], "id int, v string"),
             t,
@@ -2671,7 +2716,29 @@ def test_concurrent_rowlevel_rewrite_fails_deterministically(
     monkeypatch.setattr(V, "_commit_state", real_cs)
     # the winner's commit is intact; the loser changed nothing
     got = sorted(r["id"] for r in read_version(spark, t).collect())
-    assert got == [0, 1, 2, 100, 101, 102]
+    assert got == [0, 1]
+    # a concurrent DV delete on a file the loser READ refuses the same
+    # way (the winner's vector deleted a row the loser decided over —
+    # the v2 delete split survivors per partition, so target id=1's
+    # own file to guarantee the overlap)
+    fired2 = {"done": False}
+
+    def racy_dv(path, state, prev):
+        if not fired2["done"] and state["version"] == 3:
+            fired2["done"] = True
+            versioned_delete(spark, path, "id = 1", strategy="dv")
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_dv)
+    with pytest.raises(ConcurrentCommitError, match="overlapping|re-run"):
+        versioned_upsert(
+            spark.createDataFrame([(1, "Y")], "id int, v string"),
+            t,
+            ["id"],
+        )
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    # winner's DV delete intact, loser changed nothing
+    assert sorted(r["id"] for r in read_version(spark, t).collect()) == [0]
 
 
 def test_concurrent_append_rebase_validations(spark, tmp_path, monkeypatch):
@@ -3588,3 +3655,69 @@ def test_candidate_split_date_probe_on_timestamp_column(spark, tmp_path):
     assert skipped2, "the Jan-4 file must prune for lo=Jan-5"
     got2 = read_version_pruned(spark, t, "ts", lo=datetime.date(2024, 1, 5))
     assert sorted(r["id"] for r in got2.collect()) == [2, 3]
+
+
+def test_concurrent_disjoint_rewrites_rebase(spark, tmp_path, monkeypatch):
+    """Two row-level rewrites confined to DISJOINT file sets both land:
+    the loser's read set is untouched by the winner, and the winner's
+    rewritten output is provably outside the loser's read range by the
+    head zone maps — the serial order "winner first, loser second"
+    reproduces the rebased result exactly."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, f"v{i}") for i in range(10)] + [
+        (i, f"v{i}") for i in range(100, 110)
+    ]
+    df = spark.createDataFrame(rows, "id int, v string")
+    versioned_write(df.repartitionByRange(2, "id"), t)  # 2 key-disjoint files
+    m1 = _read_manifest(t, 1)
+    assert len(m1["files"]) == 2
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            # winner rewrites the HIGH file only (disjoint from loser)
+            versioned_delete(
+                spark, path, "id = 105", prune_col="id", lo=105, hi=105
+            )
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_cs)
+    # loser deletes from the LOW file only
+    v = versioned_delete(spark, t, "id < 5", prune_col="id", lo=0, hi=9)
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3 and versions(t) == [1, 2, 3]
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == [5, 6, 7, 8, 9, 100, 101, 102, 103, 104, 106, 107, 108, 109]
+    m = _read_manifest(t, 3)
+    assert m["row_count"] == 14
+    assert set(m["file_stats"]) == set(m["files"])
+
+    # compact is content-independent: it rebases over a disjoint
+    # rewrite even though compaction has no read predicate at all
+    fired2 = {"done": False}
+
+    def racy_cs2(path, state, prev):
+        if not fired2["done"] and state["version"] == 4:
+            fired2["done"] = True
+            versioned_delete(
+                spark, path, "id = 9", prune_col="id", lo=9, hi=9
+            )
+        return real_cs(path, state, prev)
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import compact
+
+    m3 = _read_manifest(t, 3)
+    hi_files, _ = V._candidate_split(m3, "id", 100, 200)
+    monkeypatch.setattr(V, "_commit_state", racy_cs2)
+    # loser compacts the high range; winner deletes id=9 (low file)
+    v2 = compact(spark, t, target_files=1, prune_col="id", lo=100, hi=200)
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v2 == 5
+    got2 = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got2 == [5, 6, 7, 8, 100, 101, 102, 103, 104, 106, 107, 108, 109]
