@@ -1626,3 +1626,68 @@ def q265_versioned_concurrent_append_delete(
         "both the winner append and the rebased delete must land"
     )
     return read_version(spark, t)
+
+
+@register(
+    "q266_versioned_stream_rate_limited",
+    oracle="""
+    -- rate-limited stream drain: 8 single-file micro-batches must
+    -- jointly deliver the snapshot + the follow-up append exactly once
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    doc="End-to-end STREAM RATE LIMITING (Delta's maxFilesPerTrigger): "
+        "build a versioned orders table in two commits (5 + 3 "
+        "range-clustered files), then drain it through a RUNNING "
+        "versioned_changes stream with maxFilesPerTrigger=1 — "
+        "latestOffset emits sub-commit offsets ({version, file_index} "
+        "slices of the committed file-list order), so the initial "
+        "snapshot and the append arrive as 8 single-file micro-batches "
+        "(asserted from the query progress log) instead of one "
+        "table-sized batch.  The driver hash proves the capped batches "
+        "jointly equal the table exactly once — no file skipped at a "
+        "slice boundary, none replayed. "
+        "sources/versioned_stream.py:latestOffset/partitions; "
+        "mid-commit restart replay and the clean-restart regression "
+        "guard are pinned in tests/test_streaming.py.",
+)
+def q266_versioned_stream_rate_limited(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import versioned_write
+    from ..sources import versioned_stream
+
+    versioned_stream.register(spark)
+    base = tempfile.mkdtemp(prefix="q266_vtbl_")
+    t, out, ckpt = base + "/t", base + "/out", base + "/ckpt"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(5, "o_orderkey"), t
+    )
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(3, "o_orderkey"), t
+    )
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 8, (
+        f"8 files under a 1-file cap must drain as 8 micro-batches, "
+        f"got {len(data_batches)}"
+    )
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).parquet(out)

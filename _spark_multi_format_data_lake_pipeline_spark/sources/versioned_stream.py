@@ -35,6 +35,22 @@ load (Delta's initial-snapshot behavior) via a marked offset that
 replays batch 0 identically; ``startingVersion='earliest'`` requests
 the same bootstrap explicitly.
 
+RATE LIMITING (Delta's ``maxFilesPerTrigger``/``maxBytesPerTrigger``):
+with either option set, ``latestOffset`` walks the commit log from the
+reader's cursor and stops at the cap, emitting SUB-COMMIT offsets
+``{"version": V, "file_index": K}`` (K files of version V's committed
+new-file list delivered) — one huge commit, or the initial snapshot,
+then drains as a sequence of bounded micro-batches instead of one
+table-sized one.  The byte cap is a soft max: every batch admits at
+least one file.  Offsets slice the manifest's committed file-list
+order, so a restart mid-commit replays the exact same split
+(exactly-once).  The cursor is seeded eagerly at reader construction
+(the Python DS API calls ``latestOffset`` before ``initialOffset`` and
+passes no start offset); on a restarted query whose checkpoint is
+ahead of the seed, ``partitions``' offset-order guards discard at most
+one empty regressed batch and snap the cursor to the checkpoint — no
+duplicate, no loss, at most one wasted trigger.
+
 Partition-column handling matches the batch reader: values are parsed
 from the Hive path through the COMMITTED schema (never re-inferred) and
 re-attached as constants; the hidden ``__bucket`` layout column stays
@@ -107,6 +123,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        # Rate limiting (Delta's maxFilesPerTrigger/maxBytesPerTrigger):
+        # cap each micro-batch's admitted data files / manifest-recorded
+        # bytes.  ``latestOffset`` then returns SUB-COMMIT offsets
+        # ``{"version": V, "file_index": K}`` ("K files of version V's
+        # deterministic new-file list delivered"), so one huge commit —
+        # or the initial snapshot — streams as many bounded batches
+        # instead of one table-sized one.  The byte cap is a soft max:
+        # every batch admits at least one file (Delta's rule — a single
+        # file larger than the cap must still make progress).
+        mft = options.get("maxFilesPerTrigger")
+        mbt = options.get("maxBytesPerTrigger")
+        self._max_files = int(mft) if mft is not None else None
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         start = options.get("startingVersion", "0")
         if str(start).strip().lower() == "earliest":
             # explicit "bootstrap from whatever survives" request
@@ -128,15 +161,31 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._fields = _visible_fields(
             m["schema"], bool(m.get("bucket_by"))
         )
+        # CURSOR: where the capped ``latestOffset`` walks from.  Seeded
+        # EAGERLY with the stream's start offset — the engine calls
+        # ``latestOffset`` before ``initialOffset`` on a fresh stream
+        # (the Python DS API has no admission-control hook passing the
+        # start in), so a lazy cursor would leave batch 0 — the initial
+        # snapshot, the batch the cap exists for — unbounded.  On a
+        # RESTARTED query the checkpoint may be ahead of this seed; the
+        # engine's replay of an in-flight batch corrects it via
+        # ``partitions`` before the first capped plan, and the
+        # clean-boundary case degrades to at most one EMPTY regressed
+        # batch (``partitions`` offset-order guard) before the cursor
+        # snaps to the true position — never a duplicate row.
+        self._cursor: dict = self._start_offset()
+        self._regress_from: dict | None = None
+        self._regress_to: dict | None = None
 
-    def initialOffset(self) -> dict:
-        # A FRESH stream (no checkpoint — the engine only calls
-        # initialOffset then) on an ever-vacuumed table has delivered
-        # nothing, so serving the earliest surviving snapshot as the
-        # initial load duplicates nothing — Delta's initial-snapshot
-        # behavior.  The marked offset is checkpointed with batch 0 and
-        # replays identically; genuinely checkpointed plain offsets
-        # that fell behind retention still raise in ``partitions``.
+    @staticmethod
+    def _okey(off: dict) -> tuple:
+        """Total order over stream offsets: a version is past all its
+        partial prefixes (``{"version": v}`` ≡ every file of v
+        delivered, so it sorts after ``{"version": v, "file_index": k}``
+        for any k)."""
+        return (off["version"], off.get("file_index", float("inf")))
+
+    def _start_offset(self) -> dict:
         vs = versions(self.path)
         if (
             vs
@@ -146,15 +195,152 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             return {"version": vs[0] - 1, "snapshot_start": True}
         return {"version": self.start_version}
 
+    def initialOffset(self) -> dict:
+        # A FRESH stream (no checkpoint — the engine only calls
+        # initialOffset then) on an ever-vacuumed table has delivered
+        # nothing, so serving the earliest surviving snapshot as the
+        # initial load duplicates nothing — Delta's initial-snapshot
+        # behavior.  The marked offset is checkpointed with batch 0 and
+        # replays identically; genuinely checkpointed plain offsets
+        # that fell behind retention still raise in ``partitions``.
+        return self._start_offset()
+
+    def _iter_new_files(self, lo: int, ev: int, vs: list[int]):
+        """Walk versions in (lo, ev], yielding (v, manifest, new_files,
+        is_first) for each commit that contributes rows — the shared
+        commit-follow logic of ``partitions`` (which builds input
+        partitions from the yields) and the capped ``latestOffset``
+        (which only counts files/bytes).  Metadata-only commits are
+        passed over; non-append change commits raise unless
+        ``skipChangeCommits``.  ``new_files`` follows the manifest's
+        committed file-list order, so slicing by a checkpointed
+        ``file_index`` replays identically."""
+        prev: dict | None = None
+        any_planned = False
+        for v in vs:
+            if v <= lo or v > ev:
+                continue
+            m = _read_manifest(self.path, v)
+            if prev is None:
+                pm = [pv for pv in vs if pv < v]
+                prev = (
+                    _read_manifest(self.path, pm[-1]) if pm else {"files": []}
+                )
+            is_first = v == vs[0]
+            pf = set(prev["files"])
+            new_files = [f for f in m["files"] if f not in pf]
+            removed = [f for f in prev["files"] if f not in set(m["files"])]
+            dv_same = (m.get("dv_files") or []) == (
+                prev.get("dv_files") or []
+            ) and (m.get("dv_counts") or {}) == (prev.get("dv_counts") or {})
+            prev = m
+            any_planned = True
+            if not is_first and not new_files and not removed and dv_same:
+                # metadata-only commit (add/drop-constraint, or any
+                # verb that touched neither data files nor delete
+                # vectors): no rows changed — pass over it instead of
+                # stalling the stream
+                continue
+            is_append = m.get("mode") in _APPEND_MODES or is_first
+            if not is_append:
+                if not self.skip_change_commits:
+                    raise ValueError(
+                        f"versioned_changes: version {v} is a "
+                        f"{m.get('mode')!r} commit — an append-only "
+                        "stream cannot represent row changes; set "
+                        "skipChangeCommits=true to ignore them "
+                        "(Delta's contract)"
+                    )
+                continue
+            yield v, m, new_files, is_first
+        if not any_planned and ev > lo:
+            # range referenced versions that no longer exist (vacuumed):
+            # honest error beats silently streaming nothing
+            raise ValueError(
+                f"versioned_changes: no manifests in "
+                f"({lo}, {ev}] at {self.path}"
+            )
+
+    def _cap_hit(self, files: int, nbytes: int) -> bool:
+        return bool(
+            (self._max_files is not None and files >= self._max_files)
+            or (self._max_bytes is not None and nbytes >= self._max_bytes)
+        )
+
     def latestOffset(self) -> dict:
         vs = versions(self.path)
-        return {"version": vs[-1] if vs else self.start_version}
+        if not vs:
+            return {"version": self.start_version}
+        head = {"version": vs[-1]}
+        if self._max_files is None and self._max_bytes is None:
+            return head
+        cur = self._cursor
+        sv = cur["version"]
+        s_idx = cur.get("file_index")
+        if sv >= vs[-1] and s_idx is None:
+            return head  # caught up
+        lo = sv - 1 if s_idx is not None else sv
+        if lo < vs[0] - 1 and not cur.get("snapshot_start"):
+            # cursor fell behind retention: let partitions raise the
+            # honest behind-retention error on the engine's next plan
+            return head
+        files = 0
+        nbytes = 0
+        mark = dict(cur)
+        for v, m, new_files, _is_first in self._iter_new_files(
+            lo, vs[-1], vs
+        ):
+            meta = m.get("file_meta") or {}
+            skip = s_idx if (s_idx is not None and v == sv) else 0
+            for i in range(skip, len(new_files)):
+                if files and self._cap_hit(files, nbytes):
+                    self._cursor = mark
+                    return mark
+                files += 1
+                nbytes += (meta.get(new_files[i], {}) or {}).get(
+                    "bytes", 0
+                ) or 0
+                mark = (
+                    {"version": v, "file_index": i + 1}
+                    if i + 1 < len(new_files)
+                    else {"version": v}
+                )
+            mark = {"version": v}
+        self._cursor = head
+        return head
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         out: list[_FilePartition] = []
         vs = versions(self.path)
+        # Offset-order guards for the capped reader's restart dance
+        # (see __init__): the eager cursor seed can trail a restarted
+        # query's checkpoint, making the first capped end REGRESS
+        # behind the engine's start — plan nothing (those rows were
+        # delivered before the restart), snap the cursor to the start,
+        # and REMEMBER the regressed end: the engine commits it as the
+        # batch boundary, so the NEXT batch arrives with exactly that
+        # stale start and must resume from the true position instead
+        # (its prefix was delivered pre-restart).  The mapping is
+        # exact — recorded only by an observed regression and consumed
+        # by the one batch that starts at it — so genuinely-behind
+        # checkpoints still reach the retention error below, and
+        # replays/steady-state batches take the plain path untouched.
+        if self._okey(end) <= self._okey(start):
+            if self._okey(self._cursor) < self._okey(start):
+                self._cursor = dict(start)
+                self._regress_from = dict(end)
+                self._regress_to = dict(start)
+            return []
+        if self._regress_from is not None and start == self._regress_from:
+            start = self._regress_to
+            self._regress_from = self._regress_to = None
+        if self._okey(self._cursor) < self._okey(end):
+            self._cursor = dict(end)  # every planned batch advances it
         sv = start["version"]
-        if vs and end["version"] > sv:
+        s_idx = start.get("file_index")
+        ev = end["version"]
+        e_idx = end.get("file_index")
+        if vs and ev > sv:
             # Offset behind the vacuum retention horizon: version
             # numbering starts at 1, so an offset sv needs manifest sv
             # (its diff base) unless sv==0 streams the never-vacuumed
@@ -183,40 +369,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "stream from a fresh checkpoint (rows before the "
                     "retention horizon must be reprocessed explicitly)"
                 )
-        prev: dict | None = None
-        for v in vs:
-            if v <= sv or v > end["version"]:
-                continue
-            m = _read_manifest(self.path, v)
-            if prev is None:
-                pm = [pv for pv in vs if pv < v]
-                prev = (
-                    _read_manifest(self.path, pm[-1]) if pm else {"files": []}
-                )
-            is_first = v == vs[0]
-            pf = set(prev["files"])
-            new_files = [f for f in m["files"] if f not in pf]
-            removed = [f for f in prev["files"] if f not in set(m["files"])]
-            dv_same = (m.get("dv_files") or []) == (
-                prev.get("dv_files") or []
-            ) and (m.get("dv_counts") or {}) == (prev.get("dv_counts") or {})
-            prev = m
-            if not is_first and not new_files and not removed and dv_same:
-                # metadata-only commit (add/drop-constraint, or any
-                # verb that touched neither data files nor delete
-                # vectors): no rows changed — pass over it instead of
-                # stalling the stream
-                continue
-            is_append = m.get("mode") in _APPEND_MODES or is_first
-            if not is_append:
-                if not self.skip_change_commits:
-                    raise ValueError(
-                        f"versioned_changes: version {v} is a "
-                        f"{m.get('mode')!r} commit — an append-only "
-                        "stream cannot represent row changes; set "
-                        "skipChangeCommits=true to ignore them "
-                        "(Delta's contract)"
-                    )
+        # A PARTIAL start offset ({"version": V, "file_index": K}, laid
+        # down by a capped latestOffset) means K files of V's new-file
+        # list were already delivered — planning resumes INSIDE V, so
+        # the walk opens one version earlier and the first yield is
+        # sliced.  A partial END offset truncates the last yield the
+        # same way.  Both slices index the manifest's committed
+        # file-list order, so a restart mid-commit replays the exact
+        # same file split (the checkpoint-restart contract).
+        lo = sv - 1 if s_idx is not None else sv
+        for v, m, new_files, is_first in self._iter_new_files(lo, ev, vs):
+            indexed = list(enumerate(new_files))
+            if s_idx is not None and v == sv:
+                indexed = indexed[s_idx:]
+            if e_idx is not None and v == ev:
+                indexed = [p for p in indexed if p[0] < e_idx]
+            if not indexed:
                 continue
             fb = m.get("file_base") or {}
             cmap = m.get("column_mapping") or {}
@@ -234,7 +402,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 str(Path(fb.get(d, self.path)) / d)
                 for d in (m.get("dv_files") or [])
             ) if dv_counts else ()
-            for f in new_files:
+            for _i, f in indexed:
                 out.append(
                     _FilePartition(
                         str(Path(fb.get(f, self.path)) / f),
@@ -244,13 +412,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         dv_paths=dv_paths if f in dv_counts else (),
                     )
                 )
-        if prev is None and end["version"] > sv:
-            # range referenced versions that no longer exist (vacuumed):
-            # honest error beats silently streaming nothing
-            raise ValueError(
-                f"versioned_changes: no manifests in "
-                f"({sv}, {end['version']}] at {self.path}"
-            )
         return out
 
     def read(self, partition: _FilePartition):

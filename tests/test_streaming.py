@@ -1250,3 +1250,263 @@ def test_versioned_changes_bootstrap_applies_deletion_vectors(
         for r in b.to_pylist()
     ]
     assert sorted(r["id"] for r in rows2) == got
+
+
+def test_versioned_changes_max_files_per_trigger_caps_batches(
+    spark, tmp_path
+):
+    """maxFilesPerTrigger: latestOffset returns sub-commit offsets
+    ({"version": V, "file_index": K}) so a multi-file commit — and the
+    backlog across commits — drains as bounded micro-batches, each
+    admitting at most the cap, jointly exactly-once."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 9).repartitionByRange(3, "id"), t)  # v1: 3 files
+    versioned_write(mk(100, 6).repartitionByRange(2, "id"), t)  # v2: 2 files
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}
+    )
+    cur = rd.initialOffset()
+    assert cur == {"version": 0}
+    seen = []
+    offsets = []
+    for _ in range(20):
+        nxt = rd.latestOffset()
+        if nxt == cur:
+            break
+        parts = rd.partitions(cur, nxt)
+        assert len(parts) <= 1, "1-file cap must bound every batch"
+        seen += [
+            r for p in parts for b in rd.read(p) for r in b.to_pylist()
+        ]
+        offsets.append(nxt)
+        cur = nxt
+    assert cur == {"version": 2}, "the walk must converge on the head"
+    assert len(offsets) == 5, "5 files -> 5 single-file batches"
+    assert [o.get("file_index") for o in offsets] == [1, 2, None, 1, None]
+    assert sorted(r["id"] for r in seen) == sorted(
+        list(range(9)) + list(range(100, 106))
+    ), "capped batches must jointly deliver exactly-once"
+    # caught up: latestOffset is a fixed point
+    assert rd.latestOffset() == {"version": 2}
+    # a new append resumes capped from the cursor
+    versioned_write(mk(200, 1).repartition(1), t)
+    nxt = rd.latestOffset()
+    assert nxt == {"version": 3}
+    rows = [
+        r
+        for p in rd.partitions(cur, nxt)
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    ]
+    assert [r["id"] for r in rows] == [200]
+
+
+def test_versioned_changes_rate_limit_replays_mid_commit(spark, tmp_path):
+    """A restart while a capped batch is in flight replays the exact
+    (start, end] file slice from the checkpointed offsets (the engine
+    calls partitions with both), then keeps capping from there — no
+    row lost, none duplicated, across a reader instance boundary."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id int, v string"
+    )
+    versioned_write(df.repartitionByRange(4, "id"), t)  # v1: 4 files
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "2"}
+    )
+    cur = rd.initialOffset()
+    first = rd.latestOffset()
+    assert first == {"version": 1, "file_index": 2}
+    batch1 = sorted(
+        r["id"]
+        for p in rd.partitions(cur, first)
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    )
+    # "crash" mid-stream: a NEW reader replays the in-flight batch from
+    # the checkpointed pair — identical rows
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "2"}
+    )
+    replay = sorted(
+        r["id"]
+        for p in rd2.partitions({"version": 0}, first)
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    )
+    assert replay == batch1
+    # the replay taught the new reader its position: capping continues
+    nxt = rd2.latestOffset()
+    assert nxt == {"version": 1}
+    batch2 = sorted(
+        r["id"]
+        for p in rd2.partitions(first, nxt)
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    )
+    assert sorted(batch1 + batch2) == list(range(12))
+
+
+def test_versioned_changes_byte_cap_and_capped_dv_bootstrap(
+    spark, tmp_path
+):
+    """maxBytesPerTrigger is a soft max admitting at least one file per
+    batch; combined with the vacuumed-table bootstrap it must split
+    the initial snapshot into bounded batches that still apply the
+    surviving deletion vectors — jointly equal to the batch read."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        vacuum,
+        versioned_delete,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(4)], "id int, v string"
+    ).repartition(1)
+    for lo in (0, 10, 20):
+        versioned_write(mk(lo), t)  # v1..v3, one file each
+    versioned_delete(spark, t, "id IN (1, 21)", strategy="dv")  # v4
+    versioned_write(mk(30), t)  # v5
+    vacuum(t, keep_last=2)  # vs=[4,5]; v4 carries DVs on 2 of 3 files
+    want = sorted(r["id"] for r in read_version(spark, t).collect())
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxBytesPerTrigger": "1"}  # soft max: 1 file/batch
+    )
+    cur = rd.initialOffset()
+    assert cur == {"version": 3, "snapshot_start": True}
+    seen = []
+    batches = 0
+    for _ in range(20):
+        nxt = rd.latestOffset()
+        if nxt == cur:
+            break
+        parts = rd.partitions(cur, nxt)
+        assert len(parts) == 1, "1-byte soft cap admits exactly one file"
+        seen += [
+            r for p in parts for b in rd.read(p) for r in b.to_pylist()
+        ]
+        batches += 1
+        cur = nxt
+    assert batches == 4  # 3 snapshot files + the v5 append file
+    assert sorted(r["id"] for r in seen) == want  # DVs applied, no dups
+    # a generous byte cap drains everything in one batch
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "maxBytesPerTrigger": str(1 << 30)}
+    )
+    c0 = rd2.initialOffset()
+    n1 = rd2.latestOffset()
+    assert n1 == {"version": 5}
+    rows = [
+        r
+        for p in rd2.partitions(c0, n1)
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows) == want
+
+
+def test_versioned_changes_rate_limit_end_to_end(spark, tmp_path):
+    """Engine-level rate limiting: a running query with
+    maxFilesPerTrigger=1 drains a multi-file backlog as a sequence of
+    single-file micro-batches (offsets round-trip the JVM checkpoint
+    as plain JSON), converging to exactly the table's rows."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+
+    versioned_stream.register(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id int, v string"
+    )
+    versioned_write(df.repartitionByRange(4, "id"), t)  # 4 files
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 4, (
+        "4 files under a 1-file cap must drain as 4 micro-batches"
+    )
+    assert all(p["numInputRows"] == 3 for p in data_batches)
+    got = spark.read.schema("id int, v string").parquet(out)
+    assert sorted(r["id"] for r in got.collect()) == list(range(12))
+
+
+def test_versioned_changes_rate_limit_clean_restart_no_duplicates(
+    spark, tmp_path
+):
+    """Clean-boundary restart of a capped stream: the fresh reader's
+    cursor seed trails the checkpoint, so its first capped end
+    REGRESSES behind the engine's committed start — that batch must
+    plan NOTHING (those rows were delivered before the restart), and
+    the follow-up batch starting at the regressed offset must resume
+    from the true committed position.  Net effect: one empty trigger,
+    zero duplicate rows, zero lost rows."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id int, v string"
+    )
+    versioned_write(df.repartitionByRange(4, "id"), t)  # v1: 4 files
+    versioned_write(
+        spark.createDataFrame([(100, "x")], "id int, v string")
+        .repartition(1),
+        t,
+    )  # v2: 1 file
+    # pre-restart history: v1 fully delivered, committed at {"version":1}
+    committed = {"version": 1}
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}
+    )  # fresh instance: cursor seeded at {"version": 0}
+    l1 = rd.latestOffset()
+    assert l1 == {"version": 1, "file_index": 1}  # regressed behind C
+    parts = rd.partitions(committed, l1)
+    assert parts == [], "regressed batch must plan nothing"
+    l2 = rd.latestOffset()
+    assert l2 == {"version": 2}, "cursor snapped to the committed start"
+    rows = [
+        r
+        for p in rd.partitions(l1, l2)  # engine start = regressed end
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    ]
+    assert [r["id"] for r in rows] == [100], (
+        "follow-up batch resumes at the committed position: v2 only"
+    )
