@@ -1691,3 +1691,77 @@ def q266_versioned_stream_rate_limited(
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).parquet(out)
+
+
+@register(
+    "q267_versioned_metadata_aggregates",
+    oracle="""
+    -- metadata-plane aggregates over a DV-carrying, schema-evolved
+    -- table must equal the scan truth: v1 = even keys (3 cols),
+    -- v2 adds o_custkey on odd keys, v3 DV-deletes keys %9==0
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_custkey
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_custkey
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), s AS (SELECT * FROM t WHERE o_orderkey % 9 <> 0)
+    SELECT COUNT(*) AS cnt,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+    FROM s
+    """,
+    doc="End-to-end METADATA-ONLY AGGREGATES (Delta's manifest-served "
+        "COUNT/MIN/MAX): build a versioned orders table, evolve the "
+        "schema (v2 appends odd keys carrying a new o_custkey column), "
+        "DV-delete keys %9==0, then answer COUNT(*) purely from the "
+        "manifest's transactional row_count (already net of deletion "
+        "vectors — zero files opened) and MIN/MAX from the zone maps' "
+        "exact dv-free bounds, scanning ONLY files whose range could "
+        "beat them (DV'd candidates, pre-evolution files where the new "
+        "column reads NULL).  The driver hash proves every aggregate "
+        "equals the scan truth across the DV and evolution planes. "
+        "sinks/versioned.py:versioned_count/versioned_min_max; the "
+        "zero-file and boundary-only-scan guarantees are pinned in "
+        "tests/test_versioned.py.",
+)
+def q267_versioned_metadata_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        versioned_count,
+        versioned_delete,
+        versioned_min_max,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q267_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0)
+        .drop("o_custkey")
+        .repartitionByRange(4, "o_orderkey"),
+        t,
+    )
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(4, "o_orderkey"), t
+    )
+    versioned_delete(spark, t, "o_orderkey % 9 = 0", strategy="dv")
+    cnt = versioned_count(spark, t).select(F.col("count").alias("cnt"))
+    keys = versioned_min_max(spark, t, "o_orderkey").select(
+        F.col("min_o_orderkey").alias("min_key"),
+        F.col("max_o_orderkey").alias("max_key"),
+    )
+    price = versioned_min_max(spark, t, "o_totalprice").select(
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
+    cust = versioned_min_max(spark, t, "o_custkey").select(
+        F.col("min_o_custkey").alias("min_cust"),
+        F.col("max_o_custkey").alias("max_cust"),
+    )
+    return cnt.crossJoin(keys).crossJoin(price).crossJoin(cust)

@@ -1908,6 +1908,141 @@ def read_version_null_pruned(
     return df.filter(pred)
 
 
+def versioned_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """``COUNT(*)`` answered from the manifest alone — Delta's
+    metadata-only count: every commit path (append, copy-on-write
+    rewrite, DV delete, conflict rebase) maintains ``row_count``
+    exactly, already net of deletion vectors, so the count is one JSON
+    field — zero data files opened, O(1) whatever the table size.  A
+    100 TB fact table answers ``COUNT(*)`` in milliseconds, which is
+    exactly why real formats keep this statistic transactional.
+    Returned as a 1-row DataFrame so it composes with the rest of the
+    query surface (and with time travel via ``version``)."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    return spark.createDataFrame(
+        [(int(m["row_count"]),)], "count bigint"
+    )
+
+
+def versioned_min_max(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """``MIN(col)/MAX(col)`` answered from the manifest zone maps where
+    provably exact, scanning only the files that could change the
+    answer — the metadata-only aggregate Delta serves from its
+    per-file stats:
+
+    - a DV-FREE file's committed (min, max) is exact (footer-derived,
+      every row present), so such files contribute metadata only;
+    - a file carrying DELETION VECTORS may have lost its extreme rows,
+      so it is scanned — but only when its range could actually beat
+      the metadata bound (min below the proven min / max above the
+      proven max); otherwise its surviving rows provably don't matter;
+    - files with NO usable stats for ``col`` (legacy commits, statless
+      row groups, pre-evolution files where the column reads NULL) are
+      scanned — conservative, never wrong.  NULLs are ignored, SQL
+      aggregate semantics.
+
+    On a healthy table (stats present, deletes compacted away) this
+    opens ZERO data files; in the worst case it degrades to the plain
+    scan aggregate, never to a wrong answer.  Time-typed columns keep
+    their stats as Hive-normal-form ISO strings (lexicographic ==
+    value order), cast back to the committed type in the result.
+    Result columns are ``min_<col>``/``max_<col>``."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    ctype = next(
+        (
+            f["type"]
+            for f in (m.get("schema") or {}).get("fields", [])
+            if f["name"] == col and isinstance(f["type"], str)
+        ),
+        None,
+    )
+    if ctype is None:
+        raise ValueError(
+            f"versioned_min_max: column {col!r} not in the committed "
+            "schema (or not a primitive type)"
+        )
+    pc = _phys(m, col)
+    stats = m.get("file_stats") or {}
+    meta = m.get("file_meta") or {}
+    dvc = m.get("dv_counts") or {}
+    exact_min = exact_max = None
+    dvd: list[tuple[str, object, object]] = []
+    scan: list[str] = []
+    for f in m["files"]:
+        if (meta.get(f) or {}).get("rows") == 0:
+            continue  # empty file (range-partition edge): no rows, no stats
+        rng = stats.get(f, {}).get(pc)
+        if rng is None:
+            scan.append(f)
+            continue
+        if f in dvc:
+            dvd.append((f, rng[0], rng[1]))
+            continue
+        try:
+            if exact_min is None or rng[0] < exact_min:
+                exact_min = rng[0]
+            if exact_max is None or rng[1] > exact_max:
+                exact_max = rng[1]
+        except TypeError:
+            scan.append(f)  # incomparable stats → conservative scan
+    for f, lo, hi in dvd:
+        try:
+            beats = (
+                exact_min is None
+                or exact_max is None
+                or lo < exact_min
+                or hi > exact_max
+            )
+        except TypeError:
+            beats = True
+        if beats:
+            scan.append(f)
+    min_cands, max_cands = [], []
+    if exact_min is not None:
+        min_cands.append(F.lit(exact_min).cast(ctype))
+        max_cands.append(F.lit(exact_max).cast(ctype))
+    if scan:
+        got = (
+            _read_files(spark, path, scan, m)
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .first()
+        )
+        if got["lo"] is not None:
+            min_cands.append(F.lit(got["lo"]).cast(ctype))
+            max_cands.append(F.lit(got["hi"]).cast(ctype))
+    if not min_cands:
+        min_cands = max_cands = [F.lit(None).cast(ctype)]
+
+    def _fold(fn, cands):  # least/greatest need >= 2 args
+        return cands[0] if len(cands) == 1 else fn(*cands)
+
+    return spark.range(1).select(
+        _fold(F.least, min_cands).alias(f"min_{col}"),
+        _fold(F.greatest, max_cands).alias(f"max_{col}"),
+    )
+
+
 def read_version_keyed(
     spark: SparkSession,
     path: str,

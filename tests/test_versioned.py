@@ -3721,3 +3721,154 @@ def test_concurrent_disjoint_rewrites_rebase(spark, tmp_path, monkeypatch):
     assert v2 == 5
     got2 = sorted(r["id"] for r in read_version(spark, t).collect())
     assert got2 == [5, 6, 7, 8, 100, 101, 102, 103, 104, 106, 107, 108, 109]
+
+
+def test_versioned_count_is_metadata_only_and_exact(
+    spark, tmp_path, monkeypatch
+):
+    """COUNT(*) from the manifest: exact across append, copy-on-write
+    rewrite, DV delete and time travel — with the scan path DISABLED,
+    proving zero data files are opened."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_count,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 10).repartitionByRange(2, "id"), t)  # v1: 10
+    versioned_write(mk(100, 5), t)  # v2: 15
+    versioned_delete(spark, t, "id >= 103", strategy="dv")  # v3: 13
+    versioned_upsert(mk(0, 3), t, ["id"])  # v4: still 13 (3 updates)
+    expect = {1: 10, 2: 15, 3: 13, 4: 13}
+    real_scan = read_version(spark, t).count()
+    assert real_scan == 13
+
+    def no_scan(*a, **k):
+        raise AssertionError("versioned_count must not open data files")
+
+    monkeypatch.setattr(V, "_read_files", no_scan)
+    for v, n in expect.items():
+        got = versioned_count(spark, t, version=v).collect()
+        assert [tuple(r) for r in got] == [(n,)]
+    monkeypatch.setattr(
+        V, "_read_files", V._read_files
+    )  # restored by fixture anyway
+
+
+def test_versioned_min_max_metadata_and_hybrid(spark, tmp_path, monkeypatch):
+    """MIN/MAX from zone maps: pure metadata on a DV-free table (scan
+    path disabled to prove it); with deletion vectors on the extreme
+    files, only the files that could beat the proven bounds are
+    scanned and the result equals the full-scan truth; statless
+    (pre-evolution) files fall back to scan without changing the
+    answer."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_min_max,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, float(i) * 1.5, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, price double, v string")
+    versioned_write(df.repartitionByRange(4, "id"), t)
+
+    real_rf = V._read_files
+
+    def no_scan(*a, **k):
+        raise AssertionError("dv-free min/max must not open data files")
+
+    monkeypatch.setattr(V, "_read_files", no_scan)
+    got = versioned_min_max(spark, t, "id").collect()
+    assert [tuple(r) for r in got] == [(0, 99)]
+    got = versioned_min_max(spark, t, "price").collect()
+    assert [tuple(r) for r in got] == [(0.0, 148.5)]
+    monkeypatch.setattr(V, "_read_files", real_rf)
+
+    # DV-delete the global min and max rows: the files holding them
+    # must be scanned (their stats bounds are stale), the middle files
+    # must NOT be
+    versioned_delete(spark, t, "id IN (0, 99)", strategy="dv")
+    scanned = []
+
+    def counting_rf(spark_, path_, files_, m_, **k):
+        scanned.extend(files_)
+        return real_rf(spark_, path_, files_, m_, **k)
+
+    monkeypatch.setattr(V, "_read_files", counting_rf)
+    got = versioned_min_max(spark, t, "id").collect()
+    assert [tuple(r) for r in got] == [(1, 98)]
+    m = V._read_manifest(t, 2)
+    assert 0 < len(set(scanned)) < len(m["files"]), (
+        "hybrid path must scan only the boundary files"
+    )
+    monkeypatch.setattr(V, "_read_files", real_rf)
+
+    # a DV confined to a MIDDLE file can't beat dv-free boundary
+    # stats: pure metadata, no scan (fresh table — the one above keeps
+    # its boundary files DV'd, so those legitimately re-scan until a
+    # compact materializes the vectors)
+    t2 = str(tmp_path / "tbl2")
+    versioned_write(df.repartitionByRange(4, "id"), t2)
+    versioned_delete(spark, t2, "id = 50", strategy="dv")
+    monkeypatch.setattr(V, "_read_files", no_scan)
+    got = versioned_min_max(spark, t2, "id").collect()
+    assert [tuple(r) for r in got] == [(0, 99)]
+    monkeypatch.setattr(V, "_read_files", real_rf)
+
+    # schema evolution: the added column has no stats in old files →
+    # falls back to scanning them, NULLs ignored, exact result
+    extra = spark.createDataFrame(
+        [(200 + i, 1.0, "x", 7 + i) for i in range(3)],
+        "id int, price double, v string, rank int",
+    )
+    versioned_write(extra, t)
+    got = versioned_min_max(spark, t, "rank").collect()
+    assert [tuple(r) for r in got] == [(7, 9)]
+    # and the evolved table's min/max over the old column still exact
+    got = versioned_min_max(spark, t, "id").collect()
+    assert [tuple(r) for r in got] == [(1, 202)]
+    # equals the scan truth on every column
+    truth = read_version(spark, t).agg(
+        F.min("price"), F.max("price")
+    ).first()
+    got = versioned_min_max(spark, t, "price").collect()
+    assert [tuple(r) for r in got] == [tuple(truth)]
+
+
+def test_versioned_min_max_time_columns_and_empty(spark, tmp_path):
+    """Time-typed columns keep their stats as ISO strings: the result
+    casts back to the committed type exactly; an all-NULL column and
+    an unknown column behave honestly."""
+    import datetime
+
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_min_max
+
+    t = str(tmp_path / "tbl")
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12, 30, 0)),
+        (2, datetime.datetime(2024, 3, 5, 0, 0, 0)),
+        (3, None),
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, ts timestamp")
+        .repartitionByRange(2, "id"),
+        t,
+    )
+    got = versioned_min_max(spark, t, "ts").collect()
+    assert [tuple(r) for r in got] == [
+        (
+            datetime.datetime(2024, 1, 1, 12, 30, 0),
+            datetime.datetime(2024, 3, 5, 0, 0, 0),
+        )
+    ]
+    with pytest.raises(ValueError, match="not in the committed"):
+        versioned_min_max(spark, t, "nope")
