@@ -1765,3 +1765,60 @@ def q267_versioned_metadata_aggregates(
         F.col("max_o_custkey").alias("max_cust"),
     )
     return cnt.crossJoin(keys).crossJoin(price).crossJoin(cust)
+
+
+@register(
+    "q268_versioned_branch_merge_back",
+    oracle="""
+    -- branch -> mutate -> fast-forward merge: the parent's next
+    -- version equals the branch head (evens base + odds appended on
+    -- the branch, minus the branch's DV delete of cheap rows)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 30000.0
+    """,
+    doc="End-to-end BRANCH MERGE-BACK (git merge --ff-only over the "
+        "Iceberg-style branch mechanism): build a versioned orders "
+        "table (even keys), create a branch, do the work THERE — "
+        "append the odd keys, DV-delete every order under 30000 — then "
+        "merge_branch fast-forwards the parent to the branch head: "
+        "parent-carried files stay zero-copy, branch-written files "
+        "(data + DV parquet) copy into the parent root under their "
+        "manifest names so every per-file entry carries verbatim and "
+        "the merged parent is self-contained (asserted in-query: no "
+        "file_base survives).  The driver hash proves the merged "
+        "snapshot equals the branch's final state row-for-row. "
+        "sinks/versioned.py:merge_branch/_branch_base_version; "
+        "divergence refusal + branch_diff reconciliation pinned in "
+        "tests/test_versioned.py.",
+)
+def q268_versioned_branch_merge_back(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        _read_manifest,
+        create_branch,
+        merge_branch,
+        read_version,
+        versioned_delete,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q268_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    b = create_branch(t, "etl")
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(4, "o_orderkey"), b
+    )
+    versioned_delete(spark, b, "o_totalprice < 30000.0", strategy="dv")
+    v = merge_branch(t, "etl")
+    assert v == 2 and versions(t) == [1, 2], "fast-forward must land as v2"
+    assert "file_base" not in _read_manifest(t, 2), (
+        "merged parent must be self-contained"
+    )
+    return read_version(spark, t)

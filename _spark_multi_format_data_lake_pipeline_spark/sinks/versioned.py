@@ -2455,6 +2455,124 @@ def list_branches(path: str) -> dict[str, str]:
     }
 
 
+def _branch_base_version(branch_root: str) -> int | None:
+    """The parent version a branch forked from, recorded in its v1
+    clone-mode string (``clone:<parent>@v{N}``)."""
+    vs = versions(branch_root)
+    if not vs:
+        return None
+    mode = str(_read_manifest(branch_root, vs[0]).get("mode") or "")
+    if "@v" not in mode:
+        return None
+    try:
+        return int(mode.rsplit("@v", 1)[1])
+    except ValueError:
+        return None
+
+
+def merge_branch(path: str, name: str) -> int:
+    """FAST-FORWARD merge of a branch back into its parent (git's
+    ``merge --ff-only``, the half of Iceberg branch semantics
+    ``create_branch`` was missing): when the parent has NOT advanced
+    past the branch's fork point, commit the branch's head state as
+    the parent's next version and return it.
+
+    Physical contract: files the branch still reads from the parent
+    root stay zero-copy (they already live there); files the branch
+    WROTE (its appends/rewrites/DV parquet) are COPIED into the parent
+    root under the same relative names — so every per-file manifest
+    entry (stats, blooms, buckets, DV counts) carries verbatim and the
+    merged parent never depends on the branch directory existing
+    (``delete`` the branch after merging is safe).  Cost is exactly
+    the bytes the branch changed, the minimum any physical merge can
+    move; the parent-carried portion of a 100 TB table costs zero.
+
+    If the parent HAS advanced past the fork point, the merge refuses
+    (two diverged writable lineages — a fast-forward would silently
+    drop the parent's commits): reconcile explicitly with
+    :func:`branch_diff` ∘ :func:`versioned_apply_changes`, deciding
+    key semantics and conflict policy yourself, exactly the
+    git pull-before-push discipline.  The commit rides the optimistic
+    ``_commit_state``, so a parent writer racing the merge leaves
+    exactly one winner (the loser re-checks divergence)."""
+    import shutil
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    branches = list_branches(path)
+    if name not in branches:
+        raise ValueError(
+            f"no branch {name!r} at {path}; branches: {sorted(branches)}"
+        )
+    broot = branches[name]
+    bvs = versions(broot)
+    base = _branch_base_version(broot)
+    pvs = versions(path)
+    if not pvs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if base is None:
+        raise ValueError(
+            f"branch {name!r} has no recorded fork point; cannot prove "
+            "a fast-forward is safe"
+        )
+    if pvs[-1] != base:
+        raise ValueError(
+            f"cannot fast-forward: parent advanced v{base} -> "
+            f"v{pvs[-1]} since branch {name!r} forked; reconcile with "
+            "branch_diff + versioned_apply_changes"
+        )
+    bh = _read_manifest(broot, bvs[-1])
+    parent_abs = str(Path(path).resolve())
+    fb = dict(bh.get("file_base") or {})
+    live = list(bh["files"]) + list(bh.get("dv_files") or [])
+    to_copy = [f for f in live if fb.get(f, broot) != parent_abs]
+
+    def _cp(f: str) -> None:
+        out = Path(path) / f
+        out.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(Path(fb.get(f, broot)) / f, out)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(_cp, to_copy))  # list() surfaces the first error
+    # every live file now resolves against the parent root natively:
+    # parent-based files were already there, everything else was just
+    # copied under its same relative name — no file_base survives
+    manifest = {
+        **bh,
+        "version": pvs[-1] + 1,
+        "mode": f"merge_branch:{name}@v{bvs[-1]}",
+        "committed_at": time.time(),
+    }
+    manifest.pop("txn_id", None)
+    manifest.pop("file_base", None)
+    return _commit_state(path, manifest, _read_manifest(path, pvs[-1]))
+
+
+def branch_diff(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    key_cols: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """The I/U/D change set that would turn the PARENT's head into the
+    BRANCH's head (``sinks/cdc.py::table_diff`` keyed comparison) —
+    the reconciliation surface for a diverged branch: inspect it, or
+    feed it to ``versioned_apply_changes(path, ...)`` to merge by
+    key with explicit conflict semantics."""
+    from .cdc import table_diff
+
+    branches = list_branches(path)
+    if name not in branches:
+        raise ValueError(
+            f"no branch {name!r} at {path}; branches: {sorted(branches)}"
+        )
+    return table_diff(
+        read_version(spark, path),
+        read_version(spark, branches[name]),
+        list(key_cols),
+    )
+
+
 def _branch_live_files(path: str) -> set[str]:
     """Parent-relative file names still referenced by ANY version of
     ANY branch (via their file_base mappings back to this root) —

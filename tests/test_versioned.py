@@ -3872,3 +3872,64 @@ def test_versioned_min_max_time_columns_and_empty(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="not in the committed"):
         versioned_min_max(spark, t, "nope")
+
+
+def test_merge_branch_fast_forward_and_refusals(spark, tmp_path):
+    """merge_branch: fast-forward commits the branch head as the
+    parent's next version — branch-written files are copied into the
+    parent root (the merged parent survives branch deletion), carried
+    parent files stay zero-copy; a parent that advanced past the fork
+    point refuses, and branch_diff provides the reconciliation set."""
+    import shutil
+
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        branch_diff,
+        create_branch,
+        merge_branch,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 10).repartitionByRange(2, "id"), t)  # v1
+    b = create_branch(t, "dev")
+    # branch-side work: append, DV delete, keyed upsert
+    versioned_write(mk(100, 3), b)
+    versioned_delete(spark, b, "id = 7", strategy="dv")
+    versioned_upsert(mk(3, 1), b, ["id"])  # rewrites id=3's file
+    want = sorted(
+        (r["id"], r["v"]) for r in read_version(spark, b).collect()
+    )
+    v = merge_branch(t, "dev")
+    assert v == 2 and versions(t) == [1, 2]
+    got = sorted((r["id"], r["v"]) for r in read_version(spark, t).collect())
+    assert got == want
+    m = _read_manifest(t, 2)
+    assert "file_base" not in m, "merged parent must be self-contained"
+    assert m["mode"].startswith("merge_branch:dev@v")
+    # the merged parent survives deleting the branch outright
+    shutil.rmtree(b)
+    got2 = sorted(
+        (r["id"], r["v"]) for r in read_version(spark, t).collect()
+    )
+    assert got2 == want
+
+    # divergence refuses: new branch, then the parent advances
+    b2 = create_branch(t, "dev2")
+    versioned_write(mk(300, 2), b2)
+    versioned_write(mk(200, 2), t)  # parent moves past the fork point
+    with pytest.raises(ValueError, match="fast-forward|advanced"):
+        merge_branch(t, "dev2")
+    # branch_diff hands back the keyed reconciliation set
+    d = branch_diff(spark, t, "dev2", ["id"])
+    ops = {(r["id"], r["op"]) for r in d.collect()}
+    assert (300, "I") in ops and (301, "I") in ops
+    assert (200, "D") in ops and (201, "D") in ops  # parent-only keys
+    # unknown branch is an honest error
+    with pytest.raises(ValueError, match="no branch"):
+        merge_branch(t, "nope")
