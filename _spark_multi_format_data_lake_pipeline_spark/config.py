@@ -120,6 +120,7 @@ def jar_manifest(
     iceberg_version: str = "1.8.1",
     hadoop_aws_version: str = "3.4.1",
     with_s3: bool = False,
+    with_jdbc_connectors: bool = False,
 ) -> list[str]:
     """Maven coordinates for the lakehouse runtime (reference
     ``config/minio_config.py:39-47``, ``main.py:17-25`` — F6). The sandbox
@@ -127,6 +128,11 @@ def jar_manifest(
     by ``session.get_spark(jars=...)`` when a cluster can resolve it; every
     code path that needs the Iceberg runtime degrades to the jar-free
     equivalent when absent (sinks/merge.py).
+
+    ``with_jdbc_connectors`` adds the MySQL/MongoDB connector
+    coordinates the reference declares (main.py:17-19) — unused by any
+    reference code path too, carried for manifest parity behind a flag
+    so the default list stays exactly what the engine can exercise.
     """
     jars = [
         f"org.apache.iceberg:iceberg-spark-runtime-{spark_minor}_{scala}:{iceberg_version}",
@@ -135,6 +141,11 @@ def jar_manifest(
         jars += [
             f"org.apache.iceberg:iceberg-aws-bundle:{iceberg_version}",
             f"org.apache.hadoop:hadoop-aws:{hadoop_aws_version}",
+        ]
+    if with_jdbc_connectors:
+        jars += [
+            "mysql:mysql-connector-java:8.0.33",
+            f"org.mongodb.spark:mongo-spark-connector_{scala}:10.4.1",
         ]
     return jars
 

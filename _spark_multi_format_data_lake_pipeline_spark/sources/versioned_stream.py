@@ -94,7 +94,7 @@ class _FilePartition(InputPartition):
         dv_paths: tuple[str, ...] = (),
     ):
         self.abs_path = abs_path
-        self.part_values = part_values  # keyed by LOGICAL column name
+        self.part_values = part_values  # keyed by PHYSICAL column name
         self.cmap = cmap  # logical → physical (files carry physical)
         # Initial-snapshot bootstrap only: the earliest surviving
         # manifest may carry DELETION VECTORS for this file — the
@@ -161,6 +161,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._fields = _visible_fields(
             m["schema"], bool(m.get("bucket_by"))
         )
+        # column resolution pairs with the FIELD LIST's vintage, not
+        # each planned commit's: physical names are stable forever, so
+        # the construction-time logical->physical mapping locates every
+        # live file's columns — a pre-rename file read under a
+        # post-rename reader resolves through the NEW mapping (the old
+        # manifest predates it and carries none)
+        self._cmap = dict(m.get("column_mapping") or {})
         # CURSOR: where the capped ``latestOffset`` walks from.  Seeded
         # EAGERLY with the stream's start offset — the engine calls
         # ``latestOffset`` before ``initialOffset`` on a fresh stream
@@ -406,7 +413,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 out.append(
                     _FilePartition(
                         str(Path(fb.get(f, self.path)) / f),
-                        _partition_values(f, m["schema"], cmap),
+                        {
+                            cmap.get(n, n): pv
+                            for n, pv in _partition_values(
+                                f, m["schema"], cmap
+                            ).items()
+                        },
                         cmap,
                         rel_name=f,
                         dv_paths=dv_paths if f in dv_counts else (),
@@ -454,14 +466,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             arrays = []
             for i, f in enumerate(fields):
                 name, at = f["name"], target.field(i).type
-                phys = partition.cmap.get(name, name)
+                phys = self._cmap.get(name, name)
                 if phys in table.column_names:
                     arrays.append(
                         table.column(phys).combine_chunks().cast(at)
                     )
-                elif name in pv:
+                elif phys in pv:
                     arrays.append(
-                        pa.array([pv[name]] * n).cast(at)
+                        pa.array([pv[phys]] * n).cast(at)
                     )
                 else:
                     arrays.append(pa.nulls(n, at))  # pre-evolution file
@@ -474,11 +486,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             series = []
             for f in fields:
                 name = f["name"]
-                phys = partition.cmap.get(name, name)
+                phys = self._cmap.get(name, name)
                 if phys in table.column_names:
                     series.append(table.column(phys).to_pylist())
-                elif name in pv:
-                    series.append([pv[name]] * n)
+                elif phys in pv:
+                    series.append([pv[phys]] * n)
                 else:
                     series.append([None] * n)
             yield from zip(*series)

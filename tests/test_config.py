@@ -55,6 +55,11 @@ def test_jar_manifest_shapes():
     ]
     s3 = jar_manifest(with_s3=True)
     assert len(s3) == 3 and any("hadoop-aws" in j for j in s3)
+    # reference main.py:17-19 parity: the (unused-there-too) MySQL and
+    # Mongo connector coordinates are declared behind a flag
+    jdbc = jar_manifest(with_jdbc_connectors=True)
+    assert "mysql:mysql-connector-java:8.0.33" in jdbc
+    assert any("mongo-spark-connector" in j for j in jdbc)
 
 
 def test_cleanup_plan_is_declarative():

@@ -1510,3 +1510,60 @@ def test_versioned_changes_rate_limit_clean_restart_no_duplicates(
     assert [r["id"] for r in rows] == [100], (
         "follow-up batch resumes at the committed position: v2 only"
     )
+
+
+def test_versioned_changes_rename_mid_stream_keeps_old_name(
+    spark, tmp_path
+):
+    """Schema-tracking pin (Delta's schemaTrackingLocation analog,
+    documented in SCALING.md): a stream whose reader was built before
+    a rename_column keeps emitting the OLD logical name — the rename
+    is a metadata-only commit the stream passes over, and files carry
+    physical names the old logical still resolves to.  A reader built
+    AFTER the rename emits the new name.  Data is identical either
+    way."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        rename_column,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(3)], "id int, v string"
+    ).repartition(1)
+    versioned_write(mk(0), t)  # v1
+    rd_old = VersionedChangesStreamReader({"path": t})  # fields fixed now
+    rename_column(t, "v", "w")  # v2: metadata-only
+    # post-rename appends speak the NEW logical name; files still
+    # write the unchanged physical name through the column mapping
+    versioned_write(
+        spark.createDataFrame(
+            [(10 + i, f"v{10 + i}") for i in range(3)],
+            "id int, w string",
+        ).repartition(1),
+        t,
+    )  # v3
+    rows = [
+        r
+        for p in rd_old.partitions({"version": 0}, {"version": 3})
+        for b in rd_old.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 10, 11, 12]
+    assert all("v" in r and "w" not in r for r in rows), (
+        "pre-rename reader keeps the old logical name until restart"
+    )
+    # a restarted (fresh) reader emits the new logical name, same data
+    rd_new = VersionedChangesStreamReader({"path": t})
+    rows2 = [
+        r
+        for p in rd_new.partitions({"version": 0}, {"version": 3})
+        for b in rd_new.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows2) == [0, 1, 2, 10, 11, 12]
+    assert all("w" in r and "v" not in r for r in rows2)
+    assert sorted(r["w"] for r in rows2) == sorted(r["v"] for r in rows)
