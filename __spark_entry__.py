@@ -37,33 +37,26 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  The twelve r10 entries (11 lakehouse
-    # + q118) all came back green in CORRECTNESS_r10 and leave per the
-    # removal rule.  r11 changed three consumed helpers: the manifest
-    # resolve-cache key gained a content fingerprint (_read_manifest),
-    # _attach_lineage now percent-decodes _metadata.file_path to raw
-    # filesystem names (every versioned read, DV apply, bloom build),
-    # and the O(1)-width partitioned read carries partition values as
-    # strings cast in the coalesce — so the lakehouse queries that
-    # exercise those planes rotate back in, plus q244/q118 whose
-    # apply_cdc_batch gained the by-source clause family (all-absent
-    # path re-proven identical in tests/test_cdc.py).
-    "q224_versioned_partition_read",
-    "q231_versioned_dv_delete",
-    "q236_versioned_bucket_lookup",
-    "q239_versioned_bloom_lookup",
-    "q245_versioned_bloom_multi_lookup",
-    "q254_versioned_partition_evolution",
-    "q244_versioned_conditional_merge",
-    "q118_cdc_apply",
-    # r11 also touched read_changes (rename/drop bridging),
-    # apply_cdc_batch (schema evolution; all-flags-absent path
-    # re-proven identical in tests/test_cdc.py), and compact
-    # (incremental OPTIMIZE; unscoped call now passes carry_files=[]
-    # explicitly — q246 re-proves the zorder+DV path)
+    # their latest green record.  All eleven r11 entries came back
+    # green in CORRECTNESS_r11 and leave per the removal rule.  r12
+    # changed four consumed helpers: the _write_snapshot commit-retry
+    # loop was restructured for disjoint-rewrite rebase (green-path
+    # behavior identical; one representative per rewrite verb rotates
+    # in — upsert/delete/update/compact), apply_cdc_batch gained the
+    # missing-merge-key refusal (green path proven identical in
+    # tests/test_cdc.py), _candidate_split gained the date-probe
+    # normal-form coercion, and sources/versioned_stream.py was
+    # substantially rewritten (rate limiting + construction-time
+    # column mapping) — q242 re-proves the uncapped follow path.
     "q222_versioned_upsert_changes",
-    "q229_versioned_apply_cdc_state",
+    "q223_versioned_delete_rows",
+    "q253_versioned_update_rows",
     "q246_versioned_compact_dv_zorder",
+    "q118_cdc_apply",
+    "q242_versioned_stream_follow",
+    # VERDICT r11 item 8: rotate q233 through one more driver row to
+    # confirm its r11 1.7x cold-timing move was noise (no plan change)
+    "q233_grouped_ols",
 )
 
 

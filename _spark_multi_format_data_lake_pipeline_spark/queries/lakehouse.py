@@ -1822,3 +1822,66 @@ def q268_versioned_branch_merge_back(
         "merged parent must be self-contained"
     )
     return read_version(spark, t)
+
+
+@register(
+    "q269_versioned_generated_pruning",
+    oracle="""
+    -- generated-column predicate rewriting: the decimal filter range
+    -- derives band bounds; result = exactly the rows in the range
+    -- (Spark's double->decimal(12,2) cast rounds HALF_UP = ROUND here)
+    SELECT o_orderkey FROM orders
+    WHERE ROUND(o_totalprice, 2) BETWEEN 50000.00 AND 149999.99
+    """,
+    doc="End-to-end GENERATED-COLUMN PREDICATE REWRITING (Delta's "
+        "generated-column partition pruning): build a versioned table "
+        "whose DECIMAL amount column is outside the stats plane "
+        "entirely (parquet decimal stats aren't decodable, so base "
+        "zone maps keep every file — asserted in-query), partitioned "
+        "by the generated band = floor(amount/50000).  A pruned read "
+        "filtering the BASE column evaluates the committed generation "
+        "expression on the two bounds (monotone-whitelisted shape) and "
+        "prunes through the band's always-present [v, v] partition "
+        "zone maps instead — the in-query assert proves the derived "
+        "split opens strictly fewer files than the base split.  The "
+        "driver hash proves the rewrite is exact at the band "
+        "boundaries. sinks/versioned.py:_derived_prune_bounds/"
+        "_apply_derived_pruning; the copy-on-write confinement and "
+        "date_trunc/monotonicity matrix are pinned in "
+        "tests/test_versioned.py.",
+)
+def q269_versioned_generated_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from decimal import Decimal
+
+    from ..sinks.versioned import (
+        _candidate_split,
+        _read_manifest,
+        read_version_pruned,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q269_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+    )
+    band = F.floor(F.col("amount") / 50000).cast("int")
+    versioned_write(
+        od.repartition(8, band),
+        t,
+        partition_by=["band"],
+        generated_columns={"band": "CAST(floor(amount / 50000) AS INT)"},
+    )
+    lo, hi = Decimal("50000.00"), Decimal("149999.99")
+    m = _read_manifest(t, 1)
+    base_keep, base_skip = _candidate_split(m, "amount", lo, hi)
+    assert not base_skip, "decimal column must have no base stats"
+    derived_keep = set(_candidate_split(m, "band", 1, 2)[0])
+    assert 0 < len(derived_keep) < len(m["files"]), (
+        "the derived band bound must prune files the base split cannot"
+    )
+    return read_version_pruned(spark, t, "amount", lo=lo, hi=hi).select(
+        "o_orderkey"
+    )

@@ -442,7 +442,13 @@ def _harvest(
                     nulls_covered[_n] = nulls_covered.get(_n, 0) + 1
                 if st is None or not st.has_min_max:
                     continue
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't decode stats for some physical
+                    # types (e.g. decimal: ArrowNotImplementedError) —
+                    # the column simply never prunes for this file
+                    continue
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
@@ -1812,6 +1818,10 @@ def read_version_pruned(
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(path, v)
     keep, _skipped = _candidate_split(m, col, lo, hi)
+    # generated-column predicate rewriting: a monotone generated
+    # (usually partition) column derives [f(lo), f(hi)] — prunes even
+    # when ``col`` itself has no stats (decimal/nested/legacy files)
+    keep, _ = _apply_derived_pruning(spark, m, col, lo, hi, keep, [])
     df = _read_files(spark, path, keep, m)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
@@ -2314,6 +2324,112 @@ def _candidate_split(
                 pass  # incomparable types → conservatively keep
         keep.append(f)
     return keep, skipped
+
+
+def _derived_prune_bounds(
+    spark: SparkSession, manifest: dict, col: str, lo, hi
+) -> list[tuple[str, object, object]]:
+    """Generated-column predicate rewriting (Delta's generated-column
+    partition pruning): when a table carries a GENERATED column whose
+    expression is a recognized MONOTONE function of the probed base
+    column, a range [lo, hi] on the base column implies the range
+    [f(lo), f(hi)] on the generated column — which is usually the
+    PARTITION column, whose [v, v] path-derived zone maps are always
+    present and exact.  This is the prune that still bites when the
+    base column itself has no usable stats (DECIMAL and nested types
+    are outside the stats plane; legacy commits may predate it): the
+    classic ``partition by day generated from ts, query filters ts``
+    pattern, plus decimal band layouts.
+
+    Monotonicity is decided by a strict whitelist of expression shapes
+    over EXACTLY the probed column (floor-division bands, date
+    truncations, date casts, year, string prefixes); anything else
+    derives nothing — correctness never depends on this prune.  The
+    derived bounds are computed by EVALUATING the committed expression
+    itself on the two literals (a 2-row driver-local plan, no table
+    data touched), so the mapping can never drift from what the writer
+    materialized."""
+    import re
+
+    gen = manifest.get("generated_columns") or {}
+    if not gen or (lo is None and hi is None):
+        return []
+    c = re.escape(col)
+    ident = rf"`?{c}`?"
+    monotone = [
+        rf"^cast\s*\(\s*floor\s*\(\s*{ident}\s*/\s*\d+(\.\d+)?\s*\)\s+as\s+(int|integer|bigint|long|smallint)\s*\)$",
+        rf"^floor\s*\(\s*{ident}\s*/\s*\d+(\.\d+)?\s*\)$",
+        rf"^date_trunc\s*\(\s*'(year|quarter|month|week|day|dd|hour|minute)'\s*,\s*{ident}\s*\)$",
+        rf"^cast\s*\(\s*{ident}\s+as\s+date\s*\)$",
+        rf"^to_date\s*\(\s*{ident}\s*\)$",
+        rf"^year\s*\(\s*{ident}\s*\)$",
+        rf"^substring\s*\(\s*{ident}\s*,\s*1\s*,\s*\d+\s*\)$",
+        rf"^substr\s*\(\s*{ident}\s*,\s*1\s*,\s*\d+\s*\)$",
+    ]
+    hits = {
+        g: e
+        for g, e in gen.items()
+        if any(
+            re.match(p, " ".join(str(e).strip().split()), re.IGNORECASE)
+            for p in monotone
+        )
+    }
+    if not hits:
+        return []
+    ctype = next(
+        (
+            f["type"]
+            for f in (manifest.get("schema") or {}).get("fields", [])
+            if f["name"] == col and isinstance(f["type"], str)
+        ),
+        None,
+    )
+    if ctype is None:
+        return []
+    from pyspark.sql import functions as F
+
+    gnames = list(hits)
+    evald: dict[str, dict] = {}
+    for k, v in (("lo", lo), ("hi", hi)):
+        if v is None:
+            continue
+        evald[k] = (
+            spark.range(1)
+            .select(F.lit(v).cast(ctype).alias(col))
+            .selectExpr(*[f"{hits[g]} AS {g}" for g in gnames])
+            .first()
+            .asDict()
+        )
+    out: list[tuple[str, object, object]] = []
+    for g in gnames:
+        glo = evald.get("lo", {}).get(g)
+        ghi = evald.get("hi", {}).get(g)
+        if glo is not None or ghi is not None:
+            out.append((g, glo, ghi))
+    return out
+
+
+def _apply_derived_pruning(
+    spark: SparkSession,
+    manifest: dict,
+    col: str,
+    lo,
+    hi,
+    candidates: list[str],
+    untouched: list[str],
+) -> tuple[list[str], list[str]]:
+    """Intersect a candidate split with every generated-column bound
+    ``_derived_prune_bounds`` can prove from the same [lo, hi]: files
+    the derived (usually partition-valued, always-present) zone maps
+    rule out move to the carry-verbatim side.  No-op when the table
+    has no monotone generated columns over ``col``."""
+    for gcol, glo, ghi in _derived_prune_bounds(spark, manifest, col, lo, hi):
+        allowed = set(_candidate_split(manifest, gcol, glo, ghi)[0])
+        moved = [f for f in candidates if f not in allowed]
+        if moved:
+            untouched = untouched + moved
+            candidates = [f for f in candidates if f in allowed]
+    return candidates, untouched
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -2963,10 +3079,11 @@ def versioned_upsert(
     lo, hi = rng["lo"], rng["hi"]
     if lo is None and hi is None and df.isEmpty():
         return vs[-1]  # empty change set: nothing to commit
-    candidates, untouched = _bucket_confine(
-        m, df, *_candidate_split(m, pc, lo, hi)
-    )
     spark = df.sparkSession
+    candidates, untouched = _apply_derived_pruning(
+        spark, m, pc, lo, hi, *_candidate_split(m, pc, lo, hi)
+    )
+    candidates, untouched = _bucket_confine(m, df, candidates, untouched)
     if candidates:
         cur = _read_files(spark, path, candidates, m)
         survivors = cur.join(df.select(*keys).distinct(), keys, "left_anti")
@@ -3027,7 +3144,14 @@ def versioned_delete(
         raise FileNotFoundError(f"no committed versions at {path}")
     m = _read_manifest(path, vs[-1])
     if prune_col is not None:
-        candidates, untouched = _candidate_split(m, prune_col, lo, hi)
+        candidates, untouched = _apply_derived_pruning(
+            spark,
+            m,
+            prune_col,
+            lo,
+            hi,
+            *_candidate_split(m, prune_col, lo, hi),
+        )
     else:
         candidates, untouched = list(m["files"]), []
     if not candidates:
@@ -3156,7 +3280,14 @@ def versioned_update(
             f"columns {cols}"
         )
     if prune_col is not None:
-        candidates, untouched = _candidate_split(m, prune_col, lo, hi)
+        candidates, untouched = _apply_derived_pruning(
+            spark,
+            m,
+            prune_col,
+            lo,
+            hi,
+            *_candidate_split(m, prune_col, lo, hi),
+        )
     else:
         candidates, untouched = list(m["files"]), []
     if not candidates:

@@ -162,6 +162,11 @@ HEADLINE = [
     "q262_versioned_zorder_multidim_prune",
     "q263_versioned_null_count_prune",
     "q264_versioned_incremental_compact",
+    "q265_versioned_concurrent_append_delete",
+    "q266_versioned_stream_rate_limited",
+    "q267_versioned_metadata_aggregates",
+    "q268_versioned_branch_merge_back",
+    "q269_versioned_generated_pruning",
 ]
 
 

@@ -3933,3 +3933,112 @@ def test_merge_branch_fast_forward_and_refusals(spark, tmp_path):
     # unknown branch is an honest error
     with pytest.raises(ValueError, match="no branch"):
         merge_branch(t, "nope")
+
+
+def test_generated_column_predicate_rewriting(spark, tmp_path):
+    """Generated-column partition pruning (Delta's predicate
+    rewriting): a filter range on the BASE column derives bounds for a
+    monotone generated partition column and prunes through ITS always-
+    present [v, v] zone maps — decisive when the base column has no
+    stats at all (DECIMAL is outside the stats plane)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _candidate_split,
+        _derived_prune_bounds,
+        read_version_pruned,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, Decimal(i * 100).scaleb(-2) * 10000) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, amount decimal(12,2)")
+    band = F.floor(F.col("amount") / 100000).cast("int")
+    versioned_write(
+        df.repartition(4, band),
+        t,
+        partition_by=["band"],
+        generated_columns={"band": "CAST(floor(amount / 100000) AS INT)"},
+    )
+    m = _read_manifest(t, 1)
+    # decimal column: no stats anywhere -> base split keeps everything
+    base_keep, base_skip = _candidate_split(
+        m, "amount", Decimal("0"), Decimal("99999.99")
+    )
+    assert not base_skip and len(base_keep) == len(m["files"])
+    # the derived bound maps [0, 99999.99] -> band [0, 0]
+    derived = _derived_prune_bounds(
+        spark, m, "amount", Decimal("0"), Decimal("99999.99")
+    )
+    assert ("band", 0, 0) in derived
+    got = read_version_pruned(
+        spark, t, "amount", lo=Decimal("0"), hi=Decimal("99999.99")
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(10))
+    # ...and the plan opened only band-0 files (derived split)
+    allowed = set(_candidate_split(m, "band", 0, 0)[0])
+    assert 0 < len(allowed) < len(m["files"])
+
+    # copy-on-write delete confines through the derived bound too:
+    # untouched bands carry byte-identical
+    before = set(m["files"])
+    versioned_delete(
+        spark,
+        t,
+        "amount < 50000.00",
+        prune_col="amount",
+        lo=Decimal("0"),
+        hi=Decimal("49999.99"),
+    )
+    m2 = _read_manifest(t, 2)
+    assert before - allowed <= set(m2["files"]), (
+        "files outside the derived band must carry verbatim"
+    )
+    got2 = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got2 == list(range(5, 40))
+
+    # date_trunc shape: day partitions derived from a timestamp filter
+    t2 = str(tmp_path / "t2")
+    ts_rows = [
+        (i, datetime.datetime(2024, 1, 1 + i // 4, 6 + (i % 4), 0, 0))
+        for i in range(16)
+    ]
+    tdf = spark.createDataFrame(ts_rows, "id int, ts timestamp")
+    versioned_write(
+        tdf.repartition(2, F.date_trunc("DAY", "ts")),
+        t2,
+        partition_by=["day"],
+        generated_columns={"day": "date_trunc('DAY', ts)"},
+    )
+    m3 = _read_manifest(t2, 1)
+    d = _derived_prune_bounds(
+        spark,
+        m3,
+        "ts",
+        datetime.datetime(2024, 1, 2, 0, 0, 0),
+        datetime.datetime(2024, 1, 2, 23, 0, 0),
+    )
+    assert [(g, str(a), str(b)) for g, a, b in d] == [
+        ("day", "2024-01-02 00:00:00", "2024-01-02 00:00:00")
+    ]
+    got3 = read_version_pruned(
+        spark,
+        t2,
+        "ts",
+        lo=datetime.datetime(2024, 1, 2, 0, 0, 0),
+        hi=datetime.datetime(2024, 1, 2, 23, 0, 0),
+    )
+    assert sorted(r["id"] for r in got3.collect()) == [4, 5, 6, 7]
+
+    # NON-monotone / multi-column expressions derive nothing
+    t3 = str(tmp_path / "t3")
+    versioned_write(
+        spark.createDataFrame([(1, 2)], "a int, b int"),
+        t3,
+        generated_columns={"m": "a % 7", "s": "a + b"},
+    )
+    m4 = _read_manifest(t3, 1)
+    assert _derived_prune_bounds(spark, m4, "a", 0, 100) == []
