@@ -3157,7 +3157,17 @@ def versioned_delete(
     if not candidates:
         return vs[-1]  # no file can hold a matching row: nothing to do
     if strategy == "dv":
-        return _delete_with_vectors(spark, path, predicate, m, vs, candidates)
+        return _delete_with_vectors(
+            spark,
+            path,
+            predicate,
+            m,
+            vs,
+            candidates,
+            read_range=(
+                (prune_col, lo, hi) if prune_col is not None else None
+            ),
+        )
     cur = _read_files(spark, path, candidates, m)
     survivors = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     return _write_snapshot(
@@ -3178,6 +3188,7 @@ def _delete_with_vectors(
     m: dict,
     vs: list[int],
     candidates: list[str],
+    read_range: tuple | None = None,
 ) -> int:
     """The merge-on-read half of ``versioned_delete``: scan ONLY the
     candidate files with lineage kept (existing vectors already applied,
@@ -3212,21 +3223,114 @@ def _delete_with_vectors(
     )
     dv_counts = dict(m.get("dv_counts") or {})
     total = 0
+    ours: dict[str, int] = {}
     for r in per_file:
+        ours[r["file"]] = ours.get(r["file"], 0) + r["count"]
         dv_counts[r["file"]] = dv_counts.get(r["file"], 0) + r["count"]
         total += r["count"]
-    manifest = {
-        **m,
-        "version": vs[-1] + 1,
-        "mode": "delete",
-        "committed_at": time.time(),
-        "row_count": m["row_count"] - total,
-    }
-    manifest.pop("txn_id", None)
-    if total:
-        manifest["dv_counts"] = dv_counts
-        manifest["dv_files"] = (m.get("dv_files") or []) + new_dv_files
-    return _commit_state(path, manifest, m)
+
+    def _mk(base: dict) -> dict:
+        merged = dict(base.get("dv_counts") or {})
+        for f, n in ours.items():
+            merged[f] = merged.get(f, 0) + n
+        out = {
+            **base,
+            "version": base["version"] + 1,
+            "mode": "delete",
+            "committed_at": time.time(),
+            "row_count": base["row_count"] - total,
+        }
+        out.pop("txn_id", None)
+        if merged:
+            out["dv_counts"] = merged
+            out["dv_files"] = (base.get("dv_files") or []) + new_dv_files
+        return out
+
+    # Same write-serializability rebase as ``_write_snapshot``, for the
+    # merge-on-read commit: the (file, pos) vectors address IMMUTABLE
+    # rows, so a losing DV delete re-links on the head whenever its
+    # candidate files are untouched there (present, DV state unchanged
+    # — a winner's new vector could overlap ours and double-count) and
+    # the winner's added files are provably outside the read range
+    # (pure appends always: serial order delete-then-append).
+    _norm = lambda v: json.loads(json.dumps(v, default=dict))  # noqa: E731
+    base = m
+    for _ in range(_COMMIT_RETRIES):
+        try:
+            return _commit_state(path, _mk(base), base)
+        except ConcurrentCommitError as e:
+            head_vs = versions(path)
+            head = _read_manifest(path, head_vs[-1])
+            for k in (
+                "partition_by",
+                "bucket_by",
+                "bloom_by",
+                "generated_columns",
+                "column_mapping",
+                "dropped_physical",
+                "identity_columns",
+            ):
+                if _norm(head.get(k)) != _norm(base.get(k)):
+                    raise ConcurrentCommitError(
+                        f"dv delete at {path} lost a commit race and "
+                        f"the winner changed the table's {k} spec; "
+                        "cannot rebase — re-run against the new head"
+                    ) from e
+            cand = set(candidates)
+            base_dvc = base.get("dv_counts") or {}
+            head_dvc = head.get("dv_counts") or {}
+            removed = cand - set(head["files"])
+            dv_changed = {
+                f
+                for f in cand
+                if head_dvc.get(f, 0) != base_dvc.get(f, 0)
+            }
+            if conflicted := sorted(removed | dv_changed):
+                raise ConcurrentCommitError(
+                    f"dv delete at {path} lost a commit race and the "
+                    f"winner rewrote or deleted rows in file(s) "
+                    f"{conflicted} this delete scanned — overlapping "
+                    "rewrites cannot rebase; re-run against the new "
+                    "head"
+                ) from e
+            winner_added = [
+                f for f in head["files"] if f not in set(base["files"])
+            ]
+            pure_append = set(base["files"]) <= set(
+                head["files"]
+            ) and _norm(head.get("dv_counts")) == _norm(
+                base.get("dv_counts")
+            )
+            if not pure_append and winner_added:
+                if read_range is None:
+                    raise ConcurrentCommitError(
+                        f"dv delete at {path} lost a commit race to a "
+                        "row-level rewrite and read the whole table "
+                        "(no prune range) — cannot prove the winner's "
+                        "added files disjoint; re-run against the new "
+                        "head"
+                    ) from e
+                may, _skip = _candidate_split(
+                    {
+                        "files": winner_added,
+                        "file_stats": head.get("file_stats") or {},
+                        "schema": head.get("schema"),
+                        "column_mapping": head.get("column_mapping"),
+                    },
+                    *read_range,
+                )
+                if may:
+                    raise ConcurrentCommitError(
+                        f"dv delete at {path} lost a commit race and "
+                        f"the winner's added file(s) {may} may hold "
+                        "rows inside this delete's read range "
+                        f"{read_range!r} — re-run against the new head"
+                    ) from e
+            base = head
+    raise ConcurrentCommitError(
+        f"dv delete at {path} lost {_COMMIT_RETRIES} consecutive "
+        "commit races; giving up (retry externally)"
+    )
 
 
 def versioned_update(

@@ -4042,3 +4042,88 @@ def test_generated_column_predicate_rewriting(spark, tmp_path):
     )
     m4 = _read_manifest(t3, 1)
     assert _derived_prune_bounds(spark, m4, "a", 0, 100) == []
+
+
+def test_concurrent_dv_delete_rebases_and_refuses(spark, tmp_path, monkeypatch):
+    """Merge-on-read DELETE under a commit race: a pure-append winner
+    rebases (vectors address immutable rows — serial order
+    delete-then-append), an overlapping rewrite of a scanned file
+    refuses, and a disjoint rewrite rebases when the winner's output
+    is provably outside the delete's read range."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n=3: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    ).repartition(1)
+    versioned_write(mk(0, 6), t)  # v1
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_append(path, state, prev):
+        if not fired["done"] and state["version"] == 2:
+            fired["done"] = True
+            versioned_write(mk(100), path)
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_append)
+    v = versioned_delete(spark, t, "id IN (1, 4)", strategy="dv")
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3 and versions(t) == [1, 2, 3]
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == [0, 2, 3, 5, 100, 101, 102]
+    m = _read_manifest(t, 3)
+    assert m["row_count"] == 7 and sum(m["dv_counts"].values()) == 2
+
+    # overlapping: winner CoW-rewrites the very file the DV delete
+    # scanned -> refuse, winner intact
+    fired2 = {"done": False}
+
+    def racy_rewrite(path, state, prev):
+        if not fired2["done"] and state["version"] == 4:
+            fired2["done"] = True
+            versioned_delete(spark, path, "id = 0")  # cow, all candidates
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_rewrite)
+    with pytest.raises(ConcurrentCommitError, match="overlapping|re-run"):
+        versioned_delete(spark, t, "id = 2", strategy="dv")
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == [2, 3, 5, 100, 101, 102]
+
+    # disjoint: loser DV-deletes in the low range with a prune hint,
+    # winner rewrites the high file -> both land
+    t2 = str(tmp_path / "t2")
+    rows = [(i, f"v{i}") for i in range(6)] + [
+        (i, f"v{i}") for i in range(100, 106)
+    ]
+    versioned_write(
+        spark.createDataFrame(rows, "id int, v string")
+        .repartitionByRange(2, "id"),
+        t2,
+    )
+    fired3 = {"done": False}
+
+    def racy_hi(path, state, prev):
+        if not fired3["done"] and state["version"] == 2:
+            fired3["done"] = True
+            versioned_delete(
+                spark, path, "id = 105", prune_col="id", lo=105, hi=105
+            )
+        return real_cs(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", racy_hi)
+    v = versioned_delete(
+        spark, t2, "id IN (1, 3)", strategy="dv",
+        prune_col="id", lo=0, hi=6,
+    )
+    monkeypatch.setattr(V, "_commit_state", real_cs)
+    assert v == 3
+    got = sorted(r["id"] for r in read_version(spark, t2).collect())
+    assert got == [0, 2, 4, 5, 100, 101, 102, 103, 104]
