@@ -49,7 +49,13 @@ order, so a restart mid-commit replays the exact same split
 passes no start offset); on a restarted query whose checkpoint is
 ahead of the seed, ``partitions``' offset-order guards discard at most
 one empty regressed batch and snap the cursor to the checkpoint — no
-duplicate, no loss, at most one wasted trigger.
+duplicate, no loss, at most one wasted trigger.  With
+``Trigger.AvailableNow`` the engine snapshots ONE end offset per run,
+so a capped stream drains exactly one capped batch per availableNow
+run (re-run to continue — each run picks up where the checkpoint
+left off); use a running ``processingTime`` trigger to drain a whole
+backlog under the cap in one query, as Delta's admission-control
+integration would.
 
 Partition-column handling matches the batch reader: values are parsed
 from the Hive path through the COMMITTED schema (never re-inferred) and

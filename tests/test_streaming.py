@@ -1567,3 +1567,45 @@ def test_versioned_changes_rename_mid_stream_keeps_old_name(
     assert sorted(r["id"] for r in rows2) == [0, 1, 2, 10, 11, 12]
     assert all("w" in r and "v" not in r for r in rows2)
     assert sorted(r["w"] for r in rows2) == sorted(r["v"] for r in rows)
+
+
+def test_versioned_changes_available_now_with_cap_drains_per_run(
+    spark, tmp_path
+):
+    """Pin the Trigger.AvailableNow x rate-limit interaction: the
+    engine snapshots ONE end offset per availableNow run, so a capped
+    stream drains exactly one capped batch per run and successive runs
+    continue from the checkpoint — jointly exactly-once (re-run to
+    drain; a processingTime trigger drains the whole backlog in one
+    query, tested elsewhere)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+
+    versioned_stream.register(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(9)], "id int, v string"
+    )
+    versioned_write(df.repartitionByRange(3, "id"), t)  # 3 files
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain_once():
+        q = (
+            spark.readStream.format("versioned_changes")
+            .option("path", t)
+            .option("maxFilesPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.schema("id int, v string").parquet(out)
+        return sorted(r["id"] for r in got.collect())
+
+    assert len(drain_once()) == 3  # one capped batch per run
+    assert len(drain_once()) == 6  # continues from the checkpoint
+    assert drain_once() == list(range(9))  # jointly exactly-once
