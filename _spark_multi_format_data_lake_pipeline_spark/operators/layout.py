@@ -57,6 +57,12 @@ def zorder_by(
     scaled = []
     for c in cols:
         lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None:
+            # empty input or all-NULL column: no range to scale — the
+            # column contributes a constant to the key (still correct,
+            # just prunes nothing on this dimension)
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(

@@ -1885,3 +1885,65 @@ def q269_versioned_generated_pruning(
     return read_version_pruned(spark, t, "amount", lo=lo, hi=hi).select(
         "o_orderkey"
     )
+
+
+@register(
+    "q270_versioned_clustered_table",
+    oracle="""
+    -- write-path clustering must be row-invisible: the boxed read over
+    -- the clustered layout equals the plain conjunctive filter
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 500
+      AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    """,
+    doc="End-to-end LIQUID-CLUSTERING-STYLE AUTO-LAYOUT (the write-path "
+        "half of Delta liquid clustering, which q262's explicit "
+        "OPTIMIZE ZORDER lacks): create a versioned orders table with "
+        "cluster_by=['o_custkey','o_totalprice'] — a table property "
+        "that makes EVERY write z-order its new files along the Morton "
+        "curve (one tiny agg + one range shuffle of the new data only), "
+        "append a second unordered wave that inherits the spec, then "
+        "run a conjunctive boxed read: the in-query assert proves the "
+        "box opens fewer files than the snapshot holds on BOTH commits' "
+        "files, with no OPTIMIZE ever run.  compact() re-clusters by "
+        "the spec by default; clustering refuses partition_by/"
+        "bucket_by combos (Delta's rule).  The driver hash proves the "
+        "layout machinery is row-invisible. "
+        "sinks/versioned.py:_write_snapshot cluster_by + "
+        "operators/layout.py:zorder_by; the inheritance/compact/"
+        "refusal matrix is pinned in tests/test_versioned.py.",
+)
+def q270_versioned_clustered_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        _candidate_split,
+        _read_manifest,
+        read_version_pruned_multi,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q270_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartition(6),
+        t,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    versioned_write(od.filter(k % 2 == 1).repartition(6), t)
+    m = _read_manifest(t, versions(t)[-1])
+    k1 = set(_candidate_split(m, "o_custkey", 200, 500)[0])
+    k2 = set(_candidate_split(m, "o_totalprice", 50000.0, 150000.0)[0])
+    assert len(k1 & k2) < len(m["files"]), (
+        "the write-path clustering must let the box prune files"
+    )
+    return read_version_pruned_multi(
+        spark,
+        t,
+        {"o_custkey": (200, 500), "o_totalprice": (50000.0, 150000.0)},
+    )

@@ -658,6 +658,7 @@ def _write_snapshot(
     allow_type_widening: bool = False,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    cluster_by: list[str] | None = None,
     read_range: tuple | None = None,
     content_independent: bool = False,
 ) -> int:
@@ -752,6 +753,31 @@ def _write_snapshot(
                 "(Iceberg partition-spec evolution: existing files "
                 "keep their layout, new files use the new spec)"
             )
+    # LIQUID-CLUSTERING-STYLE AUTO-LAYOUT (Delta liquid clustering's
+    # write-path half): ``cluster_by=[cols]`` is a table property that
+    # rides the manifest like the bucket/bloom specs — EVERY write
+    # z-orders its NEW files along the Morton curve of the clustering
+    # columns (operators/layout.py, one tiny agg + one range shuffle of
+    # the new data only), so multi-dim zone-map pruning
+    # (read_version_pruned_multi) works without ever running an
+    # explicit OPTIMIZE ZORDER; ``compact`` re-clusters by the spec by
+    # default, healing the cross-file overlap incremental appends
+    # accumulate.  Like Delta, clustering REPLACES partitioning: it
+    # cannot combine with partition_by or bucket_by (they would shred
+    # the curve into per-directory fragments).  Changing the spec on a
+    # later write is allowed and applies to that write's files onward —
+    # old files keep their old layout, their committed zone maps stay
+    # exact (Iceberg spec-evolution semantics).
+    prev_cb = prev.get("cluster_by") or None
+    if cluster_by is None:
+        cb_spec = prev_cb
+    else:
+        cb_spec = [str(c) for c in cluster_by] if cluster_by else None
+    if cb_spec and (pb or bb):
+        raise ValueError(
+            "cluster_by cannot combine with partition_by or bucket_by "
+            "(clustering replaces partitioning — Delta's rule)"
+        )
     # GENERATED COLUMNS (Delta generated columns): the spec rides the
     # manifest like constraints and generation is AUTHORITATIVE — the
     # engine always (re)computes each generated column from its SQL
@@ -893,6 +919,13 @@ def _write_snapshot(
         # persisted CHECK constraints gate every commit's NEW rows
         # (carried files were validated when they were new)
         _validate_constraints(df, constraints, f"{mode} write")
+    if cb_spec and mode != "compact":
+        # compact manages its own layout (it z-orders the selected
+        # rows by the spec already, with the bin count it chose) —
+        # re-clustering here would just repeat the range shuffle
+        from ..operators.layout import zorder_by
+
+        df = zorder_by(df, cb_spec)
     # Column mapping (Delta name-mode): data files, path components and
     # the stats/bloom planes speak PHYSICAL names; everything above
     # this point spoke logical.  The mapping is a table property that
@@ -1044,6 +1077,8 @@ def _write_snapshot(
         manifest["bloom_by"] = bspec
         if blooms:
             manifest["bloom"] = blooms
+    if cb_spec:
+        manifest["cluster_by"] = cb_spec
     if file_base:
         manifest["file_base"] = file_base
     if constraints:
@@ -1125,6 +1160,7 @@ def _write_snapshot(
                 "partition_by",
                 "bucket_by",
                 "bloom_by",
+                "cluster_by",
                 "generated_columns",
                 "column_mapping",
                 "dropped_physical",
@@ -1416,6 +1452,7 @@ def versioned_write(
     allow_type_widening: bool = False,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -1495,6 +1532,7 @@ def versioned_write(
         allow_type_widening=allow_type_widening,
         generated_columns=generated_columns,
         identity_columns=identity_columns,
+        cluster_by=cluster_by,
     )
 
 
@@ -2973,6 +3011,21 @@ def compact(
                 b = 0
         return b
 
+    if m.get("cluster_by"):
+        # clustered table (cluster_by spec): OPTIMIZE re-clusters by
+        # the spec by default — Delta liquid clustering's OPTIMIZE
+        # half; an explicit DIFFERENT zorder refuses (it would fight
+        # the write-path clustering on the very next append)
+        if zorder_cols is not None and list(zorder_cols) != list(
+            m["cluster_by"]
+        ):
+            raise ValueError(
+                f"table is clustered by {m['cluster_by']}; OPTIMIZE "
+                "ZORDER by different columns would fight the "
+                "write-path clustering — change the spec with a "
+                "write, or compact without zorder_cols"
+            )
+        zorder_cols = list(m["cluster_by"])
     selected = list(m["files"])
     if prune_col is not None:
         selected, _ = _candidate_split(m, prune_col, lo, hi)
@@ -3265,6 +3318,7 @@ def _delete_with_vectors(
                 "partition_by",
                 "bucket_by",
                 "bloom_by",
+                "cluster_by",
                 "generated_columns",
                 "column_mapping",
                 "dropped_physical",

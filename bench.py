@@ -167,6 +167,7 @@ HEADLINE = [
     "q267_versioned_metadata_aggregates",
     "q268_versioned_branch_merge_back",
     "q269_versioned_generated_pruning",
+    "q270_versioned_clustered_table",
 ]
 
 

@@ -4127,3 +4127,72 @@ def test_concurrent_dv_delete_rebases_and_refuses(spark, tmp_path, monkeypatch):
     assert v == 3
     got = sorted(r["id"] for r in read_version(spark, t2).collect())
     assert got == [0, 2, 4, 5, 100, 101, 102, 103, 104]
+
+
+def test_cluster_by_auto_layout(spark, tmp_path):
+    """Liquid-clustering-style auto-layout: cluster_by is a table
+    property — every write z-orders its NEW files along the Morton
+    curve of the spec (no explicit OPTIMIZE needed), multi-dim pruned
+    reads confine on BOTH columns, compact re-clusters by the spec by
+    default, and the spec refuses to combine with partitioning or a
+    conflicting explicit zorder."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _candidate_split,
+        compact,
+        read_version_pruned_multi,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, (i * 37) % 1000, float((i * 91) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id int, x int, y double").repartition(8)
+    versioned_write(df, t, cluster_by=["x", "y"])
+    m = _read_manifest(t, 1)
+    assert m.get("cluster_by") == ["x", "y"]
+    # write-path clustering bounds BOTH columns' per-file spans: a box
+    # probe on either dimension prunes files without any OPTIMIZE
+    kx, _ = _candidate_split(m, "x", 0, 99)
+    ky, _ = _candidate_split(m, "y", 0.0, 99.0)
+    assert len(kx) < len(m["files"]) and len(ky) < len(m["files"])
+    # appends inherit the spec and stay clustered
+    extra = spark.createDataFrame(
+        [(10000 + i, (i * 13) % 1000, float((i * 7) % 1000)) for i in range(2000)],
+        "id int, x int, y double",
+    ).repartition(4)
+    versioned_write(extra, t)
+    m2 = _read_manifest(t, 2)
+    new_files = [f for f in m2["files"] if f not in set(m["files"])]
+    spans = [
+        m2["file_stats"][f]["x"][1] - m2["file_stats"][f]["x"][0]
+        for f in new_files
+        if "x" in m2["file_stats"].get(f, {})
+    ]
+    assert spans and min(spans) < 999, "appended files must be clustered"
+    # exactness of the boxed read over the clustered layout
+    got = read_version_pruned_multi(
+        spark, t, {"x": (100, 200), "y": (100.0, 300.0)}
+    )
+    expect = (
+        read_version(spark, t)
+        .filter(F.col("x").between(100, 200) & F.col("y").between(100.0, 300.0))
+        .collect()
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect
+    )
+    # compact() re-clusters by the spec by default; conflicting
+    # explicit zorder refuses; partitioning combos refuse
+    v = compact(spark, t, target_files=4)
+    m3 = _read_manifest(t, v)
+    assert m3.get("cluster_by") == ["x", "y"]
+    k3, _ = _candidate_split(m3, "y", 0.0, 99.0)
+    assert len(k3) < len(m3["files"])
+    with pytest.raises(ValueError, match="clustered by"):
+        compact(spark, t, zorder_cols=["id"])
+    with pytest.raises(ValueError, match="partition_by or bucket_by"):
+        versioned_write(df, str(tmp_path / "t2"), cluster_by=["x"], partition_by=["x"])
+    with pytest.raises(ValueError, match="partition_by or bucket_by"):
+        versioned_write(df, str(tmp_path / "t3"), cluster_by=["x"], bucket_by=("id", 4))
