@@ -37,26 +37,27 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  All eleven r11 entries came back
-    # green in CORRECTNESS_r11 and leave per the removal rule.  r12
-    # changed four consumed helpers: the _write_snapshot commit-retry
-    # loop was restructured for disjoint-rewrite rebase (green-path
-    # behavior identical; one representative per rewrite verb rotates
-    # in — upsert/delete/update/compact), apply_cdc_batch gained the
-    # missing-merge-key refusal (green path proven identical in
-    # tests/test_cdc.py), _candidate_split gained the date-probe
-    # normal-form coercion, and sources/versioned_stream.py was
-    # substantially rewritten (rate limiting + construction-time
-    # column mapping) — q242 re-proves the uncapped follow path.
+    # their latest green record.  All seven r12 entries came back green
+    # in CORRECTNESS_r12 and leave per the removal rule.  r13
+    # restructured the manifest metadata plane (bloom masks moved to
+    # content-addressed sidecar files; full checkpoints moved to
+    # parquet entries) — every versioned query consumes _read_manifest
+    # /_commit_state, so one representative per consumer family
+    # rotates in: copy-on-write rewrite (q222), merge-on-read DV
+    # (q231), bloom probes (q239/q245 — the direct mask consumers),
+    # compact (q246), shallow clone (q241), branch merge-back (q268),
+    # tag-protected vacuum (q251), and the streaming source whose
+    # offset/vacuum guards also changed this round (q242/q266).
     "q222_versioned_upsert_changes",
-    "q223_versioned_delete_rows",
-    "q253_versioned_update_rows",
+    "q231_versioned_dv_delete",
+    "q239_versioned_bloom_lookup",
+    "q245_versioned_bloom_multi_lookup",
     "q246_versioned_compact_dv_zorder",
-    "q118_cdc_apply",
+    "q241_versioned_clone_upsert",
+    "q268_versioned_branch_merge_back",
+    "q251_versioned_tag_retention",
     "q242_versioned_stream_follow",
-    # VERDICT r11 item 8: rotate q233 through one more driver row to
-    # confirm its r11 1.7x cold-timing move was noise (no plan change)
-    "q233_grouped_ols",
+    "q266_versioned_stream_rate_limited",
 )
 
 

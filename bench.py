@@ -284,6 +284,59 @@ def _host_probe() -> dict[str, float]:
     return {"py_loop_ms": round(py_ms, 1), "np_matmul_ms": round(np_ms, 1)}
 
 
+def _round_number(repo: str) -> int:
+    """This run's round: one past the newest driver-recorded BENCH_r{N}
+    file (the driver writes BENCH_r{N}.json at round END, so during
+    round N only r1..N-1 exist)."""
+    import glob
+    import re
+
+    rs = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(rs) + 1) if rs else 1
+
+
+def _prev_round_detail(repo: str, rnd: int) -> dict | None:
+    """The drift-triage baseline: the newest archived per-round detail
+    (``BENCH_DETAIL_r{K}.json``, K < rnd).  Archives are written by this
+    script stamped with their round, so a mid-round rerun can only
+    overwrite ITS OWN round's archive — never the baseline — which is
+    the bug BENCH_r12's vs_prev_round had (it compared against whatever
+    mutable BENCH_DETAIL.json a loaded-host rerun left on disk and
+    published a phantom 1.433x regression; the true r12-vs-r11 ratio
+    was 0.927).  Falls back to the committed BENCH_DETAIL.json for
+    pre-archive history, refusing same-round copies by their stamp."""
+    import glob
+    import re
+    import subprocess
+
+    best: tuple[int, str] | None = None
+    for f in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < rnd:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is not None:
+        with open(best[1]) as fh:
+            return json.load(fh)
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        prev = json.loads(out)
+        if prev.get("round") is None or int(prev["round"]) < rnd:
+            return prev
+    except Exception:  # noqa: BLE001 - baseline is best-effort
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -330,20 +383,20 @@ def main() -> None:
         host_probe = _host_probe()
     except Exception:  # noqa: BLE001
         host_probe = {}
-    # Round-over-round drift triage, automated: BENCH_DETAIL.json is
-    # committed once per round, so the copy on disk BEFORE this run
-    # overwrites it is the PREVIOUS round's detail.  The common-set
+    # Round-over-round drift triage, automated: the baseline is the
+    # newest PREVIOUS-round archived detail (never the mutable on-disk
+    # copy a mid-round rerun may have overwritten).  The common-set
     # median ratio divided by the host-probe speed ratio separates code
     # regressions from host drift (the r8→r9 ~1.4x step was pure host —
     # SCALING.md "Bench host variance, root-caused"); a normalized
     # ratio near 1.0 means "same code speed, different host weather".
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = _round_number(repo)
     drift = {}
     try:
-        side_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        with open(side_path) as fh:
-            prev = json.load(fh)
+        prev = _prev_round_detail(repo, rnd)
+        if prev is None:
+            raise ValueError("no previous-round detail to compare against")
         if str(prev.get("sf")) != str(sf):
             raise ValueError("previous detail is a different SF")
         prev_q = prev.get("queries") or {}
@@ -370,6 +423,7 @@ def main() -> None:
             if fs:
                 probe_factor = sum(fs) / len(fs)
             drift = {
+                "baseline_round": prev.get("round"),
                 "n_common": len(common),
                 "common_set_median_ratio": round(med, 3),
                 "host_probe_factor": (
@@ -382,6 +436,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - drift triage is best-effort
         drift = {}
     detail = {
+        "round": rnd,
         "host_probe": host_probe,
         "vs_prev_round": drift,
         "metric": "headline_suite_seconds_detail",
@@ -403,8 +458,15 @@ def main() -> None:
     # the driver contract shape ({"metric", "value", "unit", "queries",
     # "sf"}) still holds while the line stays a few hundred bytes.
     try:
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        side = os.path.join(repo, "BENCH_DETAIL.json")
         with open(side, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        # per-round archive: next round's drift baseline.  A mid-round
+        # rerun overwrites only its OWN round's archive, so the
+        # baseline (round < rnd) can never be poisoned by one.
+        with open(
+            os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
+        ) as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         side = None
