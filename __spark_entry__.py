@@ -58,6 +58,14 @@ _RECHECK = (
     "q251_versioned_tag_retention",
     "q242_versioned_stream_follow",
     "q266_versioned_stream_rate_limited",
+    # r13 also: dv_covers pruning touches every DV-carrying commit
+    # (upsert/update rebase + carry), and two oracle-pair stabilizers
+    # changed query bodies (q133 round-tie nudge, q214 negative-zero
+    # normalization).
+    "q265_versioned_concurrent_append_delete",
+    "q253_versioned_update_rows",
+    "q133_exact_percentiles",
+    "q214_cusum_changepoint",
 )
 
 

@@ -722,12 +722,12 @@ def q158_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
         SELECT day, n_events,
-               ROUND((n_events - mu) / sigma, 6) AS z
+               ROUND((n_events - mu) / sigma, 6) + 0.0 AS z
         FROM daily, stats
     ),
     c AS (
         SELECT day, n_events, z,
-               ROUND(SUM(z) OVER (ORDER BY day), 6) AS cusum
+               ROUND(SUM(z) OVER (ORDER BY day), 6) + 0.0 AS cusum
         FROM z
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_events, z, cusum,
@@ -742,7 +742,10 @@ def q158_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean/stddev are a 1-row broadcast and the walk + peak windows "
         "run over the bounded day table (the sanctioned dim-window "
         "class, never fact-sized). z is pre-rounded so the running sum "
-        "and the argmax flag compare identically in both engines.",
+        "and the argmax flag compare identically in both engines; the "
+        "+ 0.0 after each ROUND normalizes IEEE negative zero (a day "
+        "sitting a hair under the mean rounds to -0.0 in one engine "
+        "and 0.0 in the other, which value-hashes apart).",
 )
 def q214_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -756,13 +759,20 @@ def q214_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = daily.crossJoin(F.broadcast(stats)).select(
         "day",
         "n_events",
-        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        (
+            F.round(
+                (F.col("n_events") - F.col("mu")) / F.col("sigma"), 6
+            )
+            + F.lit(0.0)
+        ).alias("z"),
     )
     w_run = Window.orderBy("day")
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    c = z.withColumn("cusum", F.round(F.sum("z").over(w_run), 6))
+    c = z.withColumn(
+        "cusum", F.round(F.sum("z").over(w_run), 6) + F.lit(0.0)
+    )
     return c.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",

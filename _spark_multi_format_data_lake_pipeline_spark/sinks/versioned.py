@@ -168,7 +168,20 @@ _COMMIT_RETRIES = 5
 # Per-file metadata plane keys (dicts keyed by data-file name) that are
 # delta-encoded between commits; everything else in a manifest is
 # O(columns)/O(1) and travels fully in every commit.
-_PLANE_KEYS = ("file_stats", "file_meta", "bloom", "file_base", "dv_counts")
+_PLANE_KEYS = (
+    "file_stats",
+    "file_meta",
+    "bloom",
+    "file_base",
+    "dv_counts",
+    # dv_covers is keyed by DELETE-VECTOR file name (the others key by
+    # data-file name): the data files each DV parquet holds rows for,
+    # recorded at DV-write time so later carries can drop vectors whose
+    # covered files all left the table (dead weight otherwise — every
+    # DV-applying read loads them for rows that can never match).
+    # Legacy manifests without it carry every vector: correct, unpruned.
+    "dv_covers",
+)
 _DELTA_ONLY_KEYS = ("kind", "base", "remove", "append", "entries")
 
 
@@ -1042,8 +1055,9 @@ def _write_snapshot(
     dv_counts = {
         f: prev_dv_counts[f] for f in carry_files if f in prev_dv_counts
     }
+    dv_files_c, dv_covers_c = _carry_dv_files(prev, dv_counts)
     if dv_counts:  # carried DV parquet files keep their base too
-        for f in prev.get("dv_files") or []:
+        for f in dv_files_c:
             if f in prev_fb:
                 file_base[f] = prev_fb[f]
     carried_rows = (
@@ -1068,7 +1082,9 @@ def _write_snapshot(
     }
     if dv_counts:
         manifest["dv_counts"] = dv_counts
-        manifest["dv_files"] = prev.get("dv_files") or []
+        manifest["dv_files"] = dv_files_c
+        if dv_covers_c:
+            manifest["dv_covers"] = dv_covers_c
     if pb:
         manifest["partition_by"] = pb
     if bb:
@@ -1303,10 +1319,10 @@ def _write_snapshot(
             rebase_fb = {
                 f: head_fb[f] for f in rebase_carry if f in head_fb
             }
-            if carried_dvc:
-                for f in head.get("dv_files") or []:
-                    if f in head_fb:
-                        rebase_fb[f] = head_fb[f]
+            carried_dvf, carried_cov = _carry_dv_files(head, carried_dvc)
+            for f in carried_dvf:
+                if f in head_fb:
+                    rebase_fb[f] = head_fb[f]
             manifest = {
                 **manifest,
                 "version": head["version"] + 1,
@@ -1333,7 +1349,8 @@ def _write_snapshot(
             }
             for k, v in (
                 ("dv_counts", carried_dvc),
-                ("dv_files", head.get("dv_files") if carried_dvc else None),
+                ("dv_files", carried_dvf),
+                ("dv_covers", carried_cov),
                 (
                     "bloom",
                     {
@@ -1357,6 +1374,33 @@ def _write_snapshot(
         f"{mode} at {path} lost {_COMMIT_RETRIES} consecutive commit "
         "races; giving up (retry externally)"
     )
+
+
+def _carry_dv_files(m: dict, carried_dvc: dict) -> tuple[list, dict]:
+    """The DV parquet files worth carrying into a commit whose
+    surviving DV'd data files are ``carried_dvc``'s keys, plus their
+    pruned coverage map.  With recorded coverage (``dv_covers``) a
+    vector whose covered files ALL dropped out of the carried read set
+    is dead weight — reads stay correct without it (DV rows key by
+    immutable file name and never match), but the manifest and every
+    DV-applying read would keep loading it forever.  Coverage lists
+    prune to the carried files: a data file that left the table can
+    never return (file names are write-UUID unique), so its coverage
+    entry is permanently dead.  DV files without a coverage entry
+    (legacy manifests) always carry — correct, just unpruned."""
+    if not carried_dvc:
+        return [], {}
+    covers = m.get("dv_covers") or {}
+    kept = [
+        d
+        for d in (m.get("dv_files") or [])
+        if d not in covers or any(f in carried_dvc for f in covers[d])
+    ]
+    return kept, {
+        d: [f for f in covers[d] if f in carried_dvc]
+        for d in kept
+        if d in covers
+    }
 
 
 def _file_rows(
@@ -2648,7 +2692,11 @@ def merge_branch(path: str, name: str) -> int:
     key semantics and conflict policy yourself, exactly the
     git pull-before-push discipline.  The commit rides the optimistic
     ``_commit_state``, so a parent writer racing the merge leaves
-    exactly one winner (the loser re-checks divergence)."""
+    exactly one winner; the LOSER is by definition diverged (the
+    winner advanced the parent past the fork point), so it deletes
+    the files it copied — minus any name the winner's commits now
+    reference — and raises the same cannot-fast-forward error the
+    up-front check gives, leaving zero orphans in the parent root."""
     import shutil
     import time
     from concurrent.futures import ThreadPoolExecutor
@@ -2699,7 +2747,35 @@ def merge_branch(path: str, name: str) -> int:
     }
     manifest.pop("txn_id", None)
     manifest.pop("file_base", None)
-    return _commit_state(path, manifest, _read_manifest(path, pvs[-1]))
+    try:
+        return _commit_state(path, manifest, _read_manifest(path, pvs[-1]))
+    except ConcurrentCommitError as e:
+        # Lost the race → the parent advanced past the fork point →
+        # this is now a diverged merge and must refuse like the
+        # up-front check.  Clean up the files copied above so the
+        # refusal leaves no orphans: copied names are branch-write
+        # UUIDs no parent manifest referenced before this call, but a
+        # concurrent merge of the SAME branch may have won with the
+        # same relative names — keep anything a post-fork commit now
+        # references.
+        new_pvs = versions(path)
+        referenced: set[str] = set()
+        for v in new_pvs:
+            if v <= base:
+                continue
+            hm = _read_manifest(path, v)
+            referenced.update(hm["files"])
+            referenced.update(hm.get("dv_files") or [])
+        for f in to_copy:
+            if f not in referenced:
+                (Path(path) / f).unlink(missing_ok=True)
+        raise ValueError(
+            f"cannot fast-forward: a parent writer committed "
+            f"v{new_pvs[-1] if new_pvs else '?'} while merging branch "
+            f"{name!r} (forked at v{base}); copied branch files were "
+            "cleaned up — reconcile with branch_diff + "
+            "versioned_apply_changes"
+        ) from e
 
 
 def branch_diff(
@@ -3269,7 +3345,14 @@ def _delete_with_vectors(
     per_file = (
         spark.read.parquet(str(Path(path) / dv_rel))
         .groupBy("file")
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            # which DV parquet part(s) hold this file's rows — recorded
+            # as dv_covers so later carries can drop vectors whose
+            # covered files all left the table (O(matched files) rows,
+            # same bound as the count collect)
+            F.collect_set(F.col("_metadata.file_name")).alias("dv_parts"),
+        )
         .collect()
         if new_dv_files
         else []
@@ -3277,10 +3360,14 @@ def _delete_with_vectors(
     dv_counts = dict(m.get("dv_counts") or {})
     total = 0
     ours: dict[str, int] = {}
+    by_part = {Path(d).name: d for d in new_dv_files}
+    covers_new: dict[str, set] = {d: set() for d in new_dv_files}
     for r in per_file:
         ours[r["file"]] = ours.get(r["file"], 0) + r["count"]
         dv_counts[r["file"]] = dv_counts.get(r["file"], 0) + r["count"]
         total += r["count"]
+        for pn in r["dv_parts"]:
+            covers_new[by_part[pn]].add(r["file"])
 
     def _mk(base: dict) -> dict:
         merged = dict(base.get("dv_counts") or {})
@@ -3297,6 +3384,12 @@ def _delete_with_vectors(
         if merged:
             out["dv_counts"] = merged
             out["dv_files"] = (base.get("dv_files") or []) + new_dv_files
+            cov = {
+                **(base.get("dv_covers") or {}),
+                **{d: sorted(covers_new[d]) for d in new_dv_files},
+            }
+            if cov:
+                out["dv_covers"] = cov
         return out
 
     # Same write-serializability rebase as ``_write_snapshot``, for the

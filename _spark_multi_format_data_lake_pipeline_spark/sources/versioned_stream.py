@@ -297,9 +297,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # cursor fell behind retention: let partitions raise the
             # honest behind-retention error on the engine's next plan
             return head
+        if (
+            s_idx is not None
+            and sv > 1
+            and sv - 1 not in vs
+            and not cur.get("snapshot_start")
+        ):
+            # Partial cursor whose DIFF BASE manifest (sv-1) was
+            # vacuumed: sv surviving is not enough — file_index indexes
+            # the new-file list diffed against sv-1, and any other base
+            # misaligns the slice (see partitions' guard).  Return head
+            # and let partitions raise the honest error.
+            return head
         files = 0
         nbytes = 0
         mark = dict(cur)
+        snap = bool(cur.get("snapshot_start"))
         for v, m, new_files, _is_first in self._iter_new_files(
             lo, vs[-1], vs
         ):
@@ -313,11 +326,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 nbytes += (meta.get(new_files[i], {}) or {}).get(
                     "bytes", 0
                 ) or 0
-                mark = (
-                    {"version": v, "file_index": i + 1}
-                    if i + 1 < len(new_files)
-                    else {"version": v}
-                )
+                if i + 1 < len(new_files):
+                    mark = {"version": v, "file_index": i + 1}
+                    if snap and v == vs[0]:
+                        # Partial mark INSIDE the bootstrap snapshot
+                        # version: its file_index slices the FULL
+                        # surviving file list (prev is empty by
+                        # design), not a diff against v-1 — tag it so
+                        # the diff-base-vacuumed guard knows the slice
+                        # base is the snapshot and stays replayable.
+                        mark["snapshot_start"] = True
+                else:
+                    mark = {"version": v}
             mark = {"version": v}
         self._cursor = head
         return head
@@ -390,6 +410,41 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # same way.  Both slices index the manifest's committed
         # file-list order, so a restart mid-commit replays the exact
         # same file split (the checkpoint-restart contract).
+        #
+        # That contract needs the slice BASE to replay too: file_index
+        # indexes V's new-file list AS DIFFED AGAINST MANIFEST V-1.  If
+        # vacuum removed V-1 (V surviving is not enough — vacuum keeps
+        # tagged versions, so gaps happen mid-history, and the
+        # behind-retention guard above only catches sv < vs[0]), the
+        # replay would diff V against an older survivor — or against
+        # EMPTY when V is the earliest — yielding a LONGER list whose
+        # K-th element is not the K-th element originally delivered:
+        # already-delivered files re-emit, breaking exactly-once.  The
+        # one sanctioned empty-prev slice is the bootstrap snapshot
+        # (tagged ``snapshot_start`` by the capped walk): there the
+        # full surviving file list IS the delivered list, and it
+        # replays identically while vs[0] is unchanged (the guard
+        # above catches vs[0] moving).  Anything else raises the same
+        # honest behind-retention error.
+        for off, role in ((start, "start"), (end, "end")):
+            o_idx = off.get("file_index")
+            ov = off["version"]
+            if (
+                vs
+                and o_idx is not None
+                and ov > 1
+                and ov - 1 not in vs
+                and not (off.get("snapshot_start") and ov == vs[0])
+            ):
+                raise ValueError(
+                    f"versioned_changes: checkpointed partial {role} "
+                    f"offset v{ov}+{o_idx} at {self.path} needs "
+                    f"manifest v{ov - 1} as its diff base, but that "
+                    "version was vacuumed — the delivered file split "
+                    "cannot be replayed; restart the stream from a "
+                    "fresh checkpoint (rows before the retention "
+                    "horizon must be reprocessed explicitly)"
+                )
         lo = sv - 1 if s_idx is not None else sv
         for v, m, new_files, is_first in self._iter_new_files(lo, ev, vs):
             indexed = list(enumerate(new_files))

@@ -1423,6 +1423,124 @@ def test_versioned_changes_byte_cap_and_capped_dv_bootstrap(
     assert sorted(r["id"] for r in rows) == want
 
 
+def test_versioned_changes_partial_offset_diff_base_vacuumed_raises(
+    spark, tmp_path
+):
+    """A capped stream's partial offset {"version": V, "file_index": K}
+    indexes V's new-file list AS DIFFED AGAINST MANIFEST V-1.  If
+    vacuum drops V-1 while V survives (V == earliest survivor), a
+    restart must RAISE the behind-retention error — diffing V against
+    an empty prev would slice V's FULL file list and re-emit
+    already-delivered files, breaking exactly-once (r12 ADVICE)."""
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import vacuum, versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 6).repartitionByRange(2, "id"), t)  # v1: 2 files
+    versioned_write(mk(100, 9).repartitionByRange(3, "id"), t)  # v2: 3 files
+    versioned_write(mk(200, 2).repartition(1), t)  # v3: 1 file
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}
+    )
+    cur = rd.initialOffset()
+    delivered = []
+    # drain v1 fully (2 batches) and ONE file into v2 (partial offset)
+    for _ in range(3):
+        nxt = rd.latestOffset()
+        delivered += [
+            r
+            for p in rd.partitions(cur, nxt)
+            for b in rd.read(p)
+            for r in b.to_pylist()
+        ]
+        cur = nxt
+    assert cur == {"version": 2, "file_index": 1}
+    # vacuum keeps v2 and v3 but drops v1 — the partial offset's diff
+    # base is gone even though its own version survives
+    vacuum(t, keep_last=2)
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}
+    )
+    with pytest.raises(ValueError, match="diff base|vacuumed"):
+        rd2.partitions(cur, {"version": 3})
+    # the capped walk must not fabricate batches from that cursor
+    # either: latestOffset returns head and leaves the raise to
+    # partitions on the engine's next plan
+    rd2._cursor = dict(cur)
+    assert rd2.latestOffset() == {"version": 3}
+    with pytest.raises(ValueError, match="diff base|vacuumed"):
+        rd2.partitions(cur, {"version": 3})
+
+
+def test_versioned_changes_partial_snapshot_offset_survives_restart(
+    spark, tmp_path
+):
+    """The one SANCTIONED empty-prev slice: a capped bootstrap of an
+    ever-vacuumed table marks its partial offsets ``snapshot_start``,
+    because there file_index slices the full surviving file list (the
+    snapshot) and replays identically.  A restart mid-snapshot must
+    resume without raising and deliver exactly-once."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import vacuum, versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 4).repartition(1), t)  # v1
+    versioned_write(mk(100, 9).repartitionByRange(3, "id"), t)  # v2
+    vacuum(t, keep_last=1)  # only v2 survives; its 4 files are the snapshot
+    rd = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "2"}
+    )
+    cur = rd.initialOffset()
+    assert cur == {"version": 1, "snapshot_start": True}
+    first = rd.latestOffset()
+    assert first == {
+        "version": 2,
+        "file_index": 2,
+        "snapshot_start": True,
+    }, "partial marks inside the bootstrap snapshot must carry the tag"
+    batch1 = sorted(
+        r["id"]
+        for p in rd.partitions(cur, first)
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    )
+    # crash + restart mid-snapshot: replay the in-flight pair, then
+    # continue capping from the tagged partial offset — no raise
+    rd2 = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "2"}
+    )
+    replay = sorted(
+        r["id"]
+        for p in rd2.partitions(cur, first)
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    )
+    assert replay == batch1
+    nxt = rd2.latestOffset()
+    assert nxt == {"version": 2}
+    batch2 = sorted(
+        r["id"]
+        for p in rd2.partitions(first, nxt)
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    )
+    assert sorted(batch1 + batch2) == sorted(
+        list(range(4)) + list(range(100, 109))
+    ), "snapshot under a cap must jointly deliver exactly-once"
+
+
 def test_versioned_changes_rate_limit_end_to_end(spark, tmp_path):
     """Engine-level rate limiting: a running query with
     maxFilesPerTrigger=1 drains a multi-file backlog as a sequence of

@@ -1152,6 +1152,55 @@ def test_dv_carries_through_append_upsert_and_materializes_on_compact(
     assert sorted(i for i, _ in _rows(read_version(spark, t))) == got
 
 
+def test_dv_covers_prunes_dead_vectors_on_carry(spark, tmp_path):
+    """DV commits record which data files each vector parquet covers
+    (``dv_covers``); a later rewrite that drops every file a vector
+    covered must stop carrying that vector — manifests and DV-applying
+    reads would otherwise haul dead (file, pos) parquet forever (r12
+    ADVICE).  Vectors still covering a carried file survive, coverage
+    pruned to the survivors."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        _write_ranged(spark, t, lo)
+    # two separate DV commits -> two vector sets with disjoint coverage
+    versioned_delete(spark, t, "id = 2", strategy="dv")  # covers low file
+    versioned_delete(spark, t, "id = 102", strategy="dv")  # covers high
+    m = _read_manifest(t, 4)
+    covers = m["dv_covers"]
+    assert set(covers) == set(m["dv_files"])
+    covered = sorted(f for fs in covers.values() for f in fs)
+    assert covered == sorted(m["dv_counts"]), (
+        "coverage lists must enumerate exactly the DV'd data files"
+    )
+    low = [f for f in m["files"] if f in m["dv_counts"]]
+    dv_low = {d for d, fs in covers.items() if set(fs) & {low[0]}}
+    # rewrite the LOW file (upsert confined by zone maps): its vector's
+    # coverage goes entirely dead -> that vector must drop; the HIGH
+    # file's vector carries with coverage intact
+    up = spark.createDataFrame([(3, "NEW")], "id int, v string")
+    versioned_upsert(up, t, ["id"])
+    m5 = _read_manifest(t, 5)
+    assert not (set(m5["dv_files"]) & dv_low), (
+        "a vector covering only rewritten files must not carry"
+    )
+    assert set(m5["dv_covers"]) == set(m5["dv_files"])
+    assert sum(m5["dv_counts"].values()) == 1
+    rows = dict(_rows(read_version(spark, t)))
+    assert rows[3] == "NEW" and 2 not in rows and 102 not in rows
+    # rewrite the HIGH file too: the last vector drops; no dv keys left
+    up2 = spark.createDataFrame([(103, "NEW2")], "id int, v string")
+    versioned_upsert(up2, t, ["id"])
+    m6 = _read_manifest(t, 6)
+    assert "dv_files" not in m6 and "dv_covers" not in m6
+    got = dict(_rows(read_version(spark, t)))
+    assert got[103] == "NEW2" and 2 not in got and 102 not in got
+
+
 def test_dv_partitioned_and_cdf_see_vector_deletes(spark, tmp_path):
     """DV delete on a partitioned table confines the scan by partition
     zone maps; read_changes reports the DV-deleted rows as D rows."""
@@ -3933,6 +3982,59 @@ def test_merge_branch_fast_forward_and_refusals(spark, tmp_path):
     # unknown branch is an honest error
     with pytest.raises(ValueError, match="no branch"):
         merge_branch(t, "nope")
+
+
+def test_merge_branch_lost_race_cleans_up_copied_files(
+    spark, tmp_path, monkeypatch
+):
+    """A parent writer racing merge_branch between its divergence check
+    and its commit makes the merge the LOSER — it must delete the
+    branch files it already copied into the parent root (they would
+    otherwise sit as orphans until vacuum) and raise the same
+    cannot-fast-forward refusal as the up-front check (r12 ADVICE).
+    The parent's racing commit itself must survive untouched."""
+    from pathlib import Path
+
+    import pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks import versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_branch, merge_branch
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 6).repartitionByRange(2, "id"), t)  # v1
+    b = create_branch(t, "dev")
+    versioned_write(mk(100, 3), b)  # branch-written files to copy
+    real = V._commit_state
+    raced = {"done": False}
+
+    def _race(path, state, prev):
+        if (
+            not raced["done"]
+            and str(state.get("mode", "")).startswith("merge_branch:")
+        ):
+            raced["done"] = True
+            versioned_write(mk(200, 2), t)  # parent wins the race
+        return real(path, state, prev)
+
+    monkeypatch.setattr(V, "_commit_state", _race)
+    before = {
+        str(p.relative_to(t)) for p in Path(t).rglob("*.parquet")
+    }
+    with pytest.raises(ValueError, match="fast-forward"):
+        merge_branch(t, "dev")
+    monkeypatch.setattr(V, "_commit_state", real)
+    assert versions(t) == [1, 2], "the winner's commit must stand"
+    after = {str(p.relative_to(t)) for p in Path(t).rglob("*.parquet")}
+    m2 = _read_manifest(t, 2)
+    live = set(m2["files"]) | set(m2.get("dv_files") or [])
+    assert after - before <= live, (
+        f"lost merge left orphan files: {sorted(after - before - live)}"
+    )
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == sorted(list(range(6)) + [200, 201])
 
 
 def test_generated_column_predicate_rewriting(spark, tmp_path):
