@@ -1947,3 +1947,309 @@ def q270_versioned_clustered_table(
         t,
         {"o_custkey": (200, 500), "o_totalprice": (50000.0, 150000.0)},
     )
+
+
+@register(
+    "q271_versioned_parquet_checkpoint",
+    oracle="""
+    -- a 70-file table whose checkpoints live in parquet plane sidecars
+    -- must read back exactly: v1 evens + v2 odds, minus the DV-deleted
+    -- keys %7==0, through a vacuum that re-anchors the delta chain
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 7 <> 0
+    """,
+    doc="End-to-end PARQUET-PLANE CHECKPOINTS (Delta parquet "
+        "checkpoints / Iceberg manifest lists): build a 70-file "
+        "versioned orders table — above the threshold, so v1's full "
+        "checkpoint keeps only O(columns) JSON and moves the per-file "
+        "plane (stats, sizes, DV counts, bloom refs) to a "
+        "content-addressed parquet sidecar under _manifests/plane/ — "
+        "append, DV-delete keys %7==0, then vacuum to keep_last=2 so "
+        "the surviving delta RE-ANCHORS as a bounded checkpoint.  The "
+        "driver hash proves the parquet-encoded metadata plane "
+        "resolves to exactly the same snapshot the inline-JSON plane "
+        "would: no file lost or reordered, every DV applied.  At the "
+        "100 TB point this is what keeps a ~800k-file checkpoint from "
+        "being a multi-GB JSON parsed on the driver. "
+        "sinks/versioned.py:_encode_checkpoint/_load_checkpoint; "
+        "equivalence + bounded-bytes pinned in tests/test_versioned.py.",
+)
+def q271_versioned_parquet_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json
+    from pathlib import Path
+
+    from ..sinks.versioned import (
+        read_version,
+        vacuum,
+        versioned_delete,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q271_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(70, "o_orderkey"), t
+    )  # v1: 70 files -> parquet-plane checkpoint
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(3, "o_orderkey"), t
+    )  # v2: delta on the parquet checkpoint
+    versioned_delete(spark, t, "o_orderkey % 7 = 0", strategy="dv")  # v3
+    raw1 = json.loads(Path(t, "_manifests", "v1.json").read_text())
+    assert raw1.get("kind") == "checkpoint" and raw1["n_files"] == 70, (
+        "a 70-file full commit must take the parquet-plane form"
+    )
+    assert len(json.dumps(raw1)) < 4096, (
+        "checkpoint JSON must stay O(columns)"
+    )
+    vacuum(t, keep_last=2)  # drops v1 -> v2 re-anchors, still bounded
+    raw2 = json.loads(Path(t, "_manifests", "v2.json").read_text())
+    assert raw2.get("kind") == "checkpoint", (
+        "the re-anchored wide manifest must keep the bounded form"
+    )
+    return read_version(spark, t)
+
+
+@register(
+    "q272_versioned_branch_merge_diverged",
+    oracle="""
+    -- 3-way keyed merge, branch wins conflicts: start = evens;
+    -- branch doubles prices of keys %3==0 and inserts odds %5==0;
+    -- parent meanwhile FLIPPED keys %3==0 (conflict, loses to the
+    -- branch under 'theirs') and inserted odds %7==0 (one-sided, kept)
+    WITH evens AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM evens
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+        AND o_orderkey % 5 <> 0
+    )
+    SELECT * FROM merged
+    """,
+    doc="End-to-end DIVERGED BRANCH MERGE (one-call 3-way keyed merge "
+        "with a conflict policy — git merge for tables): fork a "
+        "branch, mutate BOTH lineages (the branch doubles %3 prices "
+        "and inserts %5 odds; the parent flips the same %3 rows — a "
+        "genuine conflict — and inserts %7 odds), then "
+        "merge_branch(conflict='theirs') diffs the fork snapshot "
+        "against both heads, keeps one-sided changes from each side, "
+        "dedupes identical ones, and resolves the conflicting keys to "
+        "the branch.  The driver hash proves the exact 3-way algebra. "
+        "The 'fail' policy's refusal (nothing committed) is pinned in "
+        "tests/test_versioned.py. sinks/versioned.py:"
+        "_merge_branch_diverged; cost is two keyed diffs + one "
+        "confined apply_changes commit, never a table rewrite.",
+)
+def q272_versioned_branch_merge_diverged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        create_branch,
+        merge_branch,
+        read_version,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q272_vtbl_") + "/t"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # fork snapshot: evens
+    b = create_branch(t, "dev")
+    # branch work: double %3 prices, insert %5 odds
+    versioned_upsert(
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)),
+        b,
+        ["o_orderkey"],
+    )
+    versioned_upsert(
+        od.filter(k % 2 == 1).filter(k % 5 == 0), b, ["o_orderkey"]
+    )
+    # parent diverges: flip the SAME %3 rows (conflict), insert %7 odds
+    versioned_upsert(
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("X")),
+        t,
+        ["o_orderkey"],
+    )
+    versioned_upsert(
+        od.filter(k % 2 == 1).filter(k % 7 == 0), t, ["o_orderkey"]
+    )
+    v = merge_branch(
+        t, "dev", spark=spark, keys=["o_orderkey"], conflict="theirs"
+    )
+    return read_version(spark, t, v)
+
+
+@register(
+    "q273_versioned_add_column_default",
+    oracle="""
+    -- initial defaults: v1 rows (evens, written BEFORE the column)
+    -- read 'standard'; a post-add append OMITTING the column (odds
+    -- %3==0) materializes it; a post-add append CARRYING it (odds
+    -- %3==1) keeps its values including explicit NULLs for %6==1
+    SELECT o_orderkey, o_totalprice,
+           CASE
+             WHEN o_orderkey % 2 = 0 THEN 'standard'
+             WHEN o_orderkey % 3 = 0 THEN 'standard'
+             WHEN o_orderkey % 6 = 1 THEN NULL
+             ELSE 'priority'
+           END AS tier
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+       OR (o_orderkey % 2 = 1 AND o_orderkey % 3 IN (0, 1))
+    """,
+    doc="End-to-end ADD COLUMN ... DEFAULT (Delta default values / "
+        "Iceberg initial-default): build the table, add_column "
+        "'tier' with default 'standard' (metadata-only commit), then "
+        "append one frame WITHOUT the column and one WITH it (carrying "
+        "explicit NULLs).  The driver hash proves the three regimes "
+        "land exactly: pre-evolution rows fill per FILE-STAMP (commit-"
+        "version vs since-version — never a blanket coalesce), an "
+        "omitting write materializes the default physically, and an "
+        "explicit NULL after the add STAYS NULL. "
+        "sinks/versioned.py:add_column/_materialize_defaults/"
+        "_read_files; rewrite/compact/rename/drop lifecycle pinned in "
+        "tests/test_versioned.py.",
+)
+def q273_versioned_add_column_default(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import add_column, read_version, versioned_write
+
+    t = tempfile.mkdtemp(prefix="q273_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(3, "o_orderkey"), t
+    )  # v1: no 'tier'
+    add_column(t, "tier", "string", default="standard")  # v2
+    versioned_write(
+        od.filter(k % 2 == 1).filter(k % 3 == 0).repartition(2), t
+    )  # v3: omits tier -> materializes 'standard'
+    versioned_write(
+        od.filter(k % 2 == 1)
+        .filter(k % 3 == 1)
+        .withColumn(
+            "tier",
+            F.when(k % 6 == 1, F.lit(None)).otherwise(F.lit("priority")),
+        )
+        .repartition(2),
+        t,
+    )  # v4: carries tier incl. explicit NULLs
+    return read_version(spark, t)
+
+
+@register(
+    "q274_versioned_not_null",
+    oracle="""
+    -- NOT NULL gate: the surviving table is the clean slice only —
+    -- the write carrying NULL statuses was refused atomically
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="End-to-end NOT NULL constraints (Delta ALTER COLUMN SET NOT "
+        "NULL as a thin layer over the CHECK machinery): declare "
+        "set_not_null on o_orderstatus (existing data validates "
+        "first), then attempt an append whose rows carry NULL "
+        "statuses — refused atomically (CheckConstraintViolation, no "
+        "partial commit), so the table still reads exactly the clean "
+        "slice; drop_not_null then restores nullability (lifecycle "
+        "pinned in tests/test_versioned.py). "
+        "sinks/versioned.py:set_not_null — '<col> IS NOT NULL' can "
+        "never leak a NULL through CHECK's pass-on-unknown rule "
+        "because it is FALSE for NULL, never unknown.",
+)
+def q274_versioned_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import (
+        CheckConstraintViolation,
+        read_version,
+        set_not_null,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q274_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(3, "o_orderkey"), t
+    )
+    set_not_null(spark, t, "o_orderstatus")
+    before = versions(t)[-1]
+    dirty = od.filter(k % 2 == 1).withColumn(
+        "o_orderstatus",
+        F.when(k % 5 == 1, F.lit(None)).otherwise(F.col("o_orderstatus")),
+    )
+    try:
+        versioned_write(dirty, t)
+        raise AssertionError("NULL statuses must refuse the commit")
+    except CheckConstraintViolation:
+        pass
+    assert versions(t)[-1] == before, "a refused write must commit nothing"
+    return read_version(spark, t)
+
+
+@register(
+    "q275_versioned_stream_drain",
+    oracle="""
+    -- availableNow full-backlog drain under a 1-file cap: the sink
+    -- must equal the table exactly once
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    doc="End-to-end AVAILABLE-NOW BACKLOG DRAIN "
+        "(drain_versioned_changes — the semantics Delta gives "
+        "trigger(availableNow=True) under admission control): the "
+        "Python DS API gives availableNow single-batch semantics, so "
+        "one run of a capped stream delivers ONE capped batch; the "
+        "helper loops availableNow runs against one checkpoint until "
+        "the head is reached.  A 2-commit / 7-file orders backlog "
+        "under maxFilesPerTrigger=2 drains in 4 bounded runs (asserted) "
+        "and the driver hash proves the sink equals the table exactly "
+        "once — the cap is what prevents the cluster-killing "
+        "table-sized batch at 100 TB. "
+        "sources/versioned_stream.py:drain_versioned_changes; "
+        "incremental re-drain through the same checkpoint pinned in "
+        "tests/test_streaming.py.",
+)
+def q275_versioned_stream_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import versioned_write
+    from ..sources.versioned_stream import drain_versioned_changes
+
+    base = tempfile.mkdtemp(prefix="q275_vtbl_")
+    t, out, ckpt = base + "/t", base + "/out", base + "/ckpt"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(3, "o_orderkey"), t
+    )
+    runs = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=2
+    )
+    assert runs == 4, (
+        f"7 files under a 2-file cap must drain in 4 runs, got {runs}"
+    )
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).parquet(out)

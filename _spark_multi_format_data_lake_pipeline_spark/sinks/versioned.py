@@ -266,6 +266,118 @@ def _apply_delta(base: dict, d: dict) -> dict:
     return state
 
 
+# --- columnar checkpoints: the per-file plane leaves the JSON --------
+#
+# A FULL checkpoint used to serialize the whole per-file plane (stats,
+# meta, bases, DV counts, bloom pointers) inline in v{N}.json — at the
+# 100 TB design point (~800k files) that is a multi-hundred-MB JSON
+# blob rewritten every _CHECKPOINT_INTERVAL-th commit and re-parsed by
+# the driver on every uncached resolution.  Delta solves this with
+# parquet checkpoints, Iceberg with avro manifest lists; same shape
+# here: a checkpoint's v{N}.json keeps only the O(columns) table-level
+# keys plus a pointer to a content-addressed PARQUET sidecar under
+# _manifests/plane/ holding one row per file (name, kind, per-file
+# plane entry as JSON).  Columnar + compressed + arrow-parsed: bounded
+# driver bytes, no O(table) JSON.  Tables under the threshold keep the
+# legacy inline form (zero extra files, and the legacy read path stays
+# exercised); _read_manifest resolves both identically.
+_CHECKPOINT_PARQUET_MIN_FILES = 64
+
+
+def _plane_dir(path: str) -> Path:
+    return _manifest_dir(path) / "plane"
+
+
+def _encode_checkpoint(path: str, state: dict) -> dict:
+    """Encode a FULL snapshot for commit: above the size threshold the
+    per-file plane (and the file lists themselves) move to a
+    content-addressed parquet sidecar and the returned manifest dict is
+    O(columns); below it the state passes through unchanged (legacy
+    inline checkpoint).  Content addressing makes the sidecar write
+    idempotent — a commit-race retry or a concurrent identical
+    checkpoint reuses the same file, so losers never corrupt winners."""
+    files = list(state["files"])
+    dvf = list(state.get("dv_files") or [])
+    if len(files) + len(dvf) < _CHECKPOINT_PARQUET_MIN_FILES:
+        return state
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names: list[str] = []
+    kinds: list[str] = []
+    entries: list[str] = []
+    for kind, fl in (("data", files), ("dv", dvf)):
+        for f in fl:
+            names.append(f)
+            kinds.append(kind)
+            e = _file_entry(state, f)
+            entries.append(
+                json.dumps(e, sort_keys=True, default=dict) if e else ""
+            )
+    digest = hashlib.blake2b(digest_size=16)
+    for n, kd, e in zip(names, kinds, entries):
+        digest.update(n.encode())
+        digest.update(kd.encode())
+        digest.update(e.encode())
+        digest.update(b"\x00")
+    name = f"p-{digest.hexdigest()}.parquet"
+    d = _plane_dir(path)
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / name
+    if not target.exists():
+        tmp = d / f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.table(
+                {"name": names, "kind": kinds, "entry": entries}
+            ),
+            str(tmp),
+            compression="zstd",
+        )
+        os.replace(tmp, target)  # same content under both racers
+    raw = {
+        k: v
+        for k, v in state.items()
+        if k not in _PLANE_KEYS and k not in ("files", "dv_files")
+    }
+    raw["kind"] = "checkpoint"
+    raw["plane_file"] = name
+    raw["n_files"] = len(files)
+    return raw
+
+
+def _load_checkpoint(path: str, raw: dict) -> dict:
+    """Resolve a parquet-plane checkpoint into the full snapshot dict
+    every consumer expects — the exact shape a legacy inline checkpoint
+    carries, so downstream code cannot tell the forms apart (the
+    resolution-equivalence contract)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(_plane_dir(path) / raw["plane_file"]))
+    names = t.column("name").to_pylist()
+    kinds = t.column("kind").to_pylist()
+    entries = t.column("entry").to_pylist()
+    state = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("kind", "plane_file", "n_files")
+    }
+    files: list[str] = []
+    dvf: list[str] = []
+    planes: dict[str, dict] = {k: {} for k in _PLANE_KEYS}
+    for n, kd, e in zip(names, kinds, entries):
+        (files if kd == "data" else dvf).append(n)
+        if e:
+            for k, v in json.loads(e).items():
+                planes[k][n] = v
+    state["files"] = files
+    if dvf:
+        state["dv_files"] = dvf
+    for k, dd in planes.items():
+        if dd:
+            state[k] = dd
+    return state
+
+
 # Resolved-manifest memo: manifests are immutable once committed (the
 # atomic link in ``_commit`` never overwrites), so (path, version) plus
 # the manifest file's (mtime, size) signature — which changes on the two
@@ -309,6 +421,8 @@ def _read_manifest(path: str, version: int) -> dict:
         raw = json.loads(p.read_text())
         if raw.get("kind") == "delta":
             state = _apply_delta(_read_manifest(path, raw["base"]), raw)
+        elif raw.get("kind") == "checkpoint":
+            state = _load_checkpoint(path, raw)
         else:
             state = raw
         # Freeze the per-file plane dicts before caching: the resolved
@@ -340,7 +454,9 @@ def _commit_state(path: str, state: dict, prev: dict | None) -> int:
     raw = None
     if prev is not None and version % _CHECKPOINT_INTERVAL != 0:
         raw = _make_delta(prev, state)
-    _commit(path, version, raw if raw is not None else state)
+    if raw is None:
+        raw = _encode_checkpoint(path, state)
+    _commit(path, version, raw)
     return version
 
 
@@ -603,14 +719,19 @@ def _build_blooms(
     new_files: list[str],
     spec: dict,
     cmap: dict | None = None,
-) -> dict[str, dict[str, str]]:
+) -> dict[str, str]:
     """Commit-time bloom construction over the NEW data files only: one
     scan per bloom column, keyed by scan lineage (``_metadata.
     file_path``), reducing each file to its distinct bit positions
     (map-side-combined collect_set — at most m=8k ints per file reach
-    the driver, regardless of row count).  Returns {file: {col: hex
-    bitmask}} for the manifest; mask keys are PHYSICAL column names
-    (the files' names — what probes translate to at consult time)."""
+    the driver, regardless of row count).  The {file: {col: hex
+    bitmask}} masks land in a content-addressed SIDECAR file under
+    ``_manifests/blooms/`` (one per commit) and the returned plane
+    values are {file: sidecar name} — an O(40 B) pointer per file, so
+    manifests and checkpoints never re-serialize mask bytes.  Mask
+    keys inside the sidecar are PHYSICAL column names (the files'
+    names — what probes translate to at consult time); probes load
+    sidecars lazily via :func:`_bloom_masks_for`."""
     from pyspark.sql import functions as F
 
     cols, m, k = spec["cols"], int(spec["m"]), int(spec["k"])
@@ -637,7 +758,73 @@ def _build_blooms(
             for p in r["ps"]:
                 mask |= 1 << p
             out.setdefault(r["f"], {})[c] = format(mask, "x")
-    return out
+    if not out:
+        return {}
+    side = _write_bloom_sidecar(path, out)
+    return {f: side for f in out}
+
+
+def _bloom_dir(path: str) -> Path:
+    return _manifest_dir(path) / "blooms"
+
+
+def _write_bloom_sidecar(path: str, masks: dict[str, dict[str, str]]) -> str:
+    """Persist one commit's bloom masks as a content-addressed sidecar
+    JSON ({file: {col: hexmask}}) and return its file name.  Content
+    addressing makes the write idempotent (a commit-race retry with
+    identical masks reuses the same sidecar) and lets any number of
+    later manifests reference it without copying bytes."""
+    body = json.dumps(masks, sort_keys=True, separators=(",", ":"))
+    name = (
+        "b-" + hashlib.blake2b(body.encode(), digest_size=16).hexdigest()
+        + ".json"
+    )
+    d = _bloom_dir(path)
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / name
+    if not target.exists():
+        tmp = d / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(body)
+        os.replace(tmp, target)  # same content under both racers
+    return name
+
+
+# Loaded sidecars, memoized by absolute path: a probe over K candidate
+# files opens at most the distinct sidecars those files reference, and
+# repeated probes cost zero I/O.  Sidecars are immutable once written
+# (content-addressed), so the cache never invalidates.
+_BLOOM_SIDECAR_CACHE: dict[str, dict] = {}
+_BLOOM_SIDECAR_CACHE_MAX = 256
+
+
+def _bloom_masks_for(
+    path: str, m: dict, f: str
+) -> dict[str, str] | None:
+    """The {physical col: hex mask} dict for one data file, resolving
+    the manifest's bloom plane in either form: a STRING value is a
+    sidecar reference (loaded lazily, memoized); a dict value is a
+    legacy inline mask set.  A sidecar lives under the same root as
+    the file whose masks it holds (written together at commit time;
+    copied together by deep clone / merge_branch), so it resolves
+    through the file's own ``file_base`` entry — shallow clones read
+    the source's sidecars exactly like the source's data files."""
+    v = (m.get("bloom") or {}).get(f)
+    if v is None:
+        return None
+    if not isinstance(v, str):
+        return v  # legacy inline masks
+    base = (m.get("file_base") or {}).get(f, path)
+    abs_p = str(Path(base) / "_manifests" / "blooms" / v)
+    side = _BLOOM_SIDECAR_CACHE.get(abs_p)
+    if side is None:
+        try:
+            side = json.loads(Path(abs_p).read_text())
+        except OSError:
+            return None  # sidecar vacuumed away → conservative keep
+        if len(_BLOOM_SIDECAR_CACHE) >= _BLOOM_SIDECAR_CACHE_MAX:
+            _BLOOM_SIDECAR_CACHE.clear()
+        _BLOOM_SIDECAR_CACHE[abs_p] = side
+    return side.get(f)
 
 
 def _bucket_expr(col: str, n: int):
@@ -720,6 +907,13 @@ def _write_snapshot(
         if vs
         else {"files": [], "row_count": 0}
     )
+    # Column DEFAULTS (add_column ... DEFAULT): a write whose frame
+    # OMITS a defaulted column materializes the default into the new
+    # files (Delta's INSERT-without-the-column rule), so only
+    # pre-evolution files ever need the read-time fill; a frame that
+    # carries the column keeps its values — an explicit NULL stays NULL.
+    cdefaults = dict(prev.get("column_defaults") or {})
+    df = _materialize_defaults(df, prev)
     prev_bb = tuple(prev["bucket_by"]) if prev.get("bucket_by") else None
     if bucket_by is None:
         bb = prev_bb
@@ -1013,6 +1207,14 @@ def _write_snapshot(
                     "type; rebuild via overwrite or compact first"
                 )
     new_stats, new_meta = _harvest(path, new_files)
+    # Stamp each new file's COMMIT VERSION into its meta entry: the
+    # initial-default read path decides "file predates column C" by
+    # comparing this against the default's since-version (files with no
+    # stamp are legacy = pre-default by construction).  Kept exact
+    # across commit races — the rebase bumps it to the version that
+    # actually commits.
+    for f in new_files:
+        new_meta.setdefault(f, {})["v"] = (vs[-1] + 1) if vs else 1
     if pb:
         for rel in new_files:
             for name, v in _partition_values(rel, schema, cmap).items():
@@ -1099,6 +1301,16 @@ def _write_snapshot(
         manifest["file_base"] = file_base
     if constraints:
         manifest["constraints"] = constraints
+    if cdefaults:
+        # defaults follow their columns: one dropped from the schema
+        # (overwrite with a narrower frame) takes its default with it
+        live_cd = {
+            c: spec
+            for c, spec in cdefaults.items()
+            if any(f["name"] == c for f in schema["fields"])
+        }
+        if live_cd:
+            manifest["column_defaults"] = live_cd
     if gen:
         manifest["generated_columns"] = gen
     if ident:
@@ -1180,6 +1392,11 @@ def _write_snapshot(
                 "generated_columns",
                 "column_mapping",
                 "dropped_physical",
+                # a concurrently-added column DEFAULT refuses: this
+                # commit's frame never materialized it, so in the
+                # "winner first" serial order its new files would
+                # wrongly read NULL where the default belongs
+                "column_defaults",
             ):
                 if _norm(head.get(k)) != _norm(manifest.get(k)):
                     raise ConcurrentCommitError(
@@ -1323,6 +1540,12 @@ def _write_snapshot(
             for f in carried_dvf:
                 if f in head_fb:
                     rebase_fb[f] = head_fb[f]
+            # keep the commit-version stamp exact under the rebase (the
+            # initial-default read path compares it to since-versions)
+            new_meta = {
+                f: {**e, "v": head["version"] + 1}
+                for f, e in new_meta.items()
+            }
             manifest = {
                 **manifest,
                 "version": head["version"] + 1,
@@ -1374,6 +1597,27 @@ def _write_snapshot(
         f"{mode} at {path} lost {_COMMIT_RETRIES} consecutive commit "
         "races; giving up (retry externally)"
     )
+
+
+def _materialize_defaults(df: DataFrame, manifest: dict) -> DataFrame:
+    """Fill each committed column DEFAULT into ``df`` when the frame
+    OMITS that column entirely (Delta's INSERT-without-the-column
+    rule).  Frames that carry the column keep their values — an
+    explicit NULL stays NULL.  Applied to every snapshot write and,
+    separately, to row-change sets BEFORE they union with survivors
+    (the union would otherwise NULL-fill the column and hide that the
+    change set omitted it)."""
+    cd = manifest.get("column_defaults") or {}
+    if not cd or not manifest.get("schema"):
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    t = StructType.fromJson(manifest["schema"])
+    for c, spec in cd.items():
+        if c not in df.columns and c in t.fieldNames():
+            df = df.withColumn(c, F.lit(spec["value"]).cast(t[c].dataType))
+    return df
 
 
 def _carry_dv_files(m: dict, carried_dvc: dict) -> tuple[list, dict]:
@@ -1744,6 +1988,79 @@ def _read_files(
     bases = tuple((manifest.get("file_base") or {}).values())
     from pyspark.sql import functions as F
 
+    # Initial DEFAULTS (add_column ... DEFAULT): decided per FILE from
+    # the commit-version stamp each file's meta carries vs the
+    # default's since-version — files written before the column
+    # existed read the default, later files keep their values (an
+    # explicit NULL stays NULL; legacy files without a stamp predate
+    # any default by construction).  When EVERY scanned file predates
+    # the column a plain coalesce suffices; a mixed scan flags the
+    # pre-files through one broadcast join on the scan lineage.
+    defaults = manifest.get("column_defaults") or {}
+    pre_by_col: dict[str, tuple[set, object]] = {}
+    if defaults:
+        fmeta = manifest.get("file_meta") or {}
+        for dc, spec in defaults.items():
+            if dc not in full.fieldNames():
+                continue
+            pre = {
+                f
+                for f in files
+                if ((fmeta.get(f) or {}).get("v") or 0) < spec["since"]
+            }
+            if pre:
+                pre_by_col[dc] = (pre, spec["value"])
+    mixed_defaults = {
+        c: pv for c, pv in pre_by_col.items() if len(pv[0]) < len(files)
+    }
+
+    def _apply_defaults(out: DataFrame) -> DataFrame:
+        if not pre_by_col:
+            return out
+        if mixed_defaults:
+            from pyspark.sql.types import BooleanType, StringType
+            from pyspark.sql.types import StructField as _Df
+            from pyspark.sql.types import StructType as _Dt
+
+            cols = sorted(mixed_defaults)
+            flagged = sorted(set().union(*[mixed_defaults[c][0] for c in cols]))
+            fl = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        tuple([f] + [f in mixed_defaults[c][0] for c in cols])
+                        for f in flagged
+                    ],
+                    _Dt(
+                        [_Df("__deff", StringType(), False)]
+                        + [
+                            _Df(f"__def_{c}", BooleanType(), False)
+                            for c in cols
+                        ]
+                    ),
+                )
+            )
+            out = out.join(
+                fl, F.col("__dv_file") == F.col("__deff"), "left"
+            )
+        for c, (pre, val) in pre_by_col.items():
+            lit = F.lit(val).cast(full[c].dataType)
+            if c in mixed_defaults:
+                out = out.withColumn(
+                    c,
+                    F.when(
+                        F.coalesce(F.col(f"__def_{c}"), F.lit(False))
+                        & F.col(c).isNull(),
+                        lit,
+                    ).otherwise(F.col(c)),
+                )
+            else:
+                out = out.withColumn(c, F.coalesce(F.col(c), lit))
+        if mixed_defaults:
+            out = out.drop(
+                "__deff", *[f"__def_{c}" for c in sorted(mixed_defaults)]
+            )
+        return out
+
     # Column mapping: files carry PHYSICAL names, so the scan schema is
     # the committed schema with fields renamed logical→physical, and
     # the result renames back right after the scan (after lineage
@@ -1788,10 +2105,11 @@ def _read_files(
         out = spark.read.schema(phys).parquet(
             *[_data_path(path, manifest, f) for f in files]
         )
-        if not need_dv:
-            return _to_logical(out)
+        if not need_dv and not mixed_defaults:
+            return _apply_defaults(_to_logical(out))
         out = _to_logical(_attach_lineage(out, path, bases))
         out = _apply_delete_vectors(spark, out, path, manifest, files)
+        out = _apply_defaults(out)
         return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
     # ONE scan over every file with the committed schema, path-encoded
@@ -1859,6 +2177,7 @@ def _read_files(
         out = out.drop("__pv_file", *[f"__pv_{c}" for c in path_cols])
     if need_dv:
         out = _apply_delete_vectors(spark, out, path, manifest, files)
+    out = _apply_defaults(out)
     # align to the committed schema: column order and evolved columns
     sel = [
         F.col(f.name).cast(f.dataType).alias(f.name)
@@ -2285,10 +2604,8 @@ def read_version_bloom_multi(
         split, _ = _candidate_split(m, c, min(pv), max(pv))
         allowed = set(split)
         keep = [f for f in keep if f in allowed]
-    blooms = m.get("bloom") or {}
-
     def _passes(f: str, c: str) -> bool:
-        hexmask = blooms.get(f, {}).get(_phys(m, c))
+        hexmask = (_bloom_masks_for(path, m, f) or {}).get(_phys(m, c))
         if hexmask is None:
             return True  # no mask committed → conservative keep
         mask = int(hexmask, 16)
@@ -2619,8 +2936,23 @@ def clone_table(
         live = list(m["files"]) + list(m.get("dv_files") or [])
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(_cp, live))  # list() surfaces the first error
+        # bloom sidecars ride with the files whose masks they hold (the
+        # export must probe standalone): copy each referenced sidecar
+        # from its file's root — tiny, the bytes manifests used to
+        # carry inline
+        bl = m.get("bloom") or {}
+        for name, base in sorted(
+            {
+                (bl[f], file_base[f])
+                for f in m["files"]
+                if isinstance(bl.get(f), str)
+            }
+        ):
+            outp = _bloom_dir(dst) / name
+            outp.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(_bloom_dir(base) / name, outp)
         manifest.pop("file_base")
-    _commit(dst, 1, manifest)
+    _commit(dst, 1, _encode_checkpoint(dst, manifest))
     return 1
 
 
@@ -2668,7 +3000,97 @@ def _branch_base_version(branch_root: str) -> int | None:
         return None
 
 
-def merge_branch(path: str, name: str) -> int:
+def _merge_branch_diverged(
+    spark: SparkSession,
+    path: str,
+    broot: str,
+    name: str,
+    base: int,
+    keys: list[str],
+    conflict: str,
+) -> int:
+    """Three-way keyed merge of a DIVERGED branch (``merge_branch``'s
+    spark+keys path — see its docstring for the contract).  base =
+    fork version; ours = parent head; theirs = branch head.  The apply
+    set is the branch's keyed changes since the fork, minus identical
+    both-sides changes, with conflicts resolved per policy."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .cdc import table_diff
+
+    if conflict not in ("fail", "ours", "theirs"):
+        raise ValueError(
+            f"merge_branch: unknown conflict policy {conflict!r} "
+            "(expected 'fail', 'ours' or 'theirs')"
+        )
+    if base not in versions(path):
+        raise ValueError(
+            f"cannot three-way merge branch {name!r}: fork snapshot "
+            f"v{base} of {path} was vacuumed — without the base, "
+            "one-sided and both-sided changes are indistinguishable; "
+            "reconcile manually with branch_diff + "
+            "versioned_apply_changes"
+        )
+    base_df = read_version(spark, path, base)
+    ours = read_version(spark, path)
+    theirs = read_version(spark, broot)
+    d_theirs = table_diff(base_df, theirs, keys)
+    d_ours = table_diff(base_df, ours, keys)
+    payload = [c for c in base_df.columns if c not in keys]
+    t = d_theirs.select(
+        *keys,
+        F.col("op").alias("__t_op"),
+        *[F.col(c).alias(f"__t_{c}") for c in payload],
+    )
+    o = d_ours.select(
+        *keys,
+        F.col("op").alias("__o_op"),
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+    )
+    both = t.join(o, keys, "inner")
+    same_payload = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__t_{c}").eqNullSafe(F.col(f"__o_{c}"))
+            for c in payload
+        ],
+        F.lit(True),
+    )
+    # two deletes of the same key are the same change whatever payload
+    # each side last saw; anything else must match op AND payload
+    identical = (F.col("__t_op") == F.col("__o_op")) & (
+        same_payload | (F.col("__t_op") == F.lit("D"))
+    )
+    if conflict == "fail":
+        sample = (
+            both.filter(~identical).select(*keys).limit(5).collect()
+        )
+        if sample:
+            ks = [tuple(r[k] for k in keys) for r in sample]
+            raise ValueError(
+                f"merge_branch: branch {name!r} and parent both "
+                f"changed key(s) {ks} differently since fork v{base}; "
+                "re-run with conflict='ours' or conflict='theirs'"
+            )
+        drop_keys = both.select(*keys)  # identical-only at this point
+    elif conflict == "theirs":
+        drop_keys = both.filter(identical).select(*keys)
+    else:  # ours: any key the parent touched keeps the parent's change
+        drop_keys = o.select(*keys)
+    apply_set = d_theirs.join(drop_keys, keys, "left_anti")
+    return versioned_apply_changes(apply_set, path, keys)
+
+
+def merge_branch(
+    path: str,
+    name: str,
+    *,
+    spark: SparkSession | None = None,
+    keys: list[str] | tuple[str, ...] | None = None,
+    conflict: str = "fail",
+) -> int:
     """FAST-FORWARD merge of a branch back into its parent (git's
     ``merge --ff-only``, the half of Iceberg branch semantics
     ``create_branch`` was missing): when the parent has NOT advanced
@@ -2685,12 +3107,27 @@ def merge_branch(path: str, name: str) -> int:
     the bytes the branch changed, the minimum any physical merge can
     move; the parent-carried portion of a 100 TB table costs zero.
 
-    If the parent HAS advanced past the fork point, the merge refuses
-    (two diverged writable lineages — a fast-forward would silently
-    drop the parent's commits): reconcile explicitly with
-    :func:`branch_diff` ∘ :func:`versioned_apply_changes`, deciding
-    key semantics and conflict policy yourself, exactly the
-    git pull-before-push discipline.  The commit rides the optimistic
+    If the parent HAS advanced past the fork point, the default
+    refuses (two diverged writable lineages — a fast-forward would
+    silently drop the parent's commits).  Passing ``spark`` + ``keys``
+    instead performs a one-call THREE-WAY KEYED MERGE (git merge with
+    a declared key): diff the fork snapshot against both heads, apply
+    the branch's I/U/D changes to the parent, and resolve keys BOTH
+    sides changed differently by the ``conflict`` policy —
+
+    - ``"fail"`` (default): raise listing sample conflicting keys
+      (nothing committed) — the git stop-and-look discipline;
+    - ``"theirs"``: the branch's change wins on conflicts;
+    - ``"ours"``: the parent's change wins (the branch's conflicting —
+      and only the conflicting — changes are dropped).
+
+    Keys both sides changed IDENTICALLY are never conflicts and never
+    re-applied.  The 3-way needs the fork snapshot readable: if vacuum
+    dropped manifest v<fork> the merge refuses honestly (without the
+    base, "changed on one side" cannot be distinguished from "changed
+    on both").  Cost: two keyed diffs (one full-outer join each) + one
+    ``versioned_apply_changes`` commit with its usual zone-map file
+    confinement — never a table rewrite.  The commit rides the optimistic
     ``_commit_state``, so a parent writer racing the merge leaves
     exactly one winner; the LOSER is by definition diverged (the
     winner advanced the parent past the fork point), so it deletes
@@ -2718,9 +3155,15 @@ def merge_branch(path: str, name: str) -> int:
             "a fast-forward is safe"
         )
     if pvs[-1] != base:
+        if spark is not None and keys:
+            return _merge_branch_diverged(
+                spark, path, broot, name, base, list(keys), conflict
+            )
         raise ValueError(
             f"cannot fast-forward: parent advanced v{base} -> "
-            f"v{pvs[-1]} since branch {name!r} forked; reconcile with "
+            f"v{pvs[-1]} since branch {name!r} forked; pass spark= and "
+            "keys= for a one-call three-way merge (conflict="
+            "'fail'/'ours'/'theirs'), or reconcile manually with "
             "branch_diff + versioned_apply_changes"
         )
     bh = _read_manifest(broot, bvs[-1])
@@ -2736,6 +3179,23 @@ def merge_branch(path: str, name: str) -> int:
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         list(ex.map(_cp, to_copy))  # list() surfaces the first error
+    # bloom sidecars ride with the files whose masks they hold: any
+    # sidecar a copied file references lives under that file's root
+    # and must land in the parent's _manifests/blooms too (the merged
+    # parent must probe without the branch directory existing)
+    bl = bh.get("bloom") or {}
+    side_copy = sorted(
+        {
+            (bl[f], fb.get(f, broot))
+            for f in to_copy
+            if isinstance(bl.get(f), str)
+        }
+    )
+    for sname, sbase in side_copy:
+        outp = _bloom_dir(path) / sname
+        if not outp.exists():
+            outp.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(_bloom_dir(sbase) / sname, outp)
     # every live file now resolves against the parent root natively:
     # parent-based files were already there, everything else was just
     # copied under its same relative name — no file_base survives
@@ -2955,7 +3415,7 @@ def vacuum(
         mp = _manifest_dir(path) / f"v{v}.json"
         raw = json.loads(mp.read_text())  # OSError → abort, nothing deleted
         if raw.get("kind") == "delta" and raw["base"] in drop:
-            full = _read_manifest(path, v)
+            full = _encode_checkpoint(path, _read_manifest(path, v))
             tmp = mp.with_suffix(".json.reanchor")
             tmp.write_text(json.dumps(full, indent=1, default=dict))
             os.replace(tmp, mp)
@@ -2987,6 +3447,50 @@ def vacuum(
     for v in vs:
         if v not in keep:
             (_manifest_dir(path) / f"v{v}.json").unlink(missing_ok=True)
+    # Sweep checkpoint plane parquets and bloom sidecars that no
+    # retained manifest references (dropped checkpoints' planes, masks
+    # of fully-vacuumed file sets) — the metadata analog of the data
+    # sweep above, so a long-lived table's _manifests/ stays bounded.
+    # A bloom ref counts as live when the referencing file resolves to
+    # THIS root; branch manifests referencing parent-root files keep
+    # the parent's sidecars (the same vacuum-safety as data files),
+    # while EXTERNAL shallow clones are invisible here — the documented
+    # clone caveat covers their sidecars exactly like their data.
+    root = str(Path(path).resolve())
+    live_planes: set[str] = set()
+    live_sides: set[str] = set()
+
+    def _side_refs(m: dict, default_base: str) -> None:
+        fb = m.get("file_base") or {}
+        for f, sv in (m.get("bloom") or {}).items():
+            if isinstance(sv, str) and fb.get(f, default_base) == root:
+                live_sides.add(sv)
+
+    for v in keep:
+        try:
+            raw = json.loads(
+                (_manifest_dir(path) / f"v{v}.json").read_text()
+            )
+        except OSError:
+            continue
+        if raw.get("plane_file"):
+            live_planes.add(raw["plane_file"])
+        _side_refs(_read_manifest(path, v), root)
+    for broot in list_branches(path).values():
+        for bv in versions(broot):
+            _side_refs(_read_manifest(broot, bv), "")
+    for d, live_set in (
+        (_plane_dir(path), live_planes),
+        (_bloom_dir(path), live_sides),
+    ):
+        if d.is_dir():
+            for p in sorted(d.iterdir()):
+                if (
+                    p.is_file()
+                    and not p.name.startswith(".")
+                    and p.name not in live_set
+                ):
+                    p.unlink()
     return deleted
 
 
@@ -3213,6 +3717,8 @@ def versioned_upsert(
         spark, m, pc, lo, hi, *_candidate_split(m, pc, lo, hi)
     )
     candidates, untouched = _bucket_confine(m, df, candidates, untouched)
+    df = _materialize_defaults(df, m)  # an omitting change set fills,
+    # BEFORE the union would NULL-fill it against the survivors
     if candidates:
         cur = _read_files(spark, path, candidates, m)
         survivors = cur.join(df.select(*keys).distinct(), keys, "left_anti")
@@ -3779,6 +4285,11 @@ def rename_column(path: str, old: str, new: str) -> int:
             }
             for k, sp in ident.items()
         }
+    cd = m.get("column_defaults") or {}
+    if old in cd:  # a column's initial default follows its new name
+        manifest["column_defaults"] = {
+            (new if k == old else k): v for k, v in cd.items()
+        }
     manifest.pop("txn_id", None)
     return _commit_state(path, manifest, m)
 
@@ -3886,6 +4397,93 @@ def drop_column(path: str, name: str) -> int:
             manifest["identity_columns"] = i2
         else:
             manifest.pop("identity_columns", None)
+    cd = m.get("column_defaults") or {}
+    if name in cd:  # the default dies with its column
+        c2 = {k: v for k, v in cd.items() if k != name}
+        if c2:
+            manifest["column_defaults"] = c2
+        else:
+            manifest.pop("column_defaults", None)
+    manifest.pop("txn_id", None)
+    return _commit_state(path, manifest, m)
+
+
+def add_column(
+    path: str,
+    name: str,
+    type_str: str,
+    default=None,
+) -> int:
+    """``ALTER TABLE ADD COLUMN`` with an optional INITIAL DEFAULT
+    (Delta default values / Iceberg initial-default): a metadata-only
+    commit — zero data files touched, however large the table — after
+    which the column exists in the committed schema.
+
+    Without ``default``, pre-existing rows read NULL (plain schema
+    evolution, same as an evolving append).  With ``default``:
+
+    - rows written BEFORE the column existed read the default — decided
+      per FILE from the commit-version stamp each file's meta entry
+      carries, compared to the default's ``since`` version, so the fill
+      is exact, never a blanket coalesce that would swallow genuine
+      NULLs;
+    - a later write whose frame OMITS the column materializes the
+      default into its new files (Delta's INSERT-without-the-column
+      rule);
+    - a later write that CARRIES the column keeps its values — an
+      explicit NULL stays NULL.
+
+    The default value must be a plain JSON-representable literal of the
+    column's type (int/float/str/bool) — expressions are the CHECK/
+    generated-column machinery's job, not a default's."""
+    import time
+
+    from pyspark.sql.types import StructType as _St
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    names = [f["name"] for f in m["schema"]["fields"]]
+    if name in names or name == _BUCKET_COL:
+        raise ValueError(f"add_column: column {name!r} already exists")
+    try:
+        # DDL-style type names ("int", "string", "decimal(10,2)") —
+        # normalized to the schema-JSON form the manifest speaks
+        dt = _St.fromDDL(f"`{name}` {type_str}")[name].dataType
+    except Exception as e:
+        raise ValueError(
+            f"add_column: invalid type {type_str!r} for {name!r}"
+        ) from e
+    field = {
+        "name": name,
+        "type": dt.jsonValue(),
+        "nullable": True,
+        "metadata": {},
+    }
+    if default is not None and not isinstance(
+        default, (int, float, str, bool)
+    ):
+        raise ValueError(
+            f"add_column: default must be a plain literal, got "
+            f"{type(default).__name__}"
+        )
+    version = vs[-1] + 1
+    manifest = {
+        **m,
+        "version": version,
+        "mode": f"add-column:{name}",
+        "committed_at": time.time(),
+        "schema": {
+            **m["schema"],
+            "fields": [dict(f) for f in m["schema"]["fields"]] + [field],
+        },
+    }
+    if default is not None:
+        manifest["column_defaults"] = {
+            **(m.get("column_defaults") or {}),
+            name: {"value": default, "since": version},
+        }
     manifest.pop("txn_id", None)
     return _commit_state(path, manifest, m)
 
@@ -3927,6 +4525,42 @@ def add_check_constraint(
     }
     manifest.pop("txn_id", None)
     return _commit_state(path, manifest, m)
+
+
+def set_not_null(spark: SparkSession, path: str, column: str) -> int:
+    """Delta ``ALTER TABLE ... ALTER COLUMN ... SET NOT NULL`` as
+    first-class surface: a thin layer over the CHECK machinery — the
+    committed constraint ``not_null_<col>`` is ``<col> IS NOT NULL``,
+    which under SQL CHECK semantics can never leak a NULL through (the
+    expression is FALSE for NULL, never unknown).  EXISTING data is
+    validated first (one probe scan, exactly Delta's rule: you cannot
+    declare NOT NULL over data that violates it) and every subsequent
+    write path — append, overwrite, upsert, update, apply-changes,
+    streaming commit — re-validates before any file lands, raising
+    ``CheckConstraintViolation`` on the first NULL.  Dropping or
+    renaming the column refuses while the constraint is set (the
+    generic referenced-column rule) — ``drop_not_null`` first, then
+    re-set under the new name."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    names = [f["name"] for f in m["schema"]["fields"]]
+    if column not in names:
+        raise ValueError(
+            f"set_not_null: no column {column!r} at {path} (have {names})"
+        )
+    cname = f"not_null_{column}"
+    if cname in (m.get("constraints") or {}):
+        raise ValueError(f"column {column!r} is already NOT NULL")
+    return add_check_constraint(
+        spark, path, cname, f"`{column}` IS NOT NULL"
+    )
+
+
+def drop_not_null(path: str, column: str) -> int:
+    """Remove a ``set_not_null`` constraint (metadata-only commit)."""
+    return drop_check_constraint(path, f"not_null_{column}")
 
 
 def drop_check_constraint(path: str, name: str) -> int:

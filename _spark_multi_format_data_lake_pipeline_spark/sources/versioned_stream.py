@@ -174,6 +174,19 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # post-rename reader resolves through the NEW mapping (the old
         # manifest predates it and carries none)
         self._cmap = dict(m.get("column_mapping") or {})
+        # Schema tracking (Delta's ``schemaTrackingLocation``): persist
+        # the field-list vintage this reader emits under.  A restart
+        # after a rename/drop then ADOPTS the new committed schema
+        # (physical names are stable, so every live file still
+        # resolves), updates the tracked copy, and surfaces a one-time
+        # schema-changed marker (file + warning) recording old -> new —
+        # the restart half of the mid-stream-evolution contract the
+        # module docstring pins.  Without the option, behavior is
+        # unchanged (the field list still re-derives from the head at
+        # construction; nothing records that it changed).
+        track = options.get("schemaTrackingLocation")
+        if track:
+            self._track_schema(str(track), vs[-1])
         # CURSOR: where the capped ``latestOffset`` walks from.  Seeded
         # EAGERLY with the stream's start offset — the engine calls
         # ``latestOffset`` before ``initialOffset`` on a fresh stream
@@ -189,6 +202,59 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._cursor: dict = self._start_offset()
         self._regress_from: dict | None = None
         self._regress_to: dict | None = None
+
+    def _track_schema(self, track_dir: str, head_version: int) -> None:
+        """Compare the committed field list against the tracked vintage
+        under ``track_dir``; on change, adopt the new one (already in
+        ``self._fields``), rewrite the tracked copy, and surface a
+        one-time marker file + warning.  First run just records."""
+        import json
+        import os as _os
+        import time
+        import uuid as _uuid
+        import warnings
+
+        d = Path(track_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        cur = {"fields": self._fields, "column_mapping": self._cmap}
+        p = d / "schema.json"
+
+        def _write(obj: dict) -> None:
+            tmp = d / f".tmp-{_uuid.uuid4().hex}"
+            tmp.write_text(json.dumps(obj, indent=1))
+            _os.replace(tmp, p)
+
+        if not p.exists():
+            _write({**cur, "head_version": head_version})
+            return
+        prev = json.loads(p.read_text())
+        if (
+            prev.get("fields") == cur["fields"]
+            and prev.get("column_mapping") == cur["column_mapping"]
+        ):
+            return
+        marker = d / f"schema_change_at_v{head_version}.json"
+        if not marker.exists():
+            marker.write_text(
+                json.dumps(
+                    {
+                        "old": {
+                            k: prev.get(k)
+                            for k in ("fields", "column_mapping", "head_version")
+                        },
+                        "new": {**cur, "head_version": head_version},
+                        "at": time.time(),
+                    },
+                    indent=1,
+                )
+            )
+        warnings.warn(
+            f"versioned_changes: source schema at {self.path} changed "
+            f"since the tracked vintage (see {marker}); this restart "
+            "emits under the NEW committed schema",
+            stacklevel=2,
+        )
+        _write({**cur, "head_version": head_version})
 
     @staticmethod
     def _okey(off: dict) -> tuple:
@@ -594,3 +660,103 @@ class VersionedChangesDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is safe)."""
     spark.dataSource.register(VersionedChangesDataSource)
+
+
+def drain_versioned_changes(
+    spark,
+    path: str,
+    sink_path: str,
+    checkpoint: str,
+    *,
+    build=None,
+    sink_format: str = "parquet",
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    skip_change_commits: bool = False,
+    max_runs: int = 10000,
+) -> int:
+    """Drain a versioned table's FULL backlog under a rate cap in one
+    call — the semantics Delta gives ``trigger(availableNow=True)``
+    under admission control.  The Python DataSource API exposes no
+    availableNow hook, so Spark falls back to single-batch semantics:
+    one availableNow run of a capped ``versioned_changes`` stream
+    delivers exactly ONE capped micro-batch (module docstring).  This
+    helper loops availableNow runs against ONE checkpoint until the
+    stream has caught up to the table head, so every batch stays
+    bounded by the cap AND the call returns only when the backlog as of
+    each run's start is fully delivered — exactly-once end to end,
+    because each run resumes from the same engine checkpoint.
+
+    ``build`` (optional) maps the streaming DataFrame before the sink —
+    projections/filters, same restrictions as any availableNow stream.
+    Returns the number of runs that delivered data.  Progress is
+    detected from each run's committed end offset; a run that neither
+    delivers rows nor advances the offset while the head is unreached
+    raises instead of spinning (that state is unreachable short of a
+    concurrent vacuum breaking replay — which ``partitions`` reports
+    with its own honest error on the next run)."""
+    register(spark)
+    reader = (
+        spark.readStream.format("versioned_changes").option("path", path)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
+    import ast as _ast
+    import json as _json
+
+    def _parse_offset(s):
+        # the engine surfaces the Python DS offset as either JSON or a
+        # Python-dict repr, depending on the progress serialization path
+        try:
+            out = _json.loads(s)
+        except ValueError:
+            return _ast.literal_eval(s)
+        return _parse_offset(out) if isinstance(out, str) else out
+
+    data_runs = 0
+    last_end: dict | None = None
+    for _ in range(max_runs):
+        df = reader.load()
+        if build is not None:
+            df = build(df)
+        q = (
+            df.writeStream.format(sink_format)
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        data_runs += bool(progressed)
+        ends = [
+            p["sources"][0]["endOffset"]
+            for p in q.recentProgress
+            if p.get("sources")
+        ]
+        end = _parse_offset(ends[-1]) if ends else None
+        vs = versions(path)
+        head = vs[-1] if vs else 0
+        if end is not None and end.get("version") == head and (
+            "file_index" not in end
+        ):
+            return data_runs  # caught up to the head as of this run
+        if not progressed:
+            if end is None or end == last_end:
+                if not vs:
+                    return data_runs  # nothing committed yet
+                raise RuntimeError(
+                    f"drain_versioned_changes: no progress at offset "
+                    f"{end} with head v{head} at {path}"
+                )
+        last_end = end
+    raise RuntimeError(
+        f"drain_versioned_changes: backlog at {path} not drained in "
+        f"{max_runs} runs (cap too small for the commit rate?)"
+    )

@@ -168,6 +168,11 @@ HEADLINE = [
     "q268_versioned_branch_merge_back",
     "q269_versioned_generated_pruning",
     "q270_versioned_clustered_table",
+    "q271_versioned_parquet_checkpoint",
+    "q272_versioned_branch_merge_diverged",
+    "q273_versioned_add_column_default",
+    "q274_versioned_not_null",
+    "q275_versioned_stream_drain",
 ]
 
 

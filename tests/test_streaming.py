@@ -1687,6 +1687,90 @@ def test_versioned_changes_rename_mid_stream_keeps_old_name(
     assert sorted(r["w"] for r in rows2) == sorted(r["v"] for r in rows)
 
 
+def test_versioned_changes_schema_tracking_restart_contract(
+    spark, tmp_path
+):
+    """schemaTrackingLocation (the implementation half of the
+    SCALING.md pin): the reader persists the field-list vintage it
+    emits under; a RESTART after a mid-stream rename adopts the NEW
+    committed schema (new logical name, no NULL columns — physical
+    names are stable so every live file resolves), rewrites the
+    tracked copy, and surfaces a one-time schema-changed marker
+    recording old -> new."""
+    import json
+    import warnings
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        rename_column,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    track = str(tmp_path / "track")
+    opts = {"path": t, "schemaTrackingLocation": track}
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(3)], "id int, v string"
+        ).repartition(1),
+        t,
+    )  # v1
+    rd1 = VersionedChangesStreamReader(dict(opts))
+    tracked = json.loads((Path(track) / "schema.json").read_text())
+    assert [f["name"] for f in tracked["fields"]] == ["id", "v"]
+    assert not list(Path(track).glob("schema_change_*")), (
+        "first run records the vintage without a change marker"
+    )
+    rows1 = [
+        r
+        for p in rd1.partitions({"version": 0}, {"version": 1})
+        for b in rd1.read(p)
+        for r in b.to_pylist()
+    ]
+    assert all("v" in r for r in rows1)
+    # mid-stream rename + post-rename append, then "crash" + restart
+    rename_column(t, "v", "w")  # v2: metadata-only
+    versioned_write(
+        spark.createDataFrame(
+            [(10 + i, f"v{10 + i}") for i in range(3)], "id int, w string"
+        ).repartition(1),
+        t,
+    )  # v3
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rd2 = VersionedChangesStreamReader(dict(opts))
+    assert any("schema" in str(w.message) for w in caught), (
+        "the restart must surface the one-time schema-changed warning"
+    )
+    markers = list(Path(track).glob("schema_change_*"))
+    assert len(markers) == 1
+    rec = json.loads(markers[0].read_text())
+    assert [f["name"] for f in rec["old"]["fields"]] == ["id", "v"]
+    assert [f["name"] for f in rec["new"]["fields"]] == ["id", "w"]
+    tracked2 = json.loads((Path(track) / "schema.json").read_text())
+    assert [f["name"] for f in tracked2["fields"]] == ["id", "w"]
+    # the restarted stream emits the NEW name — including for the
+    # pre-rename backlog files — with no NULL columns
+    rows2 = [
+        r
+        for p in rd2.partitions({"version": 0}, {"version": 3})
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows2) == [0, 1, 2, 10, 11, 12]
+    assert all("w" in r and "v" not in r for r in rows2)
+    assert all(r["w"] is not None for r in rows2)
+    # a further unchanged restart: no new marker, no warning
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        VersionedChangesStreamReader(dict(opts))
+    assert not any("schema" in str(w.message) for w in caught2)
+    assert len(list(Path(track).glob("schema_change_*"))) == 1
+
+
 def test_versioned_changes_available_now_with_cap_drains_per_run(
     spark, tmp_path
 ):
@@ -1727,3 +1811,49 @@ def test_versioned_changes_available_now_with_cap_drains_per_run(
     assert len(drain_once()) == 3  # one capped batch per run
     assert len(drain_once()) == 6  # continues from the checkpoint
     assert drain_once() == list(range(9))  # jointly exactly-once
+
+
+def test_drain_versioned_changes_full_backlog_under_cap(spark, tmp_path):
+    """AvailableNow × rate cap: the Python DS API gives availableNow
+    single-batch semantics (one capped batch per run — the pinned
+    engine behavior), so drain_versioned_changes loops availableNow
+    runs against ONE checkpoint until the stream catches the head —
+    Delta's trigger(availableNow=True)-under-admission-control
+    contract as one call.  A 6-file backlog under a 1-file cap must
+    land in the sink exactly once, and a follow-up commit drains
+    incrementally through the same checkpoint."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        drain_versioned_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"v{lo + i}") for i in range(n)], "id int, v string"
+    )
+    versioned_write(mk(0, 12).repartitionByRange(4, "id"), t)  # 4 files
+    versioned_write(mk(100, 6).repartitionByRange(2, "id"), t)  # 2 files
+    runs = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=1
+    )
+    assert runs == 6, f"6 files under a 1-file cap -> 6 data runs, got {runs}"
+    got = spark.read.schema("id int, v string").parquet(out)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        list(range(12)) + list(range(100, 106))
+    ), "the drained sink must equal the table exactly once"
+    # incremental: a new commit drains through the SAME checkpoint
+    versioned_write(mk(200, 2).repartition(1), t)
+    runs2 = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=1
+    )
+    assert runs2 == 1
+    got2 = spark.read.schema("id int, v string").parquet(out)
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        list(range(12)) + list(range(100, 106)) + [200, 201]
+    )
+    # caught up: a further drain is a clean zero-run no-op
+    assert drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=1
+    ) == 0

@@ -1439,7 +1439,12 @@ def test_bloom_index_commit_and_point_lookup(spark, tmp_path):
     versioned_write(mk(20, "c"), t)
     m = _read_manifest(t, 3)
     assert m["bloom_by"]["cols"] == ["v"] and len(m["files"]) == 3
-    assert all("v" in m["bloom"][f] for f in m["files"])
+    # the manifest carries O(40 B) sidecar REFS, never inline masks;
+    # the lazy loader resolves each file's {col: mask} dict
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _bloom_masks_for
+
+    assert all(isinstance(m["bloom"][f], str) for f in m["files"])
+    assert all("v" in _bloom_masks_for(t, m, f) for f in m["files"])
     got = read_version_bloom(spark, t, "v", ["b3", "b7"])
     assert _rows(got) == [(13, "b3"), (17, "b7")]
     # only the b-file opened: every opened file's mask contains b3's bits
@@ -1491,9 +1496,12 @@ def test_bloom_masks_carry_and_refresh_through_upsert(spark, tmp_path):
     carried = [f for f in m2["files"] if f in m1["files"]]
     fresh = [f for f in m2["files"] if f not in m1["files"]]
     assert carried and fresh
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _bloom_masks_for
+
     for f in carried:
-        assert m2["bloom"][f] == m1["bloom"][f]
-    assert all("v" in m2["bloom"][f] for f in fresh)
+        assert m2["bloom"][f] == m1["bloom"][f]  # ref carried verbatim
+        assert _bloom_masks_for(t, m2, f) == _bloom_masks_for(t, m1, f)
+    assert all("v" in _bloom_masks_for(t, m2, f) for f in fresh)
     assert _rows(read_version_bloom(spark, t, "v", ["XX"])) == [(3, "XX")]
     assert _rows(read_version_bloom(spark, t, "v", ["a3"])) == []
     assert _rows(read_version_bloom(spark, t, "v", ["b5"])) == [(105, "b5")]
@@ -1727,9 +1735,12 @@ def test_append_commit_bytes_independent_of_table_file_count(spark, tmp_path):
     """THE scale property of the metadata plane: committing an append
     writes O(changed files) of JSON, never O(table files) — a 1-file
     append to a 64-file table and to a 2-file table must cost about the
-    same bytes, and both far less than the big table's full
-    checkpoint."""
+    same bytes.  The big table's FULL checkpoint is parquet-plane
+    encoded (r13), so its v1.json is O(columns) too; the per-file bytes
+    live in the content-addressed plane sidecar."""
     from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _plane_dir
 
     big, small = str(tmp_path / "big"), str(tmp_path / "small")
     wide = spark.range(0, 6400).selectExpr("CAST(id AS int) AS id", "CAST(id AS string) AS v")
@@ -1741,13 +1752,17 @@ def test_append_commit_bytes_independent_of_table_file_count(spark, tmp_path):
     b2 = (Path(big) / "_manifests" / "v2.json").stat().st_size
     s2 = (Path(small) / "_manifests" / "v2.json").stat().st_size
     b1 = (Path(big) / "_manifests" / "v1.json").stat().st_size
+    raw1 = _raw_manifest(big, 1)
     assert _raw_manifest(big, 2).get("kind") == "delta"
     assert _raw_manifest(small, 2).get("kind") == "delta"
     # delta size tracks the CHANGE (1 file), not the table (64 vs 2
-    # files): the two deltas are within noise of each other and the big
-    # table's delta is a small fraction of its full checkpoint
+    # files): the two deltas are within noise of each other
     assert b2 < 1.5 * s2 + 512
-    assert b2 < b1 / 5
+    # the 64-file table's full checkpoint JSON is bounded too — its
+    # per-file plane moved to the parquet sidecar
+    assert raw1.get("kind") == "checkpoint" and raw1["n_files"] == 64
+    assert b1 < 4096
+    assert (_plane_dir(big) / raw1["plane_file"]).is_file()
     # and the resolved snapshots still read exactly
     assert read_version(spark, big).count() == 6401
     assert read_version(spark, small).count() == 201
@@ -2004,9 +2019,11 @@ def test_bloom_multi_column_and_composition(spark, tmp_path):
     versioned_write(mk(0, "a"), t, bloom_by=["v", "w"])
     versioned_write(mk(10, "b"), t)
     versioned_write(mk(20, "c"), t)
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _bloom_masks_for
+
     m = _read_manifest(t, 3)
     assert all(
-        set(m["bloom"][f]) == {"v", "w"} for f in m["files"]
+        set(_bloom_masks_for(t, m, f)) == {"v", "w"} for f in m["files"]
     )
     # conjunction satisfiable in exactly one file
     got = read_version_bloom_multi(spark, t, {"v": ["b3"], "w": ["wb3"]})
@@ -2962,10 +2979,12 @@ def test_rename_column_bloom_bucket_partition_layouts(spark, tmp_path):
         spark.createDataFrame([(100, 9999)], "a int, kk int").coalesce(1),
         tb,
     )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _bloom_masks_for
+
     m = _read_manifest(tb, 3)
     assert m["bloom_by"]["cols"] == ["kk"]
     # masks keyed physical for every file, including the post-rename one
-    assert all("k" in m["bloom"][f] for f in m["files"])
+    assert all("k" in _bloom_masks_for(tb, m, f) for f in m["files"])
     got = read_version_bloom(spark, tb, "kk", [120, 9999])
     assert sorted(r["kk"] for r in got.collect()) == [120, 9999]
 
@@ -4298,3 +4317,455 @@ def test_cluster_by_auto_layout(spark, tmp_path):
         versioned_write(df, str(tmp_path / "t2"), cluster_by=["x"], partition_by=["x"])
     with pytest.raises(ValueError, match="partition_by or bucket_by"):
         versioned_write(df, str(tmp_path / "t3"), cluster_by=["x"], bucket_by=("id", 4))
+
+
+def test_parquet_checkpoint_resolution_equivalence():
+    """The parquet-plane checkpoint is a pure re-ENCODING: for any full
+    snapshot state, _load_checkpoint(_encode_checkpoint(state)) must
+    reproduce the state exactly — files and dv_files in committed
+    order, every per-file plane entry byte-identical, every table-level
+    key untouched.  Driven with a synthetic 5,000-file state so the
+    equivalence is checked at a scale where inline JSON would already
+    hurt, without writing 5,000 parquet files."""
+    import json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _encode_checkpoint,
+        _load_checkpoint,
+        _plane_dir,
+    )
+
+    n = 5000
+    files = [f"data/u{i // 100:03d}/part-{i:05d}.parquet" for i in range(n)]
+    state = {
+        "version": 10,
+        "mode": "append",
+        "committed_at": 1700000000.0,
+        "row_count": n * 1000,
+        "schema": {"type": "struct", "fields": [
+            {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]},
+        "files": files,
+        "file_stats": {
+            f: {"id": [i * 10, i * 10 + 9], "v": [f"a{i}", f"z{i}"]}
+            for i, f in enumerate(files)
+        },
+        "file_meta": {
+            f: {"bytes": 128 * 1024 * 1024, "rows": 1000,
+                "nulls": {"id": 0, "v": i % 3}}
+            for i, f in enumerate(files)
+        },
+        "bloom": {f: f"b-{i % 7:032d}.json" for i, f in enumerate(files)},
+        "bloom_by": {"cols": ["v"], "m": 8192, "k": 3},
+        "file_base": {files[0]: "/elsewhere/src"},
+        "dv_files": ["_deletes/x/part-0.parquet"],
+        "dv_counts": {files[1]: 17},
+        "dv_covers": {"_deletes/x/part-0.parquet": [files[1]]},
+        "constraints": {"id_pos": "id >= 0"},
+        "partition_by": [],
+    }
+    t = "/tmp/cp_equiv_test"
+    import shutil
+
+    shutil.rmtree(t, ignore_errors=True)
+    raw = _encode_checkpoint(t, dict(state))
+    # the committed JSON is O(columns): no file lists, no plane dicts
+    assert raw["kind"] == "checkpoint" and raw["n_files"] == n
+    assert "files" not in raw and "file_stats" not in raw
+    assert "bloom" not in raw and "dv_counts" not in raw
+    blob = json.dumps(raw, indent=1, default=dict)
+    assert len(blob) < 4096, (
+        f"checkpoint JSON must stay O(columns), got {len(blob)} bytes "
+        f"for {n} files"
+    )
+    plane = _plane_dir(t) / raw["plane_file"]
+    assert plane.is_file()
+    back = _load_checkpoint(t, json.loads(blob))
+    assert back == state, "decode(encode(state)) must be the identity"
+    # idempotent re-encode: same content -> same content-addressed file
+    raw2 = _encode_checkpoint(t, dict(state))
+    assert raw2["plane_file"] == raw["plane_file"]
+    assert len(list(_plane_dir(t).iterdir())) == 1
+    shutil.rmtree(t, ignore_errors=True)
+
+
+def test_checkpoint_goes_parquet_above_threshold(spark, tmp_path):
+    """End-to-end: a commit whose snapshot holds >=64 files writes the
+    parquet-plane checkpoint (v1 and every 10th version are full
+    checkpoints), later delta commits chain on it, reads and pruned
+    reads resolve identically, and vacuum's re-anchor keeps the bounded
+    form.  Small tables keep the legacy inline JSON (no sidecar)."""
+    import json
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _plane_dir
+
+    t = str(tmp_path / "big")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(700)], "id int, v string"
+    )
+    versioned_write(df.repartitionByRange(70, "id"), t)  # v1: 70 files
+    raw1 = json.loads((Path(t) / "_manifests" / "v1.json").read_text())
+    assert raw1.get("kind") == "checkpoint" and raw1["n_files"] == 70
+    assert "files" not in raw1
+    m1 = _read_manifest(t, 1)
+    assert len(m1["files"]) == 70 and m1["row_count"] == 700
+    assert len(m1["file_stats"]) == 70
+    # deltas chain on the parquet checkpoint
+    versioned_write(
+        spark.createDataFrame([(1000, "x")], "id int, v string").coalesce(1),
+        t,
+    )
+    raw2 = json.loads((Path(t) / "_manifests" / "v2.json").read_text())
+    assert raw2.get("kind") == "delta" and raw2["base"] == 1
+    m2 = _read_manifest(t, 2)
+    assert len(m2["files"]) == 71 and m2["row_count"] == 701
+    got = sorted(r["id"] for r in read_version(spark, t).collect())
+    assert got == sorted(list(range(700)) + [1000])
+    # vacuum dropping the checkpoint re-anchors the delta in bounded form
+    vacuum(t, keep_last=1)
+    raw2b = json.loads((Path(t) / "_manifests" / "v2.json").read_text())
+    assert raw2b.get("kind") == "checkpoint", (
+        "re-anchored wide manifest must keep the parquet-plane form"
+    )
+    assert sorted(r["id"] for r in read_version(spark, t).collect()) == got
+    # the dropped v1 checkpoint's plane file is swept; v2's stays
+    planes = {p.name for p in _plane_dir(t).iterdir()}
+    assert raw2b["plane_file"] in planes and raw1["plane_file"] not in planes
+    # small tables never grow a plane sidecar
+    s = str(tmp_path / "small")
+    versioned_write(df.limit(5).coalesce(1), s)
+    raws = json.loads((Path(s) / "_manifests" / "v1.json").read_text())
+    assert "kind" not in raws and "files" in raws
+    assert not _plane_dir(s).is_dir()
+
+
+def test_bloom_sidecars_survive_clone_merge_and_vacuum(spark, tmp_path):
+    """Bloom masks live in content-addressed sidecars resolved through
+    each file's root: a SHALLOW clone probes via the source's sidecars
+    (zero-copy), a DEEP clone copies them and probes standalone,
+    merge_branch lands branch-built sidecars in the parent (probing
+    survives branch deletion), and vacuum sweeps sidecars no retained
+    manifest references while keeping live ones."""
+    import shutil
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _bloom_dir,
+        clone_table,
+        create_branch,
+        merge_branch,
+        read_version_bloom,
+    )
+
+    t = str(tmp_path / "src")
+    mk = lambda lo, tag: spark.createDataFrame(
+        [(lo + i, f"{tag}{i}") for i in range(10)], "id int, v string"
+    ).coalesce(1)
+    versioned_write(mk(0, "a"), t, bloom_by=["v"])
+    versioned_write(mk(10, "b"), t)
+    # shallow clone: no sidecar copied, probe reads the source's
+    c1 = str(tmp_path / "shallow")
+    clone_table(t, c1)
+    assert not _bloom_dir(c1).is_dir()
+    assert _rows(read_version_bloom(spark, c1, "v", ["b3"])) == [(13, "b3")]
+    # deep clone: sidecars copied, probe survives source deletion
+    c2 = str(tmp_path / "deep")
+    clone_table(t, c2, deep=True)
+    assert {p.name for p in _bloom_dir(c2).iterdir()} == {
+        p.name for p in _bloom_dir(t).iterdir()
+    }
+    # branch work builds NEW masks under the branch root; merge copies
+    # the sidecar into the parent alongside the branch-written file
+    b = create_branch(t, "dev")
+    versioned_write(mk(20, "c"), b)
+    merge_branch(t, "dev")
+    shutil.rmtree(str(Path(t) / "_branches"))
+    assert _rows(read_version_bloom(spark, t, "v", ["c7"])) == [(27, "c7")]
+    # source deletion: the deep clone still probes, standalone
+    shutil.rmtree(t)
+    assert _rows(read_version_bloom(spark, c2, "v", ["a5"])) == [(5, "a5")]
+    # vacuum sweep: overwrite drops the old files' masks; their
+    # sidecars go, the new commit's sidecar stays, probes stay exact
+    t2 = str(tmp_path / "sweep")
+    versioned_write(mk(0, "a"), t2, bloom_by=["v"])
+    versioned_write(mk(10, "b"), t2)
+    before = {p.name for p in _bloom_dir(t2).iterdir()}
+    assert len(before) == 2
+    versioned_write(mk(30, "d"), t2, mode="overwrite")
+    vacuum(t2, keep_last=1)
+    after = {p.name for p in _bloom_dir(t2).iterdir()}
+    assert len(after) == 1 and not (after & before)
+    assert _rows(read_version_bloom(spark, t2, "v", ["d4"])) == [(34, "d4")]
+
+
+def test_add_column_default_fills_exactly_pre_evolution_rows(
+    spark, tmp_path
+):
+    """add_column ... DEFAULT (Delta default values / Iceberg
+    initial-default): rows written BEFORE the column existed read the
+    default (per-file commit-version stamps, never a blanket coalesce);
+    a later write OMITTING the column materializes it; a write CARRYING
+    the column keeps explicit NULLs.  Time travel before the add shows
+    no column; a rewrite materializes the default for rewritten rows
+    while untouched pre-files keep filling."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_column,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id int, v string"
+        ).repartitionByRange(2, "id"),
+        t,
+    )  # v1: 2 files, no 'status'
+    add_column(t, "status", "string", default="active")  # v2: metadata-only
+    m2 = _read_manifest(t, 2)
+    assert m2["column_defaults"]["status"] == {
+        "value": "active",
+        "since": 2,
+    }
+    got = {r["id"]: r["status"] for r in read_version(spark, t).collect()}
+    assert got == {i: "active" for i in range(6)}, (
+        "pre-evolution rows must read the default"
+    )
+    # v3: append WITHOUT the column -> default materialized at write
+    versioned_write(
+        spark.createDataFrame([(10, "x")], "id int, v string").coalesce(1),
+        t,
+    )
+    # v4: append WITH the column, one explicit NULL -> NULL survives
+    versioned_write(
+        spark.createDataFrame(
+            [(20, "y", "archived"), (21, "z", None)],
+            "id int, v string, status string",
+        ).coalesce(1),
+        t,
+    )
+    got = {r["id"]: r["status"] for r in read_version(spark, t).collect()}
+    assert got[10] == "active", "an omitting write materializes the default"
+    assert got[20] == "archived" and got[21] is None, (
+        "an explicit NULL after the add must STAY NULL"
+    )
+    assert all(got[i] == "active" for i in range(6))
+    # rewrite one pre-evolution file: its rows materialize; the other
+    # pre-file keeps filling through the per-file stamp
+    versioned_upsert(
+        spark.createDataFrame([(0, "NEW")], "id int, v string"), t, ["id"]
+    )
+    got = {r["id"]: r["status"] for r in read_version(spark, t).collect()}
+    assert got[0] == "active" and got[5] == "active" and got[21] is None
+    # time travel before the add: no column at all
+    old = read_version(spark, t, 1)
+    assert "status" not in old.columns
+    # CDF across the add keeps vintages honest: v1 rows have no status
+    # plain add (no default): NULLs, no defaults entry
+    add_column(t, "note", "string")
+    m = _read_manifest(t, versions(t)[-1])
+    assert "note" not in (m.get("column_defaults") or {})
+    assert all(
+        r["note"] is None for r in read_version(spark, t).collect()
+    )
+    # duplicate add refuses
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(t, "status", "string")
+
+
+def test_add_column_default_follows_rename_drop_and_compact(
+    spark, tmp_path
+):
+    """Lifecycle: a default follows its column through rename_column,
+    dies with drop_column, and compact() materializes it table-wide
+    (after which the fill machinery is moot — rows physically carry
+    their values)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_column,
+        compact,
+        drop_column,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "id int, v string"
+        ).coalesce(1),
+        t,
+    )
+    add_column(t, "tier", "int", default=3)
+    rename_column(t, "tier", "level")
+    m = _read_manifest(t, versions(t)[-1])
+    assert set(m["column_defaults"]) == {"level"}
+    assert {r["level"] for r in read_version(spark, t).collect()} == {3}
+    compact(spark, t, target_files=1)
+    mc = _read_manifest(t, versions(t)[-1])
+    got = read_version(spark, t)
+    assert {r["level"] for r in got.collect()} == {3}
+    # post-compact the rows physically carry the value: no pre-file
+    # remains (every file's stamp >= since)
+    fmeta = mc.get("file_meta") or {}
+    since = mc["column_defaults"]["level"]["since"]
+    assert all(
+        (fmeta.get(f) or {}).get("v", 0) >= since for f in mc["files"]
+    )
+    drop_column(t, "level")
+    md = _read_manifest(t, versions(t)[-1])
+    assert "column_defaults" not in md
+    assert "level" not in read_version(spark, t).columns
+
+
+def test_not_null_constraint_lifecycle(spark, tmp_path):
+    """set_not_null (Delta ALTER COLUMN SET NOT NULL): refuses over
+    existing NULLs, gates every write path once set, composes with
+    column defaults (an omitting write materializes the default and
+    passes), refuses rename/drop while set, and drop_not_null restores
+    nullability."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        CheckConstraintViolation,
+        add_column,
+        drop_not_null,
+        rename_column,
+        set_not_null,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, None)], "id int, v string"
+        ).coalesce(1),
+        t,
+    )
+    # existing NULLs refuse the declaration (Delta's rule)
+    with pytest.raises(CheckConstraintViolation, match="not_null_v"):
+        set_not_null(spark, t, "v")
+    versioned_write(
+        spark.createDataFrame([(2, "fixed")], "id int, v string"), t,
+        mode="overwrite",
+    )
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id int, v string"), t
+    )
+    v = set_not_null(spark, t, "v")
+    m = _read_manifest(t, v)
+    assert m["constraints"]["not_null_v"] == "`v` IS NOT NULL"
+    # every write path gates: append, upsert
+    with pytest.raises(CheckConstraintViolation, match="not_null_v"):
+        versioned_write(
+            spark.createDataFrame([(9, None)], "id int, v string"), t
+        )
+    with pytest.raises(CheckConstraintViolation, match="not_null_v"):
+        versioned_upsert(
+            spark.createDataFrame([(1, None)], "id int, v string"), t, ["id"]
+        )
+    # composes with defaults: an OMITTING write materializes and passes
+    add_column(t, "status", "string", default="ok")
+    set_not_null(spark, t, "status")
+    versioned_write(
+        spark.createDataFrame([(7, "g")], "id int, v string"), t
+    )
+    got = {r["id"]: r["status"] for r in read_version(spark, t).collect()}
+    assert got[7] == "ok" and all(s == "ok" for s in got.values())
+    # an explicit NULL in the carried column still refuses
+    with pytest.raises(CheckConstraintViolation, match="not_null_status"):
+        versioned_write(
+            spark.createDataFrame(
+                [(8, "h", None)], "id int, v string, status string"
+            ),
+            t,
+        )
+    # rename/double-set refuse honestly while set
+    with pytest.raises(ValueError, match="referenced by"):
+        rename_column(t, "v", "w")
+    with pytest.raises(ValueError, match="already NOT NULL"):
+        set_not_null(spark, t, "v")
+    # drop restores nullability
+    drop_not_null(t, "v")
+    versioned_write(
+        spark.createDataFrame([(9, None)], "id int, v string"), t
+    )
+    assert read_version(spark, t).filter("v IS NULL").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_not_null(t, "nope")
+
+
+def test_merge_branch_diverged_three_way_policies(spark, tmp_path):
+    """Diverged-branch one-call merge: spark+keys turns the refusal
+    into a 3-way keyed merge — one-sided changes from BOTH lineages
+    survive, identical both-side changes dedupe, and keys changed
+    differently on both sides follow the conflict policy: 'fail'
+    raises with samples (nothing committed), 'theirs' takes the
+    branch, 'ours' keeps the parent."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        create_branch,
+        merge_branch,
+        versioned_upsert,
+    )
+
+    def build(root):
+        t = str(tmp_path / root)
+        versioned_write(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(10)], "id int, v string"
+            ).repartitionByRange(2, "id"),
+            t,
+        )
+        b = create_branch(t, "dev")
+        mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+        # branch: update 3 (conflict), update 5 (identical), insert 100
+        versioned_upsert(mk([(3, "B3"), (5, "SAME"), (100, "B100")]), b, ["id"])
+        # parent diverges: update 3 differently, update 5 identically,
+        # update 7 (one-sided), insert 200
+        versioned_upsert(mk([(3, "P3"), (5, "SAME"), (7, "P7"), (200, "P200")]), t, ["id"])
+        return t
+
+    t = build("fail")
+    with pytest.raises(ValueError, match="changed key"):
+        merge_branch(t, "dev", spark=spark, keys=["id"])
+    assert versions(t) == [1, 2], "a failed merge must commit nothing"
+
+    t = build("theirs")
+    v = merge_branch(t, "dev", spark=spark, keys=["id"], conflict="theirs")
+    got = {r["id"]: r["v"] for r in read_version(spark, t, v).collect()}
+    assert got[3] == "B3", "theirs: the branch wins the conflict"
+    assert got[5] == "SAME" and got[7] == "P7"
+    assert got[100] == "B100" and got[200] == "P200", (
+        "one-sided changes from both lineages must survive"
+    )
+    assert len(got) == 12
+
+    t = build("ours")
+    v = merge_branch(t, "dev", spark=spark, keys=["id"], conflict="ours")
+    got = {r["id"]: r["v"] for r in read_version(spark, t, v).collect()}
+    assert got[3] == "P3", "ours: the parent wins the conflict"
+    assert got[5] == "SAME" and got[7] == "P7"
+    assert got[100] == "B100" and got[200] == "P200"
+
+    # no conflicts at all: 'fail' merges cleanly (identical changes
+    # dedupe, nothing double-applied)
+    t = str(tmp_path / "clean")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id int, v string"
+        ).coalesce(1),
+        t,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_branch as _cb
+
+    b = _cb(t, "dev")
+    versioned_upsert(
+        spark.createDataFrame([(1, "B1")], "id int, v string"), b, ["id"]
+    )
+    versioned_upsert(
+        spark.createDataFrame([(4, "P4")], "id int, v string"), t, ["id"]
+    )
+    v = merge_branch(t, "dev", spark=spark, keys=["id"])
+    got = {r["id"]: r["v"] for r in read_version(spark, t, v).collect()}
+    assert got[1] == "B1" and got[4] == "P4" and len(got) == 6
+
+    # unknown policy refuses before any work
+    with pytest.raises(ValueError, match="conflict policy"):
+        merge_branch(t, "dev", spark=spark, keys=["id"], conflict="both")
