@@ -79,9 +79,10 @@ into the same zone maps as a [b, b] range.  ``read_version_keyed``
 point lookups and keyed upserts/CDC applies then confine themselves to
 the touched buckets — the prune that works when keys are uniformly
 distributed and min/max ranges span every file.  ``bloom_by=[cols]``
-adds the third pruning tier: per-file bloom bitmasks in the manifest
-for point/IN lookups (``read_version_bloom``) on columns the layout
-does NOT cluster.
+adds the third pruning tier: per-file bloom bitmasks for point/IN
+lookups (``read_version_bloom``) on columns the layout does NOT
+cluster — the manifest carries an O(40 B) content-addressed sidecar
+reference per file (``_manifests/blooms/``), probes load masks lazily.
 
 ``clone_table`` is SHALLOW CLONE (metadata-only commit whose
 ``file_base`` reads the source's files in place; rewrites materialize
@@ -151,13 +152,19 @@ def versions(path: str) -> list[int]:
 #   bytes scale with the CHANGED files, never the table;
 # - every ``_CHECKPOINT_INTERVAL``-th version (and v1, and any commit
 #   whose carried-file order a delta can't express) is a FULL
-#   checkpoint in the exact legacy format (no "kind" key), so pre-delta
-#   tables read unchanged and the resolution chain is bounded;
+#   checkpoint: above ``_CHECKPOINT_PARQUET_MIN_FILES`` the file lists
+#   + per-file plane move to a content-addressed PARQUET sidecar under
+#   ``_manifests/plane/`` and the JSON keeps O(columns)
+#   (``_encode_checkpoint`` — the Delta parquet-checkpoint / Iceberg
+#   manifest-list shape); small tables keep the legacy inline form
+#   (no "kind" key) and pre-delta tables read unchanged;
 # - ``_read_manifest`` resolves checkpoint + delta tail into the full
 #   snapshot dict every consumer already expects, memoized per
 #   (path, version, file signature) so repeated reads cost O(1);
 # - ``vacuum`` re-anchors any RETAINED delta whose base manifest is
-#   being dropped by rewriting it as its resolved full form first.
+#   being dropped by rewriting it as its resolved full form first
+#   (bounded encoding preserved), and sweeps plane/bloom sidecars no
+#   retained manifest references.
 _CHECKPOINT_INTERVAL = 10
 
 # How many consecutive lost commit races an APPEND re-validates and
