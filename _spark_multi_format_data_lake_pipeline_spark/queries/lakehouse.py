@@ -2253,3 +2253,163 @@ def q275_versioned_stream_drain(
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).parquet(out)
+
+
+@register(
+    "q276_versioned_change_feed",
+    oracle="""
+    -- materialized CDF over (enable, head]: the upsert emits
+    -- update_pre/postimages for keys %3==0 (price doubled) and inserts
+    -- for odd %5==0 keys; the delete emits the %7==0 survivors of the
+    -- even slice; the follow-up append emits odd %9==0 keys as inserts
+    WITH evens AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type,
+           CAST(3 AS BIGINT) AS _commit_version
+    FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice * 2, 2), 'update_postimage',
+           3 FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 3 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                ELSE o_totalprice END,
+           'delete', 4
+    FROM evens WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 5 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+    """,
+    doc="End-to-end CHANGE DATA FEED (Delta CDF architecture — "
+        "materialized per-commit change files, NOT a snapshot diff): "
+        "enable_change_data_feed, then an upsert (doubling %3 prices + "
+        "inserting %5 odds), a DV delete of %7 keys, and a plain "
+        "append of %9 odds.  read_change_feed serves the whole range "
+        "at O(changed rows): the upsert's update_preimage/postimage/"
+        "insert rows and the delete's rows come from _change_data/ "
+        "files written AT COMMIT TIME, the append serves its data "
+        "files directly as inserts (no feed files needed — Delta's "
+        "optimization).  The driver hash proves pre/postimages carry "
+        "exact payloads and versions.  At 100 TB this is what makes "
+        "'what changed since v N' cost the changes, not two table "
+        "scans + a full-outer join (read_changes stays as the keyed "
+        "snapshot-diff fallback). sinks/versioned.py:"
+        "enable_change_data_feed/_write_cdf/read_change_feed.",
+)
+def q276_versioned_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q276_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    chg = (
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .unionByName(od.filter(k % 2 == 1).filter(k % 5 == 0))
+    )
+    versioned_upsert(chg, t, ["o_orderkey"])  # v3
+    versioned_delete(spark, t, "o_orderkey % 7 = 0", strategy="dv")  # v4
+    versioned_write(
+        od.filter(k % 2 == 1).filter(k % 9 == 0).repartition(2), t
+    )  # v5
+    return read_change_feed(spark, t, 2, 5)
+
+
+@register(
+    "q277_versioned_stream_change_feed",
+    oracle="""
+    -- streaming CDF drain: bootstrap snapshot inserts (v1 evens) +
+    -- the upsert's pre/post/insert rows + the DV delete rows, all
+    -- tagged with _change_type/_commit_version
+    WITH evens AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM evens
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 3
+    FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice * 2, 2), 'update_postimage', 3
+    FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 3 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                ELSE o_totalprice END,
+           'delete', 4
+    FROM evens WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0 AND o_orderkey % 7 = 0
+    """,
+    doc="End-to-end STREAMING CDF (Delta's readChangeFeed): a "
+        "versioned_changes stream with readChangeFeed=true no longer "
+        "refuses row-level commits — the upsert and the DV delete "
+        "stream their MATERIALIZED change rows (update_preimage/"
+        "postimage/insert/delete + _commit_version), the bootstrap "
+        "snapshot streams as inserts, and the drained sink hash proves "
+        "stream == batch feed exactly.  Planned like every other "
+        "micro-batch: partitions are the commit's _change_data files, "
+        "metadata-only planning, rate caps compose. "
+        "sources/versioned_stream.py:_iter_new_files kind='cdf'; "
+        "batch twin q276; contradictory-options refusal pinned in "
+        "tests/test_versioned.py.",
+)
+def q277_versioned_stream_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        enable_change_data_feed,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+    from ..sources.versioned_stream import drain_versioned_changes
+
+    base = tempfile.mkdtemp(prefix="q277_vtbl_")
+    t, out, ckpt = base + "/t", base + "/out", base + "/ckpt"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    chg = (
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .unionByName(od.filter(k % 2 == 1).filter(k % 5 == 0))
+    )
+    versioned_upsert(chg, t, ["o_orderkey"])  # v3
+    versioned_delete(spark, t, "o_orderkey % 7 = 0", strategy="dv")  # v4
+    drain_versioned_changes(
+        spark, t, out, ckpt, extra_options={"readChangeFeed": "true"}
+    )
+    return spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, _change_type string, "
+        "_commit_version long"
+    ).parquet(out)

@@ -868,6 +868,7 @@ def _write_snapshot(
     cluster_by: list[str] | None = None,
     read_range: tuple | None = None,
     content_independent: bool = False,
+    cdf_files: list[str] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -1318,6 +1319,10 @@ def _write_snapshot(
         }
         if live_cd:
             manifest["column_defaults"] = live_cd
+    if _cdf_on(prev):  # the feed property rides every commit
+        manifest["change_data_feed"] = True
+    if cdf_files:  # THIS commit's materialized change rows (never carried)
+        manifest["cdf_files"] = cdf_files
     if gen:
         manifest["generated_columns"] = gen
     if ident:
@@ -2857,6 +2862,8 @@ def rollback(path: str, to_version: int) -> int:
 
     m = dict(_read_manifest(path, to_version))
     txn = m.pop("txn_id", None)
+    m.pop("cdf_files", None)  # per-commit key: the rollback did not
+    # produce the source commit's change rows
     vs = versions(path)
     nxt = vs[-1] + 1
     manifest = {
@@ -2931,6 +2938,7 @@ def clone_table(
         "file_base": file_base,
     }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     if deep:
         import shutil
         from concurrent.futures import ThreadPoolExecutor
@@ -3213,6 +3221,7 @@ def merge_branch(
         "committed_at": time.time(),
     }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     manifest.pop("file_base", None)
     try:
         return _commit_state(path, manifest, _read_manifest(path, pvs[-1]))
@@ -3397,10 +3406,11 @@ def vacuum(
         m = _read_manifest(path, v)
         live.update(m["files"])
         live.update(m.get("dv_files") or [])
+        live.update(m.get("cdf_files") or [])
     live |= _branch_live_files(path)
     if dry_run:
         would = []
-        for root_name in ("data", "_deletes"):
+        for root_name in ("data", "_deletes", "_change_data"):
             data_root = Path(path) / root_name
             if not data_root.is_dir():
                 continue
@@ -3428,7 +3438,7 @@ def vacuum(
             os.replace(tmp, mp)
             _uncache_version(path, v)
     deleted = []
-    for root_name in ("data", "_deletes"):
+    for root_name in ("data", "_deletes", "_change_data"):
         data_root = Path(path) / root_name
         if not data_root.is_dir():
             continue
@@ -3726,14 +3736,51 @@ def versioned_upsert(
     candidates, untouched = _bucket_confine(m, df, candidates, untouched)
     df = _materialize_defaults(df, m)  # an omitting change set fills,
     # BEFORE the union would NULL-fill it against the survivors
+    cdf = None
     if candidates:
         cur = _read_files(spark, path, candidates, m)
-        survivors = cur.join(df.select(*keys).distinct(), keys, "left_anti")
+        dk = df.select(*keys).distinct()
+        survivors = cur.join(dk, keys, "left_anti")
         out = survivors.unionByName(df, allowMissingColumns=True)
+        if _cdf_on(m):
+            # MERGE-shaped feed rows (Delta CDF): replaced current rows
+            # are update_preimage, their replacements update_postimage,
+            # new keys insert — key membership decided over the
+            # candidates only (untouched files provably hold no change-
+            # range keys, the same zone-map argument as the rewrite)
+            ck = cur.select(*keys).distinct()
+            feed = (
+                cur.join(dk, keys, "left_semi")
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    df.join(ck, keys, "left_semi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    df.join(ck, keys, "left_anti").withColumn(
+                        "_change_type", F.lit("insert")
+                    ),
+                    allowMissingColumns=True,
+                )
+            )
+            cdf = _write_cdf(feed, path, _column_mapping(m))
     else:
         out = df
+        if _cdf_on(m):
+            cdf = _write_cdf(
+                df.withColumn("_change_type", F.lit("insert")),
+                path,
+                _column_mapping(m),
+            )
     return _write_snapshot(
-        out, path, "upsert", carry_files=untouched, read_range=(pc, lo, hi)
+        out,
+        path,
+        "upsert",
+        carry_files=untouched,
+        read_range=(pc, lo, hi),
+        cdf_files=cdf,
     )
 
 
@@ -3811,7 +3858,17 @@ def versioned_delete(
             ),
         )
     cur = _read_files(spark, path, candidates, m)
-    survivors = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    survivors = cur.filter(~pred)
+    cdf = (
+        _write_cdf(
+            cur.filter(pred).withColumn("_change_type", F.lit("delete")),
+            path,
+            _column_mapping(m),
+        )
+        if _cdf_on(m)
+        else None
+    )
     return _write_snapshot(
         survivors,
         path,
@@ -3820,6 +3877,7 @@ def versioned_delete(
         read_range=(
             (prune_col, lo, hi) if prune_col is not None else None
         ),
+        cdf_files=cdf,
     )
 
 
@@ -3843,10 +3901,20 @@ def _delete_with_vectors(
     from pyspark.sql import functions as F
 
     cur = _read_files(spark, path, candidates, m, keep_lineage=True)
-    matched = cur.filter(
-        F.coalesce(F.expr(predicate), F.lit(False))
-    ).select(
+    hit = cur.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    matched = hit.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    cdf_files = (
+        _write_cdf(
+            hit.drop("__dv_file", "__dv_pos").withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            path,
+            _column_mapping(m),
+        )
+        if _cdf_on(m)
+        else None
     )
     dv_rel = f"_deletes/{uuid.uuid4().hex}"
     matched.write.mode("error").parquet(str(Path(path) / dv_rel))
@@ -3894,6 +3962,9 @@ def _delete_with_vectors(
             "row_count": base["row_count"] - total,
         }
         out.pop("txn_id", None)
+        out.pop("cdf_files", None)
+        if cdf_files:
+            out["cdf_files"] = cdf_files
         if merged:
             out["dv_counts"] = merged
             out["dv_files"] = (base.get("dv_files") or []) + new_dv_files
@@ -4070,6 +4141,26 @@ def versioned_update(
             for c in cur.columns
         )
     )
+    cdf = None
+    if _cdf_on(m):
+        hit = cur.filter(pred)
+        upd = hit.select(
+            *(
+                F.expr(set_exprs[c]).cast(cur.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cur.columns
+            )
+        )
+        cdf = _write_cdf(
+            hit.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                upd.withColumn("_change_type", F.lit("update_postimage"))
+            ),
+            path,
+            _column_mapping(m),
+        )
     return _write_snapshot(
         out,
         path,
@@ -4078,6 +4169,7 @@ def versioned_update(
         read_range=(
             (prune_col, lo, hi) if prune_col is not None else None
         ),
+        cdf_files=cdf,
     )
 
 
@@ -4170,6 +4262,14 @@ def versioned_apply_changes(
         )
         return _write_snapshot(out, path, "upsert", carry_files=[])
     m = _read_manifest(path, vs[-1])
+    if _cdf_on(m):
+        raise ValueError(
+            "versioned_apply_changes does not yet materialize change "
+            "data feed rows; on a change_data_feed table use "
+            "versioned_upsert / versioned_delete / versioned_update "
+            "(which do), or disable_change_data_feed first — a silent "
+            "gap in the feed would be worse than this refusal"
+        )
     if has_by_source:
         # by-source clauses touch rows no change-row key points at:
         # zone-map confinement on the batch's key range would leave
@@ -4298,6 +4398,7 @@ def rename_column(path: str, old: str, new: str) -> int:
             (new if k == old else k): v for k, v in cd.items()
         }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
 
 
@@ -4412,6 +4513,7 @@ def drop_column(path: str, name: str) -> int:
         else:
             manifest.pop("column_defaults", None)
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
 
 
@@ -4492,6 +4594,7 @@ def add_column(
             name: {"value": default, "since": version},
         }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
 
 
@@ -4531,7 +4634,105 @@ def add_check_constraint(
         "constraints": {**m.get("constraints", {}), name: expr},
     }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
+
+
+# --- change data feed: materialized per-commit change files ----------
+#
+# ``read_changes`` (above) diffs two SNAPSHOTS — always correct, but
+# O(table) per call (two scans + a full-outer join).  Delta's CDF
+# instead materializes each row-level commit's change rows into
+# ``_change_data/`` files AT COMMIT TIME, so reading a version range
+# costs O(changed rows); appends need no files (their new data files
+# ARE the insert rows) and compaction emits nothing (row set
+# unchanged).  Same architecture here: ``enable_change_data_feed``
+# flips a table property; upsert/delete/update then write their
+# insert / update_preimage / update_postimage / delete rows (physical
+# column names, like data files) to a ``_change_data/<uuid>/`` dir
+# listed in THAT commit's manifest under ``cdf_files`` — a per-commit
+# key, never carried (every manifest-spreading verb pops it).
+# ``read_change_feed`` serves a range; the streaming source's
+# ``readChangeFeed`` option follows it live.  Vacuum keeps the cdf
+# files of retained manifests and sweeps the rest.
+
+
+def _cdf_on(m: dict) -> bool:
+    return bool(m.get("change_data_feed"))
+
+
+def enable_change_data_feed(path: str) -> int:
+    """Delta ``TBLPROPERTIES (delta.enableChangeDataFeed = true)``:
+    from the NEXT row-level commit on, upsert/delete/update materialize
+    their change rows under ``_change_data/`` and ``read_change_feed``
+    / the stream's ``readChangeFeed`` serve them at O(changed rows).
+    Commits from BEFORE enablement have no change files — feed reads
+    across them raise honestly (``read_changes`` still serves any
+    range by snapshot diff).  Metadata-only commit."""
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    if _cdf_on(m):
+        return vs[-1]
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": "enable-cdf",
+        "committed_at": time.time(),
+        "change_data_feed": True,
+    }
+    manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
+    return _commit_state(path, manifest, m)
+
+
+def disable_change_data_feed(path: str) -> int:
+    """Stop materializing change rows (metadata-only commit); already-
+    written feed files stay readable for their versions."""
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    if not _cdf_on(m):
+        return vs[-1]
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": "disable-cdf",
+        "committed_at": time.time(),
+    }
+    manifest.pop("change_data_feed", None)
+    manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
+    return _commit_state(path, manifest, m)
+
+
+def _write_cdf(feed: DataFrame, path: str, cmap: dict) -> list[str]:
+    """Materialize one commit's change rows (payload columns +
+    ``_change_type``) as parquet under ``_change_data/<uuid>/`` —
+    PHYSICAL column names, exactly like data files, so renames stay
+    zero-cost — and return the relative file list for the manifest."""
+    from pyspark.sql import functions as F
+
+    if cmap:
+        feed = feed.select(
+            [
+                F.col(c).alias(cmap.get(c, c))
+                for c in feed.columns
+            ]
+        )
+    rel_dir = f"_change_data/{uuid.uuid4().hex}"
+    feed.write.mode("error").parquet(str(Path(path) / rel_dir))
+    return sorted(
+        str(p.relative_to(path))
+        for p in (Path(path) / rel_dir).rglob("*.parquet")
+        if p.is_file()
+    )
 
 
 def set_not_null(spark: SparkSession, path: str, column: str) -> int:
@@ -4590,6 +4791,7 @@ def drop_check_constraint(path: str, name: str) -> int:
         "constraints": cons,
     }
     manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
 
 
@@ -4707,6 +4909,157 @@ def read_changes(
                 c, F.lit(None).cast(new.schema[c].dataType)
             )
     return table_diff(old, new, list(key_cols), op_col=op_col)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta-CDF-shaped change feed over (from_version, to_version]:
+    table columns (the TO version's logical schema) plus
+    ``_change_type`` ∈ insert / update_preimage / update_postimage /
+    delete and ``_commit_version``.  Served from MATERIALIZED
+    per-commit change files (``enable_change_data_feed``), so cost is
+    O(changed rows) — never the O(table) snapshot diff
+    ``read_changes`` pays (that reader stays available for any range,
+    keyed, without feed files):
+
+    - append commits serve their new data files directly as inserts
+      (no change files written or needed — Delta's optimization);
+    - upsert/delete(cow+dv)/update commits serve their ``cdf_files``;
+    - overwrite serves delete-all (the previous snapshot) + insert-all
+      (the new one) — O(table), the honest cost of an overwrite;
+    - compact and metadata-only commits emit nothing (row set
+      unchanged);
+    - a row-level commit WITHOUT feed files (committed before
+      enablement, or an unsupported verb) raises — a silent gap would
+      be worse.
+
+    Columns follow the TO version's logical names through physical
+    identity (renames bridge, drops leave, later adds read NULL for
+    earlier commits)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType as _LongT
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    to_v = vs[-1] if to_version is None else to_version
+    if to_v not in vs:
+        raise ValueError(f"version {to_v} not in {vs}")
+    if from_version >= to_v:
+        raise ValueError(
+            f"read_change_feed: need from_version < to_version, got "
+            f"({from_version}, {to_v})"
+        )
+    if from_version != 0 and from_version not in vs:
+        raise ValueError(
+            f"read_change_feed: from_version {from_version} was "
+            f"vacuumed (have {vs}); changes before the retention "
+            "horizon are unreconstructable"
+        )
+    m_to = _read_manifest(path, to_v)
+    ct = _column_mapping(m_to)
+    to_t = StructType.fromJson(m_to["schema"])
+    out_fields = [
+        f for f in to_t.fields if f.name != _BUCKET_COL
+    ]
+
+    def _align(df: DataFrame, v: int) -> DataFrame:
+        sel = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out_fields
+        ]
+        return df.select(
+            *sel,
+            F.col("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    frames = []
+    prev = (
+        _read_manifest(path, from_version) if from_version in vs
+        else {"files": []}
+    )
+    for v in [x for x in vs if from_version < x <= to_v]:
+        m = _read_manifest(path, v)
+        mode = str(m.get("mode", ""))
+        same_rows = (
+            m["files"] == prev.get("files")
+            and (m.get("dv_files") or []) == (prev.get("dv_files") or [])
+            and dict(m.get("dv_counts") or {})
+            == dict(prev.get("dv_counts") or {})
+        )
+        cdf = m.get("cdf_files") or []
+        if cdf:
+            # physical names + _change_type, read under the TO schema's
+            # physical types (widened columns upcast like data files)
+            phys = StructType(
+                [
+                    StructField(
+                        ct.get(f.name, f.name), f.dataType, True
+                    )
+                    for f in out_fields
+                ]
+                + [StructField("_change_type", StringType(), False)]
+            )
+            df = spark.read.schema(phys).parquet(
+                *[str(Path(path) / f) for f in cdf]
+            )
+            rev = {ct.get(f.name, f.name): f.name for f in out_fields}
+            df = df.select(
+                [
+                    F.col(c).alias(rev.get(c, c)) for c in df.columns
+                ]
+            )
+            frames.append(_align(df, v))
+        elif same_rows:
+            pass  # metadata-only: no row changed
+        elif mode == "append" or v == vs[0]:
+            pf = set(prev.get("files") or [])
+            new_files = [f for f in m["files"] if f not in pf]
+            if new_files:
+                df = _read_files(spark, path, new_files, m).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                frames.append(_align(df, v))
+        elif mode == "overwrite":
+            old = read_version(spark, path, prev["version"]).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            new = read_version(spark, path, v).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            frames.append(_align(old, v))
+            frames.append(_align(new, v))
+        elif mode == "compact":
+            pass  # row-preserving rewrite: the feed is empty
+        else:
+            raise ValueError(
+                f"read_change_feed: version {v} is a {mode!r} commit "
+                "with no materialized change files (committed before "
+                "enable_change_data_feed, or an unsupported verb) — "
+                "use read_changes(from, to, keys) for the snapshot-"
+                "diff fallback"
+            )
+        prev = m
+    if not frames:
+        empty = StructType(
+            list(out_fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", _LongT(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def last_txn_id(path: str) -> str | None:

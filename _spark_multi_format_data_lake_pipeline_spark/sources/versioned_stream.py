@@ -89,6 +89,22 @@ from ..sinks.versioned import (
 # change)
 _APPEND_MODES = ("append",)
 
+# extra output fields of readChangeFeed mode (Delta streaming CDF)
+_CDF_FIELDS = [
+    {
+        "name": "_change_type",
+        "type": "string",
+        "nullable": True,
+        "metadata": {},
+    },
+    {
+        "name": "_commit_version",
+        "type": "long",
+        "nullable": True,
+        "metadata": {},
+    },
+]
+
 
 class _FilePartition(InputPartition):
     def __init__(
@@ -129,6 +145,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        # readChangeFeed (Delta's streaming CDF): row-level commits no
+        # longer refuse — their MATERIALIZED change files
+        # (enable_change_data_feed) stream as update_preimage /
+        # update_postimage / delete rows, appends stream their data
+        # files as inserts, and every row carries _change_type +
+        # _commit_version.  Contradicts skipChangeCommits (one ignores
+        # changes, the other demands them).
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed and self.skip_change_commits:
+            raise ValueError(
+                "versioned_changes: readChangeFeed and skipChangeCommits "
+                "are contradictory — one demands row changes, the other "
+                "ignores them"
+            )
         # Rate limiting (Delta's maxFilesPerTrigger/maxBytesPerTrigger):
         # cap each micro-batch's admitted data files / manifest-recorded
         # bytes.  ``latestOffset`` then returns SUB-COMMIT offsets
@@ -167,6 +199,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._fields = _visible_fields(
             m["schema"], bool(m.get("bucket_by"))
         )
+        if self.read_change_feed:
+            self._fields = list(self._fields) + _CDF_FIELDS
         # column resolution pairs with the FIELD LIST's vintage, not
         # each planned commit's: physical names are stable forever, so
         # the construction-time logical->physical mapping locates every
@@ -285,15 +319,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return self._start_offset()
 
     def _iter_new_files(self, lo: int, ev: int, vs: list[int]):
-        """Walk versions in (lo, ev], yielding (v, manifest, new_files,
-        is_first) for each commit that contributes rows — the shared
-        commit-follow logic of ``partitions`` (which builds input
-        partitions from the yields) and the capped ``latestOffset``
-        (which only counts files/bytes).  Metadata-only commits are
-        passed over; non-append change commits raise unless
-        ``skipChangeCommits``.  ``new_files`` follows the manifest's
-        committed file-list order, so slicing by a checkpointed
-        ``file_index`` replays identically."""
+        """Walk versions in (lo, ev], yielding (v, manifest, files,
+        is_first, kind) for each commit that contributes rows — the
+        shared commit-follow logic of ``partitions`` (which builds
+        input partitions from the yields) and the capped
+        ``latestOffset`` (which only counts files/bytes).  ``kind`` is
+        ``"data"`` (files are new DATA files — append rows / the
+        bootstrap snapshot) or ``"cdf"`` (files are the commit's
+        materialized CHANGE files, readChangeFeed mode).  Metadata-only
+        commits are passed over; non-append change commits raise
+        unless ``skipChangeCommits`` (ignored) or ``readChangeFeed``
+        (streamed from their feed files; raising when a row-level
+        commit carries none — a silent gap would be worse).  File
+        lists follow the manifest's committed order, so slicing by a
+        checkpointed ``file_index`` replays identically."""
         prev: dict | None = None
         any_planned = False
         for v in vs:
@@ -322,16 +361,33 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 continue
             is_append = m.get("mode") in _APPEND_MODES or is_first
             if not is_append:
+                if self.read_change_feed:
+                    if m.get("mode") == "compact":
+                        continue  # row-preserving rewrite: empty feed
+                    cdf = m.get("cdf_files") or []
+                    if not cdf:
+                        raise ValueError(
+                            f"versioned_changes: version {v} is a "
+                            f"{m.get('mode')!r} commit with no "
+                            "materialized change files — committed "
+                            "before enable_change_data_feed, or an "
+                            "unsupported verb; restart from a fresh "
+                            "checkpoint past it or use the batch "
+                            "read_changes fallback"
+                        )
+                    yield v, m, cdf, False, "cdf"
+                    continue
                 if not self.skip_change_commits:
                     raise ValueError(
                         f"versioned_changes: version {v} is a "
                         f"{m.get('mode')!r} commit — an append-only "
                         "stream cannot represent row changes; set "
-                        "skipChangeCommits=true to ignore them "
-                        "(Delta's contract)"
+                        "skipChangeCommits=true to ignore them, or "
+                        "readChangeFeed=true to stream their "
+                        "materialized change rows (Delta's contract)"
                     )
                 continue
-            yield v, m, new_files, is_first
+            yield v, m, new_files, is_first, "data"
         if not any_planned and ev > lo:
             # range referenced versions that no longer exist (vacuumed):
             # honest error beats silently streaming nothing
@@ -379,7 +435,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         nbytes = 0
         mark = dict(cur)
         snap = bool(cur.get("snapshot_start"))
-        for v, m, new_files, _is_first in self._iter_new_files(
+        for v, m, new_files, _is_first, _kind in self._iter_new_files(
             lo, vs[-1], vs
         ):
             meta = m.get("file_meta") or {}
@@ -512,13 +568,30 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "horizon must be reprocessed explicitly)"
                 )
         lo = sv - 1 if s_idx is not None else sv
-        for v, m, new_files, is_first in self._iter_new_files(lo, ev, vs):
+        for v, m, new_files, is_first, kind in self._iter_new_files(
+            lo, ev, vs
+        ):
             indexed = list(enumerate(new_files))
             if s_idx is not None and v == sv:
                 indexed = indexed[s_idx:]
             if e_idx is not None and v == ev:
                 indexed = [p for p in indexed if p[0] < e_idx]
             if not indexed:
+                continue
+            if kind == "cdf":
+                # materialized change files: no hive partition values,
+                # no DV interplay; _change_type rides IN the parquet,
+                # _commit_version rides as a constant (readChangeFeed
+                # guarantees the extra fields are in self._fields)
+                for _i, f in indexed:
+                    out.append(
+                        _FilePartition(
+                            str(Path(self.path) / f),
+                            {"_commit_version": v},
+                            m.get("column_mapping") or {},
+                            rel_name=f,
+                        )
+                    )
                 continue
             fb = m.get("file_base") or {}
             cmap = m.get("column_mapping") or {}
@@ -536,15 +609,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 str(Path(fb.get(d, self.path)) / d)
                 for d in (m.get("dv_files") or [])
             ) if dv_counts else ()
+            cdf_consts = (
+                {"_change_type": "insert", "_commit_version": v}
+                if self.read_change_feed
+                else {}
+            )
             for _i, f in indexed:
                 out.append(
                     _FilePartition(
                         str(Path(fb.get(f, self.path)) / f),
                         {
-                            cmap.get(n, n): pv
-                            for n, pv in _partition_values(
-                                f, m["schema"], cmap
-                            ).items()
+                            **{
+                                cmap.get(n, n): pv
+                                for n, pv in _partition_values(
+                                    f, m["schema"], cmap
+                                ).items()
+                            },
+                            **cdf_consts,
                         },
                         cmap,
                         rel_name=f,
@@ -644,13 +725,13 @@ class VersionedChangesDataSource(DataSource):
         if not vs:
             raise FileNotFoundError(f"no committed versions at {path}")
         m = _read_manifest(path, vs[-1])
+        fields = _visible_fields(m["schema"], bool(m.get("bucket_by")))
+        if str(self.options.get("readChangeFeed", "false")).lower() == (
+            "true"
+        ):
+            fields = list(fields) + _CDF_FIELDS
         return StructType.fromJson(
-            {
-                **m["schema"],
-                "fields": _visible_fields(
-                    m["schema"], bool(m.get("bucket_by"))
-                ),
-            }
+            {**m["schema"], "fields": fields}
         )
 
     def streamReader(self, schema) -> VersionedChangesStreamReader:
@@ -675,6 +756,7 @@ def drain_versioned_changes(
     max_bytes_per_trigger: int | None = None,
     skip_change_commits: bool = False,
     max_runs: int = 10000,
+    extra_options: dict | None = None,
 ) -> int:
     """Drain a versioned table's FULL backlog under a rate cap in one
     call — the semantics Delta gives ``trigger(availableNow=True)``
@@ -706,6 +788,8 @@ def drain_versioned_changes(
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, str(v))
     import ast as _ast
     import json as _json
 

@@ -173,6 +173,8 @@ HEADLINE = [
     "q273_versioned_add_column_default",
     "q274_versioned_not_null",
     "q275_versioned_stream_drain",
+    "q276_versioned_change_feed",
+    "q277_versioned_stream_change_feed",
 ]
 
 

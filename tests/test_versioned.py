@@ -4769,3 +4769,187 @@ def test_merge_branch_diverged_three_way_policies(spark, tmp_path):
     # unknown policy refuses before any work
     with pytest.raises(ValueError, match="conflict policy"):
         merge_branch(t, "dev", spark=spark, keys=["id"], conflict="both")
+
+
+def test_change_data_feed_materializes_and_reads_cheaply(spark, tmp_path):
+    """enable_change_data_feed: upsert/delete(cow+dv)/update commits
+    materialize insert / update_preimage / update_postimage / delete
+    rows under _change_data/ and read_change_feed serves any enabled
+    range at O(changed rows); appends serve their data files as
+    inserts with no feed files; compaction emits nothing; a commit
+    from BEFORE enablement raises honestly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_delete,
+        versioned_update,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(6)]).repartitionByRange(2, "id"), t
+    )  # v1 (pre-enable)
+    enable_change_data_feed(t)  # v2
+    m2 = _read_manifest(t, 2)
+    assert m2.get("change_data_feed") is True and "cdf_files" not in m2
+    # v3 upsert: update id=1, insert id=100
+    versioned_upsert(mk([(1, "U1"), (100, "I100")]), t, ["id"])
+    m3 = _read_manifest(t, 3)
+    assert m3.get("cdf_files"), "a feed-enabled upsert must write files"
+    feed = read_change_feed(spark, t, 2, 3)
+    got = sorted(
+        (r["id"], r["_change_type"], r["v"]) for r in feed.collect()
+    )
+    assert got == [
+        (1, "update_postimage", "U1"),
+        (1, "update_preimage", "v1"),
+        (100, "insert", "I100"),
+    ]
+    assert all(
+        r["_commit_version"] == 3 for r in feed.collect()
+    )
+    # v4 cow delete + v5 append + v6 dv delete + v7 update
+    versioned_delete(spark, t, "id = 2")
+    versioned_write(mk([(200, "A200")]).coalesce(1), t)
+    versioned_delete(spark, t, "id = 4", strategy="dv")
+    versioned_update(spark, t, {"v": "'X5'"}, "id = 5")
+    rows = sorted(
+        (r["_commit_version"], r["id"], r["_change_type"])
+        for r in read_change_feed(spark, t, 3, 7).collect()
+    )
+    assert rows == [
+        (4, 2, "delete"),
+        (5, 200, "insert"),
+        (6, 4, "delete"),
+        (7, 5, "update_postimage"),
+        (7, 5, "update_preimage"),
+    ]
+    # the feed carries the postimage VALUES
+    post = {
+        (r["_commit_version"], r["id"]): r["v"]
+        for r in read_change_feed(spark, t, 3, 7)
+        .filter("_change_type = 'update_postimage'")
+        .collect()
+    }
+    assert post == {(7, 5): "X5"}
+    # compaction is row-preserving: empty feed slice
+    compact(spark, t, target_files=1)
+    assert read_change_feed(spark, t, 7, 8).count() == 0
+    # the feed round-trips: applying it to the FROM snapshot yields TO
+    # (postimage/insert upserted, delete removed)
+    base = {r["id"]: r["v"] for r in read_version(spark, t, 3).collect()}
+    for r in sorted(
+        read_change_feed(spark, t, 3, 7).collect(),
+        key=lambda r: r["_commit_version"],
+    ):
+        if r["_change_type"] == "delete":
+            base.pop(r["id"], None)
+        elif r["_change_type"] in ("insert", "update_postimage"):
+            base[r["id"]] = r["v"]
+    now = {r["id"]: r["v"] for r in read_version(spark, t, 7).collect()}
+    assert base == now
+    # a range crossing the pre-enable row-level history raises if that
+    # commit was row-level... v1 is the initial commit (insert-served);
+    # a pre-enable UPSERT must raise:
+    t2 = str(tmp_path / "pre")
+    versioned_write(mk([(1, "a")]).coalesce(1), t2)
+    versioned_upsert(mk([(1, "b")]), t2, ["id"])  # v2, no feed files
+    enable_change_data_feed(t2)
+    with pytest.raises(ValueError, match="no materialized change"):
+        read_change_feed(spark, t2, 1, 2).collect()
+    # vacuum: feed files of dropped versions are swept, retained stay
+    from pathlib import Path
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import vacuum as _vac
+
+    cdf_v3 = set(m3["cdf_files"])
+    _vac(t, keep_last=2)  # drops v3's manifest
+    live = {
+        str(p.relative_to(t))
+        for p in (Path(t) / "_change_data").rglob("*.parquet")
+    }
+    assert not (cdf_v3 & live), "dropped versions' feed files must sweep"
+
+
+def test_change_data_feed_streams_with_read_change_feed(spark, tmp_path):
+    """readChangeFeed (Delta streaming CDF): a versioned_changes stream
+    no longer refuses row-level commits — it emits their materialized
+    change rows with _change_type/_commit_version, appends stream as
+    inserts, and the batch feed equals the streamed rows exactly.
+    skipChangeCommits+readChangeFeed refuses (contradictory)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_delete,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(mk([(1, "U1"), (50, "I50")]), t, ["id"])  # v3
+    versioned_delete(spark, t, "id = 2", strategy="dv")  # v4
+    versioned_write(mk([(60, "A60")]).coalesce(1), t)  # v5
+    with pytest.raises(ValueError, match="contradictory"):
+        VersionedChangesStreamReader(
+            {
+                "path": t,
+                "readChangeFeed": "true",
+                "skipChangeCommits": "true",
+            }
+        )
+    versioned_stream.register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = spark.read.schema(
+        "id int, v string, _change_type string, _commit_version long"
+    ).parquet(out)
+    rows = sorted(
+        (r["_commit_version"], r["id"], r["_change_type"], r["v"])
+        for r in got.collect()
+    )
+    # v1 bootstrap snapshot -> inserts; v3 merge rows; v4 dv delete;
+    # v5 append insert
+    assert rows == [
+        (1, 0, "insert", "v0"),
+        (1, 1, "insert", "v1"),
+        (1, 2, "insert", "v2"),
+        (1, 3, "insert", "v3"),
+        (3, 1, "update_postimage", "U1"),
+        (3, 1, "update_preimage", "v1"),
+        (3, 50, "insert", "I50"),
+        (4, 2, "delete", "v2"),
+        (5, 60, "insert", "A60"),
+    ]
+    # stream == batch: the feed over (1, 5] matches the streamed rows
+    # past the bootstrap
+    batch = sorted(
+        (r["_commit_version"], r["id"], r["_change_type"], r["v"])
+        for r in read_change_feed(spark, t, 1, 5).collect()
+    )
+    assert batch == [r for r in rows if r[0] > 1]
