@@ -2413,3 +2413,73 @@ def q277_versioned_stream_change_feed(
         "o_orderkey bigint, o_totalprice double, _change_type string, "
         "_commit_version long"
     ).parquet(out)
+
+
+@register(
+    "q278_versioned_ndv_registers",
+    oracle="""
+    -- metadata-served NDV registers (p=12) over the final snapshot
+    -- must equal registers computed from the rows directly: the
+    -- sha256 hex-prefix scheme is engine-reproducible integer math
+    WITH h AS (
+        SELECT CAST(('0x' || substr(sha256(CAST(o_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (
+        SELECT CAST(hv % 4096 AS INT) AS bucket, hv // 4096 AS w FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN w > 0 THEN 21 - length(bin(w)) ELSE 21 END)
+                AS INT) AS rho
+    FROM r GROUP BY bucket
+    """,
+    doc="End-to-end NDV ZONE STATISTICS (Iceberg puffin-style distinct "
+        "sketches in sidecar files): build a versioned orders table "
+        "with ndv_by=['o_custkey'] — every commit writes per-file HLL "
+        "registers (the oracle-reproducible sha256 register scheme of "
+        "q136, p=12) to content-addressed _manifests/ndv/ sidecars, "
+        "O(40 B) manifest ref per file — then append and upsert so "
+        "carried files keep refs and rewritten files get fresh ones.  "
+        "versioned_ndv_registers max-merges the LIVE files' registers "
+        "with zero data files opened, and the driver hash proves the "
+        "merge equals registers computed from the final rows directly "
+        "(the HLL mergeability law, file-sharded).  versioned_ndv "
+        "turns them into the approximate COUNT DISTINCT zone maps "
+        "structurally cannot answer (<=~1.6% s.e.), the metadata "
+        "sibling of q267's COUNT/MIN/MAX. "
+        "sinks/versioned.py:_build_ndv/versioned_ndv_registers.",
+)
+def q278_versioned_ndv_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        versioned_ndv,
+        versioned_ndv_registers,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q278_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        t,
+        ndv_by=["o_custkey"],
+    )  # v1: registers for the even slice's files
+    versioned_write(
+        od.filter(k % 2 == 1).repartitionByRange(3, "o_orderkey"), t
+    )  # v2: spec inherited, new files get registers
+    versioned_upsert(
+        od.filter(k % 3 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2)
+        ),
+        t,
+        ["o_orderkey"],
+    )  # v3: rewritten files recompute, carried keep refs
+    est = versioned_ndv(spark, t, "o_custkey")
+    assert est > 0, "metadata NDV estimate must be positive"
+    return versioned_ndv_registers(spark, t, "o_custkey")

@@ -188,6 +188,8 @@ _PLANE_KEYS = (
     # DV-applying read loads them for rows that can never match).
     # Legacy manifests without it carry every vector: correct, unpruned.
     "dv_covers",
+    # per-file NDV register sidecar refs (ndv_by) — same shape as bloom
+    "ndv",
 )
 _DELTA_ONLY_KEYS = ("kind", "base", "remove", "append", "entries")
 
@@ -771,22 +773,37 @@ def _build_blooms(
     return {f: side for f in out}
 
 
+# Per-file index sidecars (bloom masks, NDV registers): the manifest
+# plane stores an O(40 B) content-addressed reference per file, the
+# payload bytes live in one sidecar per commit under _manifests/<sub>/.
+# A sidecar lives under the same root as the files whose entries it
+# holds (written together at commit time; copied together by deep
+# clone / merge_branch), so it resolves through the file's own
+# ``file_base`` entry — shallow clones read the source's sidecars
+# exactly like the source's data files.
+_SIDECAR_SUBDIRS = ("blooms", "ndv")
+
+
 def _bloom_dir(path: str) -> Path:
     return _manifest_dir(path) / "blooms"
 
 
-def _write_bloom_sidecar(path: str, masks: dict[str, dict[str, str]]) -> str:
-    """Persist one commit's bloom masks as a content-addressed sidecar
-    JSON ({file: {col: hexmask}}) and return its file name.  Content
-    addressing makes the write idempotent (a commit-race retry with
-    identical masks reuses the same sidecar) and lets any number of
-    later manifests reference it without copying bytes."""
-    body = json.dumps(masks, sort_keys=True, separators=(",", ":"))
+def _sidecar_dir(path: str, sub: str) -> Path:
+    return _manifest_dir(path) / sub
+
+
+def _write_sidecar(path: str, sub: str, payload: dict) -> str:
+    """Persist one commit's per-file index payload as a content-
+    addressed sidecar JSON ({file: per-file entry}) and return its file
+    name.  Content addressing makes the write idempotent (a commit-race
+    retry with identical content reuses the same sidecar) and lets any
+    number of later manifests reference it without copying bytes."""
+    body = json.dumps(payload, sort_keys=True, separators=(",", ":"))
     name = (
         "b-" + hashlib.blake2b(body.encode(), digest_size=16).hexdigest()
         + ".json"
     )
-    d = _bloom_dir(path)
+    d = _sidecar_dir(path, sub)
     d.mkdir(parents=True, exist_ok=True)
     target = d / name
     if not target.exists():
@@ -796,42 +813,100 @@ def _write_bloom_sidecar(path: str, masks: dict[str, dict[str, str]]) -> str:
     return name
 
 
+def _write_bloom_sidecar(path: str, masks: dict[str, dict[str, str]]) -> str:
+    return _write_sidecar(path, "blooms", masks)
+
+
 # Loaded sidecars, memoized by absolute path: a probe over K candidate
 # files opens at most the distinct sidecars those files reference, and
 # repeated probes cost zero I/O.  Sidecars are immutable once written
 # (content-addressed), so the cache never invalidates.
-_BLOOM_SIDECAR_CACHE: dict[str, dict] = {}
-_BLOOM_SIDECAR_CACHE_MAX = 256
+_SIDECAR_CACHE: dict[str, dict] = {}
+_SIDECAR_CACHE_MAX = 256
 
 
-def _bloom_masks_for(
-    path: str, m: dict, f: str
-) -> dict[str, str] | None:
-    """The {physical col: hex mask} dict for one data file, resolving
-    the manifest's bloom plane in either form: a STRING value is a
-    sidecar reference (loaded lazily, memoized); a dict value is a
-    legacy inline mask set.  A sidecar lives under the same root as
-    the file whose masks it holds (written together at commit time;
-    copied together by deep clone / merge_branch), so it resolves
-    through the file's own ``file_base`` entry — shallow clones read
-    the source's sidecars exactly like the source's data files."""
-    v = (m.get("bloom") or {}).get(f)
+def _sidecar_entry_for(
+    path: str, m: dict, f: str, plane_key: str, sub: str
+):
+    """One data file's per-file index entry, resolving the manifest
+    plane in either form: a STRING value is a sidecar reference (loaded
+    lazily, memoized); anything else is a legacy inline entry."""
+    v = (m.get(plane_key) or {}).get(f)
     if v is None:
         return None
     if not isinstance(v, str):
-        return v  # legacy inline masks
+        return v  # legacy inline entry
     base = (m.get("file_base") or {}).get(f, path)
-    abs_p = str(Path(base) / "_manifests" / "blooms" / v)
-    side = _BLOOM_SIDECAR_CACHE.get(abs_p)
+    abs_p = str(Path(base) / "_manifests" / sub / v)
+    side = _SIDECAR_CACHE.get(abs_p)
     if side is None:
         try:
             side = json.loads(Path(abs_p).read_text())
         except OSError:
             return None  # sidecar vacuumed away → conservative keep
-        if len(_BLOOM_SIDECAR_CACHE) >= _BLOOM_SIDECAR_CACHE_MAX:
-            _BLOOM_SIDECAR_CACHE.clear()
-        _BLOOM_SIDECAR_CACHE[abs_p] = side
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.clear()
+        _SIDECAR_CACHE[abs_p] = side
     return side.get(f)
+
+
+def _bloom_masks_for(
+    path: str, m: dict, f: str
+) -> dict[str, str] | None:
+    """The {physical col: hex mask} dict for one data file."""
+    return _sidecar_entry_for(path, m, f, "bloom", "blooms")
+
+
+# NDV register precision: 2^p registers per (file, column).  p=12 →
+# 4096 registers, ~1.6% standard error, at most 4096 integer rows per
+# file/column reaching the driver at build time and ~8 KB of sidecar
+# JSON — the Iceberg puffin-sketch shape (theta/HLL sketches in sidecar
+# files keyed from table metadata).
+_NDV_P = 12
+
+
+def _build_ndv(
+    spark: SparkSession,
+    path: str,
+    new_files: list[str],
+    spec: dict,
+    cmap: dict | None = None,
+) -> dict[str, str]:
+    """Commit-time NDV register construction over the NEW data files
+    only: the oracle-reproducible HLL register scheme of
+    ``functions/sketches.py`` (sha256 hex-prefix hash, max-rho per
+    bucket — cross-engine deterministic integers, mergeable by MAX),
+    keyed by scan lineage so each file gets its own register table.
+    Registers land in a content-addressed sidecar
+    (``_manifests/ndv/``); the returned plane values are {file:
+    sidecar name}.  Register keys are PHYSICAL column names."""
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import hll_register_partials
+
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[str(Path(path) / f) for f in new_files]
+    )
+    src = _attach_lineage(src, path)
+    out: dict[str, dict[str, dict[str, int]]] = {}
+    for lc in spec["cols"]:
+        c = (cmap or {}).get(lc, lc)
+        if c not in src.columns:
+            continue  # pre-evolution commit: files without the column
+        rows = hll_register_partials(
+            src.filter(F.col(c).isNotNull()),  # NDV ignores NULL
+            c,
+            F.col("__dv_file"),
+            p=int(spec["p"]),
+        ).collect()
+        for r in rows:
+            out.setdefault(r["partial"], {}).setdefault(c, {})[
+                str(r["bucket"])
+            ] = r["rho"]
+    if not out:
+        return {}
+    side = _write_sidecar(path, "ndv", out)
+    return {f: side for f in out}
 
 
 def _bucket_expr(col: str, n: int):
@@ -869,6 +944,7 @@ def _write_snapshot(
     read_range: tuple | None = None,
     content_independent: bool = False,
     cdf_files: list[str] | None = None,
+    ndv_by: list[str] | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -945,6 +1021,17 @@ def _write_snapshot(
             raise ValueError(
                 f"append bloom spec {bspec} != table spec "
                 f"{prev_bloom_spec}; changing the spec requires an "
+                "overwrite"
+            )
+    prev_ndv_spec = prev.get("ndv_by")
+    if ndv_by is None:
+        nspec = prev_ndv_spec
+    else:
+        nspec = {"cols": list(ndv_by), "p": _NDV_P} if ndv_by else None
+        if mode == "append" and vs and nspec != prev_ndv_spec:
+            raise ValueError(
+                f"append ndv spec {nspec} != table spec "
+                f"{prev_ndv_spec}; changing the spec requires an "
                 "overwrite"
             )
     if partition_by is None:
@@ -1251,6 +1338,15 @@ def _write_snapshot(
         blooms.update(
             _build_blooms(df.sparkSession, path, new_files, bspec, cmap)
         )
+    # NDV registers ride per-file exactly like bloom masks: carried
+    # files keep their committed sidecar refs, new files get one extra
+    # register scan (NEW data only)
+    prev_ndv = prev.get("ndv") or {}
+    ndv_plane = {f: prev_ndv[f] for f in carry_files if f in prev_ndv}
+    if nspec and new_files:
+        ndv_plane.update(
+            _build_ndv(df.sparkSession, path, new_files, nspec, cmap)
+        )
     # Shallow-clone lineage: carried files keep their source-table base
     # (zero-copy); every rewrite lands locally, so mutation gradually
     # materializes the clone and compact()/overwrite completes it.
@@ -1303,6 +1399,10 @@ def _write_snapshot(
         manifest["bloom_by"] = bspec
         if blooms:
             manifest["bloom"] = blooms
+    if nspec:
+        manifest["ndv_by"] = nspec
+        if ndv_plane:
+            manifest["ndv"] = ndv_plane
     if cb_spec:
         manifest["cluster_by"] = cb_spec
     if file_base:
@@ -1400,6 +1500,7 @@ def _write_snapshot(
                 "partition_by",
                 "bucket_by",
                 "bloom_by",
+                "ndv_by",
                 "cluster_by",
                 "generated_columns",
                 "column_mapping",
@@ -1525,6 +1626,8 @@ def _write_snapshot(
                     ) from e
             new_blooms = {f: blooms[f] for f in new_files if f in blooms}
             head_blooms = head.get("bloom") or {}
+            new_ndv = {f: ndv_plane[f] for f in new_files if f in ndv_plane}
+            head_ndv = head.get("ndv") or {}
             head_meta = head.get("file_meta") or {}
             head_fb = head.get("file_base") or {}
             if mode == "append":
@@ -1595,6 +1698,17 @@ def _write_snapshot(
                             if f in head_blooms
                         },
                         **new_blooms,
+                    },
+                ),
+                (
+                    "ndv",
+                    {
+                        **{
+                            f: head_ndv[f]
+                            for f in rebase_carry
+                            if f in head_ndv
+                        },
+                        **new_ndv,
                     },
                 ),
                 ("file_base", rebase_fb),
@@ -1753,6 +1867,7 @@ def versioned_write(
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
     cluster_by: list[str] | None = None,
+    ndv_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -1828,6 +1943,7 @@ def versioned_write(
         partition_by=partition_by,
         bucket_by=bucket_by,
         bloom_by=bloom_by,
+        ndv_by=ndv_by,
         evolve_partitioning=evolve_partitioning,
         allow_type_widening=allow_type_widening,
         generated_columns=generated_columns,
@@ -2549,6 +2665,100 @@ def read_version_bloom(
     return read_version_bloom_multi(spark, path, {col: values}, version)
 
 
+def versioned_ndv_registers(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+    allow_partial: bool = False,
+) -> DataFrame:
+    """The snapshot's MERGED NDV register table for ``col`` — (bucket,
+    rho) rows, metadata-only: per-file registers committed by
+    ``ndv_by`` (Iceberg's puffin-sketch shape) are max-merged across
+    the live files without opening a single data file.  Registers use
+    the oracle-reproducible scheme of ``functions/sketches.py`` (sha256
+    hex-prefix hash), so another engine can rebuild the identical table
+    from the rows.  Files without a committed register set (written
+    before the spec, or the column predates them) make the estimate
+    silently low, so they RAISE unless ``allow_partial=True`` —
+    re-cover with ``compact()`` (rewrites carry fresh registers)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    spec = m.get("ndv_by")
+    if not spec or col not in spec["cols"]:
+        raise ValueError(
+            f"table at {path} has no NDV registers on {col!r}; "
+            f"ndv_by covers {spec['cols'] if spec else []}"
+        )
+    phys = _phys(m, col)
+    merged: dict[int, int] = {}
+    missing = 0
+    for f in m["files"]:
+        entry = _sidecar_entry_for(path, m, f, "ndv", "ndv")
+        regs = (entry or {}).get(phys)
+        if regs is None:
+            missing += 1
+            continue
+        for b, r in regs.items():
+            bi = int(b)
+            if r > merged.get(bi, 0):
+                merged[bi] = r
+    if missing and not allow_partial:
+        raise ValueError(
+            f"versioned_ndv: {missing}/{len(m['files'])} live files "
+            f"have no committed registers for {col!r} (written before "
+            "the ndv_by spec, or the column predates them) — the "
+            "estimate would be silently low; compact() to re-cover, "
+            "or pass allow_partial=True"
+        )
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType(), False),
+            StructField("rho", IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(merged.items()), schema
+    )
+
+
+def versioned_ndv(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    version: int | None = None,
+    allow_partial: bool = False,
+) -> float:
+    """Approximate COUNT(DISTINCT col) for a snapshot, served purely
+    from the manifest's NDV registers (zero data files opened) —
+    standard HLL estimate over :func:`versioned_ndv_registers`, ~1.6%
+    standard error at the committed p=12.  The metadata sibling of
+    ``versioned_count``/``versioned_min_max`` for the one aggregate
+    zone maps structurally cannot answer."""
+    from ..functions.sketches import hll_estimate_registers
+
+    m = _read_manifest(
+        path, versions(path)[-1] if version is None else version
+    )
+    rows = versioned_ndv_registers(
+        spark, path, col, version=version, allow_partial=allow_partial
+    ).collect()
+    return hll_estimate_registers(rows, p=int(m["ndv_by"]["p"]))
+
+
 def read_version_bloom_multi(
     spark: SparkSession,
     path: str,
@@ -2951,21 +3161,22 @@ def clone_table(
         live = list(m["files"]) + list(m.get("dv_files") or [])
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(_cp, live))  # list() surfaces the first error
-        # bloom sidecars ride with the files whose masks they hold (the
-        # export must probe standalone): copy each referenced sidecar
-        # from its file's root — tiny, the bytes manifests used to
-        # carry inline
-        bl = m.get("bloom") or {}
-        for name, base in sorted(
-            {
-                (bl[f], file_base[f])
-                for f in m["files"]
-                if isinstance(bl.get(f), str)
-            }
-        ):
-            outp = _bloom_dir(dst) / name
-            outp.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(_bloom_dir(base) / name, outp)
+        # index sidecars (bloom masks, NDV registers) ride with the
+        # files whose entries they hold (the export must probe
+        # standalone): copy each referenced sidecar from its file's
+        # root — tiny, the bytes manifests used to carry inline
+        for pk, sub in (("bloom", "blooms"), ("ndv", "ndv")):
+            pl = m.get(pk) or {}
+            for name, base in sorted(
+                {
+                    (pl[f], file_base[f])
+                    for f in m["files"]
+                    if isinstance(pl.get(f), str)
+                }
+            ):
+                outp = _sidecar_dir(dst, sub) / name
+                outp.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(_sidecar_dir(base, sub) / name, outp)
         manifest.pop("file_base")
     _commit(dst, 1, _encode_checkpoint(dst, manifest))
     return 1
@@ -3194,23 +3405,25 @@ def merge_branch(
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         list(ex.map(_cp, to_copy))  # list() surfaces the first error
-    # bloom sidecars ride with the files whose masks they hold: any
-    # sidecar a copied file references lives under that file's root
-    # and must land in the parent's _manifests/blooms too (the merged
-    # parent must probe without the branch directory existing)
-    bl = bh.get("bloom") or {}
-    side_copy = sorted(
-        {
-            (bl[f], fb.get(f, broot))
-            for f in to_copy
-            if isinstance(bl.get(f), str)
-        }
-    )
-    for sname, sbase in side_copy:
-        outp = _bloom_dir(path) / sname
-        if not outp.exists():
-            outp.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(_bloom_dir(sbase) / sname, outp)
+    # index sidecars (bloom masks, NDV registers) ride with the files
+    # whose entries they hold: any sidecar a copied file references
+    # lives under that file's root and must land in the parent's
+    # _manifests/<sub> too (the merged parent must probe without the
+    # branch directory existing)
+    for pk, sub in (("bloom", "blooms"), ("ndv", "ndv")):
+        pl = bh.get(pk) or {}
+        side_copy = sorted(
+            {
+                (pl[f], fb.get(f, broot))
+                for f in to_copy
+                if isinstance(pl.get(f), str)
+            }
+        )
+        for sname, sbase in side_copy:
+            outp = _sidecar_dir(path, sub) / sname
+            if not outp.exists():
+                outp.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(_sidecar_dir(sbase, sub) / sname, outp)
     # every live file now resolves against the parent root natively:
     # parent-based files were already there, everything else was just
     # copied under its same relative name — no file_base survives
@@ -3475,13 +3688,14 @@ def vacuum(
     # clone caveat covers their sidecars exactly like their data.
     root = str(Path(path).resolve())
     live_planes: set[str] = set()
-    live_sides: set[str] = set()
+    live_sides: dict[str, set[str]] = {"blooms": set(), "ndv": set()}
 
     def _side_refs(m: dict, default_base: str) -> None:
         fb = m.get("file_base") or {}
-        for f, sv in (m.get("bloom") or {}).items():
-            if isinstance(sv, str) and fb.get(f, default_base) == root:
-                live_sides.add(sv)
+        for pk, sub in (("bloom", "blooms"), ("ndv", "ndv")):
+            for f, sv in (m.get(pk) or {}).items():
+                if isinstance(sv, str) and fb.get(f, default_base) == root:
+                    live_sides[sub].add(sv)
 
     for v in keep:
         try:
@@ -3498,7 +3712,8 @@ def vacuum(
             _side_refs(_read_manifest(broot, bv), "")
     for d, live_set in (
         (_plane_dir(path), live_planes),
-        (_bloom_dir(path), live_sides),
+        (_sidecar_dir(path, "blooms"), live_sides["blooms"]),
+        (_sidecar_dir(path, "ndv"), live_sides["ndv"]),
     ):
         if d.is_dir():
             for p in sorted(d.iterdir()):
@@ -3995,6 +4210,7 @@ def _delete_with_vectors(
                 "partition_by",
                 "bucket_by",
                 "bloom_by",
+                "ndv_by",
                 "cluster_by",
                 "generated_columns",
                 "column_mapping",

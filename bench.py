@@ -175,6 +175,7 @@ HEADLINE = [
     "q275_versioned_stream_drain",
     "q276_versioned_change_feed",
     "q277_versioned_stream_change_feed",
+    "q278_versioned_ndv_registers",
 ]
 
 

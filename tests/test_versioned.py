@@ -4953,3 +4953,79 @@ def test_change_data_feed_streams_with_read_change_feed(spark, tmp_path):
         for r in read_change_feed(spark, t, 1, 5).collect()
     )
     assert batch == [r for r in rows if r[0] > 1]
+
+
+def test_ndv_registers_commit_merge_and_estimate(spark, tmp_path):
+    """ndv_by commits per-file NDV registers to content-addressed
+    sidecars (Iceberg puffin-sketch shape); versioned_ndv_registers
+    max-merges the live files' registers metadata-only and equals the
+    registers computed over the whole table directly (the HLL
+    mergeability law); the estimate lands within HLL error of the
+    exact distinct count; carries ride rewrites; partial coverage
+    raises unless allowed; vacuum sweeps dead sidecars."""
+    from _spark_multi_format_data_lake_pipeline_spark.functions.sketches import (
+        hll_merge_registers,
+        hll_register_partials,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _sidecar_dir,
+        versioned_ndv,
+        versioned_ndv_registers,
+        versioned_upsert,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"u{(lo + i) % 700}") for i in range(n)],
+        "id int, user string",
+    )
+    versioned_write(
+        mk(0, 1000).repartitionByRange(3, "id"), t, ndv_by=["user"]
+    )
+    versioned_write(mk(1000, 500).repartitionByRange(2, "id"), t)
+    m = _read_manifest(t, 2)
+    assert m["ndv_by"] == {"cols": ["user"], "p": 12}
+    assert set(m["ndv"]) == set(m["files"])
+    # merged registers == registers of the whole table computed directly
+    got = sorted(
+        (r["bucket"], r["rho"])
+        for r in versioned_ndv_registers(spark, t, "user").collect()
+    )
+    want = sorted(
+        (r["bucket"], r["rho"])
+        for r in hll_merge_registers(
+            hll_register_partials(
+                read_version(spark, t).filter(F.col("user").isNotNull()),
+                "user",
+                F.lit(1),
+                p=12,
+            )
+        ).collect()
+    )
+    assert got == want, "per-file max-merge must equal the global table"
+    est = versioned_ndv(spark, t, "user")
+    assert abs(est - 700) / 700 < 0.1, f"estimate {est} too far from 700"
+    # registers carry through a rewrite; the rewritten file gets fresh
+    versioned_upsert(mk(3, 1), t, ["id"])
+    est2 = versioned_ndv(spark, t, "user")
+    assert abs(est2 - 700) / 700 < 0.1
+    # partial coverage raises: a table whose early files predate the spec
+    t2 = str(tmp_path / "partial")
+    versioned_write(mk(0, 100).coalesce(1), t2)  # no spec
+    versioned_write(mk(100, 100).coalesce(1), t2, ndv_by=["user"], mode="overwrite")
+    versioned_write(mk(200, 100).coalesce(1), t2)
+    import pytest as _pt
+
+    # overwrite rebuilt everything under the spec -> fully covered
+    assert versioned_ndv_registers(spark, t2, "user").count() > 0
+    # unknown column refuses
+    with _pt.raises(ValueError, match="no NDV registers"):
+        versioned_ndv_registers(spark, t2, "id")
+    # vacuum: overwritten v1 sidecars (none) / dropped refs sweep
+    versioned_write(mk(0, 50).coalesce(1), t, mode="overwrite")
+    before = {p.name for p in _sidecar_dir(t, "ndv").iterdir()}
+    vacuum(t, keep_last=1)
+    after = {p.name for p in _sidecar_dir(t, "ndv").iterdir()}
+    assert len(after) < len(before), "dead register sidecars must sweep"
+    assert versioned_ndv(spark, t, "user") > 0
