@@ -2483,3 +2483,90 @@ def q278_versioned_ndv_registers(
     est = versioned_ndv(spark, t, "o_custkey")
     assert est > 0, "metadata NDV estimate must be positive"
     return versioned_ndv_registers(spark, t, "o_custkey")
+
+
+@register(
+    "q279_versioned_row_tracking",
+    oracle="""
+    -- ids are engine-internal, so the PROOF is business-visible: join
+    -- the pre-mutation snapshot to the post-mutation one ON _row_id.
+    -- If every id survived UPDATE + upsert + OPTIMIZE intact, each
+    -- pre-row pairs with ITS OWN post-row: k_pre == k_post for every
+    -- even key, with the mutations' values — any re-dealt id would
+    -- pair different keys or drop rows and the hash would diverge
+    SELECT o_orderkey AS k_pre,
+           o_orderkey AS k_post,
+           CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                ELSE o_totalprice END AS price_post,
+           -- serial order: the upsert (%3, full-row replacement with
+           -- source statuses) lands AFTER the UPDATE (%5 -> 'X')
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                WHEN o_orderkey % 5 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status_post
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    doc="End-to-end ROW TRACKING (Delta 4.x stable row ids): enable on "
+        "an evens-only orders table (metadata-only backfill of "
+        "per-file base ids — implicit ids cost zero storage), then "
+        "UPDATE statuses (%5), upsert doubled prices (%3) + inserted "
+        "odds (%7, fresh ids past the watermark), and OPTIMIZE "
+        "(full re-clustering).  The query joins the PRE snapshot to "
+        "the POST snapshot on _row_id and returns both business keys "
+        "+ mutated values: the driver hash proves every id survived "
+        "three rewrites bound to ITS row — the lineage primitive "
+        "incremental consumers need when business keys are mutable.  "
+        "Rewrites materialize ids into the hidden __row_id column; "
+        "appends stay implicit (base_row_id + _metadata.row_index), "
+        "so tracking adds bytes only where rows actually moved. "
+        "sinks/versioned.py:enable_row_tracking/read_version_row_ids.",
+)
+def q279_versioned_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        compact,
+        enable_row_tracking,
+        read_version_row_ids,
+        versioned_update,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q279_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # v1
+    enable_row_tracking(t)  # v2
+    pre = read_version_row_ids(spark, t, 2).select(
+        F.col("_row_id"), F.col("o_orderkey").alias("k_pre")
+    )
+    versioned_update(spark, t, {"o_orderstatus": "'X'"}, "o_orderkey % 5 = 0")
+    versioned_upsert(
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .unionByName(od.filter(k % 2 == 1).filter(k % 7 == 0)),
+        t,
+        ["o_orderkey"],
+    )
+    compact(spark, t, target_files=3)
+    post = read_version_row_ids(spark, t, versions(t)[-1])
+    # inserted odds drew ids past the enablement watermark
+    from ..sinks.versioned import _read_manifest
+
+    hw2 = _read_manifest(t, 2)["row_id_high_water"]
+    bad = post.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("_row_id") < hw2)
+    ).count()
+    assert bad == 0, "inserted rows must draw fresh ids past the watermark"
+    return pre.join(post, "_row_id", "inner").select(
+        "k_pre",
+        F.col("o_orderkey").alias("k_post"),
+        F.col("o_totalprice").alias("price_post"),
+        F.col("o_orderstatus").alias("status_post"),
+    )

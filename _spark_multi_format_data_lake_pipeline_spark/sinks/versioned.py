@@ -694,6 +694,13 @@ def _partition_values(
 
 _BUCKET_COL = "__bucket"
 
+# Hidden row-tracking column (Delta 4.x row tracking): REWRITTEN files
+# physically materialize each row's stable id under this name; files
+# written by plain appends never carry it — their ids are implicit
+# (file's base_row_id + row position), zero storage.  Never part of the
+# committed schema; surfaced as ``_row_id`` by read_version_row_ids.
+_ROWID_COL = "__row_id"
+
 # Per-file bloom-filter index defaults: m bits per (file, column), k
 # probe positions per value (Kirsch-Mitzenmacher double hashing).  At
 # m=8192 / k=3 a file with 1000 distinct values has ~3% false-positive
@@ -945,6 +952,7 @@ def _write_snapshot(
     content_independent: bool = False,
     cdf_files: list[str] | None = None,
     ndv_by: list[str] | None = None,
+    row_ids_consumed: int = 0,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -1275,6 +1283,22 @@ def _write_snapshot(
         df.sparkSession.read.parquet(str(data_dir)).count() if new_files else 0
     )
     schema = df.schema.jsonValue()
+    # the hidden materialized-row-id column never joins the committed
+    # schema (it IS in the parquet of rewrite-written files; readers
+    # add it explicitly via keep_row_ids)
+    materialized_ids = _ROWID_COL in df.columns
+    if materialized_ids and not _row_tracking_on(prev):
+        raise ValueError(
+            f"{_ROWID_COL!r} is a reserved column name (row tracking); "
+            "rename the column"
+        )
+    if materialized_ids:
+        schema = {
+            **schema,
+            "fields": [
+                f for f in schema["fields"] if f["name"] != _ROWID_COL
+            ],
+        }
     if carry_files and prev.get("schema"):
         schema = _merge_schemas(
             prev["schema"], schema, allow_type_widening=allow_type_widening
@@ -1310,6 +1334,18 @@ def _write_snapshot(
     # actually commits.
     for f in new_files:
         new_meta.setdefault(f, {})["v"] = (vs[-1] + 1) if vs else 1
+    # Row tracking: append-written files get a base_row_id (implicit
+    # ids, zero storage); rewrite-written files carry materialized ids
+    # and the verb reports how many FRESH ids it drew (upsert inserts).
+    track = _row_tracking_on(prev)
+    rid_consumed = int(row_ids_consumed or 0)
+    hw0 = int(prev.get("row_id_high_water") or 0) if track else 0
+    if track and not materialized_ids:
+        nb = hw0
+        for f in new_files:
+            new_meta[f]["brid"] = nb
+            nb += int(new_meta[f].get("rows") or 0)
+        rid_consumed = nb - hw0
     if pb:
         for rel in new_files:
             for name, v in _partition_values(rel, schema, cmap).items():
@@ -1423,6 +1459,9 @@ def _write_snapshot(
         manifest["change_data_feed"] = True
     if cdf_files:  # THIS commit's materialized change rows (never carried)
         manifest["cdf_files"] = cdf_files
+    if track:
+        manifest["row_tracking"] = True
+        manifest["row_id_high_water"] = hw0 + rid_consumed
     if gen:
         manifest["generated_columns"] = gen
     if ident:
@@ -1505,6 +1544,7 @@ def _write_snapshot(
                 "generated_columns",
                 "column_mapping",
                 "dropped_physical",
+                "row_tracking",
                 # a concurrently-added column DEFAULT refuses: this
                 # commit's frame never materialized it, so in the
                 # "winner first" serial order its new files would
@@ -1661,6 +1701,25 @@ def _write_snapshot(
                 f: {**e, "v": head["version"] + 1}
                 for f, e in new_meta.items()
             }
+            if track:
+                head_hw = int(head.get("row_id_high_water") or 0)
+                if head_hw != hw0:
+                    if materialized_ids and rid_consumed:
+                        raise ConcurrentCommitError(
+                            f"{mode} at {path} lost a commit race and "
+                            "the winner consumed row-tracking ids; the "
+                            "fresh ids materialized into this commit's "
+                            "files would collide — re-run against the "
+                            "new head"
+                        ) from e
+                    # implicit base ids are pure metadata: re-deal them
+                    # from the head's watermark, no file rewritten
+                    nb = head_hw
+                    for f in new_files:
+                        if "brid" in new_meta.get(f, {}):
+                            new_meta[f] = {**new_meta[f], "brid": nb}
+                            nb += int(new_meta[f].get("rows") or 0)
+                    hw0 = head_hw
             manifest = {
                 **manifest,
                 "version": head["version"] + 1,
@@ -1718,6 +1777,8 @@ def _write_snapshot(
                     manifest[k] = v
                 else:
                     manifest.pop(k, None)
+            if track:
+                manifest["row_id_high_water"] = hw0 + rid_consumed
             prev, vs = head, head_vs
     raise ConcurrentCommitError(
         f"{mode} at {path} lost {_COMMIT_RETRIES} consecutive commit "
@@ -2064,6 +2125,7 @@ def _read_files(
     files: list[str],
     manifest: dict,
     keep_lineage: bool = False,
+    keep_row_ids: bool = False,
 ) -> DataFrame:
     """Materialize a scan over an explicit manifest file list.
 
@@ -2101,17 +2163,23 @@ def _read_files(
         )
     if not files:
         df = spark.createDataFrame([], target)
-        if keep_lineage:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        if keep_lineage:
             df = df.select(
                 "*",
                 F.lit(None).cast("string").alias("__dv_file"),
                 F.lit(None).cast("long").alias("__dv_pos"),
             )
+        if keep_row_ids:
+            df = df.select(
+                "*", F.lit(None).cast("long").alias(_ROWID_COL)
+            )
         return df
     dv_counts = manifest.get("dv_counts") or {}
-    need_dv = keep_lineage or any(f in dv_counts for f in files)
+    need_dv = keep_lineage or keep_row_ids or any(
+        f in dv_counts for f in files
+    )
     pb = manifest.get("partition_by") or []
     bases = tuple((manifest.get("file_base") or {}).values())
     from pyspark.sql import functions as F
@@ -2189,6 +2257,44 @@ def _read_files(
             )
         return out
 
+    def _attach_row_ids(out: DataFrame) -> DataFrame:
+        """Resolve each row's stable id (requires lineage columns):
+        the materialized ``__row_id`` when the file carries it, else
+        its file's base_row_id + the row's position — one coalesce
+        over a broadcast (file, brid) map."""
+        if not keep_row_ids:
+            return out
+        fmeta = manifest.get("file_meta") or {}
+        brids = [
+            (f, (fmeta.get(f) or {}).get("brid"))
+            for f in files
+        ]
+        from pyspark.sql.types import LongType, StringType
+        from pyspark.sql.types import StructField as _Bf
+        from pyspark.sql.types import StructType as _Bt
+
+        bm = F.broadcast(
+            spark.createDataFrame(
+                brids,
+                _Bt(
+                    [
+                        _Bf("__brid_file", StringType(), False),
+                        _Bf("__brid", LongType(), True),
+                    ]
+                ),
+            )
+        )
+        out = out.join(
+            bm, F.col("__dv_file") == F.col("__brid_file"), "left"
+        )
+        out = out.withColumn(
+            _ROWID_COL,
+            F.coalesce(
+                F.col(_ROWID_COL), F.col("__brid") + F.col("__dv_pos")
+            ),
+        )
+        return out.drop("__brid_file", "__brid")
+
     # Column mapping: files carry PHYSICAL names, so the scan schema is
     # the committed schema with fields renamed logical→physical, and
     # the result renames back right after the scan (after lineage
@@ -2204,6 +2310,12 @@ def _read_files(
             for f in full.fields
         ]
     )
+    if keep_row_ids:
+        # hidden materialized-id column: rewritten files carry it,
+        # append-written files read NULL (their ids derive from brid)
+        from pyspark.sql.types import LongType as _RlT
+
+        phys = StructType(list(phys.fields) + [_Sf(_ROWID_COL, _RlT(), True)])
 
     def _to_logical(df: DataFrame) -> DataFrame:
         if not cmap:
@@ -2238,6 +2350,7 @@ def _read_files(
         out = _to_logical(_attach_lineage(out, path, bases))
         out = _apply_delete_vectors(spark, out, path, manifest, files)
         out = _apply_defaults(out)
+        out = _attach_row_ids(out)
         return out if keep_lineage else out.drop("__dv_file", "__dv_pos")
 
     # ONE scan over every file with the committed schema, path-encoded
@@ -2306,6 +2419,7 @@ def _read_files(
     if need_dv:
         out = _apply_delete_vectors(spark, out, path, manifest, files)
     out = _apply_defaults(out)
+    out = _attach_row_ids(out)
     # align to the committed schema: column order and evolved columns
     sel = [
         F.col(f.name).cast(f.dataType).alias(f.name)
@@ -2315,6 +2429,8 @@ def _read_files(
     ]
     if keep_lineage:
         sel += [F.col("__dv_file"), F.col("__dv_pos")]
+    if keep_row_ids:
+        sel += [F.col(_ROWID_COL)]
     return out.select(*sel)
 
 
@@ -3075,6 +3191,15 @@ def rollback(path: str, to_version: int) -> int:
     m.pop("cdf_files", None)  # per-commit key: the rollback did not
     # produce the source commit's change rows
     vs = versions(path)
+    if m.get("row_tracking"):
+        # ids assigned AFTER the rolled-back-to snapshot must never be
+        # reused by post-rollback writes: keep the larger watermark
+        cur_hw = int(
+            _read_manifest(path, vs[-1]).get("row_id_high_water") or 0
+        )
+        m["row_id_high_water"] = max(
+            int(m.get("row_id_high_water") or 0), cur_hw
+        )
     nxt = vs[-1] + 1
     manifest = {
         **m,
@@ -3850,10 +3975,13 @@ def compact(
     if target_files is None:
         total = sum(_bytes(f) for f in selected)
         target_files = max(1, math.ceil(total / target_file_bytes))
-    df = (
-        read_version(spark, path)
-        if not untouched
-        else _read_files(spark, path, selected, m)
+    df = _read_files(
+        spark,
+        path,
+        selected,
+        m,
+        keep_row_ids=_row_tracking_on(m),  # OPTIMIZE re-clusters rows;
+        # their stable ids materialize into the rewritten files
     )
     pb = m.get("partition_by") or []
     if zorder_cols:
@@ -3952,9 +4080,45 @@ def versioned_upsert(
     df = _materialize_defaults(df, m)  # an omitting change set fills,
     # BEFORE the union would NULL-fill it against the survivors
     cdf = None
+    track = _row_tracking_on(m)
+    rid_consumed = 0
+
+    def _fresh_ids(rows: DataFrame, hw: int) -> tuple[DataFrame, int]:
+        # fresh stable ids for inserted keys: contiguous from the
+        # watermark via the range-partition prefix sum (operators/ids),
+        # never a ROW_NUMBER funnel; keys are unique (checked above)
+        n = rows.count()
+        if not n:
+            return rows.withColumn(_ROWID_COL, F.lit(None).cast("long")), 0
+        from ..operators.ids import assign_contiguous_ids
+
+        rows = assign_contiguous_ids(rows, keys, id_col="__rid_tmp")
+        return (
+            rows.withColumn(
+                _ROWID_COL, (F.col("__rid_tmp") + F.lit(hw)).cast("long")
+            ).drop("__rid_tmp"),
+            n,
+        )
+
     if candidates:
-        cur = _read_files(spark, path, candidates, m)
+        cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
         dk = df.select(*keys).distinct()
+        if track:
+            # an updated key INHERITS the replaced row's id; inserted
+            # keys draw fresh ones past the watermark
+            cur_ids = (
+                cur.select(*keys, _ROWID_COL)
+                .groupBy(*keys)
+                .agg(F.min(_ROWID_COL).alias(_ROWID_COL))
+            )
+            dfi = df.join(cur_ids, keys, "left")
+            ins, rid_consumed = _fresh_ids(
+                dfi.filter(F.col(_ROWID_COL).isNull()).drop(_ROWID_COL),
+                int(m.get("row_id_high_water") or 0),
+            )
+            df = dfi.filter(F.col(_ROWID_COL).isNotNull()).unionByName(
+                ins, allowMissingColumns=True
+            )
         survivors = cur.join(dk, keys, "left_anti")
         out = survivors.unionByName(df, allowMissingColumns=True)
         if _cdf_on(m):
@@ -3965,27 +4129,34 @@ def versioned_upsert(
             # range keys, the same zone-map argument as the rewrite)
             ck = cur.select(*keys).distinct()
             feed = (
-                cur.join(dk, keys, "left_semi")
+                cur.drop(_ROWID_COL)
+                .join(dk, keys, "left_semi")
                 .withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
-                    df.join(ck, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    ),
+                    df.drop(_ROWID_COL)
+                    .join(ck, keys, "left_semi")
+                    .withColumn("_change_type", F.lit("update_postimage")),
                     allowMissingColumns=True,
                 )
                 .unionByName(
-                    df.join(ck, keys, "left_anti").withColumn(
-                        "_change_type", F.lit("insert")
-                    ),
+                    df.drop(_ROWID_COL)
+                    .join(ck, keys, "left_anti")
+                    .withColumn("_change_type", F.lit("insert")),
                     allowMissingColumns=True,
                 )
             )
             cdf = _write_cdf(feed, path, _column_mapping(m))
     else:
+        if track:
+            df, rid_consumed = _fresh_ids(
+                df, int(m.get("row_id_high_water") or 0)
+            )
         out = df
         if _cdf_on(m):
             cdf = _write_cdf(
-                df.withColumn("_change_type", F.lit("insert")),
+                df.drop(_ROWID_COL).withColumn(
+                    "_change_type", F.lit("insert")
+                ),
                 path,
                 _column_mapping(m),
             )
@@ -3996,6 +4167,7 @@ def versioned_upsert(
         carry_files=untouched,
         read_range=(pc, lo, hi),
         cdf_files=cdf,
+        row_ids_consumed=rid_consumed,
     )
 
 
@@ -4072,12 +4244,16 @@ def versioned_delete(
                 (prune_col, lo, hi) if prune_col is not None else None
             ),
         )
-    cur = _read_files(spark, path, candidates, m)
+    cur = _read_files(
+        spark, path, candidates, m, keep_row_ids=_row_tracking_on(m)
+    )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    survivors = cur.filter(~pred)
+    survivors = cur.filter(~pred)  # ids (if tracked) materialize with them
     cdf = (
         _write_cdf(
-            cur.filter(pred).withColumn("_change_type", F.lit("delete")),
+            cur.filter(pred)
+            .drop(_ROWID_COL)
+            .withColumn("_change_type", F.lit("delete")),
             path,
             _column_mapping(m),
         )
@@ -4216,6 +4392,7 @@ def _delete_with_vectors(
                 "column_mapping",
                 "dropped_physical",
                 "identity_columns",
+                "row_tracking",
             ):
                 if _norm(head.get(k)) != _norm(base.get(k)):
                     raise ConcurrentCommitError(
@@ -4343,7 +4520,9 @@ def versioned_update(
         candidates, untouched = list(m["files"]), []
     if not candidates:
         return vs[-1]  # no file can hold a matching row: nothing to do
-    cur = _read_files(spark, path, candidates, m)
+    cur = _read_files(
+        spark, path, candidates, m, keep_row_ids=_row_tracking_on(m)
+    )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     out = cur.select(
         *(
@@ -4353,19 +4532,19 @@ def versioned_update(
             .otherwise(F.col(c))
             .alias(c)
             if c in set_exprs
-            else F.col(c)
+            else F.col(c)  # incl. the hidden row id: UPDATE keeps it
             for c in cur.columns
         )
     )
     cdf = None
     if _cdf_on(m):
-        hit = cur.filter(pred)
+        hit = cur.filter(pred).drop(_ROWID_COL)
         upd = hit.select(
             *(
                 F.expr(set_exprs[c]).cast(cur.schema[c].dataType).alias(c)
                 if c in set_exprs
                 else F.col(c)
-                for c in cur.columns
+                for c in hit.columns
             )
         )
         cdf = _write_cdf(
@@ -4485,6 +4664,13 @@ def versioned_apply_changes(
             "versioned_upsert / versioned_delete / versioned_update "
             "(which do), or disable_change_data_feed first — a silent "
             "gap in the feed would be worse than this refusal"
+        )
+    if _row_tracking_on(m):
+        raise ValueError(
+            "versioned_apply_changes does not yet preserve row-tracking "
+            "ids; on a row_tracking table use versioned_upsert / "
+            "versioned_delete / versioned_update (which do) — silently "
+            "re-dealing ids would be worse than this refusal"
         )
     if has_by_source:
         # by-source clauses touch rows no change-row key points at:
@@ -4852,6 +5038,100 @@ def add_check_constraint(
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
     return _commit_state(path, manifest, m)
+
+
+# --- row tracking: stable row identifiers across rewrites ------------
+#
+# Delta 4.x row tracking, re-expressed on this module's primitives.
+# Every row has a STABLE id that survives copy-on-write rewrites:
+#
+# - files written by APPENDS carry no id bytes at all — the manifest
+#   records one ``base_row_id`` per file (file_meta["brid"]) and a
+#   row's id is brid + its position in the file, computed at read from
+#   the scan's ``_metadata.row_index`` (zero storage, the Delta "fresh
+#   rows" optimization);
+# - REWRITES (upsert survivors / UPDATE / DELETE survivors / compact)
+#   read rows WITH their current ids and materialize them into the
+#   rewritten files as the hidden ``__row_id`` column (excluded from
+#   the committed schema), so ids ride any re-clustering;
+# - upsert: an updated key INHERITS the replaced row's id, inserted
+#   keys draw fresh ids from the manifest's ``row_id_high_water``
+#   (contiguous range-partition assignment, never a ROW_NUMBER
+#   funnel); the watermark only grows, so ids are never reused —
+#   rollback keeps the max of both watermarks;
+# - the read expression is ONE coalesce: materialized column if the
+#   file has it, else brid + row position — no per-file branching.
+#
+# Ids are engine-assigned identifiers (like Delta's): stable and
+# unique per table, meaningful for lineage/incremental consumers, not
+# a user-facing sequence.
+
+
+def _row_tracking_on(m: dict) -> bool:
+    return bool(m.get("row_tracking"))
+
+
+def enable_row_tracking(path: str) -> int:
+    """Turn on stable row ids (metadata-only commit): every EXISTING
+    file gets a ``base_row_id`` assigned cumulatively in manifest
+    order (its rows' ids are base + position — including DV-deleted
+    positions, whose ids simply retire with them), and the high-water
+    mark starts past them.  O(files) metadata, zero data I/O — the
+    Delta ALTER TABLE row-tracking backfill shape."""
+    import time
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, vs[-1])
+    if _row_tracking_on(m):
+        return vs[-1]
+    meta = dict(m.get("file_meta") or {})
+    fb = m.get("file_base") or {}
+    hw = 0
+    for f in m["files"]:
+        rows = _file_rows(path, f, meta, fb)
+        meta[f] = {**(meta.get(f) or {}), "brid": hw}
+        hw += rows
+    manifest = {
+        **m,
+        "version": vs[-1] + 1,
+        "mode": "enable-row-tracking",
+        "committed_at": time.time(),
+        "row_tracking": True,
+        "row_id_high_water": hw,
+        "file_meta": meta,
+    }
+    manifest.pop("txn_id", None)
+    manifest.pop("cdf_files", None)
+    return _commit_state(path, manifest, m)
+
+
+def read_version_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with each row's STABLE id as ``_row_id`` — the
+    public face of row tracking.  Ids survive upsert/update/compact
+    rewrites (materialized), updated keys keep the replaced row's id,
+    inserts get fresh ones; two snapshots join on ``_row_id`` to track
+    a physical row across arbitrary re-clustering — the primitive
+    incremental consumers need when business keys are mutable."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(path, v)
+    if not _row_tracking_on(m):
+        raise ValueError(
+            f"table at {path} has no row tracking at v{v}; "
+            "enable_row_tracking first"
+        )
+    out = _read_files(spark, path, m["files"], m, keep_row_ids=True)
+    return out.withColumnRenamed(_ROWID_COL, "_row_id")
 
 
 # --- change data feed: materialized per-commit change files ----------

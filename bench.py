@@ -176,6 +176,7 @@ HEADLINE = [
     "q276_versioned_change_feed",
     "q277_versioned_stream_change_feed",
     "q278_versioned_ndv_registers",
+    "q279_versioned_row_tracking",
 ]
 
 

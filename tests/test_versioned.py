@@ -5029,3 +5029,107 @@ def test_ndv_registers_commit_merge_and_estimate(spark, tmp_path):
     after = {p.name for p in _sidecar_dir(t, "ndv").iterdir()}
     assert len(after) < len(before), "dead register sidecars must sweep"
     assert versioned_ndv(spark, t, "user") > 0
+
+
+def test_row_tracking_ids_stable_across_rewrites(spark, tmp_path):
+    """Row tracking (Delta 4.x stable row ids): enable backfills
+    per-file base ids metadata-only; appends get implicit ids (zero
+    storage); UPDATE/compact/delete rewrites materialize and PRESERVE
+    each surviving row's id; an upserted key inherits the replaced
+    row's id while inserts draw fresh ones past the watermark; ids are
+    unique always and never reused (rollback keeps the max
+    watermark)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        enable_row_tracking,
+        read_version_row_ids,
+        rollback,
+        versioned_delete,
+        versioned_update,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(8)]).repartitionByRange(2, "id"),
+        t,
+    )  # v1: 2 files, pre-tracking
+    enable_row_tracking(t)  # v2: metadata-only backfill
+    m2 = _read_manifest(t, 2)
+    assert m2["row_tracking"] is True and m2["row_id_high_water"] == 8
+    assert all(
+        "brid" in m2["file_meta"][f] for f in m2["files"]
+    ), "every existing file gets a base id at enablement"
+    ids0 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert sorted(ids0.values()) == list(range(8)), (
+        "backfilled ids must be 0..n-1, one per row"
+    )
+    # append: implicit fresh ids continue past the watermark
+    versioned_write(mk([(100, "a"), (101, "b")]).coalesce(1), t)  # v3
+    ids1 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert all(ids1[k] == v for k, v in ids0.items())
+    assert sorted(ids1[k] for k in (100, 101)) == [8, 9]
+    # UPDATE preserves ids (rewrite materializes them)
+    versioned_update(spark, t, {"v": "'X'"}, "id = 3")  # v4
+    ids2 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids2 == ids1, "UPDATE must not re-deal any id"
+    # upsert: updated key inherits, inserted key draws fresh
+    versioned_upsert(mk([(3, "U3"), (500, "I500")]), t, ["id"])  # v5
+    ids3 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids3[3] == ids1[3], "an updated key inherits the old row's id"
+    assert ids3[500] == 10, "inserts draw fresh ids past the watermark"
+    assert _read_manifest(t, 5)["row_id_high_water"] == 11
+    # delete: survivors keep ids; compact: re-clustering keeps ids
+    versioned_delete(spark, t, "id = 5")  # v6
+    compact(spark, t, target_files=1)  # v7
+    ids4 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert 5 not in ids4
+    assert ids4 == {k: v for k, v in ids3.items() if k != 5}, (
+        "delete+compact must preserve every survivor's id"
+    )
+    # uniqueness across the whole history of operations
+    assert len(set(ids4.values())) == len(ids4)
+    # rollback keeps the max watermark: post-rollback inserts never
+    # reuse ids handed out after the target snapshot
+    rollback(t, 5)  # v8: state of v5, watermark stays >= 11
+    assert _read_manifest(t, 8)["row_id_high_water"] == 11
+    versioned_write(mk([(600, "z")]).coalesce(1), t)  # v9
+    ids5 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids5[600] == 11, "rollback must not let ids be re-dealt"
+    # time travel: ids as of an old version resolve through that manifest
+    old = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t, 3).collect()
+    }
+    assert old == ids1
+    # reserved name refuses on an untracked table
+    t2 = str(tmp_path / "plain")
+    with pytest.raises(ValueError, match="reserved"):
+        versioned_write(
+            spark.createDataFrame([(1, 2)], "id int, __row_id long"), t2
+        )
+    # untracked read refuses honestly
+    versioned_write(mk([(1, "a")]).coalesce(1), t2)
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_version_row_ids as rvi
+
+    with pytest.raises(ValueError, match="no row tracking"):
+        rvi(spark, t2)
