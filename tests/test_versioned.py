@@ -5133,3 +5133,121 @@ def test_row_tracking_ids_stable_across_rewrites(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no row tracking"):
         rvi(spark, t2)
+
+
+def test_row_tracking_with_partitions_dv_and_rename(spark, tmp_path):
+    """Row tracking composes with the rest of the table surface: a
+    partitioned table's ids resolve through the grouped scan path, a
+    DV delete retires ids without touching files, a rename leaves ids
+    alone, and a bucket-layout table keeps both hidden columns
+    (__bucket committed, __row_id not)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_row_tracking,
+        read_version_row_ids,
+        rename_column,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 3}") for i in range(9)],
+        "id int, v string, day string",
+    )
+    versioned_write(df.repartition(2), t, partition_by=["day"])
+    enable_row_tracking(t)
+    ids0 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert sorted(ids0.values()) == list(range(9))
+    # DV delete: no file rewritten, survivors keep their implicit ids
+    versioned_delete(spark, t, "id = 4", strategy="dv")
+    ids1 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids1 == {k: v for k, v in ids0.items() if k != 4}
+    # rename: metadata-only, ids untouched; upsert after the rename
+    # inherits/draws correctly
+    rename_column(t, "v", "val")
+    versioned_upsert(
+        spark.createDataFrame(
+            [(1, "U1", "d1"), (300, "I", "d0")],
+            "id int, val string, day string",
+        ),
+        t,
+        ["id"],
+    )
+    ids2 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids2[1] == ids0[1], "rename must not disturb id inheritance"
+    assert ids2[300] == 9 and len(set(ids2.values())) == len(ids2)
+    m = _read_manifest(t, versions(t)[-1])
+    assert not any(
+        f["name"] == "__row_id" for f in m["schema"]["fields"]
+    ), "the materialized id column must stay out of the committed schema"
+    # bucket layout + tracking coexist
+    tb = str(tmp_path / "buck")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id int, v string"
+        ),
+        tb,
+        bucket_by=("id", 4),
+    )
+    enable_row_tracking(tb)
+    versioned_upsert(
+        spark.createDataFrame([(2, "U2")], "id int, v string"), tb, ["id"]
+    )
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, tb).collect()
+    }
+    assert len(set(got.values())) == 8 and "__bucket" not in (
+        read_version_row_ids(spark, tb).columns
+    )
+
+
+def test_change_feed_bridges_renames(spark, tmp_path):
+    """CDF files carry PHYSICAL column names (like data files), so a
+    rename between feed commits costs nothing: read_change_feed serves
+    every commit's rows under the TO version's logical names, pre- and
+    post-rename alike."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_change_feed,
+        rename_column,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows, sch: spark.createDataFrame(rows, sch)
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(4)], "id int, v string").coalesce(1),
+        t,
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(
+        mk([(1, "U1")], "id int, v string"), t, ["id"]
+    )  # v3: feed rows under the OLD name
+    rename_column(t, "v", "w")  # v4: metadata-only
+    versioned_upsert(
+        mk([(2, "U2")], "id int, w string"), t, ["id"]
+    )  # v5: feed rows under the NEW name
+    feed = read_change_feed(spark, t, 2, 5)
+    assert "w" in feed.columns and "v" not in feed.columns, (
+        "the feed speaks the TO version's logical names"
+    )
+    got = sorted(
+        (r["_commit_version"], r["id"], r["_change_type"], r["w"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (3, 1, "update_postimage", "U1"),
+        (3, 1, "update_preimage", "v1"),
+        (5, 2, "update_postimage", "U2"),
+        (5, 2, "update_preimage", "v2"),
+    ]
