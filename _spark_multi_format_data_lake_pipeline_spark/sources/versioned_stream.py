@@ -424,12 +424,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             and sv > 1
             and sv - 1 not in vs
             and not cur.get("snapshot_start")
+            and not (
+                self.read_change_feed
+                and sv in vs
+                and sv != vs[0]
+                and (_read_manifest(self.path, sv).get("cdf_files"))
+            )
         ):
             # Partial cursor whose DIFF BASE manifest (sv-1) was
             # vacuumed: sv surviving is not enough — file_index indexes
             # the new-file list diffed against sv-1, and any other base
-            # misaligns the slice (see partitions' guard).  Return head
-            # and let partitions raise the honest error.
+            # misaligns the slice (a CDF slice is exempt: it indexes the
+            # commit's own self-contained cdf_files list — see
+            # partitions' guard).  Return head and let partitions raise
+            # the honest error.
             return head
         files = 0
         nbytes = 0
@@ -557,6 +565,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 and ov > 1
                 and ov - 1 not in vs
                 and not (off.get("snapshot_start") and ov == vs[0])
+                # a CDF-mode slice indexes the commit's OWN cdf_files
+                # list (self-contained in its manifest) — no diff base
+                # needed, so a vacuumed V-1 is harmless for it
+                and not (
+                    self.read_change_feed
+                    and ov in vs
+                    and ov != vs[0]  # the earliest survivor replans as
+                    # a bootstrap SNAPSHOT, not a cdf slice
+                    and (_read_manifest(self.path, ov).get("cdf_files"))
+                )
             ):
                 raise ValueError(
                     f"versioned_changes: checkpointed partial {role} "

@@ -1857,3 +1857,77 @@ def test_drain_versioned_changes_full_backlog_under_cap(spark, tmp_path):
     assert drain_versioned_changes(
         spark, t, out, ckpt, max_files_per_trigger=1
     ) == 0
+
+
+def test_cdf_partial_offset_survives_vacuumed_diff_base(spark, tmp_path):
+    """A capped readChangeFeed stream's partial offset inside a CDF
+    commit indexes that commit's OWN cdf_files list (self-contained in
+    its manifest — no diff base), so vacuum dropping V-1 must NOT
+    raise the behind-retention error for it: the resume delivers the
+    remaining change rows exactly once.  (Data-file slices still
+    require their diff base — the r12-ADVICE guard is unchanged for
+    them, and the earliest survivor stays excluded because it replans
+    as a bootstrap snapshot.)"""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        create_tag,
+        enable_change_data_feed,
+        vacuum,
+        versioned_delete,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _read_manifest as _rm
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id int, v string"
+        ).repartitionByRange(2, "id"),
+        t,
+    )  # v1: 2 files
+    create_tag(t, "anchor", 1)  # keeps v1 through the vacuum
+    enable_change_data_feed(t)  # v2 (metadata-only for the stream)
+    versioned_delete(spark, t, "id % 2 = 0", strategy="dv")  # v3: CDF
+    m3 = _rm(t, 3)
+    assert len(m3["cdf_files"]) >= 2, (
+        "test needs a multi-part change commit to slice"
+    )
+    opts = {"path": t, "readChangeFeed": "true", "maxFilesPerTrigger": "1"}
+    rd = VersionedChangesStreamReader(dict(opts))
+    cur = rd.initialOffset()
+    seen = []
+    # drain until the cursor sits PARTIALLY inside the cdf commit
+    while cur != {"version": 3, "file_index": 1}:
+        nxt = rd.latestOffset()
+        assert nxt != cur, "stream stalled before reaching the slice"
+        seen += [
+            r
+            for p in rd.partitions(cur, nxt)
+            for b in rd.read(p)
+            for r in b.to_pylist()
+        ]
+        cur = nxt
+    # vacuum drops v2 (v1 survives by tag, v3 is the head): the cdf
+    # slice's V-1 diff base is gone, but its list is self-contained
+    vacuum(t, keep_last=1)
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versions as _vs
+
+    assert _vs(t) == [1, 3]
+    rd2 = VersionedChangesStreamReader(dict(opts))
+    rest = [
+        r
+        for p in rd2.partitions(cur, {"version": 3})
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    ]
+    rows = seen + rest
+    ins = sorted(
+        r["id"] for r in rows if r["_change_type"] == "insert"
+    )
+    dels = sorted(
+        r["id"] for r in rows if r["_change_type"] == "delete"
+    )
+    assert ins == list(range(8)), "bootstrap inserts exactly once"
+    assert dels == [0, 2, 4, 6], "every change row exactly once, no dup"
