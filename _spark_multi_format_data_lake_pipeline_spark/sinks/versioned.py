@@ -701,6 +701,17 @@ _BUCKET_COL = "__bucket"
 # committed schema; surfaced as ``_row_id`` by read_version_row_ids.
 _ROWID_COL = "__row_id"
 
+# Hidden row-commit-version column (Delta's defaultRowCommitVersion
+# design): a row's last-modified version is its FILE's commit-version
+# stamp (file_meta["v"]) unless the row carries a materialized
+# override.  Rewrites materialize the OLD version for rows they merely
+# CARRY (survivors, compacted rows — not logically modified), and
+# leave the column NULL for rows they modify/insert, which therefore
+# fall through to the new file's stamp: exact even under commit-race
+# rebases, because the stamp is corrected to the version that actually
+# commits.  Surfaced as ``_row_commit_version``.
+_ROWCV_COL = "__row_cv"
+
 # Per-file bloom-filter index defaults: m bits per (file, column), k
 # probe positions per value (Kirsch-Mitzenmacher double hashing).  At
 # m=8192 / k=3 a file with 1000 distinct values has ~3% false-positive
@@ -1287,16 +1298,20 @@ def _write_snapshot(
     # schema (it IS in the parquet of rewrite-written files; readers
     # add it explicitly via keep_row_ids)
     materialized_ids = _ROWID_COL in df.columns
-    if materialized_ids and not _row_tracking_on(prev):
+    if (
+        materialized_ids or _ROWCV_COL in df.columns
+    ) and not _row_tracking_on(prev):
         raise ValueError(
-            f"{_ROWID_COL!r} is a reserved column name (row tracking); "
-            "rename the column"
+            f"{_ROWID_COL!r}/{_ROWCV_COL!r} are reserved column names "
+            "(row tracking); rename the column"
         )
     if materialized_ids:
         schema = {
             **schema,
             "fields": [
-                f for f in schema["fields"] if f["name"] != _ROWID_COL
+                f
+                for f in schema["fields"]
+                if f["name"] not in (_ROWID_COL, _ROWCV_COL)
             ],
         }
     if carry_files and prev.get("schema"):
@@ -2173,7 +2188,9 @@ def _read_files(
             )
         if keep_row_ids:
             df = df.select(
-                "*", F.lit(None).cast("long").alias(_ROWID_COL)
+                "*",
+                F.lit(None).cast("long").alias(_ROWID_COL),
+                F.lit(None).cast("long").alias(_ROWCV_COL),
             )
         return df
     dv_counts = manifest.get("dv_counts") or {}
@@ -2258,15 +2275,21 @@ def _read_files(
         return out
 
     def _attach_row_ids(out: DataFrame) -> DataFrame:
-        """Resolve each row's stable id (requires lineage columns):
-        the materialized ``__row_id`` when the file carries it, else
-        its file's base_row_id + the row's position — one coalesce
-        over a broadcast (file, brid) map."""
+        """Resolve each row's stable id and last-modified version
+        (requires lineage columns): the materialized hidden columns
+        when the file carries them, else the file-level values — the
+        id from base_row_id + row position, the version from the
+        file's commit stamp — one coalesce each over one broadcast
+        (file, brid, v) map."""
         if not keep_row_ids:
             return out
         fmeta = manifest.get("file_meta") or {}
         brids = [
-            (f, (fmeta.get(f) or {}).get("brid"))
+            (
+                f,
+                (fmeta.get(f) or {}).get("brid"),
+                (fmeta.get(f) or {}).get("v"),
+            )
             for f in files
         ]
         from pyspark.sql.types import LongType, StringType
@@ -2280,6 +2303,7 @@ def _read_files(
                     [
                         _Bf("__brid_file", StringType(), False),
                         _Bf("__brid", LongType(), True),
+                        _Bf("__fv", LongType(), True),
                     ]
                 ),
             )
@@ -2292,8 +2316,10 @@ def _read_files(
             F.coalesce(
                 F.col(_ROWID_COL), F.col("__brid") + F.col("__dv_pos")
             ),
+        ).withColumn(
+            _ROWCV_COL, F.coalesce(F.col(_ROWCV_COL), F.col("__fv"))
         )
-        return out.drop("__brid_file", "__brid")
+        return out.drop("__brid_file", "__brid", "__fv")
 
     # Column mapping: files carry PHYSICAL names, so the scan schema is
     # the committed schema with fields renamed logical→physical, and
@@ -2311,11 +2337,15 @@ def _read_files(
         ]
     )
     if keep_row_ids:
-        # hidden materialized-id column: rewritten files carry it,
-        # append-written files read NULL (their ids derive from brid)
+        # hidden materialized id/commit-version columns: rewritten
+        # files carry them, append-written files read NULL (their
+        # values derive from the file-level brid / commit stamp)
         from pyspark.sql.types import LongType as _RlT
 
-        phys = StructType(list(phys.fields) + [_Sf(_ROWID_COL, _RlT(), True)])
+        phys = StructType(
+            list(phys.fields)
+            + [_Sf(_ROWID_COL, _RlT(), True), _Sf(_ROWCV_COL, _RlT(), True)]
+        )
 
     def _to_logical(df: DataFrame) -> DataFrame:
         if not cmap:
@@ -2430,7 +2460,7 @@ def _read_files(
     if keep_lineage:
         sel += [F.col("__dv_file"), F.col("__dv_pos")]
     if keep_row_ids:
-        sel += [F.col(_ROWID_COL)]
+        sel += [F.col(_ROWID_COL), F.col(_ROWCV_COL)]
     return out.select(*sel)
 
 
@@ -4129,7 +4159,7 @@ def versioned_upsert(
             # range keys, the same zone-map argument as the rewrite)
             ck = cur.select(*keys).distinct()
             feed = (
-                cur.drop(_ROWID_COL)
+                cur.drop(_ROWID_COL, _ROWCV_COL)
                 .join(dk, keys, "left_semi")
                 .withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
@@ -4252,7 +4282,7 @@ def versioned_delete(
     cdf = (
         _write_cdf(
             cur.filter(pred)
-            .drop(_ROWID_COL)
+            .drop(_ROWID_COL, _ROWCV_COL)
             .withColumn("_change_type", F.lit("delete")),
             path,
             _column_mapping(m),
@@ -4532,13 +4562,22 @@ def versioned_update(
             .otherwise(F.col(c))
             .alias(c)
             if c in set_exprs
-            else F.col(c)  # incl. the hidden row id: UPDATE keeps it
+            else (
+                # a MODIFIED row's last-modified version becomes this
+                # commit: clear the carried override so it falls to the
+                # rewritten file's stamp; survivors keep theirs
+                F.when(pred, F.lit(None).cast("long"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c == _ROWCV_COL
+                else F.col(c)  # incl. the hidden row id: UPDATE keeps it
+            )
             for c in cur.columns
         )
     )
     cdf = None
     if _cdf_on(m):
-        hit = cur.filter(pred).drop(_ROWID_COL)
+        hit = cur.filter(pred).drop(_ROWID_COL, _ROWCV_COL)
         upd = hit.select(
             *(
                 F.expr(set_exprs[c]).cast(cur.schema[c].dataType).alias(c)
@@ -5110,12 +5149,20 @@ def enable_row_tracking(path: str) -> int:
 def read_version_row_ids(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read with each row's STABLE id as ``_row_id`` — the
-    public face of row tracking.  Ids survive upsert/update/compact
-    rewrites (materialized), updated keys keep the replaced row's id,
-    inserts get fresh ones; two snapshots join on ``_row_id`` to track
-    a physical row across arbitrary re-clustering — the primitive
-    incremental consumers need when business keys are mutable."""
+    """Snapshot read with each row's STABLE id as ``_row_id`` and its
+    LAST-MODIFIED version as ``_row_commit_version`` — the public face
+    of row tracking.  Ids survive upsert/update/compact rewrites
+    (materialized), updated keys keep the replaced row's id, inserts
+    get fresh ones; two snapshots join on ``_row_id`` to track a
+    physical row across arbitrary re-clustering — the primitive
+    incremental consumers need when business keys are mutable.
+    ``_row_commit_version`` is the version that last logically
+    modified the row: its file's commit stamp unless a rewrite carried
+    the row unmodified (survivors/compaction materialize the OLD
+    version; rows modified by the rewrite fall to the new stamp —
+    Delta's defaultRowCommitVersion design, exact under rebases).
+    Rows of files written before commit stamping read NULL (unknown),
+    never a wrong version."""
     from pyspark.sql import functions as F
 
     vs = versions(path)
@@ -5131,7 +5178,9 @@ def read_version_row_ids(
             "enable_row_tracking first"
         )
     out = _read_files(spark, path, m["files"], m, keep_row_ids=True)
-    return out.withColumnRenamed(_ROWID_COL, "_row_id")
+    return out.withColumnRenamed(_ROWID_COL, "_row_id").withColumnRenamed(
+        _ROWCV_COL, "_row_commit_version"
+    )
 
 
 # --- change data feed: materialized per-commit change files ----------

@@ -5251,3 +5251,52 @@ def test_change_feed_bridges_renames(spark, tmp_path):
         (5, 2, "update_postimage", "U2"),
         (5, 2, "update_preimage", "v2"),
     ]
+
+
+def test_row_commit_version_tracks_last_modification(spark, tmp_path):
+    """_row_commit_version (Delta defaultRowCommitVersion design): a
+    row's last-modified version is its file's commit stamp unless a
+    rewrite CARRIED it unmodified — survivors and compacted rows keep
+    their old version (materialized), rows the rewrite modified or
+    inserted fall to the rewritten file's stamp."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        enable_row_tracking,
+        read_version_row_ids,
+        versioned_delete,
+        versioned_update,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(6)]).coalesce(1), t
+    )  # v1
+    enable_row_tracking(t)  # v2
+    cv = lambda: {
+        r["id"]: r["_row_commit_version"]
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert cv() == {i: 1 for i in range(6)}, (
+        "untouched rows carry their file's commit stamp"
+    )
+    versioned_write(mk([(10, "a")]).coalesce(1), t)  # v3 append
+    assert cv()[10] == 3 and cv()[0] == 1
+    versioned_update(spark, t, {"v": "'X'"}, "id = 2")  # v4 rewrite
+    got = cv()
+    assert got[2] == 4, "the modified row moves to the rewrite version"
+    assert got[0] == 1 and got[3] == 1, (
+        "survivors keep their OLD version through the rewrite"
+    )
+    versioned_upsert(mk([(3, "U"), (50, "I")]), t, ["id"])  # v5
+    got = cv()
+    assert got[3] == 5 and got[50] == 5
+    assert got[0] == 1 and got[2] == 4, "carried rows keep their history"
+    versioned_delete(spark, t, "id = 1")  # v6: survivors unmodified
+    compact(spark, t, target_files=1)  # v7: row-preserving
+    got = cv()
+    assert 1 not in got
+    assert got[0] == 1 and got[2] == 4 and got[3] == 5 and got[10] == 3, (
+        "delete+compact must not disturb any survivor's version"
+    )
