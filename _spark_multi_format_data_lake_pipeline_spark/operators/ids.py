@@ -54,19 +54,27 @@ def assign_contiguous_ids(
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
+    # The partition index is BAKED INTO the checkpointed rows rather
+    # than read from TaskContext at numbering time: a downstream plan
+    # that composes the numbered frame into a UNION (or any stage
+    # whose task partition ids are renumbered — union children's
+    # partitions are offset by their predecessors') would otherwise
+    # hand _number a REMAPPED partition id, every offset lookup would
+    # miss to 0, and distinct partitions would deal colliding ids (the
+    # row-tracking upsert found exactly this).  Data-carried pids are
+    # immune to any task renumbering.
+    pid_col = "__acid_pid"
     ordered = (
         df.repartitionByRange(int(parts), *order_cols)
         .sortWithinPartitions(*order_cols)
+        .withColumn(pid_col, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
     counts = (
-        ordered.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
+        ordered.groupBy(pid_col).agg(F.count(F.lit(1)).alias("_n")).collect()
     )
-    sizes = {r["_pid"]: r["_n"] for r in counts}
+    sizes = {r[pid_col]: r["_n"] for r in counts}
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(sizes):
@@ -78,20 +86,36 @@ def assign_contiguous_ids(
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
-        list(ordered.schema.fields) + [StructField(id_col, LongType(), False)]
+        [f for f in ordered.schema.fields if f.name != pid_col]
+        + [StructField(id_col, LongType(), False)]
     )
     sess = df.sparkSession
     boffsets = sess.sparkContext.broadcast(offsets)
 
     def _number(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # mapInPandas runs once per partition; TaskContext gives its id
-        from pyspark import TaskContext
+        # Numbered per DATA-BORNE pid, not per task: a task normally
+        # serves one checkpointed partition, but a downstream coalesce
+        # can merge several into one task (and chunking can straddle
+        # their boundary), so each chunk is grouped by its rows' pids —
+        # intra-partition order is preserved by coalesce, keeping the
+        # id <-> sort-order contract exact in every composition.
+        import numpy as np
 
-        pid = TaskContext.get().partitionId()
-        nxt = boffsets.value.get(pid, 0)
+        state: dict[int, int] = {}
         for pdf in it:
-            pdf[id_col] = range(nxt, nxt + len(pdf))
-            nxt += len(pdf)
-            yield pdf
+            if len(pdf):
+                ids = np.empty(len(pdf), dtype="int64")
+                for pid, idx in pdf.groupby(
+                    pid_col, sort=False
+                ).indices.items():
+                    base = state.get(
+                        int(pid), boffsets.value.get(int(pid), 0)
+                    )
+                    ids[idx] = np.arange(base, base + len(idx))
+                    state[int(pid)] = base + len(idx)
+                pdf[id_col] = ids
+            else:
+                pdf[id_col] = pd.Series([], dtype="int64")
+            yield pdf.drop(columns=[pid_col])
 
     return ordered.mapInPandas(_number, schema=out_schema)

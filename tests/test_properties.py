@@ -499,3 +499,112 @@ def test_grouped_running_sum_float_weights_close_to_window(spark, rows):
     assert set(got) == set(expected)
     for k in expected:
         assert math.isclose(got[k], expected[k], rel_tol=1e-9, abs_tol=1e-9), k
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 3)),
+            st.tuples(st.just("upsert"), st.integers(0, 3)),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
+            st.tuples(st.just("update"), st.integers(0, 9)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lakehouse_verbs_model_row_ids_and_feed(spark, ops):
+    """Model-based property over random verb sequences on a table with
+    BOTH change-data-feed and row-tracking enabled: (1) the snapshot
+    always equals a dict model; (2) row ids stay unique and a
+    never-deleted key keeps ONE id for its whole life; (3) replaying
+    read_change_feed over the enablement snapshot reproduces the final
+    state (compaction emits nothing, appends serve as inserts)."""
+    import shutil
+    import tempfile
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        enable_change_data_feed,
+        enable_row_tracking,
+        read_change_feed,
+        read_version,
+        read_version_row_ids,
+        versioned_count,
+        versioned_delete,
+        versioned_update,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+
+    base = tempfile.mkdtemp(prefix="prop_lake_")
+    t = base + "/t"
+    try:
+        mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+        model = {i: f"v{i}" for i in range(6)}
+        versioned_write(mk(sorted(model.items())).coalesce(1), t)  # v1
+        enable_change_data_feed(t)
+        enable_row_tracking(t)
+        enable_v = versions(t)[-1]
+        start_model = dict(model)
+        key_ids: dict[int, int] = {}  # key -> id while continuously live
+        seq = 100
+        for op, arg in ops:
+            if op == "append":
+                rows = {seq + i: f"a{seq + i}" for i in range(arg + 1)}
+                versioned_write(mk(sorted(rows.items())).coalesce(1), t)
+                model.update(rows)
+                seq += 10
+            elif op == "upsert":
+                rows = {arg: f"u{seq}", seq: f"i{seq}"}
+                versioned_upsert(mk(sorted(rows.items())), t, ["id"])
+                model.update(rows)
+                seq += 10
+            elif op == "delete":
+                versioned_delete(spark, t, f"id = {arg}")
+                model.pop(arg, None)
+            elif op == "update":
+                versioned_update(spark, t, {"v": "'X'"}, f"id = {arg}")
+                if arg in model:
+                    model[arg] = "X"
+            else:
+                compact(spark, t, target_files=1)
+            got = {
+                r["id"]: r["v"] for r in read_version(spark, t).collect()
+            }
+            assert got == model, f"after {op}({arg}): snapshot != model"
+            ids = {
+                r["id"]: r["_row_id"]
+                for r in read_version_row_ids(spark, t).collect()
+            }
+            assert len(set(ids.values())) == len(ids), "ids must be unique"
+            for k, rid in ids.items():
+                if k in key_ids:
+                    assert rid == key_ids[k], (
+                        f"key {k} changed id {key_ids[k]} -> {rid} "
+                        f"after {op}({arg})"
+                    )
+            key_ids = {k: ids[k] for k in ids}  # deleted keys drop out
+        assert versioned_count(spark, t).first()["count"] == len(model)
+        # feed replay law: enablement snapshot + feed == final state
+        head = versions(t)[-1]
+        if head > enable_v:
+            replay = dict(start_model)
+            for r in sorted(
+                read_change_feed(spark, t, enable_v, head).collect(),
+                key=lambda r: r["_commit_version"],
+            ):
+                if r["_change_type"] == "delete":
+                    replay.pop(r["id"], None)
+                elif r["_change_type"] in ("insert", "update_postimage"):
+                    replay[r["id"]] = r["v"]
+            assert replay == model, "feed replay must reproduce the head"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
