@@ -61,18 +61,20 @@ def pareto_frontier_2d(
     # range boundaries — one candidate-sized materialization whose blocks
     # live as long as the returned frame's lineage, nothing left in the
     # session cache (the r5-advice curation.py lesson)
+    # the partition id is stamped BEFORE the checkpoint (data-borne,
+    # the prefix.py/ids.py posture): a TaskContext id read at survivor
+    # time would desync if the stage's task partitions were ever
+    # renumbered (union composition) or merged (coalesce)
     ordered = (
         cand.repartitionByRange(parts, minimize)
         .sortWithinPartitions(minimize)
+        .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
     # 3. per-partition max of _best → exclusive prefix max on the driver
     pmax = (
-        ordered.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.max("_best").alias("_m"))
-        .collect()
+        ordered.groupBy("_pid").agg(F.max("_best").alias("_m")).collect()
     )
     by_pid = {r["_pid"]: r["_m"] for r in pmax}
     prefix: dict[int, float] = {}
@@ -88,15 +90,28 @@ def pareto_frontier_2d(
     # of everything strictly before it)
     def _survivors(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        run = bprefix.value.get(pid, float("-inf"))
+        runs: dict[int, float] = {}
         for pdf in it:
-            vals = pdf["_best"].to_numpy(dtype="float64")
-            excl = np.maximum.accumulate(np.concatenate(([run], vals)))
-            yield pdf[vals > excl[:-1]]
-            run = excl[-1]
+            if not len(pdf):
+                yield pdf
+                continue
+            # chunks carry their data-borne pid (constant per chunk in
+            # the stand-alone case; grouped defensively so a merged
+            # task stays exact)
+            keep_parts = []
+            for pid, idx in pdf.groupby("_pid", sort=False).indices.items():
+                sub = pdf.iloc[idx]
+                run = runs.get(
+                    int(pid), bprefix.value.get(int(pid), float("-inf"))
+                )
+                vals = sub["_best"].to_numpy(dtype="float64")
+                excl = np.maximum.accumulate(
+                    np.concatenate(([run], vals))
+                )
+                keep_parts.append(sub[vals > excl[:-1]])
+                runs[int(pid)] = excl[-1]
+            yield pd.concat(keep_parts) if keep_parts else pdf.iloc[:0]
 
     # non-eager checkpoint: materializes at the FIRST action over the
     # result and is reused by later actions, so a multi-action consumer
