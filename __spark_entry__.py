@@ -66,6 +66,12 @@ _RECHECK = (
     "q253_versioned_update_rows",
     "q133_exact_percentiles",
     "q214_cusum_changepoint",
+    # r13 late: the contiguous-id assigner moved to data-borne
+    # partition ids (union-composition fix) and the skyline survivor
+    # pass followed — their oracle rows re-verify.
+    "q110_stable_ids",
+    "q260_versioned_identity_column",
+    "q172_pareto_parts",
 )
 
 
