@@ -38,7 +38,9 @@ def apply_cdc_batch(
     not_matched_by_source_update: dict[str, str] | None = None,
     not_matched_by_source_update_condition: str | None = None,
     allow_schema_evolution: bool = False,
-) -> DataFrame:
+    action_col: str | None = None,
+    with_feed: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Next table state = target ⊳ changes (anti on keys) ∪ latest upserts.
 
     ``changes`` columns: the target's columns plus ``op_col`` with values
@@ -102,6 +104,24 @@ def apply_cdc_batch(
     column is not an assignment to NULL).  Without the flag, a change
     batch whose non-key columns don't cover the target's refuses, and
     extra change columns refuse — schema drift must be explicit.
+
+    ``action_col``: when set, the result carries one extra string
+    column of that name classifying every SURVIVING row — ``carry``
+    (target row untouched by any fired clause), ``update`` (a matched
+    update or by-source update fired; the row holds the POST values),
+    ``insert`` (an unmatched change row inserted).  Deleted rows are
+    absent, as always.  This is the hook row tracking hangs off: carry
+    keeps id+commit-version, update keeps id only, insert draws fresh.
+
+    ``with_feed=True`` returns ``(state, feed)`` where ``feed`` holds
+    the Delta-CDF rows of this very merge — the target's columns plus
+    ``_change_type`` ∈ insert / update_preimage / update_postimage /
+    delete.  Clause-fired is what's emitted (a fired update whose
+    values happen to be unchanged still emits pre+post — Delta rewrites
+    and feeds that row too), so feed semantics match
+    ``versioned_upsert``'s.  Both extras force the single full-outer
+    join plan (the anti-join fast path cannot tell insert from update);
+    the feed's frames are extra selects over the SAME join.
     """
     keys = list(key_cols)
     # A MERGE source must carry every merge-on column, schema evolution
@@ -180,6 +200,8 @@ def apply_cdc_batch(
         and matched_delete_condition is None
         and not has_by_source
         and not missing_names
+        and action_col is None
+        and not with_feed
     ):
         survivors = target.join(latest.select(*keys), keys, "left_anti")
         upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
@@ -233,13 +255,13 @@ def apply_cdc_batch(
         )
     else:
         bs_upd = F.lit(False)
-    take_source = (
-        matched & (F.col("_s_op") != "D") & _cond(matched_condition)
-    ) | (
+    upd_src = matched & (F.col("_s_op") != "D") & _cond(matched_condition)
+    ins_new = (
         F.col("_t_present").isNull()
         & (F.col("_s_op") != "D")
         & _cond(not_matched_condition)
     )
+    take_source = upd_src | ins_new
     emit = take_source | (
         F.col("_t_present").isNotNull() & ~deletes & ~bs_del
     )
@@ -263,7 +285,45 @@ def apply_cdc_batch(
             )
             cur = F.when(bs_upd, assigned).otherwise(cur)
         out_cols.append(cur.alias(c))
-    return j.filter(emit).select(*out_cols)
+    updated = upd_src | bs_upd
+    state_cols = list(out_cols)
+    if action_col is not None:
+        state_cols.append(
+            F.when(updated, F.lit("update"))
+            .when(ins_new, F.lit("insert"))
+            .otherwise(F.lit("carry"))
+            .alias(action_col)
+        )
+    state = j.filter(emit).select(*state_cols)
+    if not with_feed:
+        return state
+    # Delta-CDF rows of this merge, selected off the same join: PRE
+    # images are the t_ side verbatim, POST images are exactly the
+    # state expressions, deletes carry the removed values (audit shape,
+    # like table_diff's D rows).
+    pre_cols = [
+        F.col(c) if c in keys else F.col(f"t_{c}").alias(c)
+        for c in target.columns
+    ]
+    _ct = "_change_type"
+    feed = (
+        j.filter(updated)
+        .select(*pre_cols, F.lit("update_preimage").alias(_ct))
+        .unionByName(
+            j.filter(updated).select(
+                *out_cols, F.lit("update_postimage").alias(_ct)
+            )
+        )
+        .unionByName(
+            j.filter(deletes | bs_del).select(
+                *pre_cols, F.lit("delete").alias(_ct)
+            )
+        )
+        .unionByName(
+            j.filter(ins_new).select(*out_cols, F.lit("insert").alias(_ct))
+        )
+    )
+    return state, feed
 
 
 def table_diff(

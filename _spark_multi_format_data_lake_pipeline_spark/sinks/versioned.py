@@ -1461,8 +1461,16 @@ def _write_snapshot(
     if constraints:
         manifest["constraints"] = constraints
     if cdefaults:
-        # defaults follow their columns: one dropped from the schema
-        # (overwrite with a narrower frame) takes its default with it
+        # Defaults can only leave with their column via drop_column
+        # (which prunes column_defaults in its own metadata commit) — a
+        # NARROWER overwrite frame never drops one, because
+        # _materialize_defaults above re-adds every omitted defaulted
+        # column before the write (Delta keeps defaults until an
+        # explicit drop, too).  The schema filter here is therefore a
+        # consistency guard, not a live narrowing path: it keeps a
+        # default from outliving its column should a future verb commit
+        # a schema that lost the column without routing through
+        # materialization.
         live_cd = {
             c: spec
             for c, spec in cdefaults.items()
@@ -1474,6 +1482,16 @@ def _write_snapshot(
         manifest["change_data_feed"] = True
     if cdf_files:  # THIS commit's materialized change rows (never carried)
         manifest["cdf_files"] = cdf_files
+        # per-file sizes, same shape as file_meta's bytes: the capped
+        # streaming walk (maxBytesPerTrigger) paces change-feed batches
+        # with these — data-file meta never keys cdf files
+        cfm: dict[str, dict] = {}
+        for f in cdf_files:
+            try:
+                cfm[f] = {"bytes": (Path(path) / f).stat().st_size}
+            except OSError:
+                cfm[f] = {}
+        manifest["cdf_file_meta"] = cfm
     if track:
         manifest["row_tracking"] = True
         manifest["row_id_high_water"] = hw0 + rid_consumed
@@ -2827,7 +2845,18 @@ def versioned_ndv_registers(
     from the rows.  Files without a committed register set (written
     before the spec, or the column predates them) make the estimate
     silently low, so they RAISE unless ``allow_partial=True`` —
-    re-cover with ``compact()`` (rewrites carry fresh registers)."""
+    re-cover with ``compact()`` (rewrites carry fresh registers).
+
+    DELETE-VECTOR staleness (the Iceberg puffin-sketch caveat, made
+    loud): registers are per-FILE and a DV delete does not rewrite the
+    file, so values surviving only in DV-deleted rows still count —
+    when the snapshot carries outstanding delete vectors the merged
+    estimate is an UPPER BOUND on the live rows' NDV, exact again once
+    ``compact()`` materializes the deletes.  A ``UserWarning`` flags
+    this; it never silently under-counts (deletes can only remove
+    values)."""
+    import warnings
+
     from pyspark.sql import functions as F  # noqa: F401
 
     vs = versions(path)
@@ -2844,6 +2873,16 @@ def versioned_ndv_registers(
             f"ndv_by covers {spec['cols'] if spec else []}"
         )
     phys = _phys(m, col)
+    if m.get("dv_counts"):
+        warnings.warn(
+            f"versioned_ndv: snapshot v{v} at {path} carries "
+            f"outstanding delete vectors over "
+            f"{len(m['dv_counts'])} file(s); per-file registers still "
+            f"count values that survive only in DV-deleted rows, so "
+            f"the {col!r} estimate is an UPPER BOUND — compact() to "
+            "materialize the deletes and make it exact",
+            stacklevel=2,
+        )
     merged: dict[int, int] = {}
     missing = 0
     for f in m["files"]:
@@ -2893,7 +2932,9 @@ def versioned_ndv(
     standard HLL estimate over :func:`versioned_ndv_registers`, ~1.6%
     standard error at the committed p=12.  The metadata sibling of
     ``versioned_count``/``versioned_min_max`` for the one aggregate
-    zone maps structurally cannot answer."""
+    zone maps structurally cannot answer.  Outstanding delete vectors
+    make this an upper bound (warned, exact after ``compact()``) —
+    see :func:`versioned_ndv_registers`."""
     from ..functions.sketches import hll_estimate_registers
 
     m = _read_manifest(
@@ -3895,19 +3936,67 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     keep timestamp travel over their pre-existing history.  A ts before
     the first commit raises — an honest 'no snapshot existed then'
     instead of silently serving the oldest."""
+    return read_version(spark, path, version_at_or_before(path, ts))
+
+
+def _commit_time(path: str, v: int) -> float | None:
+    """A version's commit wall-clock: the manifest's ``committed_at``
+    stamp, manifest-file mtime for legacy commits (the commit IS the
+    manifest's creation), None only when both are unreadable."""
+    at = _read_manifest(path, v).get("committed_at")
+    if at is None:
+        try:
+            at = (_manifest_dir(path) / f"v{v}.json").stat().st_mtime
+        except OSError:
+            return None
+    return at
+
+
+def version_at_or_before(path: str, ts: float) -> int:
+    """The version CURRENT at wall-clock ``ts`` — greatest
+    ``committed_at`` <= ts, version number breaking clock ties (the
+    Iceberg/Delta ``TIMESTAMP AS OF`` rule; see
+    :func:`read_version_as_of` for why max-by-time, not max-by-version,
+    matters under rollbacks).  This is also ``endingTimestamp``'s
+    resolution for change feeds.  Raises when no snapshot existed at
+    ``ts`` — never silently serves the oldest."""
     best: tuple[float, int] | None = None
     for v in versions(path):
-        at = _read_manifest(path, v).get("committed_at")
-        if at is None:
-            try:
-                at = (_manifest_dir(path) / f"v{v}.json").stat().st_mtime
-            except OSError:
-                continue
-        if at <= ts and (best is None or (at, v) > best):
+        at = _commit_time(path, v)
+        if at is not None and at <= ts and (best is None or (at, v) > best):
             best = (at, v)
     if best is None:
         raise ValueError(f"no snapshot of {path} existed at ts={ts}")
-    return read_version(spark, path, best[1])
+    return best[1]
+
+
+def version_at_or_after(path: str, ts: float) -> int:
+    """``startingTimestamp`` resolution (Delta's rule: "changes at or
+    after this time"): the EARLIEST surviving version whose commit
+    clock is >= ``ts``.  A ``ts`` past the head commit raises (Delta
+    parity — there is nothing at or after it yet); a ``ts`` at or
+    before the earliest SURVIVOR of an ever-vacuumed history raises
+    the behind-retention error, because vacuumed versions may also
+    postdate ``ts`` and their changes are unreconstructable."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    hits = [v for v in vs if (at := _commit_time(path, v)) is not None and at >= ts]
+    if not hits:
+        raise ValueError(
+            f"startingTimestamp {ts} is past the head commit of {path} "
+            f"(v{vs[-1]}) — no version was committed at or after it"
+        )
+    f = min(hits)
+    if f == vs[0] and vs[0] > 1:
+        raise ValueError(
+            f"startingTimestamp {ts} predates the earliest surviving "
+            f"manifest v{vs[0]} at {path} — versions before it were "
+            "vacuumed and may also postdate the timestamp; their "
+            "changes are unreconstructable (behind the retention "
+            "horizon)"
+        )
+    return f
 
 
 def compact(
@@ -4043,6 +4132,30 @@ def compact(
     )
 
 
+def _assign_fresh_row_ids(
+    rows: DataFrame, keys: list[str], hw: int
+) -> tuple[DataFrame, int]:
+    """Fresh stable row ids for inserted keys: contiguous from the
+    high-water mark via the range-partition prefix sum (operators/ids)
+    — never a ROW_NUMBER funnel — returned as (rows + id column,
+    ids consumed).  Callers guarantee the keyed rows are the INSERT
+    side of a rewrite (every row draws one id)."""
+    from pyspark.sql import functions as F
+
+    n = rows.count()
+    if not n:
+        return rows.withColumn(_ROWID_COL, F.lit(None).cast("long")), 0
+    from ..operators.ids import assign_contiguous_ids
+
+    rows = assign_contiguous_ids(rows, keys, id_col="__rid_tmp")
+    return (
+        rows.withColumn(
+            _ROWID_COL, (F.col("__rid_tmp") + F.lit(hw)).cast("long")
+        ).drop("__rid_tmp"),
+        n,
+    )
+
+
 def versioned_upsert(
     df: DataFrame,
     path: str,
@@ -4114,21 +4227,7 @@ def versioned_upsert(
     rid_consumed = 0
 
     def _fresh_ids(rows: DataFrame, hw: int) -> tuple[DataFrame, int]:
-        # fresh stable ids for inserted keys: contiguous from the
-        # watermark via the range-partition prefix sum (operators/ids),
-        # never a ROW_NUMBER funnel; keys are unique (checked above)
-        n = rows.count()
-        if not n:
-            return rows.withColumn(_ROWID_COL, F.lit(None).cast("long")), 0
-        from ..operators.ids import assign_contiguous_ids
-
-        rows = assign_contiguous_ids(rows, keys, id_col="__rid_tmp")
-        return (
-            rows.withColumn(
-                _ROWID_COL, (F.col("__rid_tmp") + F.lit(hw)).cast("long")
-            ).drop("__rid_tmp"),
-            n,
-        )
+        return _assign_fresh_row_ids(rows, keys, hw)
 
     if candidates:
         cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
@@ -4660,7 +4759,20 @@ def versioned_apply_changes(
     for the commit (the whole snapshot re-runs the merge — the same
     full-table cost Delta pays for a by-source merge); see
     ``sinks/cdc.py::apply_cdc_batch`` for the clause semantics
-    (conditions/assignments over unprefixed keys + ``t_<col>``)."""
+    (conditions/assignments over unprefixed keys + ``t_<col>``).
+
+    On a ``change_data_feed`` table the commit MATERIALIZES its feed
+    rows (insert / update_preimage / update_postimage / delete) —
+    emitted by the merge join itself (``with_feed``), so clause-fired
+    is what's fed: a conditional update that fires with unchanged
+    values still feeds pre+post (Delta rewrites and feeds it too), a
+    clause that doesn't fire feeds nothing.  ``read_change_feed`` and
+    the streaming ``readChangeFeed`` serve them like any other
+    row-level commit.  On a ``row_tracking`` table ids persist through
+    the merge: carried rows keep id and commit version, updated rows
+    (matched or by-source) keep their id and re-stamp the version,
+    inserted keys draw fresh ids past the high-water mark — the same
+    contract as ``versioned_upsert``."""
     from .cdc import apply_cdc_batch
 
     keys = list(key_cols)
@@ -4696,21 +4808,8 @@ def versioned_apply_changes(
         )
         return _write_snapshot(out, path, "upsert", carry_files=[])
     m = _read_manifest(path, vs[-1])
-    if _cdf_on(m):
-        raise ValueError(
-            "versioned_apply_changes does not yet materialize change "
-            "data feed rows; on a change_data_feed table use "
-            "versioned_upsert / versioned_delete / versioned_update "
-            "(which do), or disable_change_data_feed first — a silent "
-            "gap in the feed would be worse than this refusal"
-        )
-    if _row_tracking_on(m):
-        raise ValueError(
-            "versioned_apply_changes does not yet preserve row-tracking "
-            "ids; on a row_tracking table use versioned_upsert / "
-            "versioned_delete / versioned_update (which do) — silently "
-            "re-dealing ids would be worse than this refusal"
-        )
+    cdf_on = _cdf_on(m)
+    track = _row_tracking_on(m)
     if has_by_source:
         # by-source clauses touch rows no change-row key points at:
         # zone-map confinement on the batch's key range would leave
@@ -4726,12 +4825,66 @@ def versioned_apply_changes(
             m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
         )
         rr = (pc, rng["lo"], rng["hi"])
-    cur = _read_files(spark, path, candidates, m)
-    out = apply_cdc_batch(
-        cur, changes, keys, op_col=op_col, seq_col=seq_col, **clause_kw
+    cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
+    cur_data = cur.drop(_ROWID_COL, _ROWCV_COL) if track else cur
+    # The merge itself classifies every surviving row (carry / update /
+    # insert) and, on a feed-enabled table, emits its own Delta-CDF
+    # rows — both selected off the single full-outer join, so CDF and
+    # row tracking cost no extra shuffle.  Confinement makes the feed
+    # exact: untouched files provably hold no change-range keys (the
+    # zone-map argument), and by-source merges run unconfined anyway.
+    res = apply_cdc_batch(
+        cur_data,
+        changes,
+        keys,
+        op_col=op_col,
+        seq_col=seq_col,
+        action_col="__act" if track else None,
+        with_feed=cdf_on,
+        **clause_kw,
     )
+    out, feed = res if cdf_on else (res, None)
+    cdf = _write_cdf(feed, path, _column_mapping(m)) if cdf_on else None
+    rid_consumed = 0
+    if track:
+        # carried rows keep id + commit version (not logically
+        # modified); updated rows inherit the replaced row's id but
+        # re-stamp their version; inserted keys draw fresh ids past the
+        # watermark — exactly versioned_upsert's contract
+        cur_ids = (
+            cur.select(*keys, _ROWID_COL, _ROWCV_COL)
+            .groupBy(*keys)
+            .agg(
+                F.min(_ROWID_COL).alias(_ROWID_COL),
+                F.min(_ROWCV_COL).alias("__cv0"),
+            )
+        )
+        outi = (
+            out.join(cur_ids, keys, "left")
+            .withColumn(
+                _ROWCV_COL,
+                F.when(F.col("__act") == "carry", F.col("__cv0")).cast(
+                    "long"
+                ),
+            )
+            .drop("__cv0", "__act")
+        )
+        ins, rid_consumed = _assign_fresh_row_ids(
+            outi.filter(F.col(_ROWID_COL).isNull()).drop(_ROWID_COL),
+            keys,
+            int(m.get("row_id_high_water") or 0),
+        )
+        out = outi.filter(F.col(_ROWID_COL).isNotNull()).unionByName(
+            ins, allowMissingColumns=True
+        )
     return _write_snapshot(
-        out, path, "upsert", carry_files=untouched, read_range=rr
+        out,
+        path,
+        "upsert",
+        carry_files=untouched,
+        read_range=rr,
+        cdf_files=cdf,
+        row_ids_consumed=rid_consumed,
     )
 
 
@@ -5505,6 +5658,20 @@ def read_change_feed(
             f"read_change_feed: from_version {from_version} was "
             f"vacuumed (have {vs}); changes before the retention "
             "horizon are unreconstructable"
+        )
+    # Contiguity: tag+vacuum leaves GAPS mid-history (e.g. vs=[2,5,6]).
+    # A vacuumed interior version's changes are just as unreconstructable
+    # as a vacuumed from_version — and worse, the overwrite branch below
+    # would diff against the wrong prev across the gap — so the feed
+    # refuses the whole range rather than silently omitting commits
+    # (the same contract as the from_version check above).
+    missing = [g for g in range(from_version + 1, to_v + 1) if g not in vs]
+    if missing:
+        raise ValueError(
+            f"read_change_feed: version(s) {missing} inside "
+            f"({from_version}, {to_v}] were vacuumed (have {vs}); "
+            "their changes are unreconstructable — read a gap-free "
+            "sub-range or rebuild from a snapshot diff (read_changes)"
         )
     m_to = _read_manifest(path, to_v)
     ct = _column_mapping(m_to)

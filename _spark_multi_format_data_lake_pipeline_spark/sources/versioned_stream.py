@@ -335,9 +335,30 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         checkpointed ``file_index`` replays identically."""
         prev: dict | None = None
         any_planned = False
+        last_v: int | None = None
         for v in vs:
             if v <= lo or v > ev:
                 continue
+            if self.read_change_feed:
+                # CDF contiguity: each commit's feed files are
+                # self-contained, so a vacuumed version in the walk is
+                # a SILENT hole in the change stream (unlike the
+                # append diff, which accumulates across survivors).
+                # Tag+vacuum leaves such gaps mid-history — refuse
+                # rather than omit (the batch read_change_feed raises
+                # the matching error).
+                exp = (last_v if last_v is not None else lo) + 1
+                if v != exp:
+                    raise ValueError(
+                        "versioned_changes: readChangeFeed needs every "
+                        f"version in ({lo}, {ev}] but "
+                        f"v{exp}..v{v - 1} were vacuumed at "
+                        f"{self.path} — their change rows are "
+                        "unreconstructable; restart from a fresh "
+                        "checkpoint past the gap or rebuild from a "
+                        "snapshot diff"
+                    )
+                last_v = v
             m = _read_manifest(self.path, v)
             if prev is None:
                 pm = [pv for pv in vs if pv < v]
@@ -446,7 +467,25 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         for v, m, new_files, _is_first, _kind in self._iter_new_files(
             lo, vs[-1], vs
         ):
-            meta = m.get("file_meta") or {}
+            if _kind == "cdf":
+                # change files have their own size plane (file_meta only
+                # keys DATA files — a cdf lookup there would read 0 and
+                # void byte pacing); legacy manifests without it get one
+                # stat per file, the same cost the commit now pays
+                meta = m.get("cdf_file_meta")
+                if meta is None:
+                    meta = {}
+                    for f in new_files:
+                        try:
+                            meta[f] = {
+                                "bytes": (Path(self.path) / f)
+                                .stat()
+                                .st_size
+                            }
+                        except OSError:
+                            meta[f] = {}
+            else:
+                meta = m.get("file_meta") or {}
             skip = s_idx if (s_idx is not None and v == sv) else 0
             for i in range(skip, len(new_files)):
                 if files and self._cap_hit(files, nbytes):

@@ -5300,3 +5300,228 @@ def test_row_commit_version_tracks_last_modification(spark, tmp_path):
     assert got[0] == 1 and got[2] == 4 and got[3] == 5 and got[10] == 3, (
         "delete+compact must not disturb any survivor's version"
     )
+
+
+def test_change_feed_refuses_vacuumed_interior_versions(spark, tmp_path):
+    """A tag+vacuum combination leaves GAPS mid-history (e.g. vs=[2,5,6]).
+    A change feed spanning a gap cannot reconstruct the vacuumed
+    versions' changes, so both the batch read and the streaming walk
+    must raise the vacuumed-version error instead of silently omitting
+    them — the feature's own 'a silent gap would be worse than refusal'
+    contract.  Gap-free sub-ranges on either side still serve."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        create_tag,
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t)  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(mk([(1, "U3")]), t, ["id"])  # v3
+    versioned_upsert(mk([(2, "U4")]), t, ["id"])  # v4
+    versioned_upsert(mk([(3, "U5")]), t, ["id"])  # v5
+    versioned_upsert(mk([(0, "U6")]), t, ["id"])  # v6
+    create_tag(t, "base", 2)
+    vacuum(t, keep_last=2)  # keeps v2 (tag), v5, v6 -> gap at v3/v4
+    assert versions(t) == [2, 5, 6]
+    # batch: any range covering the gap refuses
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_change_feed(spark, t, 2, 6)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_change_feed(spark, t, 2, 5)
+    # gap-free slices still serve
+    assert read_change_feed(spark, t, 5, 6).count() == 2
+    got = sorted(
+        (r["id"], r["_change_type"]) for r in
+        read_change_feed(spark, t, 5, 6).collect()
+    )
+    assert got == [(0, "update_postimage"), (0, "update_preimage")]
+    # streaming: a checkpoint resuming across the gap refuses too
+    r = VersionedChangesStreamReader({"path": t, "readChangeFeed": "true"})
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": 2}, {"version": 6})
+    # ... including through the capped latestOffset walk
+    r2 = VersionedChangesStreamReader(
+        {"path": t, "readChangeFeed": "true", "maxFilesPerTrigger": "1"}
+    )
+    r2._cursor = {"version": 2}
+    with pytest.raises(ValueError, match="vacuumed"):
+        r2.latestOffset()
+    # a gap-free resume (from v5) still plans
+    r3 = VersionedChangesStreamReader({"path": t, "readChangeFeed": "true"})
+    parts = r3.partitions({"version": 5}, {"version": 6})
+    assert parts, "gap-free resume must still plan the v6 feed files"
+
+
+def test_versioned_ndv_warns_upper_bound_under_delete_vectors(
+    spark, tmp_path
+):
+    """Per-file NDV registers do not see DV deletes (the file is not
+    rewritten), so a snapshot with outstanding delete vectors serves an
+    UPPER-BOUND estimate — loudly (UserWarning), never silently; after
+    compact() materializes the deletes the estimate is exact again and
+    the warning stops."""
+    import warnings as _w
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        compact,
+        versioned_delete,
+        versioned_ndv,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 50}") for i in range(500)], "id int, user string"
+    )
+    versioned_write(df.repartitionByRange(2, "id"), t, ndv_by=["user"])
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # clean snapshot: no warning
+        before = versioned_ndv(spark, t, "user")
+    assert 40 <= before <= 60
+    # DV-delete every user except u0 (lexicographic >=): files unchanged
+    versioned_delete(spark, t, "user >= 'u1'", strategy="dv")
+    with pytest.warns(UserWarning, match="UPPER BOUND"):
+        stale = versioned_ndv(spark, t, "user")
+    assert stale >= before * 0.9, "DV delete cannot shrink the registers"
+    compact(spark, t, target_files=1)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # deletes materialized: exact again
+        after = versioned_ndv(spark, t, "user")
+    assert after < 2, f"post-compact NDV must track the 1 live user, got {after}"
+
+
+def test_cdf_stream_byte_caps_pace_change_feed_batches(spark, tmp_path):
+    """maxBytesPerTrigger must bound readChangeFeed batches too: change
+    files live in their own manifest size plane (``cdf_file_meta``) —
+    before it, the capped walk looked change files up in ``file_meta``
+    (data files only), read 0 bytes, and byte pacing silently never
+    applied to CDF batches."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t)  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(mk([(1, "U3")]), t, ["id"])  # v3
+    versioned_upsert(mk([(2, "U4")]), t, ["id"])  # v4
+    m3 = _read_manifest(t, 3)
+    cfm = m3.get("cdf_file_meta")
+    assert cfm and all(
+        cfm[f].get("bytes", 0) > 0 for f in m3["cdf_files"]
+    ), "commit must record change-file sizes"
+    r = VersionedChangesStreamReader(
+        {"path": t, "readChangeFeed": "true", "maxBytesPerTrigger": "1"}
+    )
+    r._cursor = {"version": 2}
+    off = r.latestOffset()
+    assert off["version"] < 4 or off.get("file_index") is not None, (
+        f"a 1-byte cap must split v3/v4's change files into multiple "
+        f"batches, got {off}"
+    )
+
+
+def test_apply_changes_cdf_and_row_tracking(spark, tmp_path):
+    """versioned_apply_changes on a change_data_feed + row_tracking
+    table: the merge commit materializes its own Delta-CDF rows
+    (clause-fired = fed, including by-source deletes) and row ids
+    persist — carried rows keep id+version, updated rows keep id with
+    a re-stamped version, inserts draw fresh ids past the watermark.
+    The feed round-trips: applying it to the FROM snapshot yields TO
+    (the table_diff algebra)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        enable_row_tracking,
+        read_change_feed,
+        read_version_row_ids,
+        versioned_apply_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(6)]).coalesce(1), t
+    )  # v1: ids 0..5
+    enable_change_data_feed(t)  # v2
+    enable_row_tracking(t)  # v3
+    ids0 = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    hw = _read_manifest(t, 3)["row_id_high_water"]
+    # 3-way merge: U id=1 (fires), U id=2 (condition blocks), D id=3,
+    # I id=100; by-source delete sweeps id=5 (condition), id 0/4 carry
+    # (0 matches no clause, 4 survives the by-source condition)
+    ch = spark.createDataFrame(
+        [(1, "U1", "U"), (2, "SKIP", "U"), (3, None, "D"), (100, "I100", "I")],
+        "id int, v string, op string",
+    )
+    v4 = versioned_apply_changes(
+        ch,
+        t,
+        ["id"],
+        matched_condition="s_v != 'SKIP'",
+        not_matched_by_source_delete="id = 5",
+    )
+    assert v4 == 4
+    # feed: exactly the fired clauses
+    feed = sorted(
+        (r["id"], r["_change_type"], r["v"])
+        for r in read_change_feed(spark, t, 3, 4).collect()
+    )
+    assert feed == [
+        (1, "update_postimage", "U1"),
+        (1, "update_preimage", "v1"),
+        (3, "delete", "v3"),
+        (5, "delete", "v5"),
+        (100, "insert", "I100"),
+    ]
+    # feed round-trip (the table_diff algebra): FROM + feed == TO
+    base = {r["id"]: r["v"] for r in read_version(spark, t, 3).collect()}
+    for r in read_change_feed(spark, t, 3, 4).collect():
+        if r["_change_type"] == "delete":
+            base.pop(r["id"])
+        elif r["_change_type"] in ("insert", "update_postimage"):
+            base[r["id"]] = r["v"]
+    assert base == {
+        r["id"]: r["v"] for r in read_version(spark, t, 4).collect()
+    }
+    # row tracking: survivors keep ids; updated id=1 keeps id, new cv;
+    # carried 0/2/4 keep id AND cv; insert 100 draws past the watermark
+    ids1 = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert set(ids1) == {0, 1, 2, 4, 100}
+    for k in (0, 2, 4):
+        assert ids1[k] == ids0[k], f"carried row {k} must keep id+version"
+    assert ids1[1][0] == ids0[1][0], "updated row keeps its id"
+    assert ids1[1][1] == 4, "updated row re-stamps its version"
+    assert ids1[100][0] >= hw, "insert draws a fresh id past the watermark"
+    assert ids1[100][1] == 4
+    m4 = _read_manifest(t, 4)
+    assert m4["row_id_high_water"] == hw + 1, "one insert = one id"
+    # a second merge touching nothing feeds nothing and moves no id
+    noop = spark.createDataFrame(
+        [(100, "I100", "U")], "id int, v string, op string"
+    )
+    versioned_apply_changes(
+        noop, t, ["id"], matched_condition="s_v != t_v"
+    )  # v5: condition false -> no clause fires
+    assert read_change_feed(spark, t, 4, 5).count() == 0
+    ids2 = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_version_row_ids(spark, t).collect()
+    }
+    assert ids2 == ids1, "a no-op merge must not disturb ids or versions"
