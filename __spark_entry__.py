@@ -37,41 +37,19 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  All seven r12 entries came back green
-    # in CORRECTNESS_r12 and leave per the removal rule.  r13
-    # restructured the manifest metadata plane (bloom masks moved to
-    # content-addressed sidecar files; full checkpoints moved to
-    # parquet entries) — every versioned query consumes _read_manifest
-    # /_commit_state, so one representative per consumer family
-    # rotates in: copy-on-write rewrite (q222), merge-on-read DV
-    # (q231), bloom probes (q239/q245 — the direct mask consumers),
-    # compact (q246), shallow clone (q241), branch merge-back (q268),
-    # tag-protected vacuum (q251), and the streaming source whose
-    # offset/vacuum guards also changed this round (q242/q266).
+    # their latest green record.  All seventeen r13 entries came back
+    # green in CORRECTNESS_r13 and leave per the removal rule.  r14
+    # touched the change-feed plane (read_change_feed contiguity +
+    # timestamp bounds + cdf_file_meta), the streaming CDF walk
+    # (gap refusal, end_version clamp, cdf byte metering), the fresh-id
+    # assigner shared by upsert (module-level refactor), and the
+    # timestamp travel resolution (version_at_or_before extraction):
+    "q276_versioned_change_feed",
+    "q277_versioned_stream_change_feed",
+    "q279_versioned_row_tracking",
     "q222_versioned_upsert_changes",
-    "q231_versioned_dv_delete",
-    "q239_versioned_bloom_lookup",
-    "q245_versioned_bloom_multi_lookup",
-    "q246_versioned_compact_dv_zorder",
-    "q241_versioned_clone_upsert",
-    "q268_versioned_branch_merge_back",
-    "q251_versioned_tag_retention",
-    "q242_versioned_stream_follow",
     "q266_versioned_stream_rate_limited",
-    # r13 also: dv_covers pruning touches every DV-carrying commit
-    # (upsert/update rebase + carry), and two oracle-pair stabilizers
-    # changed query bodies (q133 round-tie nudge, q214 negative-zero
-    # normalization).
-    "q265_versioned_concurrent_append_delete",
-    "q253_versioned_update_rows",
-    "q133_exact_percentiles",
-    "q214_cusum_changepoint",
-    # r13 late: the contiguous-id assigner moved to data-borne
-    # partition ids (union-composition fix) and the skyline survivor
-    # pass followed — their oracle rows re-verify.
-    "q110_stable_ids",
-    "q260_versioned_identity_column",
-    "q172_pareto_parts",
+    "q252_versioned_timetravel_asof",
 )
 
 

@@ -2570,3 +2570,224 @@ def q279_versioned_row_tracking(
         F.col("o_totalprice").alias("price_post"),
         F.col("o_orderstatus").alias("status_post"),
     )
+
+
+@register(
+    "q280_versioned_merge_cdf_row_tracking",
+    oracle="""
+    -- the 3-way merge's OWN Delta-CDF rows, one commit (v4), emitted
+    -- by the merge join itself: fired matched updates (%9, doubled)
+    -- feed pre+post; unfired ones (%3 but not %9) feed NOTHING;
+    -- matched deletes feed the removed values; unmatched inserts feed
+    -- post; by-source deletes (%13 of untouched keys) and by-source
+    -- updates (%21 of the rest, +1000) feed like their matched twins
+    WITH evens AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    fired_u AS (SELECT * FROM evens WHERE o_orderkey % 9 = 0),
+    matched_d AS (
+      SELECT * FROM evens
+      WHERE o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0
+    ),
+    bs AS (
+      SELECT * FROM evens
+      WHERE o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0
+    )
+    SELECT o_orderkey, o_totalprice,
+           'update_preimage' AS _change_type,
+           CAST(4 AS BIGINT) AS _commit_version
+    FROM fired_u
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 4
+    FROM fired_u
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4 FROM matched_d
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 4 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4 FROM bs
+    WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 4 FROM bs
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 21 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 4
+    FROM bs WHERE o_orderkey % 13 <> 0 AND o_orderkey % 21 = 0
+    """,
+    doc="FULL MERGE surface: versioned_apply_changes with conditional "
+        "matched updates (%9 fires, the rest of %3 does not), matched "
+        "deletes (%11), inserts (odd %5), WHEN NOT MATCHED BY SOURCE "
+        "DELETE (%13) and ... UPDATE SET (+1000 on %21) — on a table "
+        "with BOTH change_data_feed and row_tracking enabled.  The "
+        "merge join itself classifies every row and emits the feed "
+        "(apply_cdc_batch action_col/with_feed), so CDF costs no extra "
+        "shuffle; the driver hash checks the materialized feed rows "
+        "against the clause algebra.  Row ids persist through the "
+        "full-table by-source rewrite: in-query asserts prove every "
+        "surviving key kept its id, updated rows re-stamped their "
+        "commit version, carried rows kept the OLD one, and inserts "
+        "drew past the watermark. sinks/versioned.py:"
+        "versioned_apply_changes; sinks/cdc.py:apply_cdc_batch.",
+)
+def q280_versioned_merge_cdf_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        _read_manifest,
+        enable_change_data_feed,
+        enable_row_tracking,
+        read_change_feed,
+        read_version_row_ids,
+        versioned_apply_changes,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q280_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    evens = od.filter(k % 2 == 0)
+    versioned_write(evens.repartitionByRange(4, "o_orderkey"), t)  # v1
+    enable_change_data_feed(t)  # v2
+    enable_row_tracking(t)  # v3
+    ch = (
+        evens.filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            evens.filter((k % 11 == 0) & (k % 3 != 0)).withColumn(
+                "op", F.lit("D")
+            )
+        )
+        .unionByName(
+            od.filter(k % 2 == 1).filter(k % 5 == 0).withColumn(
+                "op", F.lit("I")
+            )
+        )
+    )
+    v4 = versioned_apply_changes(
+        ch,
+        t,
+        ["o_orderkey"],
+        matched_condition="o_orderkey % 9 = 0",
+        not_matched_by_source_delete="o_orderkey % 13 = 0",
+        not_matched_by_source_update={
+            "o_totalprice": "t_o_totalprice + 1000.0"
+        },
+        not_matched_by_source_update_condition="o_orderkey % 21 = 0",
+    )
+    assert v4 == 4
+    # row-id stability across the full-table by-source rewrite
+    pre = read_version_row_ids(spark, t, 3).select(
+        "o_orderkey", F.col("_row_id").alias("id0")
+    )
+    post = read_version_row_ids(spark, t, 4)
+    j = pre.join(post, "o_orderkey")
+    assert j.filter("id0 <> _row_id").count() == 0, (
+        "every surviving key must keep its row id"
+    )
+    assert (
+        j.filter("o_orderkey % 9 = 0")
+        .filter("_row_commit_version <> 4")
+        .count()
+        == 0
+    ), "updated rows must re-stamp their commit version"
+    assert (
+        j.filter(
+            "o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0 AND "
+            "o_orderkey % 13 <> 0 AND o_orderkey % 21 <> 0"
+        )
+        .filter("_row_commit_version <> 1")
+        .count()
+        == 0
+    ), "carried rows must keep their original commit version"
+    hw = _read_manifest(t, 3)["row_id_high_water"]
+    assert (
+        post.filter("o_orderkey % 2 = 1").filter(f"_row_id < {hw}").count()
+        == 0
+    ), "inserted rows must draw fresh ids past the watermark"
+    return read_change_feed(spark, t, 3, 4)
+
+
+@register(
+    "q281_versioned_feed_time_bounds",
+    oracle="""
+    -- startingTimestamp 2500 resolves to the first commit at/after it
+    -- (v3, clock pinned to 1000*v) and endingTimestamp 4500 to the
+    -- version current then (v4): the feed serves exactly commits 3-4 —
+    -- the upsert's pre/post/insert rows and the append's inserts
+    WITH evens AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_totalprice,
+           'update_preimage' AS _change_type,
+           CAST(3 AS BIGINT) AS _commit_version
+    FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 3
+    FROM evens WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 3 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 4 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+    """,
+    doc="Timestamp-bounded CDF (Delta's startingTimestamp/"
+        "endingTimestamp): commit clocks pinned to 1000*v, then "
+        "read_change_feed(starting_timestamp=2500, "
+        "ending_timestamp=4500) — starting resolves to the EARLIEST "
+        "commit at-or-after the clock (version_at_or_after; past the "
+        "head raises, behind retention raises), ending to the version "
+        "CURRENT at the clock (version_at_or_before, the TIMESTAMP AS "
+        "OF rule), so the feed serves exactly (v2, v4] and the v5 "
+        "delete stays out.  The same options drive the streaming "
+        "source (startingTimestamp / endingVersion / endingTimestamp "
+        "— a bounded availableNow drain); boundary refusals pinned in "
+        "tests/test_versioned.py. sinks/versioned.py:"
+        "version_at_or_after/version_at_or_before/read_change_feed.",
+)
+def q281_versioned_feed_time_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from ..sinks.versioned import (
+        _manifest_dir,
+        _read_manifest,
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q281_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(od.filter(k % 2 == 1).filter(k % 5 == 0)),
+        t,
+        ["o_orderkey"],
+    )  # v3
+    versioned_write(
+        od.filter(k % 2 == 1).filter(k % 9 == 0).repartition(2), t
+    )  # v4
+    versioned_delete(spark, t, "o_orderkey % 7 = 0", strategy="dv")  # v5
+    for v in versions(t):  # pin the commit clock: v -> 1000*v
+        m = _read_manifest(t, v)
+        m["committed_at"] = 1000.0 * v
+        (_manifest_dir(t) / f"v{v}.json").write_text(
+            _json.dumps(m, default=dict)
+        )
+    return read_change_feed(
+        spark, t, starting_timestamp=2500.0, ending_timestamp=4500.0
+    )

@@ -5612,8 +5612,11 @@ def read_changes(
 def read_change_feed(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    *,
+    starting_timestamp: float | None = None,
+    ending_timestamp: float | None = None,
 ) -> DataFrame:
     """Delta-CDF-shaped change feed over (from_version, to_version]:
     table columns (the TO version's logical schema) plus
@@ -5637,7 +5640,15 @@ def read_change_feed(
 
     Columns follow the TO version's logical names through physical
     identity (renames bridge, drops leave, later adds read NULL for
-    earlier commits)."""
+    earlier commits).
+
+    Timestamp bounds (Delta's ``startingTimestamp`` /
+    ``endingTimestamp``, unix seconds against each commit's
+    ``committed_at`` clock): ``starting_timestamp`` includes every
+    commit at-or-after it (:func:`version_at_or_after` — past the head
+    raises, behind retention raises); ``ending_timestamp`` resolves to
+    the version current at that time (:func:`version_at_or_before`).
+    Each is mutually exclusive with its version twin."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType as _LongT
     from pyspark.sql.types import StringType, StructField, StructType
@@ -5645,6 +5656,25 @@ def read_change_feed(
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
+    if starting_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "read_change_feed: from_version and starting_timestamp "
+                "are mutually exclusive"
+            )
+        from_version = version_at_or_after(path, starting_timestamp) - 1
+    elif from_version is None:
+        raise ValueError(
+            "read_change_feed: one of from_version / "
+            "starting_timestamp is required"
+        )
+    if ending_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "read_change_feed: to_version and ending_timestamp "
+                "are mutually exclusive"
+            )
+        to_version = version_at_or_before(path, ending_timestamp)
     to_v = vs[-1] if to_version is None else to_version
     if to_v not in vs:
         raise ValueError(f"version {to_v} not in {vs}")

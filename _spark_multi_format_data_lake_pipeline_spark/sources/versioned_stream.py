@@ -179,13 +179,68 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
         start = options.get("startingVersion", "0")
-        if str(start).strip().lower() == "earliest":
+        st = options.get("startingTimestamp")
+        if st is not None:
+            # Delta's startingTimestamp: stream every commit at or
+            # after this wall clock (resolution + the past-the-head /
+            # behind-retention errors live in version_at_or_after).
+            # Our start offset means "delivered through", so the first
+            # qualifying version minus one is the seed.
+            if options.get("startingVersion") is not None:
+                raise ValueError(
+                    "versioned_changes: startingVersion and "
+                    "startingTimestamp are mutually exclusive"
+                )
+            from ..sinks.versioned import version_at_or_after
+
+            self.start_version = (
+                version_at_or_after(self.path, float(st)) - 1
+            )
+            self.from_earliest = False
+        elif str(start).strip().lower() == "earliest":
             # explicit "bootstrap from whatever survives" request
             self.start_version = 0
             self.from_earliest = True
         else:
             self.start_version = int(start)
             self.from_earliest = False
+        # endingVersion / endingTimestamp: a BOUNDED stream — the
+        # backfill shape ("drain the feed through v42 / through last
+        # midnight, then stop").  latestOffset never advances past the
+        # bound, so trigger(availableNow) terminates at it and a
+        # continuous stream idles there.  Delta's batch CDF has these
+        # options; giving them to the stream composes with availableNow
+        # to make bounded replication a one-liner.
+        ev_opt = options.get("endingVersion")
+        et_opt = options.get("endingTimestamp")
+        if ev_opt is not None and et_opt is not None:
+            raise ValueError(
+                "versioned_changes: endingVersion and endingTimestamp "
+                "are mutually exclusive"
+            )
+        if et_opt is not None:
+            from ..sinks.versioned import version_at_or_before
+
+            self.end_version: int | None = version_at_or_before(
+                self.path, float(et_opt)
+            )
+        elif ev_opt is not None:
+            self.end_version = int(ev_opt)
+            if self.end_version < 1:
+                raise ValueError(
+                    "versioned_changes: endingVersion must be >= 1"
+                )
+        else:
+            self.end_version = None
+        if (
+            self.end_version is not None
+            and self.end_version <= self.start_version
+        ):
+            raise ValueError(
+                f"versioned_changes: endingVersion "
+                f"{self.end_version} does not exceed the starting "
+                f"offset v{self.start_version} — nothing to stream"
+            )
         # the emitted field list is FIXED at stream start (the declared
         # schema): later schema evolution adds columns new files carry
         # but this stream does not emit — restart the stream to widen,
@@ -425,6 +480,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = versions(self.path)
+        if self.end_version is not None:
+            # bounded stream: commits past the bound are invisible —
+            # the offset parks at the bound and availableNow terminates
+            vs = [v for v in vs if v <= self.end_version]
         if not vs:
             return {"version": self.start_version}
         head = {"version": vs[-1]}

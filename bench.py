@@ -177,6 +177,8 @@ HEADLINE = [
     "q277_versioned_stream_change_feed",
     "q278_versioned_ndv_registers",
     "q279_versioned_row_tracking",
+    "q280_versioned_merge_cdf_row_tracking",
+    "q281_versioned_feed_time_bounds",
 ]
 
 

@@ -5525,3 +5525,113 @@ def test_apply_changes_cdf_and_row_tracking(spark, tmp_path):
         for r in read_version_row_ids(spark, t).collect()
     }
     assert ids2 == ids1, "a no-op merge must not disturb ids or versions"
+
+
+def test_change_feed_timestamp_bounds_and_bounded_stream(spark, tmp_path):
+    """startingTimestamp / endingTimestamp / endingVersion (Delta CDF
+    parity): batch bounds resolve against each commit's committed_at
+    clock — starting includes every commit at-or-after, ending is the
+    version current at that time, past-the-head and behind-retention
+    raise — and the STREAM accepts the same options, with endingVersion
+    bounding an availableNow drain."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _manifest_dir,
+        enable_change_data_feed,
+        read_change_feed,
+        version_at_or_after,
+        version_at_or_before,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t)  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(mk([(1, "U3")]), t, ["id"])  # v3
+    versioned_upsert(mk([(2, "U4")]), t, ["id"])  # v4
+    versioned_upsert(mk([(3, "U5")]), t, ["id"])  # v5
+    for v in versions(t):  # pin the commit clock: v -> 100*v
+        m = _read_manifest(t, v)
+        m["committed_at"] = 100.0 * v
+        (_manifest_dir(t) / f"v{v}.json").write_text(
+            _json.dumps(m, default=dict)
+        )
+    assert version_at_or_after(t, 250.0) == 3
+    assert version_at_or_after(t, 300.0) == 3
+    assert version_at_or_before(t, 450.0) == 4
+    cv = lambda df: sorted(
+        {r["_commit_version"] for r in df.collect()}
+    )
+    assert cv(read_change_feed(spark, t, starting_timestamp=250.0)) == [3, 4, 5]
+    assert cv(
+        read_change_feed(
+            spark, t, starting_timestamp=250.0, ending_timestamp=450.0
+        )
+    ) == [3, 4]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_change_feed(spark, t, 2, starting_timestamp=250.0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_change_feed(spark, t, 2, 5, ending_timestamp=450.0)
+    with pytest.raises(ValueError, match="past the head"):
+        read_change_feed(spark, t, starting_timestamp=9999.0)
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_change_feed(spark, t, 2, ending_timestamp=50.0)
+    with pytest.raises(ValueError, match="required"):
+        read_change_feed(spark, t)
+    # behind retention: vacuum to vs=[4,5]; a ts at/before v4's clock
+    # cannot prove the vacuumed commits predate it
+    vacuum(t, keep_last=2)
+    assert versions(t) == [4, 5]
+    with pytest.raises(ValueError, match="retention"):
+        version_at_or_after(t, 150.0)
+    assert cv(read_change_feed(spark, t, starting_timestamp=450.0)) == [5]
+    # the stream accepts the same options
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VersionedChangesStreamReader(
+            {"path": t, "startingVersion": "4", "startingTimestamp": "450"}
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VersionedChangesStreamReader(
+            {"path": t, "endingVersion": "5", "endingTimestamp": "500"}
+        )
+    with pytest.raises(ValueError, match="nothing to stream"):
+        VersionedChangesStreamReader(
+            {"path": t, "startingVersion": "5", "endingVersion": "5"}
+        )
+    r = VersionedChangesStreamReader(
+        {"path": t, "readChangeFeed": "true", "startingTimestamp": "450"}
+    )
+    assert r.start_version == 4  # v5 streams, v4 delivered-through
+    # bounded availableNow drain: endingVersion stops mid-history
+    u = str(tmp_path / "u")
+    for i in range(4):  # v1..v4, one row each
+        versioned_write(mk([(i, f"a{i}")]).coalesce(1), u)
+    versioned_stream.register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", u)
+        .option("endingVersion", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = sorted(
+        r["id"]
+        for r in spark.read.schema("id int, v string").parquet(out).collect()
+    )
+    assert got == [0, 1, 2], "the bound must exclude v4's row"
