@@ -50,6 +50,11 @@ _RECHECK = (
     "q222_versioned_upsert_changes",
     "q266_versioned_stream_rate_limited",
     "q252_versioned_timetravel_asof",
+    # r14 also: the drain helper now seeds each availableNow run at the
+    # persisted offset floor (offsetTrackingLocation), and apply_changes
+    # grew point-in-time validation alongside its CDF/tracking rewrite.
+    "q275_versioned_stream_drain",
+    "q261_versioned_merge_schema_evolution",
 )
 
 

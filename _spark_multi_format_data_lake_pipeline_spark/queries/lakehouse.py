@@ -2791,3 +2791,195 @@ def q281_versioned_feed_time_bounds(
     return read_change_feed(
         spark, t, starting_timestamp=2500.0, ending_timestamp=4500.0
     )
+
+
+@register(
+    "q282_versioned_concurrent_disjoint_upserts",
+    oracle="""
+    -- both racing upserts land: the loser (doubling %3 prices in the
+    -- low key half) rebases over the winner (adding 100 to %5 prices
+    -- in the high half) because the winner's rewritten files are
+    -- zone-map-provably outside the loser's read range; the follow-up
+    -- OVERLAPPING race refuses and commits nothing
+    WITH s AS (SELECT MAX(o_orderkey) // 2 AS mid FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= (SELECT mid FROM s)
+                     AND o_orderkey % 3 = 0 THEN o_totalprice * 2
+                WHEN o_orderkey > (SELECT mid FROM s)
+                     AND o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+    doc="Optimistic rebase of DISJOINT concurrent row-level rewrites "
+        "(Delta write-serializable isolation): two upserts race — the "
+        "winner rewrites the high key half, the loser the low half. "
+        "The loser's retry loop proves its read-set files survived at "
+        "the head AND the winner's added files sit provably outside "
+        "its read range (head zone maps), so it re-links at head+1 "
+        "instead of refusing: both commits land whatever the "
+        "interleaving (serial order winner-then-loser).  A third "
+        "upsert racing an OVERLAPPING one refuses deterministically "
+        "(asserted in-query; nothing committed).  The interleaving "
+        "matrix (append/upsert/delete × low/high/in/out) is "
+        "property-tested in tests/test_properties.py. "
+        "sinks/versioned.py:_write_snapshot retry loop.",
+)
+def q282_versioned_concurrent_disjoint_upserts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks import versioned as V
+    from ..sinks.versioned import (
+        ConcurrentCommitError,
+        read_version,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q282_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mid = od.agg(F.max(k)).first()[0] // 2
+    versioned_write(
+        od.filter(k <= mid).repartitionByRange(3, "o_orderkey"), t
+    )  # v1: low half
+    versioned_write(
+        od.filter(k > mid).repartitionByRange(3, "o_orderkey"), t
+    )  # v2: high half
+    real_cs = V._commit_state
+    fired = {"done": False}
+    hi_up = (
+        od.filter(k > mid)
+        .filter(k % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    )
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 3:
+            fired["done"] = True
+            versioned_upsert(hi_up, path, ["o_orderkey"])  # winner: v3
+        return real_cs(path, state, prev)
+
+    V._commit_state = racy_cs
+    try:
+        v = versioned_upsert(
+            od.filter(k <= mid)
+            .filter(k % 3 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+            t,
+            ["o_orderkey"],
+        )
+    finally:
+        V._commit_state = real_cs
+    assert fired["done"] and v == 4 and versions(t) == [1, 2, 3, 4], (
+        "both disjoint upserts must land whatever the interleaving"
+    )
+    # overlapping race: a second high-half upsert racing another
+    # high-half rewrite shares its read-set files and must refuse
+    fired2 = {"done": False}
+
+    def racy_cs2(path, state, prev):
+        if not fired2["done"] and state["version"] == 5:
+            fired2["done"] = True
+            versioned_upsert(hi_up, path, ["o_orderkey"])  # winner: v5
+        return real_cs(path, state, prev)
+
+    V._commit_state = racy_cs2
+    try:
+        versioned_upsert(
+            od.filter(k > mid)
+            .filter(k % 7 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+            t,
+            ["o_orderkey"],
+        )
+        raise AssertionError("overlapping upserts must refuse the rebase")
+    except ConcurrentCommitError:
+        pass
+    finally:
+        V._commit_state = real_cs
+    # the refused loser committed NOTHING; the overlap winner's v5
+    # re-applied the same +100 to the same keys (idempotent payload),
+    # so the final state is exactly the two disjoint upserts' result
+    return read_version(spark, t)
+
+
+@register(
+    "q283_versioned_point_in_time_merge",
+    oracle="""
+    -- the v2-based batch (doubling %3 prices in the low half) applies
+    -- CLEANLY over the intervening high-half delete (%11) because the
+    -- zone maps prove disjointness; the second stale batch refuses and
+    -- commits nothing
+    WITH s AS (SELECT MAX(o_orderkey) // 2 AS mid FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= (SELECT mid FROM s)
+                     AND o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey > (SELECT mid FROM s) AND o_orderkey % 11 = 0)
+    """,
+    doc="Point-in-time MERGE source (Iceberg validateFromSnapshot + "
+        "validateNoConflictingDataFiles; the FOR SYSTEM_VERSION AS OF "
+        "read-modify-write loop): a change batch declares the snapshot "
+        "it was computed against (source_version=2); the apply "
+        "validates every intervening commit's added/removed/DV'd files "
+        "against the batch's key range through the head zone maps — "
+        "the high-half delete is provably disjoint from the low-half "
+        "batch, so it applies cleanly; a second v2-based low-half "
+        "batch is STALE (the clean apply rewrote the low files) and "
+        "refuses with ConcurrentCommitError, committing nothing "
+        "(asserted in-query).  O(intervening commits) manifest reads, "
+        "zero data files — the validation a 100 TB read-modify-write "
+        "pipeline needs to be safe without table locks. "
+        "sinks/versioned.py:_validate_merge_source_version.",
+)
+def q283_versioned_point_in_time_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        ConcurrentCommitError,
+        read_version,
+        versioned_apply_changes,
+        versioned_delete,
+        versioned_write,
+        versions,
+    )
+
+    t = tempfile.mkdtemp(prefix="q283_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mid = od.agg(F.max(k)).first()[0] // 2
+    versioned_write(
+        od.filter(k <= mid).repartitionByRange(3, "o_orderkey"), t
+    )  # v1
+    versioned_write(
+        od.filter(k > mid).repartitionByRange(3, "o_orderkey"), t
+    )  # v2: the snapshot the batches read
+    versioned_delete(
+        spark,
+        t,
+        f"o_orderkey > {mid} AND o_orderkey % 11 = 0",
+        prune_col="o_orderkey",
+        lo=mid + 1,
+        hi=int(mid * 2 + 10**7),
+    )  # v3: intervening high-half rewrite
+    low_batch = lambda m: (
+        od.filter(k <= mid)
+        .filter(k % m == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    v4 = versioned_apply_changes(
+        low_batch(3), t, ["o_orderkey"], source_version=2
+    )
+    assert v4 == 4, "a provably-disjoint intervening commit must not block"
+    try:
+        versioned_apply_changes(
+            low_batch(5), t, ["o_orderkey"], source_version=2
+        )
+        raise AssertionError("a stale batch must refuse")
+    except ConcurrentCommitError:
+        pass
+    assert versions(t) == [1, 2, 3, 4], "the stale batch committed nothing"
+    return read_version(spark, t)

@@ -4706,6 +4706,89 @@ def versioned_update(
     )
 
 
+def _validate_merge_source_version(
+    path: str,
+    vs: list[int],
+    source_version: int,
+    read_range: tuple | None,
+    whole_table: bool,
+) -> None:
+    """Point-in-time merge-source validation (see
+    ``versioned_apply_changes``): refuse unless every commit in
+    ``(source_version, head]`` is provably disjoint from the batch's
+    read — metadata-only commits pass, row-touching commits must have
+    all their added/removed/DV-changed files outside ``read_range`` by
+    the zone maps.  O(intervening commits) manifest reads, zero data
+    files."""
+    head_v = vs[-1]
+    if source_version not in vs:
+        raise ValueError(
+            f"versioned_apply_changes: source_version {source_version} "
+            f"not in {vs} — the snapshot the batch read was vacuumed "
+            "(or never existed); its decisions cannot be validated"
+        )
+    missing = [
+        g for g in range(source_version + 1, head_v + 1) if g not in vs
+    ]
+    if missing:
+        raise ValueError(
+            f"versioned_apply_changes: version(s) {missing} between "
+            f"source_version {source_version} and head {head_v} were "
+            "vacuumed — an unverifiable range is a stale range"
+        )
+    prevm = _read_manifest(path, source_version)
+    for v in range(source_version + 1, head_v + 1):
+        mv = _read_manifest(path, v)
+        pf, nf = set(prevm["files"]), set(mv["files"])
+        added = [f for f in mv["files"] if f not in pf]
+        removed = [f for f in prevm["files"] if f not in nf]
+        pdv = prevm.get("dv_counts") or {}
+        ndv = mv.get("dv_counts") or {}
+        dv_changed = [
+            f for f in nf if ndv.get(f, 0) != pdv.get(f, 0)
+        ]
+        prev_side, cur_side = prevm, mv
+        prevm = mv
+        if not (added or removed or dv_changed):
+            continue  # metadata-only commit: no row changed
+        if whole_table or read_range is None:
+            raise ConcurrentCommitError(
+                f"versioned_apply_changes: batch computed against "
+                f"v{source_version} but v{v} changed rows and the "
+                "merge reads the whole table (by-source clauses / no "
+                "prune range) — recompute the batch against the head"
+            )
+        pc, lo, hi = read_range
+        conflicts = []
+        for src, fl in (
+            (cur_side, added),
+            (prev_side, removed + dv_changed),
+        ):
+            if not fl:
+                continue
+            may, _ = _candidate_split(
+                {
+                    "files": fl,
+                    "file_stats": src.get("file_stats") or {},
+                    "schema": src.get("schema"),
+                    "column_mapping": src.get("column_mapping"),
+                },
+                pc,
+                lo,
+                hi,
+            )
+            conflicts.extend(may)
+        if conflicts:
+            raise ConcurrentCommitError(
+                f"versioned_apply_changes: batch computed against "
+                f"v{source_version} is STALE — v{v} touched file(s) "
+                f"{sorted(set(conflicts))} that may hold rows inside "
+                f"the batch's key range {read_range!r}; recompute the "
+                "batch against the head (Iceberg's "
+                "validateNoConflictingDataFiles refusal)"
+            )
+
+
 def versioned_apply_changes(
     changes: DataFrame,
     path: str,
@@ -4720,6 +4803,7 @@ def versioned_apply_changes(
     not_matched_by_source_update: dict[str, str] | None = None,
     not_matched_by_source_update_condition: str | None = None,
     allow_schema_evolution: bool = False,
+    source_version: int | None = None,
 ) -> int:
     """Full MERGE with delete clause: apply an I/U/D change batch
     (``sinks/cdc.py::apply_cdc_batch`` schema — the target's columns
@@ -4772,7 +4856,20 @@ def versioned_apply_changes(
     the merge: carried rows keep id and commit version, updated rows
     (matched or by-source) keep their id and re-stamp the version,
     inserted keys draw fresh ids past the high-water mark — the same
-    contract as ``versioned_upsert``."""
+    contract as ``versioned_upsert``.
+
+    ``source_version`` closes the read-modify-write loop (Iceberg's
+    ``validateFromSnapshot`` + ``validateNoConflictingDataFiles``, the
+    ``FOR SYSTEM_VERSION AS OF`` merge-source shape): declare the
+    snapshot the change batch was COMPUTED against, and the apply
+    validates that no intervening commit ``(source_version, head]``
+    touched rows the batch's decisions could depend on — any commit
+    whose added/removed/DV'd files may intersect the batch's key range
+    (head zone maps; everything, for a by-source merge) raises
+    ``ConcurrentCommitError`` instead of silently applying stale
+    decisions; provably-disjoint intervening commits (appends or
+    rewrites outside the range) apply cleanly.  A vacuumed intervening
+    version refuses too — an unverifiable range is a stale range."""
     from .cdc import apply_cdc_batch
 
     keys = list(key_cols)
@@ -4825,6 +4922,10 @@ def versioned_apply_changes(
             m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
         )
         rr = (pc, rng["lo"], rng["hi"])
+    if source_version is not None:
+        _validate_merge_source_version(
+            path, vs, source_version, rr, has_by_source
+        )
     cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
     cur_data = cur.drop(_ROWID_COL, _ROWCV_COL) if track else cur
     # The merge itself classifies every surviving row (carry / update /

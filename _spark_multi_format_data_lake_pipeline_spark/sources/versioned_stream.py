@@ -291,6 +291,36 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._cursor: dict = self._start_offset()
         self._regress_from: dict | None = None
         self._regress_to: dict | None = None
+        # offsetTrackingLocation (restart-safe capped offsets): the
+        # regression dance above keeps a capped restart exactly-once
+        # only while the SAME reader instance survives to serve the
+        # catch-up batch — the engine COMMITS the regressed end, so a
+        # second restart (or a clean stop) landing on that boundary
+        # resumes from a lying checkpoint and re-delivers.  With this
+        # option the reader persists the engine's committed high-water
+        # offset (``commit``) under its own tiny state dir — one
+        # location per query, like checkpointLocation — and a fresh
+        # instance seeds its cursor AT the floor and never returns an
+        # offset below it: no regressed commits, caps hold across
+        # restarts, exactly-once without the dance.
+        # ``drain_versioned_changes`` sets it automatically.
+        self._floor: dict | None = None
+        self._track_offsets: Path | None = None
+        ol = options.get("offsetTrackingLocation")
+        if ol:
+            import json as _json
+
+            self._track_offsets = Path(str(ol))
+            try:
+                floor = _json.loads(
+                    (self._track_offsets / "cursor.json").read_text()
+                )
+            except (OSError, ValueError):
+                floor = None
+            if floor is not None:
+                self._floor = floor
+                if self._okey(floor) > self._okey(self._cursor):
+                    self._cursor = dict(floor)
 
     def _track_schema(self, track_dir: str, head_version: int) -> None:
         """Compare the committed field list against the tracked vintage
@@ -479,6 +509,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         )
 
     def latestOffset(self) -> dict:
+        off = self._latest_offset()
+        if self._floor is not None and self._okey(off) < self._okey(
+            self._floor
+        ):
+            # never hand the engine an offset below a committed
+            # boundary we know about — a regressed commit is a lying
+            # checkpoint (see offsetTrackingLocation in __init__)
+            return dict(self._floor)
+        return off
+
+    def _latest_offset(self) -> dict:
         vs = versions(self.path)
         if self.end_version is not None:
             # bounded stream: commits past the bound are invisible —
@@ -573,6 +614,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         out: list[_FilePartition] = []
         vs = versions(self.path)
+        if self._floor is None or self._okey(start) > self._okey(
+            self._floor
+        ):
+            # the engine's start IS a committed boundary — raise the
+            # in-memory floor even without offsetTrackingLocation
+            self._floor = dict(start)
         # Offset-order guards for the capped reader's restart dance
         # (see __init__): the eager cursor seed can trail a restarted
         # query's checkpoint, making the first capped end REGRESS
@@ -820,7 +867,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             yield from zip(*series)
 
     def commit(self, end: dict) -> None:
-        pass  # manifests are the log; nothing external to clean up
+        # manifests are the log — nothing to clean up; but a committed
+        # end is a delivery boundary: raise the floor (monotone — a
+        # replayed batch's recommit never lowers it) and persist it
+        # when offsetTrackingLocation is set, so a restarted instance
+        # seeds at the boundary instead of dancing the regression
+        # protocol (see __init__).
+        if self._floor is not None and self._okey(end) <= self._okey(
+            self._floor
+        ):
+            return
+        self._floor = dict(end)
+        if self._track_offsets is None:
+            return
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        d = self._track_offsets
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".tmp-{_uuid.uuid4().hex}"
+        tmp.write_text(_json.dumps(end))
+        _os.replace(tmp, d / "cursor.json")
 
 
 class VersionedChangesDataSource(DataSource):
@@ -904,6 +972,13 @@ def drain_versioned_changes(
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
+    # each availableNow run constructs a FRESH reader against the same
+    # engine checkpoint — the restart case every run; tracking the
+    # committed offset beside the checkpoint makes each run seed at the
+    # boundary (no regression dance, no empty batches, restart-safe)
+    reader = reader.option(
+        "offsetTrackingLocation", str(Path(checkpoint) / "_vc_cursor")
+    )
     for k, v in (extra_options or {}).items():
         reader = reader.option(k, str(v))
     import ast as _ast

@@ -179,6 +179,8 @@ HEADLINE = [
     "q279_versioned_row_tracking",
     "q280_versioned_merge_cdf_row_tracking",
     "q281_versioned_feed_time_bounds",
+    "q282_versioned_concurrent_disjoint_upserts",
+    "q283_versioned_point_in_time_merge",
 ]
 
 
@@ -295,6 +297,36 @@ def _host_probe() -> dict[str, float]:
     return {"py_loop_ms": round(py_ms, 1), "np_matmul_ms": round(np_ms, 1)}
 
 
+def _spark_probe(spark) -> dict[str, float]:
+    """Fixed Spark workload timed in the SAME session as the suite — a
+    codegen scan + hash-aggregate shuffle over synthetic range data
+    (no files, no catalog queries).  The r13 post-round run showed the
+    bare-host probe can move OPPOSITE to Spark throughput (the probe
+    measures Python/BLAS, the suite measures JVM+shuffle+disk), turning
+    host weather into fake normalized regressions.  This probe shares
+    the suite's whole execution stack, so its ratio across rounds is
+    the better deflator; both are recorded, consumers can compare."""
+    from pyspark.sql import functions as F
+
+    def run(n):
+        (
+            spark.range(0, n, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 2147483647).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum("s"), F.sum("c"))
+            .collect()
+        )
+
+    run(5_000_000)  # warm the specific codegen paths
+    t0 = time.time()
+    run(50_000_000)
+    return {"spark_shuffle_ms": round((time.time() - t0) * 1e3, 1)}
+
+
 def _round_number(repo: str) -> int:
     """This run's round: one past the newest driver-recorded BENCH_r{N}
     file (the driver writes BENCH_r{N}.json at round END, so during
@@ -394,6 +426,10 @@ def main() -> None:
         host_probe = _host_probe()
     except Exception:  # noqa: BLE001
         host_probe = {}
+    try:
+        host_probe.update(_spark_probe(spark))
+    except Exception:  # noqa: BLE001
+        pass
     # Round-over-round drift triage, automated: the baseline is the
     # newest PREVIOUS-round archived detail (never the mutable on-disk
     # copy a mid-round rerun may have overwritten).  The common-set
@@ -433,6 +469,13 @@ def main() -> None:
             ]
             if fs:
                 probe_factor = sum(fs) / len(fs)
+            spark_factor = None
+            if host_probe.get("spark_shuffle_ms") and pp.get(
+                "spark_shuffle_ms"
+            ):
+                spark_factor = (
+                    host_probe["spark_shuffle_ms"] / pp["spark_shuffle_ms"]
+                )
             drift = {
                 "baseline_round": prev.get("round"),
                 "n_common": len(common),
@@ -442,6 +485,15 @@ def main() -> None:
                 ),
                 "normalized_ratio": (
                     round(med / probe_factor, 3) if probe_factor else None
+                ),
+                # the in-suite Spark calibration (shares the suite's JVM
+                # + shuffle stack — see _spark_probe); preferred when
+                # present, absent for pre-r14 baselines
+                "spark_probe_factor": (
+                    round(spark_factor, 3) if spark_factor else None
+                ),
+                "normalized_ratio_spark": (
+                    round(med / spark_factor, 3) if spark_factor else None
                 ),
             }
     except Exception:  # noqa: BLE001 - drift triage is best-effort

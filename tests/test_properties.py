@@ -608,3 +608,131 @@ def test_lakehouse_verbs_model_row_ids_and_feed(spark, ops):
             assert replay == model, "feed replay must reproduce the head"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    winner=st.sampled_from(
+        [
+            "append_in",
+            "append_out",
+            "upsert_low",
+            "upsert_high",
+            "delete_low",
+            "delete_high",
+        ]
+    ),
+    loser=st.sampled_from(
+        ["upsert_low", "upsert_high", "delete_low", "delete_high"]
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_commit_race_rebase_matches_serial_order(spark, winner, loser):
+    """Write-serializable optimistic commits, property-tested over the
+    verb matrix: whatever the interleaving, (a) an APPEND winner always
+    lets the loser rebase (serial order loser→winner), (b) a rewrite
+    winner confined to a PROVABLY DISJOINT file lets the loser rebase
+    (winner→loser), (c) overlapping rewrites refuse deterministically
+    and a re-run against the new head converges — and in every case the
+    final table equals the model's serial-order state."""
+    import tempfile
+
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        read_version,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="race_prop_") + "/t"
+    low = [(i, f"v{i}") for i in range(10)]
+    high = [(i, f"v{i}") for i in range(100, 110)]
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk(low).coalesce(1), t)  # v1: the low file
+    versioned_write(mk(high).coalesce(1), t)  # v2: the high file
+
+    def run(verb, tag):
+        if verb == "append_in":  # new ids, but inside the low range
+            versioned_write(mk([(50, f"a{tag}"), (51, f"a{tag}")]), t)
+        elif verb == "append_out":
+            versioned_write(mk([(200, f"a{tag}"), (201, f"a{tag}")]), t)
+        elif verb == "upsert_low":
+            versioned_upsert(mk([(1, f"u{tag}"), (3, f"u{tag}")]), t, ["id"])
+        elif verb == "upsert_high":
+            versioned_upsert(
+                mk([(101, f"u{tag}"), (103, f"u{tag}")]), t, ["id"]
+            )
+        elif verb == "delete_low":
+            versioned_delete(spark, t, "id <= 2", prune_col="id", lo=0, hi=2)
+        elif verb == "delete_high":
+            versioned_delete(
+                spark, t, "id >= 108", prune_col="id", lo=108, hi=109
+            )
+
+    def model(state, verb, tag):
+        if verb == "append_in":
+            state[50] = state[51] = f"a{tag}"
+        elif verb == "append_out":
+            state[200] = state[201] = f"a{tag}"
+        elif verb == "upsert_low":
+            state[1] = state[3] = f"u{tag}"
+        elif verb == "upsert_high":
+            state[101] = state[103] = f"u{tag}"
+        elif verb == "delete_low":
+            for i in (0, 1, 2):
+                state.pop(i, None)
+        elif verb == "delete_high":
+            for i in (108, 109):
+                state.pop(i, None)
+        return state
+
+    real_cs = V._commit_state
+    fired = {"done": False}
+
+    def racy_cs(path, state, prev):
+        if not fired["done"] and state["version"] == 3:
+            fired["done"] = True
+            run(winner, "W")  # the winner lands v3 first
+        return real_cs(path, state, prev)
+
+    side = lambda verb: verb.split("_")[-1]
+    overlapping = (
+        winner.startswith(("upsert", "delete"))
+        and side(winner) == side(loser)
+    )
+    V._commit_state = racy_cs
+    try:
+        if overlapping:
+            try:
+                run(loser, "L")
+                raise AssertionError(
+                    f"{loser} over {winner} shares a read-set file and "
+                    "must refuse the rebase"
+                )
+            except ConcurrentCommitError:
+                pass
+            run(loser, "L")  # re-run against the new head converges
+        else:
+            run(loser, "L")  # rebases: both commits land
+    finally:
+        V._commit_state = real_cs
+    assert fired["done"]
+    expected = dict(low + high)
+    # serial order: append winners land AFTER the loser (blind write);
+    # rewrite winners land BEFORE it.  With this verb set the model
+    # states coincide for the commuting pairs, so one order suffices
+    # per branch.
+    if winner.startswith("append"):
+        expected = model(model(expected, loser, "L"), winner, "W")
+    else:
+        expected = model(model(expected, winner, "W"), loser, "L")
+    got = {r["id"]: r["v"] for r in read_version(spark, t).collect()}
+    assert got == expected, (
+        f"winner={winner} loser={loser}: table diverged from the "
+        f"serial-order model"
+    )

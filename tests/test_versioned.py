@@ -5635,3 +5635,232 @@ def test_change_feed_timestamp_bounds_and_bounded_stream(spark, tmp_path):
         for r in spark.read.schema("id int, v string").parquet(out).collect()
     )
     assert got == [0, 1, 2], "the bound must exclude v4's row"
+
+
+def _drive_stream(reader_factory, t, events=None, max_iters=300):
+    """Emulate the microbatch engine against a VersionedChangesStream
+    Reader: latestOffset → partitions(committed, end) → read rows →
+    commit(end), exactly the engine's call sequence (including the
+    commit callback the offset floor hangs off).  ``events(batch_no,
+    committed)`` may return 'restart' (new reader instance, same
+    checkpoint) or 'vacuum:<keep_from>' between batches.  Returns the
+    delivered rows as tuples in field order."""
+    reader = reader_factory()
+    fields = [f["name"] for f in reader._fields]
+    committed = reader.initialOffset()
+    rows: list[tuple] = []
+    for it in range(max_iters):
+        end = reader.latestOffset()
+        if end == committed:
+            return rows
+        for p in reader.partitions(dict(committed), dict(end)):
+            for item in reader.read(p):
+                if hasattr(item, "to_pylist"):  # arrow RecordBatch
+                    rows.extend(
+                        tuple(d[n] for n in fields) for d in item.to_pylist()
+                    )
+                else:
+                    rows.append(tuple(item))
+        committed = end
+        reader.commit(dict(end))
+        for ev in (events(it, committed) if events else ()):
+            if ev == "restart":
+                reader = reader_factory()
+            elif ev.startswith("vacuum:"):
+                keep_from = int(ev.split(":")[1])
+                vs_now = versions(t)
+                n_keep = len([v for v in vs_now if v >= keep_from])
+                if 0 < n_keep < len(vs_now):
+                    vacuum(t, keep_last=n_keep)
+    raise AssertionError("stream did not drain within the iteration cap")
+
+
+def _cdf_history_table(spark, tmp_path, name="tbl"):
+    """v1 write(2 files) → v2 enable CDF → v3 upsert → v4 append(2) →
+    v5 DV delete → v6 upsert → v7 append: every commit kind the CDF
+    walk handles."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / name)
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(20)]).repartitionByRange(2, "id"), t
+    )  # v1
+    enable_change_data_feed(t)  # v2
+    versioned_upsert(
+        mk([(i, f"u3_{i}") for i in range(0, 20, 3)] + [(30, "i30")]),
+        t,
+        ["id"],
+    )  # v3
+    versioned_write(mk([(40, "a40"), (41, "a41")]).repartition(2), t)  # v4
+    versioned_delete(spark, t, "id % 7 = 0", strategy="dv")  # v5
+    versioned_upsert(mk([(5, "u6_5"), (50, "i50")]), t, ["id"])  # v6
+    versioned_write(mk([(60, "a60")]).coalesce(1), t)  # v7
+    return t
+
+
+def test_cdf_stream_exactly_once_across_random_schedules(spark, tmp_path):
+    """Exactly-once under rate caps × restarts × vacuums, 50 random
+    schedules: a readChangeFeed stream delivers the SAME multiset of
+    change rows as an uncapped, uninterrupted drain — whatever the
+    maxFiles/maxBytes caps, wherever the restarts land, and however
+    vacuum trims the delivered prefix (keeping each offset's diff base;
+    partial CDF offsets only need their own commit — the slice
+    exemption).  Every schedule runs with offsetTrackingLocation (a
+    restarted reader seeds at the committed boundary — the drain
+    helper's configuration); without it, a restart landing exactly on
+    a regressed-offset commit cannot know the true boundary (the
+    in-memory regression mapping dies with the instance — documented
+    divergence, found by this very test)."""
+    import random
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _read_manifest
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = _cdf_history_table(spark, tmp_path)
+    opts0 = {"path": t, "readChangeFeed": "true"}
+    reference = sorted(
+        map(repr, _drive_stream(lambda: VersionedChangesStreamReader(opts0), t))
+    )
+    assert reference, "reference drain must deliver rows"
+    head = versions(t)[-1]
+
+    # tag v1 on a template table, then copy it per schedule (vacuum
+    # mutates, and 50 Spark rebuilds would dominate the runtime).  The
+    # tag makes vacuum leave an OLDER survivor, so a partial CDF
+    # offset's commit can become the earliest contiguous survivor
+    # while the slice exemption still applies (ov != vs[0]) — the
+    # exact shape the exemption exists for.
+    import shutil
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_tag
+
+    create_tag(t, "base", 1)
+    for seed in range(50):
+        rng = random.Random(seed)
+        tdir = tmp_path / f"s{seed}"
+        tdir.mkdir()
+        ts = str(tdir / "tbl")
+        shutil.copytree(t, ts)
+        opts = {
+            "path": ts,
+            "readChangeFeed": "true",
+            "offsetTrackingLocation": str(tdir / "cursor"),
+        }
+        mf = rng.choice([None, 1, 2, 3])
+        mb = rng.choice([None, 1, 4096])
+        if mf is not None:
+            opts["maxFilesPerTrigger"] = str(mf)
+        if mb is not None:
+            opts["maxBytesPerTrigger"] = str(mb)
+
+        def events(it, committed, _rng=rng, _ts=ts):
+            out = []
+            if _rng.random() < 0.35:
+                out.append("restart")
+            if _rng.random() < 0.30:
+                cv = committed["version"]
+                vs_now = versions(_ts)
+                if committed.get("file_index") is not None and cv in vs_now:
+                    m = _read_manifest(_ts, cv)
+                    # a partial CDF offset only needs its own commit
+                    # (slice exemption applies when older survivors
+                    # remain); a partial DATA offset needs cv-1
+                    keep_from = cv if m.get("cdf_files") else cv - 1
+                else:
+                    keep_from = cv  # full offset: cv is the diff base
+                out.append(f"vacuum:{keep_from}")
+            return out
+
+        got = sorted(
+            map(
+                repr,
+                _drive_stream(
+                    lambda: VersionedChangesStreamReader(dict(opts)), ts,
+                    events=events,
+                ),
+            )
+        )
+        assert got == reference, (
+            f"schedule {seed} (caps files={mf} bytes={mb}) broke "
+            "exactly-once delivery"
+        )
+        assert versions(ts)[-1] == head
+
+
+def test_apply_changes_source_version_validation(spark, tmp_path):
+    """Point-in-time MERGE source (Iceberg validateFromSnapshot /
+    validateNoConflictingDataFiles): declaring the snapshot a change
+    batch was computed against makes the apply refuse when an
+    intervening commit may have touched the batch's key range — and
+    apply cleanly when every intervening commit is zone-map-provably
+    disjoint.  Metadata-only commits pass; by-source merges refuse on
+    ANY intervening row change; a vacuumed intervening version
+    refuses."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        add_check_constraint,
+        versioned_apply_changes,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(10)]).coalesce(1), t)
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(100, 110)]).coalesce(1), t
+    )  # v2 = the snapshot the batches read
+    ch = lambda rows: spark.createDataFrame(rows, "id int, v string, op string")
+    # v3: intervening rewrite of the HIGH file
+    versioned_delete(spark, t, "id = 105", prune_col="id", lo=105, hi=105)
+    # clean: batch read v2, touches only the LOW range — v3 provably
+    # disjoint by the head zone maps
+    v4 = versioned_apply_changes(
+        ch([(1, "U1", "U")]), t, ["id"], source_version=2
+    )
+    assert v4 == 4
+    # v4 rewrote the low file: a second v2-based batch into the low
+    # range is STALE
+    with pytest.raises(ConcurrentCommitError, match="STALE"):
+        versioned_apply_changes(
+            ch([(3, "U3", "U")]), t, ["id"], source_version=2
+        )
+    # recomputed against the head it applies
+    v5 = versioned_apply_changes(
+        ch([(3, "U3", "U")]), t, ["id"], source_version=4
+    )
+    assert v5 == 5
+    # metadata-only intervening commit passes
+    add_check_constraint(spark, t, "vlen", "length(v) >= 1")  # v6
+    v7 = versioned_apply_changes(
+        ch([(4, "U4", "U")]), t, ["id"], source_version=5
+    )
+    assert v7 == 7
+    # by-source merges read the whole table: any intervening row
+    # change refuses
+    with pytest.raises(ConcurrentCommitError, match="whole table"):
+        versioned_apply_changes(
+            ch([(5, "U5", "U")]),
+            t,
+            ["id"],
+            source_version=5,
+            not_matched_by_source_delete="id >= 1000",
+        )
+    # unknown / vacuumed source or intervening versions refuse
+    with pytest.raises(ValueError, match="not in"):
+        versioned_apply_changes(
+            ch([(5, "U5", "U")]), t, ["id"], source_version=99
+        )
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_tag
+
+    create_tag(t, "old", 2)
+    vacuum(t, keep_last=2)  # vs = [2, 6, 7]: gap at 3-5
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned_apply_changes(
+            ch([(6, "U6", "U")]), t, ["id"], source_version=2
+        )
