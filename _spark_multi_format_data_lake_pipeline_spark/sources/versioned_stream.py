@@ -33,7 +33,12 @@ ever-vacuumed table instead bootstraps: it has delivered nothing, so
 ``initialOffset`` serves the earliest surviving snapshot as the initial
 load (Delta's initial-snapshot behavior) via a marked offset that
 replays batch 0 identically; ``startingVersion='earliest'`` requests
-the same bootstrap explicitly.
+the same bootstrap explicitly.  ``startingTimestamp`` streams every
+commit at or after a wall clock (past the head / behind retention
+raise); ``endingVersion`` / ``endingTimestamp`` BOUND the stream — the
+offset parks at the bound, so ``availableNow`` drains exactly through
+it and stops (the backfill shape Delta's batch-only CDF options can't
+express).
 
 RATE LIMITING (Delta's ``maxFilesPerTrigger``/``maxBytesPerTrigger``):
 with either option set, ``latestOffset`` walks the commit log from the
@@ -49,7 +54,14 @@ order, so a restart mid-commit replays the exact same split
 passes no start offset); on a restarted query whose checkpoint is
 ahead of the seed, ``partitions``' offset-order guards discard at most
 one empty regressed batch and snap the cursor to the checkpoint — no
-duplicate, no loss, at most one wasted trigger.  With
+duplicate, no loss, at most one wasted trigger — PROVIDED the same
+reader instance survives to serve the catch-up batch.  A second
+restart (or clean stop) landing exactly on the regressed commit would
+resume from a lying checkpoint; set ``offsetTrackingLocation`` (one
+dir per query, like ``checkpointLocation``) and the reader persists
+the committed high-water via ``commit()`` and seeds AT the boundary:
+no regressed commits at all, caps hold across restarts
+(``drain_versioned_changes`` sets it automatically).  With
 ``Trigger.AvailableNow`` the engine snapshots ONE end offset per run,
 so a capped stream drains exactly one capped batch per availableNow
 run (re-run to continue — each run picks up where the checkpoint
