@@ -4161,6 +4161,7 @@ def versioned_upsert(
     path: str,
     key_cols: list[str] | tuple[str, ...],
     prune_col: str | None = None,
+    source_version: int | None = None,
 ) -> int:
     """Copy-on-write MERGE: rows of ``df`` REPLACE current rows with the
     same key (update) or are added (insert); every other row — and every
@@ -4215,6 +4216,14 @@ def versioned_upsert(
     lo, hi = rng["lo"], rng["hi"]
     if lo is None and hi is None and df.isEmpty():
         return vs[-1]  # empty change set: nothing to commit
+    if source_version is not None:
+        # point-in-time merge source (see versioned_apply_changes):
+        # the change set was computed against an older snapshot —
+        # refuse unless every intervening commit is provably disjoint
+        _validate_merge_source_version(
+            path, vs, source_version, (pc, lo, hi), False,
+            verb="versioned_upsert",
+        )
     spark = df.sparkSession
     candidates, untouched = _apply_derived_pruning(
         spark, m, pc, lo, hi, *_candidate_split(m, pc, lo, hi)
@@ -4308,6 +4317,7 @@ def versioned_delete(
     lo=None,
     hi=None,
     strategy: str = "cow",
+    source_version: int | None = None,
 ) -> int:
     """Row-level DELETE: commit a new snapshot without the rows
     matching ``predicate`` (a SQL boolean expression).  Same
@@ -4339,7 +4349,11 @@ def versioned_delete(
     in where the I/O lands (write-side rewrite vs read-side join).
 
     SQL DELETE null semantics: rows where the predicate is NULL are
-    KEPT (only provably-TRUE rows are removed)."""
+    KEPT (only provably-TRUE rows are removed).
+
+    ``source_version`` declares the snapshot the predicate's decisions
+    were computed against and refuses when an intervening commit may
+    overlap the prune range — see ``versioned_apply_changes``."""
     from pyspark.sql import functions as F
 
     if strategy not in ("cow", "dv"):
@@ -4348,6 +4362,18 @@ def versioned_delete(
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
     m = _read_manifest(path, vs[-1])
+    if source_version is not None:
+        # point-in-time source (see versioned_apply_changes): the
+        # predicate's decisions were made against an older snapshot —
+        # without a prune range, any intervening row change refuses
+        _validate_merge_source_version(
+            path,
+            vs,
+            source_version,
+            (prune_col, lo, hi) if prune_col is not None else None,
+            False,
+            verb="versioned_delete",
+        )
     if prune_col is not None:
         candidates, untouched = _apply_derived_pruning(
             spark,
@@ -4594,6 +4620,7 @@ def versioned_update(
     prune_col: str | None = None,
     lo=None,
     hi=None,
+    source_version: int | None = None,
 ) -> int:
     """Row-level UPDATE (Delta/Iceberg ``UPDATE t SET ... WHERE ...``,
     the verb the MERGE/DELETE/apply-changes family was missing): commit
@@ -4620,7 +4647,9 @@ def versioned_update(
     and materialized by the rewrite (same rule as every other rewrite
     commit); persisted CHECK constraints re-validate the rewritten rows
     pre-commit.  Cost scales with the intersecting files, not the
-    table — the same argument as ``versioned_upsert``."""
+    table — the same argument as ``versioned_upsert``.
+    ``source_version``: point-in-time validation, see
+    ``versioned_apply_changes``."""
     from pyspark.sql import functions as F
 
     if not set_exprs:
@@ -4635,6 +4664,16 @@ def versioned_update(
         raise ValueError(
             f"versioned_update: SET columns {unknown} not in table "
             f"columns {cols}"
+        )
+    if source_version is not None:
+        # point-in-time source (see versioned_apply_changes)
+        _validate_merge_source_version(
+            path,
+            vs,
+            source_version,
+            (prune_col, lo, hi) if prune_col is not None else None,
+            False,
+            verb="versioned_update",
         )
     if prune_col is not None:
         candidates, untouched = _apply_derived_pruning(
@@ -4712,6 +4751,7 @@ def _validate_merge_source_version(
     source_version: int,
     read_range: tuple | None,
     whole_table: bool,
+    verb: str = "versioned_apply_changes",
 ) -> None:
     """Point-in-time merge-source validation (see
     ``versioned_apply_changes``): refuse unless every commit in
@@ -4723,7 +4763,7 @@ def _validate_merge_source_version(
     head_v = vs[-1]
     if source_version not in vs:
         raise ValueError(
-            f"versioned_apply_changes: source_version {source_version} "
+            f"{verb}: source_version {source_version} "
             f"not in {vs} — the snapshot the batch read was vacuumed "
             "(or never existed); its decisions cannot be validated"
         )
@@ -4732,7 +4772,7 @@ def _validate_merge_source_version(
     ]
     if missing:
         raise ValueError(
-            f"versioned_apply_changes: version(s) {missing} between "
+            f"{verb}: version(s) {missing} between "
             f"source_version {source_version} and head {head_v} were "
             "vacuumed — an unverifiable range is a stale range"
         )
@@ -4753,10 +4793,10 @@ def _validate_merge_source_version(
             continue  # metadata-only commit: no row changed
         if whole_table or read_range is None:
             raise ConcurrentCommitError(
-                f"versioned_apply_changes: batch computed against "
-                f"v{source_version} but v{v} changed rows and the "
-                "merge reads the whole table (by-source clauses / no "
-                "prune range) — recompute the batch against the head"
+                f"{verb}: batch computed against "
+                f"v{source_version} but v{v} changed rows and this "
+                "verb reads the whole table (by-source clauses / no "
+                "prune range) — recompute against the head"
             )
         pc, lo, hi = read_range
         conflicts = []
@@ -4780,7 +4820,7 @@ def _validate_merge_source_version(
             conflicts.extend(may)
         if conflicts:
             raise ConcurrentCommitError(
-                f"versioned_apply_changes: batch computed against "
+                f"{verb}: batch computed against "
                 f"v{source_version} is STALE — v{v} touched file(s) "
                 f"{sorted(set(conflicts))} that may hold rows inside "
                 f"the batch's key range {read_range!r}; recompute the "

@@ -5864,3 +5864,72 @@ def test_apply_changes_source_version_validation(spark, tmp_path):
         versioned_apply_changes(
             ch([(6, "U6", "U")]), t, ["id"], source_version=2
         )
+
+
+def test_row_verbs_source_version_validation(spark, tmp_path):
+    """source_version parity across the row-level verb family: upsert,
+    DELETE and UPDATE accept the snapshot their inputs were computed
+    against and refuse when an intervening commit may overlap — the
+    same validator as versioned_apply_changes."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_update,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(10)]).coalesce(1), t)
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(100, 110)]).coalesce(1), t
+    )  # v2
+    versioned_delete(spark, t, "id = 105", prune_col="id", lo=105, hi=105)
+    # clean applies over the provably-disjoint high-half rewrite
+    assert versioned_upsert(mk([(1, "U1")]), t, ["id"], source_version=2) == 4
+    assert (
+        versioned_update(
+            spark,
+            t,
+            {"v": "'X'"},
+            "id = 2",
+            prune_col="id",
+            lo=2,
+            hi=2,
+            source_version=4,
+        )
+        == 5
+    )
+    # v4/v5 rewrote the low file: stale low-range inputs refuse on
+    # every verb
+    with pytest.raises(ConcurrentCommitError, match="STALE"):
+        versioned_upsert(mk([(3, "U3")]), t, ["id"], source_version=2)
+    with pytest.raises(ConcurrentCommitError, match="STALE"):
+        versioned_delete(
+            spark, t, "id = 3", prune_col="id", lo=3, hi=3, source_version=2
+        )
+    with pytest.raises(ConcurrentCommitError, match="STALE"):
+        versioned_update(
+            spark,
+            t,
+            {"v": "'Y'"},
+            "id = 3",
+            prune_col="id",
+            lo=3,
+            hi=3,
+            source_version=2,
+        )
+    # no prune range = whole-table read: any intervening change refuses
+    with pytest.raises(ConcurrentCommitError, match="whole table"):
+        versioned_delete(spark, t, "id = 3", source_version=2)
+    # a dv delete validates too (the check runs before strategy split)
+    with pytest.raises(ConcurrentCommitError, match="STALE"):
+        versioned_delete(
+            spark,
+            t,
+            "id = 3",
+            prune_col="id",
+            lo=3,
+            hi=3,
+            strategy="dv",
+            source_version=2,
+        )
