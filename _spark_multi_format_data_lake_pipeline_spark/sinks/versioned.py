@@ -3260,6 +3260,7 @@ def rollback(path: str, to_version: int) -> int:
     m = dict(_read_manifest(path, to_version))
     txn = m.pop("txn_id", None)
     m.pop("cdf_files", None)  # per-commit key: the rollback did not
+    m.pop("cdf_file_meta", None)
     # produce the source commit's change rows
     vs = versions(path)
     if m.get("row_tracking"):
@@ -3345,6 +3346,7 @@ def clone_table(
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     if deep:
         import shutil
         from concurrent.futures import ThreadPoolExecutor
@@ -3631,6 +3633,7 @@ def merge_branch(
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     manifest.pop("file_base", None)
     try:
         return _commit_state(path, manifest, _read_manifest(path, pvs[-1]))
@@ -4508,9 +4511,17 @@ def _delete_with_vectors(
             "row_count": base["row_count"] - total,
         }
         out.pop("txn_id", None)
+        out.pop("cdf_file_meta", None)
         out.pop("cdf_files", None)
         if cdf_files:
             out["cdf_files"] = cdf_files
+            cfm: dict[str, dict] = {}
+            for f in cdf_files:
+                try:
+                    cfm[f] = {"bytes": (Path(path) / f).stat().st_size}
+                except OSError:
+                    cfm[f] = {}
+            out["cdf_file_meta"] = cfm
         if merged:
             out["dv_counts"] = merged
             out["dv_files"] = (base.get("dv_files") or []) + new_dv_files
@@ -5134,6 +5145,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5249,6 +5261,7 @@ def drop_column(path: str, name: str) -> int:
             manifest.pop("column_defaults", None)
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5330,6 +5343,7 @@ def add_column(
         }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5370,6 +5384,7 @@ def add_check_constraint(
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5437,6 +5452,7 @@ def enable_row_tracking(path: str) -> int:
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5525,6 +5541,7 @@ def enable_change_data_feed(path: str) -> int:
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5548,6 +5565,7 @@ def disable_change_data_feed(path: str) -> int:
     manifest.pop("change_data_feed", None)
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 
@@ -5631,6 +5649,7 @@ def drop_check_constraint(path: str, name: str) -> int:
     }
     manifest.pop("txn_id", None)
     manifest.pop("cdf_files", None)
+    manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
 
 

@@ -5421,6 +5421,16 @@ def test_cdf_stream_byte_caps_pace_change_feed_batches(spark, tmp_path):
     assert cfm and all(
         cfm[f].get("bytes", 0) > 0 for f in m3["cdf_files"]
     ), "commit must record change-file sizes"
+    # the merge-on-read path records them too (it builds its manifest
+    # directly, not via _write_snapshot)
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_delete
+
+    versioned_delete(spark, t, "id = 3", strategy="dv")  # v5
+    m5 = _read_manifest(t, 5)
+    assert m5.get("cdf_files") and all(
+        m5["cdf_file_meta"][f].get("bytes", 0) > 0
+        for f in m5["cdf_files"]
+    ), "dv-delete commits must record change-file sizes"
     r = VersionedChangesStreamReader(
         {"path": t, "readChangeFeed": "true", "maxBytesPerTrigger": "1"}
     )
