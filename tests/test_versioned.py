@@ -5943,3 +5943,58 @@ def test_row_verbs_source_version_validation(spark, tmp_path):
             strategy="dv",
             source_version=2,
         )
+
+
+def test_apply_changes_single_feature_combos(spark, tmp_path):
+    """apply_changes with ONLY change_data_feed (no row tracking) and
+    ONLY row tracking (no feed) — the q280 driver row covers both-on;
+    these pin that each feature works without the other."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        enable_row_tracking,
+        read_change_feed,
+        read_version_row_ids,
+        versioned_apply_changes,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    ch = lambda rows: spark.createDataFrame(rows, "id int, v string, op string")
+    # CDF only
+    t1 = str(tmp_path / "cdf_only")
+    versioned_write(mk([(i, f"v{i}") for i in range(5)]).coalesce(1), t1)
+    enable_change_data_feed(t1)  # v2
+    versioned_apply_changes(
+        ch([(1, "U1", "U"), (2, None, "D"), (50, "I50", "I")]), t1, ["id"]
+    )  # v3
+    got = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_change_feed(spark, t1, 2, 3).collect()
+    )
+    assert got == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "delete"),
+        (50, "insert"),
+    ]
+    # row tracking only
+    t2 = str(tmp_path / "track_only")
+    versioned_write(mk([(i, f"v{i}") for i in range(5)]).coalesce(1), t2)
+    enable_row_tracking(t2)  # v2
+    ids0 = {
+        r["id"]: r["_row_id"]
+        for r in read_version_row_ids(spark, t2).collect()
+    }
+    versioned_apply_changes(
+        ch([(1, "U1", "U"), (2, None, "D"), (50, "I50", "I")]), t2, ["id"]
+    )  # v3
+    post = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_version_row_ids(spark, t2).collect()
+    }
+    assert set(post) == {0, 1, 3, 4, 50}
+    assert post[1][0] == ids0[1] and post[1][1] == 3
+    assert post[0][0] == ids0[0] and post[0][1] == 1, "carried keeps version"
+    hw = _read_manifest(t2, 2)["row_id_high_water"]
+    assert post[50][0] >= hw
+    m3 = _read_manifest(t2, 3)
+    assert "cdf_files" not in m3, "no feed without change_data_feed"
