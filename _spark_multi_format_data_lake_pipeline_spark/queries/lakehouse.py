@@ -2580,7 +2580,7 @@ def q279_versioned_row_tracking(
     -- feed pre+post; unfired ones (%3 but not %9) feed NOTHING;
     -- matched deletes feed the removed values; unmatched inserts feed
     -- post; by-source deletes (%13 of untouched keys) and by-source
-    -- updates (%21 of the rest, +1000) feed like their matched twins
+    -- updates (even %5 of the rest, +1000) feed like their matched twins
     WITH evens AS (
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
     ),
@@ -2610,15 +2610,15 @@ def q279_versioned_row_tracking(
     WHERE o_orderkey % 13 = 0
     UNION ALL
     SELECT o_orderkey, o_totalprice, 'update_preimage', 4 FROM bs
-    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 21 = 0
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0
     UNION ALL
     SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 4
-    FROM bs WHERE o_orderkey % 13 <> 0 AND o_orderkey % 21 = 0
+    FROM bs WHERE o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0
     """,
     doc="FULL MERGE surface: versioned_apply_changes with conditional "
         "matched updates (%9 fires, the rest of %3 does not), matched "
         "deletes (%11), inserts (odd %5), WHEN NOT MATCHED BY SOURCE "
-        "DELETE (%13) and ... UPDATE SET (+1000 on %21) — on a table "
+        "DELETE (%13) and ... UPDATE SET (+1000 on %5) — on a table "
         "with BOTH change_data_feed and row_tracking enabled.  The "
         "merge join itself classifies every row and emits the feed "
         "(apply_cdc_batch action_col/with_feed), so CDF costs no extra "
@@ -2674,7 +2674,7 @@ def q280_versioned_merge_cdf_row_tracking(
         not_matched_by_source_update={
             "o_totalprice": "t_o_totalprice + 1000.0"
         },
-        not_matched_by_source_update_condition="o_orderkey % 21 = 0",
+        not_matched_by_source_update_condition="o_orderkey % 5 = 0",
     )
     assert v4 == 4
     # row-id stability across the full-table by-source rewrite
@@ -2695,7 +2695,7 @@ def q280_versioned_merge_cdf_row_tracking(
     assert (
         j.filter(
             "o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0 AND "
-            "o_orderkey % 13 <> 0 AND o_orderkey % 21 <> 0"
+            "o_orderkey % 13 <> 0 AND o_orderkey % 5 <> 0"
         )
         .filter("_row_commit_version <> 1")
         .count()

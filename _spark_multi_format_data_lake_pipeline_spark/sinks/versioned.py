@@ -1482,16 +1482,7 @@ def _write_snapshot(
         manifest["change_data_feed"] = True
     if cdf_files:  # THIS commit's materialized change rows (never carried)
         manifest["cdf_files"] = cdf_files
-        # per-file sizes, same shape as file_meta's bytes: the capped
-        # streaming walk (maxBytesPerTrigger) paces change-feed batches
-        # with these — data-file meta never keys cdf files
-        cfm: dict[str, dict] = {}
-        for f in cdf_files:
-            try:
-                cfm[f] = {"bytes": (Path(path) / f).stat().st_size}
-            except OSError:
-                cfm[f] = {}
-        manifest["cdf_file_meta"] = cfm
+        manifest["cdf_file_meta"] = _cdf_file_meta(path, cdf_files)
     if track:
         manifest["row_tracking"] = True
         manifest["row_id_high_water"] = hw0 + rid_consumed
@@ -3991,13 +3982,20 @@ def version_at_or_after(path: str, ts: float) -> int:
             f"(v{vs[-1]}) — no version was committed at or after it"
         )
     f = min(hits)
-    if f == vs[0] and vs[0] > 1:
+    # The resolution is only provable when f's immediate predecessor
+    # SURVIVED: commit clocks are monotone, so every vacuumed version
+    # below a surviving non-hit (clock < ts) also predates ts — but a
+    # version vacuumed DIRECTLY below f (tag+vacuum gap, or the whole
+    # pre-vs[0] history) has a clock between the previous survivor's
+    # and f's, i.e. possibly >= ts: serving from f would silently omit
+    # its changes.  f-1 == 0 means f is the first version ever.
+    if f - 1 >= 1 and f - 1 not in vs:
         raise ValueError(
-            f"startingTimestamp {ts} predates the earliest surviving "
-            f"manifest v{vs[0]} at {path} — versions before it were "
-            "vacuumed and may also postdate the timestamp; their "
-            "changes are unreconstructable (behind the retention "
-            "horizon)"
+            f"startingTimestamp {ts} cannot be resolved at {path}: "
+            f"version {f - 1}, vacuumed, may also have been committed "
+            f"at or after it (earliest provable version is v{f}) — "
+            "changes behind the retention horizon are "
+            "unreconstructable"
         )
     return f
 
@@ -4515,13 +4513,7 @@ def _delete_with_vectors(
         out.pop("cdf_files", None)
         if cdf_files:
             out["cdf_files"] = cdf_files
-            cfm: dict[str, dict] = {}
-            for f in cdf_files:
-                try:
-                    cfm[f] = {"bytes": (Path(path) / f).stat().st_size}
-                except OSError:
-                    cfm[f] = {}
-            out["cdf_file_meta"] = cfm
+            out["cdf_file_meta"] = _cdf_file_meta(path, cdf_files)
         if merged:
             out["dv_counts"] = merged
             out["dv_files"] = (base.get("dv_files") or []) + new_dv_files
@@ -4996,6 +4988,40 @@ def versioned_apply_changes(
         **clause_kw,
     )
     out, feed = res if cdf_on else (res, None)
+    # The fresh-id count and the snapshot write (and their id-carry
+    # join) all fan out of the ONE merge join — persist the merge state
+    # so the candidate read + full-outer join computes once instead of
+    # once per consumer (a by-source merge reads the whole table; 3-4
+    # re-reads would be real money at 100 TB).  MEMORY_AND_DISK, so a
+    # huge rewrite spills instead of failing; unpersisted post-commit.
+    persisted = out.persist() if track else None
+    try:
+        return _apply_changes_commit(
+            spark, path, m, keys, cur, out, feed, cdf_on, track,
+            untouched, rr,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _apply_changes_commit(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    keys: list[str],
+    cur: DataFrame,
+    out: DataFrame,
+    feed: DataFrame | None,
+    cdf_on: bool,
+    track: bool,
+    untouched: list[str],
+    rr: tuple | None,
+) -> int:
+    """The write half of ``versioned_apply_changes``: materialize the
+    feed, carry/deal row ids off the (persisted) merge state, commit."""
+    from pyspark.sql import functions as F
+
     cdf = _write_cdf(feed, path, _column_mapping(m)) if cdf_on else None
     rid_consumed = 0
     if track:
@@ -5567,6 +5593,21 @@ def disable_change_data_feed(path: str) -> int:
     manifest.pop("cdf_files", None)
     manifest.pop("cdf_file_meta", None)
     return _commit_state(path, manifest, m)
+
+
+def _cdf_file_meta(path: str, cdf_files: list[str]) -> dict[str, dict]:
+    """Per-change-file sizes, same shape as file_meta's ``bytes``: the
+    capped streaming walk (maxBytesPerTrigger) paces change-feed
+    batches with these — data-file meta never keys cdf files.  The ONE
+    place this shape is built (commit paths and the stream's
+    legacy-manifest fallback all share it)."""
+    cfm: dict[str, dict] = {}
+    for f in cdf_files:
+        try:
+            cfm[f] = {"bytes": (Path(path) / f).stat().st_size}
+        except OSError:
+            cfm[f] = {}
+    return cfm
 
 
 def _write_cdf(feed: DataFrame, path: str, cmap: dict) -> list[str]:

@@ -91,6 +91,7 @@ from pyspark.sql.datasource import (
 
 from ..sinks.versioned import (
     _BUCKET_COL,
+    _cdf_file_meta,
     _partition_values,
     _read_manifest,
     versions,
@@ -192,6 +193,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             raise ValueError("maxBytesPerTrigger must be >= 1")
         start = options.get("startingVersion", "0")
         st = options.get("startingTimestamp")
+        # Timestamp options resolve at construction, but a RESOLUTION
+        # FAILURE must not kill a RESTARTED query: the checkpoint, not
+        # the option, governs a restart (Delta ignores starting options
+        # once one exists), and vacuum can legitimately move the
+        # horizon past a timestamp that resolved fine at first start.
+        # The reader cannot know fresh-vs-restart here, so failures are
+        # DEFERRED: recorded and raised from initialOffset — which the
+        # engine only calls on a fresh stream.
+        self._init_error: Exception | None = None
         if st is not None:
             # Delta's startingTimestamp: stream every commit at or
             # after this wall clock (resolution + the past-the-head /
@@ -205,9 +215,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             from ..sinks.versioned import version_at_or_after
 
-            self.start_version = (
-                version_at_or_after(self.path, float(st)) - 1
-            )
+            try:
+                self.start_version = (
+                    version_at_or_after(self.path, float(st)) - 1
+                )
+            except (ValueError, FileNotFoundError) as e:
+                self._init_error = e
+                self.start_version = 0  # restart: checkpoint governs
             self.from_earliest = False
         elif str(start).strip().lower() == "earliest":
             # explicit "bootstrap from whatever survives" request
@@ -233,9 +247,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if et_opt is not None:
             from ..sinks.versioned import version_at_or_before
 
-            self.end_version: int | None = version_at_or_before(
-                self.path, float(et_opt)
-            )
+            try:
+                self.end_version: int | None = version_at_or_before(
+                    self.path, float(et_opt)
+                )
+            except (ValueError, FileNotFoundError) as e:
+                # no surviving commit at/before the bound: a restarted
+                # drained stream parks (nothing before the earliest
+                # survivor may stream); a fresh stream raises below
+                self._init_error = self._init_error or e
+                vs0 = versions(self.path)
+                self.end_version = (vs0[0] - 1) if vs0 else 0
         elif ev_opt is not None:
             self.end_version = int(ev_opt)
             if self.end_version < 1:
@@ -247,6 +269,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if (
             self.end_version is not None
             and self.end_version <= self.start_version
+            and self._init_error is None  # deferred failures park/raise
         ):
             raise ValueError(
                 f"versioned_changes: endingVersion "
@@ -413,6 +436,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # behavior.  The marked offset is checkpointed with batch 0 and
         # replays identically; genuinely checkpointed plain offsets
         # that fell behind retention still raise in ``partitions``.
+        if self._init_error is not None:
+            # a timestamp option failed to resolve and this IS a fresh
+            # stream (restarts never reach here) — the option is live,
+            # so the deferred error is the honest answer
+            raise self._init_error
         return self._start_offset()
 
     def _iter_new_files(self, lo: int, ev: int, vs: list[int]):
@@ -586,16 +614,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 # stat per file, the same cost the commit now pays
                 meta = m.get("cdf_file_meta")
                 if meta is None:
-                    meta = {}
-                    for f in new_files:
-                        try:
-                            meta[f] = {
-                                "bytes": (Path(self.path) / f)
-                                .stat()
-                                .st_size
-                            }
-                        except OSError:
-                            meta[f] = {}
+                    meta = _cdf_file_meta(self.path, new_files)
             else:
                 meta = m.get("file_meta") or {}
             skip = s_idx if (s_idx is not None and v == sv) else 0

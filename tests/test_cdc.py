@@ -474,3 +474,52 @@ def test_cdc_missing_key_column_refuses_even_with_evolution(spark):
     assert sorted(map(tuple, out.collect())) == [
         (1, "a"), (2, "b"), (3, None)
     ]
+
+
+def test_apply_cdc_batch_feed_and_actions_with_by_source(spark):
+    """with_feed/action_col through the by-source clause family: fired
+    by-source deletes feed 'delete', fired by-source updates feed
+    pre+post and classify as 'update', untouched rows classify as
+    'carry', and an update clause that fires with UNCHANGED values
+    still feeds pre+post (Delta rewrites and feeds it too)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.cdc import apply_cdc_batch
+
+    target = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(6)], "id int, val double"
+    )
+    # U id=1 (changed), U id=2 (same value: no-op update still feeds)
+    changes = spark.createDataFrame(
+        [(1, 99.0, "U"), (2, 20.0, "U")], "id int, val double, op string"
+    )
+    state, feed = apply_cdc_batch(
+        target,
+        changes,
+        ["id"],
+        not_matched_by_source_delete="id = 3",
+        not_matched_by_source_update={"val": "t_val + 0.5"},
+        not_matched_by_source_update_condition="id >= 4",
+        action_col="act",
+        with_feed=True,
+    )
+    acts = {r["id"]: (r["val"], r["act"]) for r in state.collect()}
+    assert acts == {
+        0: (0.0, "carry"),
+        1: (99.0, "update"),
+        2: (20.0, "update"),
+        4: (40.5, "update"),
+        5: (50.5, "update"),
+    }
+    got = sorted(
+        (r["id"], r["_change_type"], r["val"]) for r in feed.collect()
+    )
+    assert got == [
+        (1, "update_postimage", 99.0),
+        (1, "update_preimage", 10.0),
+        (2, "update_postimage", 20.0),  # no-op update: fed anyway
+        (2, "update_preimage", 20.0),
+        (3, "delete", 30.0),
+        (4, "update_postimage", 40.5),
+        (4, "update_preimage", 40.0),
+        (5, "update_postimage", 50.5),
+        (5, "update_preimage", 50.0),
+    ]

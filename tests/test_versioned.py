@@ -5998,3 +5998,65 @@ def test_apply_changes_single_feature_combos(spark, tmp_path):
     assert post[50][0] >= hw
     m3 = _read_manifest(t2, 3)
     assert "cdf_files" not in m3, "no feed without change_data_feed"
+
+
+def test_timestamp_resolution_gap_and_restart_semantics(spark, tmp_path):
+    """Two review findings, pinned: (1) version_at_or_after must refuse
+    when the version DIRECTLY below its resolution was vacuumed — with
+    monotone commit clocks that vacuumed version may also postdate the
+    timestamp, so serving from the survivor would silently omit its
+    changes (mid-history tag+vacuum gaps, not just the pre-vs[0] case);
+    (2) a timestamp option that no longer resolves must not kill a
+    RESTARTED stream at construction — the checkpoint governs restarts
+    (Delta ignores starting options once one exists); only a FRESH
+    stream (initialOffset) sees the deferred error."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _manifest_dir,
+        create_tag,
+        enable_change_data_feed,
+        version_at_or_after,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t)  # v1
+    enable_change_data_feed(t)  # v2
+    for i, tag in ((1, "U3"), (2, "U4"), (3, "U5"), (0, "U6")):
+        versioned_upsert(mk([(i, tag)]), t, ["id"])  # v3..v6
+    for v in versions(t):  # pin clocks: 100*v
+        m = _read_manifest(t, v)
+        m["committed_at"] = 100.0 * v
+        (_manifest_dir(t) / f"v{v}.json").write_text(
+            _json.dumps(m, default=dict)
+        )
+    create_tag(t, "base", 2)
+    vacuum(t, keep_last=2)
+    assert versions(t) == [2, 5, 6]
+    # (1) ts=250 resolves to v5 but v4 (vacuumed, clock in (200, 500))
+    # may also postdate 250 — refuse; ts=550 resolves to v6 with v5
+    # surviving — fine
+    with pytest.raises(ValueError, match="vacuumed"):
+        version_at_or_after(t, 250.0)
+    assert version_at_or_after(t, 550.0) == 6
+    # (2) construction survives the unresolvable option (restart path)
+    r = VersionedChangesStreamReader(
+        {"path": t, "readChangeFeed": "true", "startingTimestamp": "250"}
+    )
+    parts = r.partitions({"version": 5}, {"version": 6})
+    assert parts, "a checkpointed restart must keep streaming"
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.initialOffset()  # a FRESH stream sees the deferred error
+    # endingTimestamp before every survivor: restart parks, fresh raises
+    r2 = VersionedChangesStreamReader(
+        {"path": t, "readChangeFeed": "true", "endingTimestamp": "50"}
+    )
+    off = r2.latestOffset()
+    assert off["version"] <= 1, f"a drained bounded restart must park, got {off}"
+    with pytest.raises(ValueError, match="no snapshot"):
+        r2.initialOffset()
