@@ -5746,10 +5746,13 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
 def read_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
-    to_version: int,
-    key_cols: list[str] | tuple[str, ...],
+    from_version: int | None = None,
+    to_version: int | None = None,
+    key_cols: list[str] | tuple[str, ...] = (),
     op_col: str = "op",
+    *,
+    starting_timestamp: float | None = None,
+    ending_timestamp: float | None = None,
 ) -> DataFrame:
     """Change-data-feed reader: the minimal I/U/D change set that
     transforms snapshot ``from_version`` into snapshot ``to_version`` —
@@ -5780,6 +5783,31 @@ def read_changes(
 
     from .cdc import table_diff
 
+    if not key_cols:
+        raise ValueError("read_changes: key_cols must be non-empty")
+    # Timestamp twins (snapshot-diff semantics, unlike the feed's
+    # at-or-after rule): "what changed between ts1 and ts2" diffs the
+    # snapshots CURRENT at each clock — version_at_or_before on both
+    # sides, the TIMESTAMP AS OF rule.  Each is mutually exclusive
+    # with its version twin.
+    if starting_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "read_changes: from_version and starting_timestamp "
+                "are mutually exclusive"
+            )
+        from_version = version_at_or_before(path, starting_timestamp)
+    if ending_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "read_changes: to_version and ending_timestamp "
+                "are mutually exclusive"
+            )
+        to_version = version_at_or_before(path, ending_timestamp)
+    if from_version is None or to_version is None:
+        raise ValueError(
+            "read_changes: both ends need a version or a timestamp"
+        )
     old = read_version(spark, path, from_version)
     new = read_version(spark, path, to_version)
     m_from = _read_manifest(path, from_version)

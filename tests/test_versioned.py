@@ -6060,3 +6060,49 @@ def test_timestamp_resolution_gap_and_restart_semantics(spark, tmp_path):
     assert off["version"] <= 1, f"a drained bounded restart must park, got {off}"
     with pytest.raises(ValueError, match="no snapshot"):
         r2.initialOffset()
+
+
+def test_read_changes_timestamp_twins(spark, tmp_path):
+    """read_changes (snapshot diff) takes timestamp twins with
+    TIMESTAMP AS OF semantics on BOTH ends: the diff runs between the
+    snapshots CURRENT at each clock — unlike the feed's at-or-after
+    starting rule, because a diff wants states, not commit membership."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _manifest_dir,
+        read_changes,
+        versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), t)  # v1
+    versioned_upsert(mk([(1, "U2")]), t, ["id"])  # v2
+    versioned_upsert(mk([(2, "U3"), (9, "I9")]), t, ["id"])  # v3
+    for v in versions(t):  # clocks 100*v
+        m = _read_manifest(t, v)
+        m["committed_at"] = 100.0 * v
+        (_manifest_dir(t) / f"v{v}.json").write_text(
+            _json.dumps(m, default=dict)
+        )
+    # state at 250 (v2) vs state at 350 (v3): exactly v3's changes
+    got = sorted(
+        (r["id"], r["op"], r["v"])
+        for r in read_changes(
+            spark, t, key_cols=["id"],
+            starting_timestamp=250.0, ending_timestamp=350.0,
+        ).collect()
+    )
+    assert got == [(2, "U", "U3"), (9, "I", "I9")]
+    # mixed version + timestamp works; twins are exclusive; both ends
+    # need one; key_cols required
+    assert read_changes(
+        spark, t, 1, key_cols=["id"], ending_timestamp=350.0
+    ).count() == 3
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_changes(spark, t, 1, key_cols=["id"], starting_timestamp=150.0)
+    with pytest.raises(ValueError, match="both ends"):
+        read_changes(spark, t, 1, key_cols=["id"])
+    with pytest.raises(ValueError, match="key_cols"):
+        read_changes(spark, t, 1, 3)
