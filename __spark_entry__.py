@@ -55,6 +55,13 @@ _RECHECK = (
     # grew point-in-time validation alongside its CDF/tracking rewrite.
     "q275_versioned_stream_drain",
     "q261_versioned_merge_schema_evolution",
+    # r14 late: source_version validation threaded through the whole
+    # row-level verb family (delete/update representatives) and the
+    # stream reader's option parsing grew the timestamp/bound/floor
+    # surface (data-mode stream representative).
+    "q231_versioned_dv_delete",
+    "q253_versioned_update_rows",
+    "q242_versioned_stream_follow",
 )
 
 
