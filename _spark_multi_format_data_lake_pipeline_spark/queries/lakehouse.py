@@ -34,6 +34,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _require(cond: bool, msg: str) -> None:
+    """In-query verification step.  These checks carry real proof
+    obligations (row-id stability, refused-commit invariants, batch
+    counts) — a bare ``assert`` silently vanishes under ``python -O``,
+    so failures that should fail the query raise explicitly."""
+    if not cond:
+        raise AssertionError(msg)
+
+
 def _orders_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -150,7 +159,7 @@ def q231_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = versioned_delete(spark, t, "o_totalprice < 50000.0", strategy="dv")
     m = _read_manifest(t, v)
-    assert m["files"] == files_v1, "dv delete must not rewrite data files"
+    _require(m["files"] == files_v1, "dv delete must not rewrite data files")
     return read_version(spark, t)
 
 
@@ -1546,8 +1555,8 @@ def q264_versioned_incremental_compact(
     )
     after = _read_manifest(t, v)
     carried = set(before["files"]) & set(after["files"])
-    assert carried, "low-key files must carry byte-identical"
-    assert set(after["files"]) - set(before["files"]), "scope must rewrite"
+    _require(carried, "low-key files must carry byte-identical")
+    _require(set(after["files"]) - set(before["files"]), "scope must rewrite")
     return read_version(spark, t)
 
 
@@ -1622,9 +1631,9 @@ def q265_versioned_concurrent_append_delete(
         )
     finally:
         V._commit_state = real_cs
-    assert fired["done"] and v == 3 and versions(t) == [1, 2, 3], (
+    _require(fired["done"] and v == 3 and versions(t) == [1, 2, 3], (
         "both the winner append and the rebased delete must land"
-    )
+    ))
     return read_version(spark, t)
 
 
@@ -1684,10 +1693,10 @@ def q266_versioned_stream_rate_limited(
     finally:
         q.stop()
     data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    assert len(data_batches) == 8, (
+    _require(len(data_batches) == 8, (
         f"8 files under a 1-file cap must drain as 8 micro-batches, "
         f"got {len(data_batches)}"
-    )
+    ))
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).parquet(out)
@@ -1817,10 +1826,10 @@ def q268_versioned_branch_merge_back(
     )
     versioned_delete(spark, b, "o_totalprice < 30000.0", strategy="dv")
     v = merge_branch(t, "etl")
-    assert v == 2 and versions(t) == [1, 2], "fast-forward must land as v2"
-    assert "file_base" not in _read_manifest(t, 2), (
+    _require(v == 2 and versions(t) == [1, 2], "fast-forward must land as v2")
+    _require("file_base" not in _read_manifest(t, 2), (
         "merged parent must be self-contained"
-    )
+    ))
     return read_version(spark, t)
 
 
@@ -1877,11 +1886,11 @@ def q269_versioned_generated_pruning(
     lo, hi = Decimal("50000.00"), Decimal("149999.99")
     m = _read_manifest(t, 1)
     base_keep, base_skip = _candidate_split(m, "amount", lo, hi)
-    assert not base_skip, "decimal column must have no base stats"
+    _require(not base_skip, "decimal column must have no base stats")
     derived_keep = set(_candidate_split(m, "band", 1, 2)[0])
-    assert 0 < len(derived_keep) < len(m["files"]), (
+    _require(0 < len(derived_keep) < len(m["files"]), (
         "the derived band bound must prune files the base split cannot"
-    )
+    ))
     return read_version_pruned(spark, t, "amount", lo=lo, hi=hi).select(
         "o_orderkey"
     )
@@ -1939,9 +1948,9 @@ def q270_versioned_clustered_table(
     m = _read_manifest(t, versions(t)[-1])
     k1 = set(_candidate_split(m, "o_custkey", 200, 500)[0])
     k2 = set(_candidate_split(m, "o_totalprice", 50000.0, 150000.0)[0])
-    assert len(k1 & k2) < len(m["files"]), (
+    _require(len(k1 & k2) < len(m["files"]), (
         "the write-path clustering must let the box prune files"
-    )
+    ))
     return read_version_pruned_multi(
         spark,
         t,
@@ -1998,17 +2007,17 @@ def q271_versioned_parquet_checkpoint(
     )  # v2: delta on the parquet checkpoint
     versioned_delete(spark, t, "o_orderkey % 7 = 0", strategy="dv")  # v3
     raw1 = json.loads(Path(t, "_manifests", "v1.json").read_text())
-    assert raw1.get("kind") == "checkpoint" and raw1["n_files"] == 70, (
+    _require(raw1.get("kind") == "checkpoint" and raw1["n_files"] == 70, (
         "a 70-file full commit must take the parquet-plane form"
-    )
-    assert len(json.dumps(raw1)) < 4096, (
+    ))
+    _require(len(json.dumps(raw1)) < 4096, (
         "checkpoint JSON must stay O(columns)"
-    )
+    ))
     vacuum(t, keep_last=2)  # drops v1 -> v2 re-anchors, still bounded
     raw2 = json.loads(Path(t, "_manifests", "v2.json").read_text())
-    assert raw2.get("kind") == "checkpoint", (
+    _require(raw2.get("kind") == "checkpoint", (
         "the re-anchored wide manifest must keep the bounded form"
-    )
+    ))
     return read_version(spark, t)
 
 
@@ -2202,7 +2211,7 @@ def q274_versioned_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("NULL statuses must refuse the commit")
     except CheckConstraintViolation:
         pass
-    assert versions(t)[-1] == before, "a refused write must commit nothing"
+    _require(versions(t)[-1] == before, "a refused write must commit nothing")
     return read_version(spark, t)
 
 
@@ -2247,9 +2256,9 @@ def q275_versioned_stream_drain(
     runs = drain_versioned_changes(
         spark, t, out, ckpt, max_files_per_trigger=2
     )
-    assert runs == 4, (
+    _require(runs == 4, (
         f"7 files under a 2-file cap must drain in 4 runs, got {runs}"
-    )
+    ))
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     ).parquet(out)
@@ -2481,7 +2490,7 @@ def q278_versioned_ndv_registers(
         ["o_orderkey"],
     )  # v3: rewritten files recompute, carried keep refs
     est = versioned_ndv(spark, t, "o_custkey")
-    assert est > 0, "metadata NDV estimate must be positive"
+    _require(est > 0, "metadata NDV estimate must be positive")
     return versioned_ndv_registers(spark, t, "o_custkey")
 
 
@@ -2563,7 +2572,7 @@ def q279_versioned_row_tracking(
     bad = post.filter(
         (F.col("o_orderkey") % 2 == 1) & (F.col("_row_id") < hw2)
     ).count()
-    assert bad == 0, "inserted rows must draw fresh ids past the watermark"
+    _require(bad == 0, "inserted rows must draw fresh ids past the watermark")
     return pre.join(post, "_row_id", "inner").select(
         "k_pre",
         F.col("o_orderkey").alias("k_post"),
@@ -2676,23 +2685,23 @@ def q280_versioned_merge_cdf_row_tracking(
         },
         not_matched_by_source_update_condition="o_orderkey % 5 = 0",
     )
-    assert v4 == 4
+    _require(v4 == 4, "the merge must commit as v4")
     # row-id stability across the full-table by-source rewrite
     pre = read_version_row_ids(spark, t, 3).select(
         "o_orderkey", F.col("_row_id").alias("id0")
     )
     post = read_version_row_ids(spark, t, 4)
     j = pre.join(post, "o_orderkey")
-    assert j.filter("id0 <> _row_id").count() == 0, (
+    _require(j.filter("id0 <> _row_id").count() == 0, (
         "every surviving key must keep its row id"
-    )
-    assert (
+    ))
+    _require((
         j.filter("o_orderkey % 9 = 0")
         .filter("_row_commit_version <> 4")
         .count()
         == 0
-    ), "updated rows must re-stamp their commit version"
-    assert (
+    ), "updated rows must re-stamp their commit version")
+    _require((
         j.filter(
             "o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0 AND "
             "o_orderkey % 13 <> 0 AND o_orderkey % 5 <> 0"
@@ -2700,12 +2709,12 @@ def q280_versioned_merge_cdf_row_tracking(
         .filter("_row_commit_version <> 1")
         .count()
         == 0
-    ), "carried rows must keep their original commit version"
+    ), "carried rows must keep their original commit version")
     hw = _read_manifest(t, 3)["row_id_high_water"]
-    assert (
+    _require((
         post.filter("o_orderkey % 2 = 1").filter(f"_row_id < {hw}").count()
         == 0
-    ), "inserted rows must draw fresh ids past the watermark"
+    ), "inserted rows must draw fresh ids past the watermark")
     return read_change_feed(spark, t, 3, 4)
 
 
@@ -2871,9 +2880,9 @@ def q282_versioned_concurrent_disjoint_upserts(
         )
     finally:
         V._commit_state = real_cs
-    assert fired["done"] and v == 4 and versions(t) == [1, 2, 3, 4], (
+    _require(fired["done"] and v == 4 and versions(t) == [1, 2, 3, 4], (
         "both disjoint upserts must land whatever the interleaving"
-    )
+    ))
     # overlapping race: a second high-half upsert racing another
     # high-half rewrite shares its read-set files and must refuse
     fired2 = {"done": False}
@@ -2973,7 +2982,7 @@ def q283_versioned_point_in_time_merge(
     v4 = versioned_apply_changes(
         low_batch(3), t, ["o_orderkey"], source_version=2
     )
-    assert v4 == 4, "a provably-disjoint intervening commit must not block"
+    _require(v4 == 4, "a provably-disjoint intervening commit must not block")
     try:
         versioned_apply_changes(
             low_batch(5), t, ["o_orderkey"], source_version=2
@@ -2981,5 +2990,5 @@ def q283_versioned_point_in_time_merge(
         raise AssertionError("a stale batch must refuse")
     except ConcurrentCommitError:
         pass
-    assert versions(t) == [1, 2, 3, 4], "the stale batch committed nothing"
+    _require(versions(t) == [1, 2, 3, 4], "the stale batch committed nothing")
     return read_version(spark, t)

@@ -453,13 +453,36 @@ def _read_manifest(path: str, version: int) -> dict:
     return dict(state)
 
 
+# Minimum clock advance per commit when the wall clock stalls or steps
+# back (Delta's in-commit-timestamp rule: max(prev + ε, now)).  1 ms —
+# coarse enough to stay honest wall-clock, fine enough that a burst of
+# clamped commits drifts the table clock by well under a second.
+_COMMIT_CLOCK_EPS = 0.001
+
+
 def _commit_state(path: str, state: dict, prev: dict | None) -> int:
     """Commit snapshot ``state`` (full resolved form) as either a delta
     against ``prev`` or a full checkpoint.  Checkpoint when there is no
     previous snapshot, on every ``_CHECKPOINT_INTERVAL``-th version (the
     Delta-log cadence — bounds the resolution chain), or when the delta
-    encoding can't express the carried-file order."""
+    encoding can't express the carried-file order.
+
+    ``committed_at`` is clamped MONOTONE here (in-commit timestamps,
+    Delta's rule: ``max(prev_committed_at + ε, now)``) — every commit
+    verb stamps ``time.time()`` and every consumer of the table clock
+    (``version_at_or_before`` / ``version_at_or_after``, TIMESTAMP AS
+    OF, the stream's ``startingTimestamp``/``endingTimestamp``, the
+    vacuum-gap proof) assumes commit clocks never step back, so an NTP
+    step-back between commits must not be able to record a regressed
+    stamp.  Centralized at the single commit choke point instead of at
+    the ~15 stamp sites; legacy manifests without the field skip the
+    clamp (their consumers already fall back to manifest mtime)."""
     version = state["version"]
+    if prev is not None:
+        pat = prev.get("committed_at")
+        sat = state.get("committed_at")
+        if pat is not None and sat is not None and float(sat) <= float(pat):
+            state["committed_at"] = float(pat) + _COMMIT_CLOCK_EPS
     raw = None
     if prev is not None and version % _CHECKPOINT_INTERVAL != 0:
         raw = _make_delta(prev, state)

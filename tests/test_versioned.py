@@ -6106,3 +6106,63 @@ def test_read_changes_timestamp_twins(spark, tmp_path):
         read_changes(spark, t, 1, key_cols=["id"])
     with pytest.raises(ValueError, match="key_cols"):
         read_changes(spark, t, 1, 3)
+
+
+def test_commit_clock_monotone_under_regression(spark, tmp_path, monkeypatch):
+    """In-commit timestamps (Delta's rule, r15): a wall clock that steps
+    BACK between commits must not record a regressed committed_at —
+    _commit_state clamps every stamp to max(prev + eps, now), so
+    TIMESTAMP AS OF, the stream's startingTimestamp, and the vacuum-gap
+    proof (all of which assume monotone table clocks) stay exact under
+    NTP step-backs.  The clock is frozen 500 s in the PAST across
+    metadata-only commits AND a real data commit; every committed_at
+    must still strictly increase and timestamp travel must resolve by
+    the clamped clock."""
+    import time as _time
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _COMMIT_CLOCK_EPS,
+        enable_change_data_feed,
+        table_history,
+        version_at_or_after,
+        version_at_or_before,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(1, "a"), (2, "b")]).coalesce(1), t)  # v1, real clock
+    at1 = _read_manifest(t, 1)["committed_at"]
+    # NTP step-back: every subsequent stamp reads 500 s BEFORE v1
+    frozen = at1 - 500.0
+    monkeypatch.setattr(_time, "time", lambda: frozen)
+    enable_change_data_feed(t)  # v2, metadata-only commit
+    rollback(t, 1)  # v3, metadata-only commit
+    versioned_write(mk([(3, "c")]).coalesce(1), t)  # v4, data commit
+    monkeypatch.undo()
+    ats = [_read_manifest(t, v)["committed_at"] for v in versions(t)]
+    assert all(b > a for a, b in zip(ats, ats[1:])), (
+        f"committed_at must be strictly monotone, got {ats}"
+    )
+    for i, at in enumerate(ats[1:], start=1):
+        assert at == pytest.approx(ats[i - 1] + _COMMIT_CLOCK_EPS), (
+            "a regressed stamp clamps to exactly prev + eps"
+        )
+    # the table clock the consumers read (table_history) is the clamped one
+    hist = {
+        r["version"]: r["committed_at"]
+        for r in table_history(spark, t).collect()
+    }
+    assert [hist[v] for v in versions(t)] == ats
+    # timestamp travel resolves by the clamped clock, never the raw one
+    assert version_at_or_before(t, at1) == 1
+    assert version_at_or_before(t, ats[1]) == 2
+    assert version_at_or_before(t, ats[3] + 1.0) == 4
+    assert version_at_or_after(t, ats[1]) == 2
+    assert version_at_or_after(t, ats[3]) == 4
+    with pytest.raises(ValueError, match="no snapshot"):
+        # the frozen RAW clock (at1 - 500) predates every commit: with
+        # clamping there is genuinely nothing committed at/before it
+        version_at_or_before(t, frozen)
+    # monotone increments stay tiny: a clamped burst drifts the table
+    # clock by eps per commit, not by the regression magnitude
+    assert ats[-1] < at1 + 1.0
