@@ -4,17 +4,130 @@ Works against the built-in ``spark_catalog`` (in-memory or Hive); the same
 SQL works against an Iceberg catalog when the runtime jars are configured
 (see sinks/writer.py for the format selection). The reference's dynamic
 catalog registration (D8) maps to ``spark.conf.set`` calls here.
+
+``VersionedCatalog`` (r15) additionally binds the path-addressed
+VERSIONED tables (sinks/versioned.py) into the same ``db.table`` naming
+plane — the reference's two-catalog topology (merge_to_minio.py:126-192
+enumerates one catalog with SHOW TABLES and merges into another BY
+NAME) needs name addressing on both planes, and before this registry
+the versioned-table engine could only be reached by filesystem path.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
+class VersionedCatalog:
+    """Name→path registry for versioned tables: one tiny JSON file
+    (``{"db.table": table_root}``) under the registry root, written
+    with the same tmp+atomic-rename pattern as table commits.  The
+    registry is METADATA-ONLY — tables stay self-contained at their
+    paths (droppable, clonable, readable without the registry); a
+    binding just gives pipeline flows (``run_merge``, the W5 strategy
+    selector, ``CatalogManager.table``) a ``db.table`` handle onto
+    them.  Registration is last-writer-wins (``replace`` guards
+    accidental rebinding); concurrent registrations of DIFFERENT names
+    may race the read-modify-write — acceptable for a registry whose
+    write rate is DDL-shaped, and each table's own commit log stays
+    the single source of truth for data."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self._file = self.root / "_versioned_catalog.json"
+
+    def _load(self) -> dict[str, str]:
+        try:
+            return json.loads(self._file.read_text())
+        except (OSError, ValueError):
+            return {}
+
+    def _store(self, reg: dict[str, str]) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self.root / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(reg, indent=1, sort_keys=True))
+        os.replace(tmp, self._file)
+
+    @staticmethod
+    def _check(name: str) -> str:
+        parts = name.split(".")
+        if len(parts) != 2 or not all(
+            p and p.replace("_", "a").isalnum() for p in parts
+        ):
+            raise ValueError(
+                f"versioned table name must be db.table, got {name!r}"
+            )
+        return name
+
+    def register(self, name: str, path: str, replace: bool = False) -> None:
+        self._check(name)
+        reg = self._load()
+        if not replace and name in reg and reg[name] != str(path):
+            raise ValueError(
+                f"{name} is already bound to {reg[name]}; pass "
+                "replace=True to rebind"
+            )
+        reg[name] = str(path)
+        self._store(reg)
+
+    def unregister(self, name: str) -> None:
+        reg = self._load()
+        if reg.pop(name, None) is not None:
+            self._store(reg)
+
+    def exists(self, name: str) -> bool:
+        return name in self._load()
+
+    def resolve(self, name: str) -> str:
+        reg = self._load()
+        if name not in reg:
+            raise KeyError(f"no versioned table registered as {name}")
+        return reg[name]
+
+    def default_path(self, name: str) -> str:
+        """Where a NEW table created by name lands: ``<root>/<db>/<tbl>``
+        (the warehouse-directory convention)."""
+        db, tbl = self._check(name).split(".")
+        return str(self.root / db / tbl)
+
+    def list_tables(self, db: str) -> list[str]:
+        pre = f"{db}."
+        return sorted(
+            n[len(pre):] for n in self._load() if n.startswith(pre)
+        )
+
+    def list_databases(self) -> list[str]:
+        return sorted({n.split(".")[0] for n in self._load()})
+
+    def table(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a registered table by name (optionally time-travelled) —
+        the name-addressed twin of ``read_version``."""
+        from .sinks.versioned import read_version
+
+        return read_version(spark, self.resolve(name), version)
+
+
 class CatalogManager:
-    def __init__(self, spark: SparkSession, catalog: str = "spark_catalog"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str = "spark_catalog",
+        versioned: VersionedCatalog | None = None,
+    ):
         self.spark = spark
         self.catalog = catalog
+        # optional second plane: name-addressed versioned tables.  A
+        # name bound in the registry WINS over a saveAsTable table of
+        # the same name (the binding is an explicit user act; the
+        # warehouse table is reachable by its own qualified name).
+        self.versioned = versioned
 
     def _q(self, db: str) -> str:
         return f"{self.catalog}.{db}" if self.catalog else db
@@ -28,11 +141,22 @@ class CatalogManager:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._q(db)}")
 
     def list_tables(self, db: str) -> list[str]:
-        """D4 (reference utils/catalog_manager.py:16-18)."""
-        rows = self.spark.sql(f"SHOW TABLES IN {self._q(db)}").collect()
+        """D4 (reference utils/catalog_manager.py:16-18) — the union of
+        both planes when a versioned registry is attached.  A database
+        that lives ONLY on the versioned plane (no Spark-catalog schema
+        of that name) lists its registry half instead of raising."""
+        try:
+            rows = self.spark.sql(f"SHOW TABLES IN {self._q(db)}").collect()
+        except Exception:
+            if self.versioned is None or not self.versioned.list_tables(db):
+                raise
+            rows = []
         # SHOW TABLES also lists session temp views — exclude them, they
         # are not tables of this database
-        return [r.tableName for r in rows if not r.isTemporary]
+        names = [r.tableName for r in rows if not r.isTemporary]
+        if self.versioned is not None:
+            names = sorted(set(names) | set(self.versioned.list_tables(db)))
+        return names
 
     def list_databases(self) -> list[str]:
         """D5 (reference utils/catalog_manager.py:27)."""
@@ -43,11 +167,21 @@ class CatalogManager:
 
     def table_exists(self, qualified_name: str) -> bool:
         """D6 — via the catalog API, not try/except (reference
-        utils/catalog_manager.py:40-46 used the probe form)."""
+        utils/catalog_manager.py:40-46 used the probe form); checks
+        both planes when a versioned registry is attached."""
+        if self.versioned is not None and self.versioned.exists(
+            qualified_name
+        ):
+            return True
         return self.spark.catalog.tableExists(qualified_name)
 
     def table(self, qualified_name: str) -> DataFrame:
-        """S6 (reference merge_to_minio.py:174)."""
+        """S6 (reference merge_to_minio.py:174).  A versioned binding
+        resolves first (see ``__init__``)."""
+        if self.versioned is not None and self.versioned.exists(
+            qualified_name
+        ):
+            return self.versioned.table(self.spark, qualified_name)
         return self.spark.table(qualified_name)
 
     def register_catalog(self, name: str, conf: dict[str, str]) -> None:

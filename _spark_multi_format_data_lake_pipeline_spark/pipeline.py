@@ -67,19 +67,35 @@ def run_merge(
     source_db: str,
     target_db: str,
     use_merge_sql: bool = False,
+    versioned=None,
+    create_versioned: bool = False,
 ) -> dict[str, dict]:
     """§3.2 flow: enumerate source tables → per-table strategy merge into
     the target database with per-table error isolation → recount.
-    Returns {table: merge-result-or-error}."""
-    cat = CatalogManager(spark)
+    Returns {table: merge-result-or-error}.
+
+    ``versioned`` (an optional ``catalog.VersionedCatalog``) extends the
+    flow across BOTH naming planes: source enumeration and reads union
+    the Spark catalog with the registry, and a target name bound there
+    merges through the versioned-table verbs (real copy-on-write MERGE
+    commits with history) instead of the anti-join staging swap —
+    ``create_versioned=True`` additionally lands MISSING targets on the
+    versioned plane, which is the "replicate a database into the
+    lakehouse format" topology of the reference's merge_to_minio.py."""
+    cat = CatalogManager(spark, versioned=versioned)
     cat.create_database(target_db)
-    merger = TableMerger(spark, use_merge_sql=use_merge_sql)
+    merger = TableMerger(
+        spark,
+        use_merge_sql=use_merge_sql,
+        versioned=versioned,
+        create_versioned=create_versioned,
+    )
 
     results: dict[str, dict] = {}
     for tbl in cat.list_tables(source_db):
         target = f"{target_db}.{tbl}"
         try:
-            df = spark.table(f"{source_db}.{tbl}")
+            df = cat.table(f"{source_db}.{tbl}")
             exists = cat.table_exists(target)
             results[tbl] = merger.merge_table(df, target, exists)
         except Exception as e:  # noqa: BLE001 — reference merge_to_minio.py:189-192

@@ -2992,3 +2992,69 @@ def q283_versioned_point_in_time_merge(
         pass
     _require(versions(t) == [1, 2, 3, 4], "the stale batch committed nothing")
     return read_version(spark, t)
+
+
+@register(
+    "q284_versioned_named_merge",
+    oracle="""
+    -- W5 MERGE into a NAME-registered versioned table: v1 held keys
+    -- %3<>0; the source (keys %5==0, price+1.0) updates present keys
+    -- and inserts absent ones, so the final snapshot is exactly
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+    """,
+    doc="NAME-ADDRESSED versioned tables (r15): a VersionedCatalog "
+        "binds db.table names to versioned-table roots, and the "
+        "reference-shaped W5 strategy selector (TableMerger, reference "
+        "utils/merge_utils.py:22-68 / merge_to_minio.py:126-192) "
+        "merges INTO the registered name — routed to versioned_upsert, "
+        "one copy-on-write commit with zone-map file confinement and "
+        "time travel, instead of the saveAsTable anti-join staging "
+        "swap.  The result is read back BY NAME through CatalogManager "
+        "(both-planes resolution), and the driver hash proves the "
+        "whole name→path→merge→commit→read chain.  catalog.py:"
+        "VersionedCatalog; sinks/merge.py:_merge_versioned; union "
+        "list_tables + run_merge composition pinned in "
+        "tests/test_merge.py.",
+)
+def q284_versioned_named_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import CatalogManager, VersionedCatalog
+    from ..sinks.merge import TableMerger
+    from ..sinks.versioned import versioned_write, versions
+
+    wh = tempfile.mkdtemp(prefix="q284_wh_")
+    vc = VersionedCatalog(wh)
+    path = vc.default_path("lake.orders_mirror")
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 3 != 0).repartitionByRange(4, "o_orderkey"), path
+    )  # v1
+    vc.register("lake.orders_mirror", path)
+    cat = CatalogManager(spark, versioned=vc)
+    _require(cat.table_exists("lake.orders_mirror"), (
+        "the registered name must resolve through the catalog manager"
+    ))
+    _require("orders_mirror" in cat.list_tables("lake"), (
+        "list_tables must union the versioned plane"
+    ))
+    src = od.filter(k % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    merger = TableMerger(spark, versioned=vc)
+    res = merger.merge_table(
+        src, "lake.orders_mirror", target_exists=True, key="o_orderkey"
+    )
+    _require(res["strategy"] == "MERGE", (
+        f"a keyed existing versioned target selects MERGE, got {res}"
+    ))
+    _require(versions(path) == [1, 2], (
+        "the name-addressed merge must land as ONE upsert commit"
+    ))
+    return cat.table("lake.orders_mirror")

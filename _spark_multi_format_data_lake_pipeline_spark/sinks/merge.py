@@ -67,9 +67,29 @@ def find_key_column(df: DataFrame) -> Optional[str]:
 
 
 class TableMerger:
-    def __init__(self, spark: SparkSession, use_merge_sql: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        use_merge_sql: bool = False,
+        versioned=None,
+        create_versioned: bool = False,
+    ):
         self.spark = spark
         self.use_merge_sql = use_merge_sql
+        # with create_versioned=True a MISSING merge target is created
+        # (and registered) on the versioned plane instead of the Spark
+        # catalog — the "replicate this database into the lakehouse
+        # format" topology.
+        self.create_versioned = create_versioned
+        # optional VersionedCatalog (catalog.py): targets registered
+        # there route to the versioned-table verbs — the reference's
+        # name-addressed merge flow (merge_to_minio.py:126-192) landing
+        # on the jar-free table format, which gives the W5 strategies
+        # what the saveAsTable plane can't: a REAL row-level MERGE
+        # commit (zone-map file confinement, optional CDF/row-tracking)
+        # instead of the anti-join staging swap, snapshot isolation for
+        # INSERT OVERWRITE, and time travel over every merge run.
+        self.versioned = versioned
 
     # -- W2 -----------------------------------------------------------------
     def _merge_sql(self, df: DataFrame, target: str, key: str) -> None:
@@ -121,6 +141,38 @@ class TableMerger:
         finally:
             self.spark.catalog.dropTempView("source_data")
 
+    # -- W2/W3/W4 on the versioned plane --------------------------------------
+    def _merge_versioned(
+        self, df: DataFrame, target: str, target_exists: bool,
+        key: str | None,
+    ) -> dict:
+        """The three W5 strategies against a name-registered versioned
+        table: upsert (a real copy-on-write MERGE commit), overwrite
+        (a snapshot-isolated INSERT OVERWRITE), or create+register
+        (CTAS).  Every run is one atomic commit with full history."""
+        from .versioned import read_version, versioned_upsert, versioned_write
+
+        source_rows = df.count()
+        if target_exists:
+            path = self.versioned.resolve(target)
+            if key is not None:
+                strategy = "MERGE"
+                versioned_upsert(df, path, [key])
+            else:
+                strategy = "INSERT_OVERWRITE"
+                versioned_write(df, path, mode="overwrite")
+        else:
+            strategy = "CREATE_TABLE"
+            path = self.versioned.default_path(target)
+            versioned_write(df, path)
+            self.versioned.register(target, path)
+        final_rows = read_version(self.spark, path).count()
+        return {
+            "strategy": strategy,
+            "source_rows": source_rows,
+            "final_rows": final_rows,
+        }
+
     # -- W5 -----------------------------------------------------------------
     def merge_table(
         self, df: DataFrame, target_table: str, target_exists: bool,
@@ -128,8 +180,20 @@ class TableMerger:
     ) -> dict:
         """Strategy selector (reference utils/merge_utils.py:22-68).
         Returns {strategy, source_rows, final_rows} like the reference.
-        ``key`` overrides the reference's auto-detection candidate list."""
+        ``key`` overrides the reference's auto-detection candidate list.
+        A target bound in the attached ``VersionedCatalog`` runs the
+        same three strategies as versioned-table commits; a MISSING
+        target is created on the versioned plane when
+        ``create_versioned=True`` was set (else on the Spark catalog,
+        the reference behavior)."""
         key = key or find_key_column(df)
+        if self.versioned is not None and (
+            self.versioned.exists(target_table)
+            or (self.create_versioned and not target_exists)
+        ):
+            return self._merge_versioned(
+                df, target_table, self.versioned.exists(target_table), key
+            )
         source_rows = df.count()
         if target_exists and key is not None:
             strategy = "MERGE"

@@ -57,11 +57,16 @@ one empty regressed batch and snap the cursor to the checkpoint — no
 duplicate, no loss, at most one wasted trigger — PROVIDED the same
 reader instance survives to serve the catch-up batch.  A second
 restart (or clean stop) landing exactly on the regressed commit would
-resume from a lying checkpoint; set ``offsetTrackingLocation`` (one
-dir per query, like ``checkpointLocation``) and the reader persists
-the committed high-water via ``commit()`` and seeds AT the boundary:
-no regressed commits at all, caps hold across restarts
-(``drain_versioned_changes`` sets it automatically).  With
+resume from a lying checkpoint; the reader therefore PERSISTS the
+committed high-water offset via ``commit()`` and seeds fresh
+instances AT the boundary — no regressed commits at all, caps hold
+across restarts.  ON BY DEFAULT: the Python DS API hides the query's
+checkpointLocation, so the floor defaults to a per-query-shape dir
+under ``<table>/_stream_offsets/`` (see ``__init__`` for why sharing
+one is loss/duplicate-free); ``offsetTrackingLocation`` overrides the
+location (one dir per query, like ``checkpointLocation`` —
+``drain_versioned_changes`` sets one beside its checkpoint) and
+``offsetTrackingLocation=none`` opts out entirely.  With
 ``Trigger.AvailableNow`` the engine snapshots ONE end offset per run,
 so a capped stream drains exactly one capped batch per availableNow
 run (re-run to continue — each run picks up where the checkpoint
@@ -331,17 +336,56 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # only while the SAME reader instance survives to serve the
         # catch-up batch — the engine COMMITS the regressed end, so a
         # second restart (or a clean stop) landing on that boundary
-        # resumes from a lying checkpoint and re-delivers.  With this
-        # option the reader persists the engine's committed high-water
-        # offset (``commit``) under its own tiny state dir — one
-        # location per query, like checkpointLocation — and a fresh
-        # instance seeds its cursor AT the floor and never returns an
-        # offset below it: no regressed commits, caps hold across
-        # restarts, exactly-once without the dance.
-        # ``drain_versioned_changes`` sets it automatically.
+        # resumes from a lying checkpoint and re-delivers.  The reader
+        # therefore persists the engine's committed high-water offset
+        # (``commit``) under a tiny state dir and a fresh instance
+        # seeds its cursor AT the floor and never returns an offset
+        # below it: no regressed commits, caps hold across restarts,
+        # exactly-once without the dance.
+        #
+        # DEFAULT ON (r15): the Python DataSource API never tells the
+        # reader its query's checkpointLocation, so with no explicit
+        # option the floor lives under the TABLE at
+        # ``<path>/_stream_offsets/<sha256(path + options)[:16]>`` —
+        # one dir per query SHAPE.  Two concurrent queries only share a
+        # floor when their full option sets match, and sharing is
+        # loss/duplicate-free either way: the floor only ever RAISES an
+        # end offset (each query's own checkpoint still governs what
+        # was delivered), so a query lagging a shared floor merely gets
+        # one larger-than-cap batch.  The persisted file is monotone
+        # (``commit`` never lowers it) and a floor BEYOND the current
+        # head is ignored as stale — the one way a floor can outlive
+        # its table is the table being re-created underneath it, and
+        # planning past the head would make the engine checkpoint
+        # versions that don't exist yet (skipping their future rows).
+        # ``offsetTrackingLocation=none`` opts out (in-memory floor
+        # only — the pre-r15 documented divergence);
+        # ``drain_versioned_changes`` still sets an explicit
+        # per-checkpoint location, which is strictly sharper.
         self._floor: dict | None = None
         self._track_offsets: Path | None = None
         ol = options.get("offsetTrackingLocation")
+        if ol is not None and str(ol).strip().lower() in (
+            "none", "off", "false",
+        ):
+            ol = None
+        elif not ol:
+            import hashlib as _hashlib
+            import json as _json
+
+            ident = _hashlib.sha256(
+                _json.dumps(
+                    [
+                        str(Path(self.path).resolve()),
+                        sorted(
+                            (str(k).lower(), str(v))
+                            for k, v in dict(options).items()
+                            if str(k).lower() != "offsettrackinglocation"
+                        ),
+                    ]
+                ).encode()
+            ).hexdigest()[:16]
+            ol = str(Path(self.path) / "_stream_offsets" / ident)
         if ol:
             import json as _json
 
@@ -352,6 +396,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             except (OSError, ValueError):
                 floor = None
+            if floor is not None and floor.get("version", 0) > vs[-1]:
+                # stale incarnation: the head only ever grows, so a
+                # floor beyond it can only be a leftover of a table
+                # re-created at the same path — drop the file so the
+                # dir heals and future commits persist normally
+                floor = None
+                (self._track_offsets / "cursor.json").unlink(
+                    missing_ok=True
+                )
             if floor is not None:
                 self._floor = floor
                 if self._okey(floor) > self._okey(self._cursor):
@@ -917,6 +970,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         d = self._track_offsets
         d.mkdir(parents=True, exist_ok=True)
+        # the FILE is monotone too: a second query sharing this
+        # (default, per-query-shape) location that lags the first must
+        # never lower the persisted boundary — a lowered floor would
+        # re-open the regressed-commit window for the leader.  Plain
+        # read-compare-write (the race window is benign: losing it can
+        # only persist a lower-but-valid floor, never corrupt one).
+        try:
+            cur = _json.loads((d / "cursor.json").read_text())
+            if self._okey(cur) >= self._okey(end):
+                return
+        except (OSError, ValueError):
+            pass
         tmp = d / f".tmp-{_uuid.uuid4().hex}"
         tmp.write_text(_json.dumps(end))
         _os.replace(tmp, d / "cursor.json")

@@ -287,3 +287,138 @@ def test_strategy_matrix_key_override_beats_autodetect(spark, cat):
     assert res["strategy"] == "MERGE"
     got = sorted((r["sku_code"], r["qty"]) for r in spark.table(tbl).collect())
     assert got == [("A", 1), ("B", 9), ("C", 3)]
+
+
+def test_versioned_catalog_registry_and_naming(spark, tmp_path):
+    """VersionedCatalog (r15): name→path bindings are atomic-file
+    metadata, names validate as db.table, rebinding needs replace=True,
+    list_tables/list_databases enumerate the registry plane, and
+    CatalogManager unions both planes (a versioned binding wins name
+    resolution)."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versioned_write
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    p1 = str(tmp_path / "wh" / "lake" / "orders")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id int, v string"), p1
+    )
+    vc.register("lake.orders", p1)
+    assert vc.resolve("lake.orders") == p1
+    assert vc.exists("lake.orders") and not vc.exists("lake.nope")
+    with pytest.raises(ValueError, match="already bound"):
+        vc.register("lake.orders", str(tmp_path / "elsewhere"))
+    vc.register("lake.orders", p1)  # same path: idempotent
+    with pytest.raises(ValueError, match="db.table"):
+        vc.register("justonename", p1)
+    with pytest.raises(KeyError, match="registered"):
+        vc.resolve("lake.nope")
+    assert vc.list_tables("lake") == ["orders"]
+    assert vc.list_databases() == ["lake"]
+    # the name-addressed read is the path-addressed read
+    assert vc.table(spark, "lake.orders").collect() == [
+        r for r in spark.createDataFrame([(1, "a")], "id int, v string").collect()
+    ]
+    # CatalogManager unions the planes
+    cm = CatalogManager(spark, versioned=vc)
+    cm.drop_database("lake")
+    cm.create_database("lake")
+    try:
+        spark.createDataFrame([(9,)], "x int").write.saveAsTable(
+            "lake.warehouse_side"
+        )
+        assert cm.table_exists("lake.orders")
+        assert cm.table_exists("lake.warehouse_side")
+        assert cm.list_tables("lake") == ["orders", "warehouse_side"]
+        assert cm.table("lake.orders").count() == 1
+        vc.unregister("lake.orders")
+        assert not cm.table_exists("lake.orders")
+    finally:
+        cm.drop_database("lake")
+
+
+def test_w5_strategies_on_versioned_plane(spark, tmp_path):
+    """The W5 selector against versioned-plane targets: a registered
+    name MERGEs through versioned_upsert (one commit, history intact),
+    a keyless source INSERT OVERWRITEs as a snapshot, and
+    create_versioned=True lands a missing target as a new registered
+    versioned table."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versions,
+    )
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    m = TableMerger(spark, versioned=vc, create_versioned=True)
+    # CREATE on the versioned plane (missing target + create_versioned)
+    res = m.merge_table(_df(spark, [(1, "a", 10), (2, "b", 20)]),
+                        "lake.items", target_exists=False)
+    assert res == {"strategy": "CREATE_TABLE", "source_rows": 2,
+                   "final_rows": 2}
+    path = vc.resolve("lake.items")
+    assert versions(path) == [1]
+    # MERGE: update id=2, insert id=3 — one upsert commit
+    res = m.merge_table(_df(spark, [(2, "b2", 25), (3, "c", 30)]),
+                        "lake.items", target_exists=True)
+    assert res == {"strategy": "MERGE", "source_rows": 2, "final_rows": 3}
+    assert versions(path) == [1, 2]
+    got = {r.id: (r.name, r.qty) for r in read_version(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30)}
+    # time travel over the merge run (what the saveAsTable plane can't do)
+    assert read_version(spark, path, 1).count() == 2
+    # INSERT OVERWRITE: keyless source replaces the snapshot, history kept
+    nokey = spark.createDataFrame([("x", 1)], "name string, qty int")
+    res = m.merge_table(nokey, "lake.items", target_exists=True)
+    assert res["strategy"] == "INSERT_OVERWRITE" and res["final_rows"] == 1
+    assert versions(path) == [1, 2, 3]
+    assert read_version(spark, path, 2).count() == 3
+
+
+def test_run_merge_into_versioned_plane(spark, tmp_path):
+    """run_merge (§3.2) across planes: warehouse source tables merge BY
+    NAME into versioned-plane targets — pre-registered names upsert,
+    missing ones are created+registered under create_versioned=True,
+    and per-table results keep the reference's report shape."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.pipeline import run_merge
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versioned_write,
+        versions,
+    )
+
+    cm = CatalogManager(spark)
+    cm.drop_database("src_db")
+    cm.create_database("src_db")
+    try:
+        _df(spark, [(1, "a", 10), (2, "b", 20)]).write.saveAsTable(
+            "src_db.alpha"
+        )
+        _df(spark, [(7, "g", 70)]).write.saveAsTable("src_db.beta")
+        vc = VersionedCatalog(tmp_path / "wh")
+        pre = str(tmp_path / "wh" / "tgt_db" / "alpha")
+        versioned_write(
+            _df(spark, [(2, "old", 2), (9, "keep", 90)]), pre
+        )
+        vc.register("tgt_db.alpha", pre)
+        results = run_merge(
+            spark, "src_db", "tgt_db", versioned=vc, create_versioned=True
+        )
+        assert results["alpha"]["strategy"] == "MERGE"
+        assert results["beta"]["strategy"] == "CREATE_TABLE"
+        got = {
+            r.id: (r.name, r.qty)
+            for r in read_version(spark, pre).collect()
+        }
+        assert got == {1: ("a", 10), 2: ("b", 20), 9: ("keep", 90)}
+        assert versions(vc.resolve("tgt_db.beta")) == [1]
+        # re-run is idempotent on rows (new commit, same snapshot)
+        again = run_merge(
+            spark, "src_db", "tgt_db", versioned=vc, create_versioned=True
+        )
+        assert again["alpha"]["strategy"] == "MERGE"
+        assert again["alpha"]["final_rows"] == 3
+    finally:
+        cm.drop_database("src_db")
+        cm.drop_database("tgt_db")

@@ -5720,12 +5720,13 @@ def test_cdf_stream_exactly_once_across_random_schedules(spark, tmp_path):
     maxFiles/maxBytes caps, wherever the restarts land, and however
     vacuum trims the delivered prefix (keeping each offset's diff base;
     partial CDF offsets only need their own commit — the slice
-    exemption).  Every schedule runs with offsetTrackingLocation (a
-    restarted reader seeds at the committed boundary — the drain
-    helper's configuration); without it, a restart landing exactly on
-    a regressed-offset commit cannot know the true boundary (the
-    in-memory regression mapping dies with the instance — documented
-    divergence, found by this very test)."""
+    exemption).  Every schedule runs with NO offsetTrackingLocation:
+    since r15 the persisted floor is ON BY DEFAULT (a per-query-shape
+    dir under <table>/_stream_offsets/), so a bare reader gets the
+    restart-safe boundary a restarted reader seeds at.  Before the
+    default, a restart landing exactly on a regressed-offset commit
+    could not know the true boundary (the in-memory regression mapping
+    dies with the instance — the hole found by this very test)."""
     import random
 
     from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import _read_manifest
@@ -5758,11 +5759,7 @@ def test_cdf_stream_exactly_once_across_random_schedules(spark, tmp_path):
         tdir.mkdir()
         ts = str(tdir / "tbl")
         shutil.copytree(t, ts)
-        opts = {
-            "path": ts,
-            "readChangeFeed": "true",
-            "offsetTrackingLocation": str(tdir / "cursor"),
-        }
+        opts = {"path": ts, "readChangeFeed": "true"}
         mf = rng.choice([None, 1, 2, 3])
         mb = rng.choice([None, 1, 4096])
         if mf is not None:
@@ -6166,3 +6163,63 @@ def test_commit_clock_monotone_under_regression(spark, tmp_path, monkeypatch):
     # monotone increments stay tiny: a clamped burst drifts the table
     # clock by eps per commit, not by the regression magnitude
     assert ats[-1] < at1 + 1.0
+
+
+def test_default_offset_floor_mechanics(spark, tmp_path):
+    """The r15 default-on offset floor: (a) a bare reader derives a
+    per-query-shape floor dir under <table>/_stream_offsets/ and a
+    fresh instance with the same options seeds AT the persisted
+    boundary; (b) different option shapes get different dirs; (c)
+    offsetTrackingLocation=none opts out; (d) the persisted file is
+    monotone — a commit below it never lowers it; (e) a floor BEYOND
+    the table head (stale incarnation) is ignored at construction."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(1, "a"), (2, "b")]).coalesce(1), t)  # v1
+    versioned_write(mk([(3, "c")]).coalesce(1), t)  # v2
+
+    r1 = VersionedChangesStreamReader({"path": t})
+    d1 = r1._track_offsets
+    assert d1 is not None and d1.parent.name == "_stream_offsets"
+    assert str(d1).startswith(t), "default floor lives under the table"
+    # different option shape -> different dir; same shape -> same dir
+    r_capped = VersionedChangesStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}
+    )
+    assert r_capped._track_offsets != d1
+    assert VersionedChangesStreamReader({"path": t})._track_offsets == d1
+    # (a) commit persists; a FRESH same-shape instance seeds at the floor
+    r_lag = VersionedChangesStreamReader({"path": t})  # born before the
+    r1.commit({"version": 2})                          # file advanced
+    assert _json.loads((d1 / "cursor.json").read_text()) == {"version": 2}
+    r2 = VersionedChangesStreamReader({"path": t})
+    assert r2._floor == {"version": 2} and r2._cursor == {"version": 2}
+    assert r2.latestOffset() == {"version": 2}, "no regressed offsets"
+    # (d) a lagging sharer's lower commit must not lower the file
+    r_lag.commit({"version": 1})
+    assert _json.loads((d1 / "cursor.json").read_text()) == {"version": 2}
+    # (c) explicit opt-out: no persistence, in-memory floor only
+    r3 = VersionedChangesStreamReader(
+        {"path": t, "offsetTrackingLocation": "none"}
+    )
+    assert r3._track_offsets is None
+    r3.commit({"version": 2})
+    assert VersionedChangesStreamReader(
+        {"path": t, "offsetTrackingLocation": "none"}
+    )._floor is None
+    # (e) a floor past the head is a stale incarnation: ignored, and the
+    # reader plans from its real start instead of checkpointing
+    # versions that don't exist yet
+    (d1 / "cursor.json").write_text(_json.dumps({"version": 99}))
+    r4 = VersionedChangesStreamReader({"path": t})
+    assert r4._floor is None
+    assert r4.latestOffset()["version"] == 2
+    # the stale file heals forward on the next commit
+    r4.commit({"version": 2})
+    assert _json.loads((d1 / "cursor.json").read_text()) == {"version": 2}
