@@ -37,31 +37,36 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  All seventeen r13 entries came back
-    # green in CORRECTNESS_r13 and leave per the removal rule.  r14
-    # touched the change-feed plane (read_change_feed contiguity +
-    # timestamp bounds + cdf_file_meta), the streaming CDF walk
-    # (gap refusal, end_version clamp, cdf byte metering), the fresh-id
-    # assigner shared by upsert (module-level refactor), and the
-    # timestamp travel resolution (version_at_or_before extraction):
-    "q276_versioned_change_feed",
-    "q277_versioned_stream_change_feed",
-    "q279_versioned_row_tracking",
-    "q222_versioned_upsert_changes",
-    "q266_versioned_stream_rate_limited",
-    "q252_versioned_timetravel_asof",
-    # r14 also: the drain helper now seeds each availableNow run at the
-    # persisted offset floor (offsetTrackingLocation), and apply_changes
-    # grew point-in-time validation alongside its CDF/tracking rewrite.
-    "q275_versioned_stream_drain",
-    "q261_versioned_merge_schema_evolution",
-    # r14 late: source_version validation threaded through the whole
-    # row-level verb family (delete/update representatives) and the
-    # stream reader's option parsing grew the timestamp/bound/floor
-    # surface (data-mode stream representative).
+    # their latest green record.  All eleven r14 entries came back green
+    # in CORRECTNESS_r14 and leave per the removal rule.  r15 changes:
+    #
+    # (1) every in-query bare assert became an explicit _require raise
+    # (python -O robustness — behavior-neutral, but the bodies moved):
     "q231_versioned_dv_delete",
-    "q253_versioned_update_rows",
+    "q264_versioned_incremental_compact",
+    "q265_versioned_concurrent_append_delete",
+    "q266_versioned_stream_rate_limited",
+    "q268_versioned_branch_merge_back",
+    "q269_versioned_generated_pruning",
+    "q270_versioned_clustered_table",
+    "q271_versioned_parquet_checkpoint",
+    "q274_versioned_not_null",
+    "q275_versioned_stream_drain",
+    "q278_versioned_ndv_registers",
+    "q279_versioned_row_tracking",
+    "q280_versioned_merge_cdf_row_tracking",
+    "q282_versioned_concurrent_disjoint_upserts",
+    "q283_versioned_point_in_time_merge",
+    # (2) _commit_state now clamps committed_at monotone (in-commit
+    # timestamps) — re-prove the table-clock consumers:
+    "q230_versioned_history_audit",
+    "q252_versioned_timetravel_asof",
+    "q281_versioned_feed_time_bounds",
+    # (3) the stream offset floor defaulted ON (per-query-shape dir
+    # under the table) — re-prove the stream representatives not
+    # already listed above:
     "q242_versioned_stream_follow",
+    "q277_versioned_stream_change_feed",
 )
 
 

@@ -1023,6 +1023,19 @@ def register(spark) -> None:
     spark.dataSource.register(VersionedChangesDataSource)
 
 
+def _parse_offset(s):
+    """The engine surfaces the Python DS offset as either JSON or a
+    Python-dict repr, depending on the progress serialization path."""
+    import ast as _ast
+    import json as _json
+
+    try:
+        out = _json.loads(s)
+    except ValueError:
+        return _ast.literal_eval(s)
+    return _parse_offset(out) if isinstance(out, str) else out
+
+
 def drain_versioned_changes(
     spark,
     path: str,
@@ -1077,18 +1090,6 @@ def drain_versioned_changes(
     )
     for k, v in (extra_options or {}).items():
         reader = reader.option(k, str(v))
-    import ast as _ast
-    import json as _json
-
-    def _parse_offset(s):
-        # the engine surfaces the Python DS offset as either JSON or a
-        # Python-dict repr, depending on the progress serialization path
-        try:
-            out = _json.loads(s)
-        except ValueError:
-            return _ast.literal_eval(s)
-        return _parse_offset(out) if isinstance(out, str) else out
-
     data_runs = 0
     last_end: dict | None = None
     for _ in range(max_runs):
@@ -1130,4 +1131,146 @@ def drain_versioned_changes(
     raise RuntimeError(
         f"drain_versioned_changes: backlog at {path} not drained in "
         f"{max_runs} runs (cap too small for the commit rate?)"
+    )
+
+
+def replicate_versioned_changes(
+    spark,
+    src: str,
+    dst: str,
+    checkpoint: str,
+    key_cols: list[str] | tuple[str, ...],
+    *,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    ending_version: int | None = None,
+    guard_concurrent_target: bool = True,
+    max_runs: int = 10000,
+    extra_options: dict | None = None,
+) -> int:
+    """END-TO-END CDC REPLICATION (Delta's "CDF → MERGE" pattern):
+    follow ``src``'s change feed as a ``readChangeFeed`` stream and
+    apply every micro-batch to the versioned table ``dst`` through
+    ``versioned_apply_changes`` inside ``foreachBatch`` — the composed
+    workload the two halves exist for: a versioned table as CDC
+    *source* feeding a versioned table as CDC *target*, keyed, rate-
+    capped, restart-safe, and bounded if asked.
+
+    Loop shape is ``drain_versioned_changes``'s: the Python DS API
+    gives availableNow single-batch semantics, so each run delivers one
+    capped micro-batch against ONE shared engine checkpoint — every run
+    is a fresh reader instance, i.e. the restart case by construction,
+    with the (default-on) persisted offset floor keeping capped offsets
+    exact across runs.  Per batch: ``update_preimage`` rows drop, the
+    remaining feed rows map to I/U/D (insert / update_postimage /
+    delete), and ``seq_col="_commit_version"`` collapses multi-commit
+    batches to the LAST change per key — so one batch spanning an
+    update and a later delete of the same key applies the delete.
+    foreachBatch is at-least-once on engine retry; re-applying a keyed
+    I/U/D batch is state-idempotent on ``dst`` (an extra commit, never
+    divergent rows), which is exactly the guarantee level Delta's own
+    foreachBatch-merge replication recipe documents.
+
+    ``guard_concurrent_target=True`` passes each apply
+    ``source_version`` = the ``dst`` head it merged against, so a
+    concurrent writer landing on ``dst`` between batches turns silent
+    divergence into a clean ``ConcurrentCommitError`` (Iceberg's
+    validateFromSnapshot applied to replication).
+
+    ``ending_version`` bounds the replication — backfill ``dst``
+    through a fixed ``src`` version and stop (the point-in-time clone
+    shape); without it the loop stops at ``src``'s head as of the
+    final run.  Returns the number of runs that delivered data."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.versioned import versioned_apply_changes
+    from ..sinks.versioned import versions as _versions
+
+    register(spark)
+    keys = list(key_cols)
+
+    def _apply(bdf, _batch_id):
+        ch = (
+            bdf.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .when(
+                    F.col("_change_type") == "update_postimage", F.lit("U")
+                )
+                .otherwise(F.lit("I")),
+            )
+            .drop("_change_type")
+        )
+        if ch.isEmpty():
+            return
+        sv = None
+        if guard_concurrent_target:
+            dvs = _versions(dst)
+            sv = dvs[-1] if dvs else None
+        versioned_apply_changes(
+            ch,
+            dst,
+            keys,
+            op_col="op",
+            seq_col="_commit_version",
+            source_version=sv,
+        )
+
+    reader = (
+        spark.readStream.format("versioned_changes")
+        .option("path", src)
+        .option("readChangeFeed", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    if ending_version is not None:
+        reader = reader.option("endingVersion", str(ending_version))
+    reader = reader.option(
+        "offsetTrackingLocation", str(Path(checkpoint) / "_vc_cursor")
+    )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, str(v))
+
+    data_runs = 0
+    last_end: dict | None = None
+    for _ in range(max_runs):
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        data_runs += bool(progressed)
+        ends = [
+            p["sources"][0]["endOffset"]
+            for p in q.recentProgress
+            if p.get("sources")
+        ]
+        end = _parse_offset(ends[-1]) if ends else None
+        vs = _versions(src)
+        bound = ending_version if ending_version is not None else (
+            vs[-1] if vs else 0
+        )
+        if end is not None and end.get("version") == bound and (
+            "file_index" not in end
+        ):
+            return data_runs  # drained through the bound / the head
+        if not progressed:
+            if end is None or end == last_end:
+                if not vs:
+                    return data_runs
+                raise RuntimeError(
+                    f"replicate_versioned_changes: no progress at offset "
+                    f"{end} with bound v{bound} at {src}"
+                )
+        last_end = end
+    raise RuntimeError(
+        f"replicate_versioned_changes: backlog at {src} not replicated "
+        f"in {max_runs} runs (cap too small for the commit rate?)"
     )

@@ -181,6 +181,8 @@ HEADLINE = [
     "q281_versioned_feed_time_bounds",
     "q282_versioned_concurrent_disjoint_upserts",
     "q283_versioned_point_in_time_merge",
+    "q284_versioned_named_merge",
+    "q285_versioned_cdc_replication",
 ]
 
 

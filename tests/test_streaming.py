@@ -1931,3 +1931,75 @@ def test_cdf_partial_offset_survives_vacuumed_diff_base(spark, tmp_path):
     )
     assert ins == list(range(8)), "bootstrap inserts exactly once"
     assert dels == [0, 2, 4, 6], "every change row exactly once, no dup"
+
+
+def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
+    """CDC replication composed end to end (r15): a readChangeFeed
+    stream over the source table applies every capped micro-batch to a
+    SECOND versioned table via versioned_apply_changes in foreachBatch
+    — through restarts (each availableNow run is a fresh reader),
+    a bounded backfill phase, and a source vacuum that trims the
+    delivered prefix — and the target's final state equals the
+    source's head snapshot exactly."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        vacuum,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(20)]).repartitionByRange(4, "id"),
+        src,
+    )  # v1: 4 files — under a 2-file cap the bootstrap takes 2 runs
+    enable_change_data_feed(src)  # v2
+    versioned_upsert(
+        mk([(i, f"u{i}") for i in range(0, 20, 3)] + [(30, "i30")]),
+        src,
+        ["id"],
+    )  # v3: updates %3 + insert 30
+    versioned_delete(spark, src, "id % 5 = 0", strategy="dv")  # v4
+    versioned_write(mk([(41, "a41"), (42, "a42")]).coalesce(1), src)  # v5
+
+    state = lambda df: sorted((r["id"], r["v"]) for r in df.collect())
+    # phase 1: bounded backfill through v3, capped (forces >= 2 runs,
+    # each one a fresh reader == a restart)
+    runs1 = replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"],
+        max_files_per_trigger=2, ending_version=3,
+    )
+    assert runs1 >= 2, "the cap must split the backfill into several runs"
+    assert state(read_version(spark, dst)) == state(
+        read_version(spark, src, 3)
+    ), "the bounded phase must reproduce the source AS OF the bound"
+    # the delivered prefix may be vacuumed away mid-replication
+    vacuum(src, keep_last=3)
+    assert versions(src) == [3, 4, 5]
+    # phase 2: same checkpoint, unbounded — catches up to the head
+    replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], max_files_per_trigger=2
+    )
+    assert state(read_version(spark, dst)) == state(
+        read_version(spark, src)
+    ), "the replica must equal the source head after the drain"
+    # the delete really replicated as a delete, not a missing update
+    assert all(i % 5 != 0 for i, _ in state(read_version(spark, dst)))
+    # re-running against a caught-up feed is a no-op (idempotent)
+    dvs = versions(dst)
+    assert (
+        replicate_versioned_changes(
+            spark, src, dst, ckpt, ["id"], max_files_per_trigger=2
+        )
+        == 0
+    )
+    assert versions(dst) == dvs, "a caught-up re-run must commit nothing"
