@@ -190,3 +190,252 @@ def test_manifest_plane_scale_rehearsal_100k_files(tmp_path):
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDF-plane rehearsal (r15): a change feed with ~10k materialized change
+# files — commit bytes, capped/uncapped stream planning, and the
+# contiguity refusal, all asserted as budgets.  The stream-planning half
+# is METADATA ONLY (latestOffset/partitions never stat data files — the
+# byte pacing reads the committed cdf_file_meta plane); the
+# read_change_feed half uses 1k REAL (tiny, byte-identical) change
+# files so Spark's own file-index planning is in the measurement.
+# ---------------------------------------------------------------------------
+
+CDF_COMMITS = 100
+CDF_FILES_PER_COMMIT = 100
+
+
+def _cdf_table(t: str, n_commits: int, files_per_commit: int) -> None:
+    data_files = [f"data/d0/part-{i:03d}.parquet" for i in range(10)]
+    prev = None
+    state = {
+        "version": 1,
+        "mode": "overwrite",
+        "committed_at": 1000.0,
+        "files": data_files,
+        "row_count": 10_000,
+        "schema": _schema(),
+        "change_data_feed": True,
+        "file_meta": {
+            f: {"bytes": 1 << 20, "rows": 1000, "v": 1} for f in data_files
+        },
+    }
+    V._commit_state(t, state, prev)
+    prev = V._read_manifest(t, 1)
+    for v in range(2, n_commits + 2):
+        cdf = [
+            f"_change_data/c{v:04d}/part-{i:03d}.parquet"
+            for i in range(files_per_commit)
+        ]
+        # a copy-on-write upsert always rotates data files (unchanged
+        # file sets classify as metadata-only and stream as no-ops), so
+        # each synthetic commit rewrites one of the ten
+        old = prev["files"][v % 10]
+        rewritten = f"data/d{v:04d}/part-000.parquet"
+        # carried files keep their order, the rewrite APPENDS (the real
+        # CoW shape — an in-place replacement would break the delta
+        # encoding's carried-order contract and force a full manifest)
+        files = [f for f in prev["files"] if f != old] + [rewritten]
+        meta = dict(prev["file_meta"])
+        meta.pop(old, None)
+        meta[rewritten] = {"bytes": 1 << 20, "rows": 1000, "v": v}
+        state = {
+            **prev,
+            "version": v,
+            "mode": "upsert",
+            "committed_at": 1000.0 * v,
+            "files": files,
+            "file_meta": meta,
+            "cdf_files": cdf,
+            "cdf_file_meta": {f: {"bytes": 1 << 20} for f in cdf},
+        }
+        V._commit_state(t, state, prev)
+        prev = V._read_manifest(t, v)
+
+
+def test_cdf_plane_scale_rehearsal_10k_feed_files(tmp_path):
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    t0 = time.time()
+    _cdf_table(t, CDF_COMMITS, CDF_FILES_PER_COMMIT)
+    build_s = time.time() - t0
+    head = CDF_COMMITS + 1
+    n_cdf = CDF_COMMITS * CDF_FILES_PER_COMMIT
+
+    # commit bytes: a 100-change-file commit on the feed plane stays
+    # O(that commit's change files) — never the accumulated feed
+    mdir = V._manifest_dir(t)
+    delta_bytes = (mdir / f"v{head}.json").stat().st_size
+    assert json.loads((mdir / f"v{head}.json").read_text())["kind"] == (
+        "delta"
+    )
+    assert delta_bytes < 32_768, (
+        f"a {CDF_FILES_PER_COMMIT}-file CDF commit must stay O(changed "
+        f"files), got {delta_bytes} bytes"
+    )
+
+    # BYTE-PACED batch planning: a 50 MB cap admits ~50 of the 1 MB
+    # files — latestOffset must stop at the cap without touching the
+    # rest of the 10k-file backlog (and never stat a single file)
+    r = VersionedChangesStreamReader(
+        {
+            "path": t,
+            "readChangeFeed": "true",
+            "maxBytesPerTrigger": str(50 << 20),
+        }
+    )
+    t0 = time.time()
+    off = r.latestOffset()
+    capped_plan_s = time.time() - t0
+    assert off.get("version", 0) <= 2, f"cap must stop early, got {off}"
+    assert capped_plan_s < 2.0
+    parts = r.partitions(r.initialOffset(), dict(off))
+    assert len(parts) <= 51, (
+        f"a 50 MB cap over 1 MB files must admit ~50, got {len(parts)}"
+    )
+
+    # UNCAPPED-equivalent walk to the head (a cap past the backlog):
+    # O(versions + files) manifest math across 100 commits / 10k files
+    r2 = VersionedChangesStreamReader(
+        {
+            "path": t,
+            "readChangeFeed": "true",
+            "maxFilesPerTrigger": str(2 * n_cdf),
+        }
+    )
+    t0 = time.time()
+    off2 = r2.latestOffset()
+    walk_plan_s = time.time() - t0
+    assert off2 == {"version": head}
+    assert walk_plan_s < 10.0
+
+    # full-feed partition construction: 10k input partitions, metadata
+    # only, bounded time
+    t0 = time.time()
+    parts_all = r2.partitions({"version": 1}, {"version": head})
+    parts_s = time.time() - t0
+    assert len(parts_all) == n_cdf
+    assert parts_s < 10.0
+
+    # contiguity refusal stays O(versions): drop a mid-history manifest
+    # (a tag+vacuum gap) — the feed must refuse fast, BEFORE resolving
+    # any per-version state across the gap
+    (mdir / "v55.json").unlink()
+    t0 = time.time()
+    try:
+        # planning-only entry point: the guard runs before any frame
+        # construction, so a refusal needs no SparkSession at all
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="vacuumed"):
+            from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+                read_change_feed,
+            )
+
+            read_change_feed(None, t, 1, head)
+    finally:
+        gap_s = time.time() - t0
+    assert gap_s < 2.0
+
+    print(
+        "\nSCALE_REHEARSAL_CDF "
+        + json.dumps(
+            {
+                "n_commits": CDF_COMMITS,
+                "n_cdf_files": n_cdf,
+                "build_commits_s": round(build_s, 2),
+                "delta_commit_bytes": delta_bytes,
+                "byte_capped_plan_s": round(capped_plan_s, 4),
+                "walk_to_head_plan_s": round(walk_plan_s, 2),
+                "partitions_10k_s": round(parts_s, 2),
+                "gap_refusal_s": round(gap_s, 4),
+            }
+        )
+    )
+
+
+def test_cdf_plane_read_change_feed_planning_real_files(spark, tmp_path):
+    """read_change_feed over 20 commits x 50 REAL change files: the
+    DataFrame construction (Spark file-index planning included) and the
+    full count stay bounded — the batch-feed twin of the metadata-only
+    stream rehearsal above."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path as _P
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import read_change_feed
+
+    t = str(tmp_path / "tbl")
+    # one tiny change file, byte-identical for all 1000 names
+    buf = pa.BufferOutputStream()
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "v": pa.array(["a", "b"]),
+                "_change_type": pa.array(["insert", "delete"]),
+            }
+        ),
+        buf,
+    )
+    blob = buf.getvalue().to_pybytes()
+    data_files = ["data/d0/part-000.parquet"]
+    prev = None
+    V._commit_state(
+        t,
+        {
+            "version": 1,
+            "mode": "overwrite",
+            "committed_at": 1000.0,
+            "files": [],
+            "row_count": 0,
+            "schema": _schema(),
+            "change_data_feed": True,
+        },
+        prev,
+    )
+    prev = V._read_manifest(t, 1)
+    n_commits, per = 20, 50
+    for v in range(2, n_commits + 2):
+        cdf = []
+        d = _P(t) / "_change_data" / f"c{v:04d}"
+        d.mkdir(parents=True)
+        for i in range(per):
+            rel = f"_change_data/c{v:04d}/part-{i:03d}.parquet"
+            (_P(t) / rel).write_bytes(blob)
+            cdf.append(rel)
+        V._commit_state(
+            t,
+            {
+                **prev,
+                "version": v,
+                "mode": "upsert",
+                "committed_at": 1000.0 * v,
+                "cdf_files": cdf,
+                "cdf_file_meta": {f: {"bytes": len(blob)} for f in cdf},
+            },
+            prev,
+        )
+        prev = V._read_manifest(t, v)
+    t0 = time.time()
+    df = read_change_feed(spark, t, 1, n_commits + 1)
+    plan_s = time.time() - t0
+    assert plan_s < 20.0, f"feed planning took {plan_s:.1f}s"
+    t0 = time.time()
+    n = df.count()
+    count_s = time.time() - t0
+    assert n == n_commits * per * 2
+    print(
+        "\nSCALE_REHEARSAL_CDF_BATCH "
+        + json.dumps(
+            {
+                "n_real_cdf_files": n_commits * per,
+                "feed_plan_s": round(plan_s, 2),
+                "feed_count_s": round(count_s, 2),
+            }
+        )
+    )
