@@ -5900,7 +5900,16 @@ def read_change_feed(
     commit at-or-after it (:func:`version_at_or_after` — past the head
     raises, behind retention raises); ``ending_timestamp`` resolves to
     the version current at that time (:func:`version_at_or_before`).
-    Each is mutually exclusive with its version twin."""
+    Each is mutually exclusive with its version twin.
+
+    BRANCHES (``create_branch``) are full tables whose v1 is the fork
+    clone, so the feed's fork semantics are the plain version algebra
+    (pinned in tests/test_versioned.py): ``from_version=1`` serves
+    CHANGES SINCE FORK (the branch's own commits only — the same
+    change set ``branch_diff`` computes), ``from_version=0`` serves
+    the full rebuild (fork snapshot as insert-all, then the branch
+    commits), the parent's feed never sees branch commits, and CDF
+    enablement is inherited through the fork clone."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType as _LongT
     from pyspark.sql.types import StringType, StructField, StructType

@@ -6223,3 +6223,97 @@ def test_default_offset_floor_mechanics(spark, tmp_path):
     # the stale file heals forward on the next commit
     r4.commit({"version": 2})
     assert _json.loads((d1 / "cursor.json").read_text()) == {"version": 2}
+
+
+def test_branch_change_feed_fork_semantics(spark, tmp_path):
+    """Branch-aware change feeds (r15): a branch is a full table under
+    _branches/<name> whose v1 is the fork clone, so the feed's fork
+    semantics fall out of the version algebra — pinned here so they
+    stay deliberate:
+
+    - from_version=1 (the fork snapshot) serves CHANGES SINCE FORK:
+      exactly the branch's own commits, none of the parent's history;
+    - from_version=0 serves the FULL REBUILD: the fork snapshot
+      bootstraps as insert-all (v1 == vs[0], the same rule as any
+      table's earliest version) followed by the branch commits —
+      matching branch_diff's algebra, which also diffs against the
+      fork snapshot;
+    - the parent's feed never sees branch commits (isolation);
+    - CDF enablement is INHERITED through the fork clone (the branch
+      streams row-level commits without re-enabling), and the
+      streaming readChangeFeed works against the branch root like any
+      table."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        branch_diff,
+        create_branch,
+        enable_change_data_feed,
+        read_change_feed,
+        read_version,
+        versioned_delete,
+        versioned_upsert,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        drain_versioned_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(8)]).coalesce(1), t
+    )  # parent v1
+    enable_change_data_feed(t)  # parent v2
+    versioned_upsert(mk([(1, "p3")]), t, ["id"])  # parent v3
+    b = create_branch(t, "dev")  # branch v1 = fork clone of parent v3
+    versioned_upsert(mk([(2, "b2"), (20, "i20")]), b, ["id"])  # branch v2
+    versioned_delete(spark, b, "id = 3", strategy="dv")  # branch v3
+
+    fe = lambda df: sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in df.collect()
+    )
+    # since-fork: the branch's own commits only
+    since_fork = fe(read_change_feed(spark, b, 1))
+    assert since_fork == [
+        (2, "update_postimage", 2),
+        (2, "update_preimage", 2),
+        (3, "delete", 3),
+        (20, "insert", 2),
+    ], f"since-fork feed must be the branch's own changes, got {since_fork}"
+    # full rebuild: fork snapshot bootstraps as insert-all @ v1
+    full = fe(read_change_feed(spark, b, 0))
+    assert [x for x in full if x[2] == 1] == [
+        (i, "insert", 1) for i in range(8)
+    ], "v0 must bootstrap the fork snapshot as insert-all"
+    assert [x for x in full if x[2] > 1] == since_fork
+    # parent isolation: its feed never sees branch commits
+    assert fe(read_change_feed(spark, t, 2)) == [
+        (1, "update_postimage", 3),
+        (1, "update_preimage", 3),
+    ]
+    # the feed replays to the branch head (branch_diff's algebra): fork
+    # state + collapsed feed == branch head state
+    got = {r["id"]: r["v"] for r in read_version(spark, b).collect()}
+    exp = {i: f"v{i}" for i in range(8)}
+    exp[1] = "p3"
+    exp[2] = "b2"
+    exp[20] = "i20"
+    del exp[3]
+    assert got == exp
+    d = {
+        (r["id"], r["op"]) for r in branch_diff(spark, t, "dev", ["id"]).collect()
+    }
+    assert d == {(2, "U"), (20, "I"), (3, "D")}, (
+        "branch_diff and the since-fork feed must agree on the change set"
+    )
+    # streaming readChangeFeed against the branch root
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drain_versioned_changes(
+        spark, b, out, ckpt, extra_options={"readChangeFeed": "true"}
+    )
+    streamed = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.schema(
+            "id int, v string, _change_type string, _commit_version long"
+        ).parquet(out).collect()
+    )
+    assert streamed == full, "stream feed == batch feed on a branch"
