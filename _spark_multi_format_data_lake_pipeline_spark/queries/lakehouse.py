@@ -3158,3 +3158,117 @@ def q285_versioned_cdc_replication(
         "the replica must equal the source head snapshot exactly",
     )
     return read_version(spark, dst)
+
+
+@register(
+    "q286_versioned_branch_feed",
+    oracle="""
+    -- the branch's SINCE-FORK feed: from_version=1 (the fork clone) is
+    -- exactly the branch's own commits — bv2 upsert (evens %5 price+10
+    -- updates computed against the FORK state, odd %7 inserts) and bv3
+    -- delete (%11 of the post-bv2 branch state); none of the parent's
+    -- history leaks in
+    WITH evens AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, p AS o_totalprice,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM evens WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, p + 10.0, 'update_postimage', 2
+    FROM evens WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 2 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN p + 10.0 ELSE p END,
+           'delete', 3
+    FROM evens WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 3 FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0 AND o_orderkey % 11 = 0
+    """,
+    doc="BRANCH-AWARE CHANGE FEED (r15): a branch is a full table whose "
+        "v1 is the fork clone, so from_version=1 serves CHANGES SINCE "
+        "FORK — exactly the branch's own upsert (pre/postimages against "
+        "the fork state + inserts) and DV delete, with CDF enablement "
+        "INHERITED through the clone (no re-enable).  In-query checks "
+        "prove parent isolation (the parent's feed carries only its own "
+        "v3 commit) and branch_diff agreement on the change-key set; "
+        "the driver hash proves the fork-boundary algebra payload-"
+        "exactly. sinks/versioned.py:read_change_feed (branch "
+        "semantics); fork matrix pinned in tests/test_versioned.py::"
+        "test_branch_change_feed_fork_semantics.",
+)
+def q286_versioned_branch_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import (
+        branch_diff,
+        create_branch,
+        enable_change_data_feed,
+        read_change_feed,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="q286_vtbl_") + "/t"
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # parent v1
+    enable_change_data_feed(t)  # parent v2
+    versioned_upsert(
+        od.filter(k % 2 == 0)
+        .filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)),
+        t,
+        ["o_orderkey"],
+    )  # parent v3 — the fork state doubles %3 prices
+    b = create_branch(t, "dev")  # branch v1 = fork clone
+    fork_evens = od.filter(k % 2 == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            k % 3 == 0, F.round(F.col("o_totalprice") * 2, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    versioned_upsert(
+        fork_evens.filter(k % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .unionByName(od.filter(k % 2 == 1).filter(k % 7 == 0)),
+        b,
+        ["o_orderkey"],
+    )  # branch v2 (CDF inherited through the fork — no re-enable)
+    versioned_delete(spark, b, "o_orderkey % 11 = 0", strategy="dv")  # bv3
+    # parent isolation: its feed carries only its own commits
+    pf = read_change_feed(spark, t, 2)
+    _require(
+        pf.filter(F.col("_commit_version") != 3).count() == 0,
+        "the parent feed must never see branch commits",
+    )
+    # branch_diff (a keyed STATE diff vs the fork) and the since-fork
+    # feed (an EVENT log) agree up to exactly the keys that net out:
+    # inserted-then-deleted keys appear in the feed twice and in the
+    # diff not at all
+    diff_keys = {
+        r["o_orderkey"]
+        for r in branch_diff(spark, t, "dev", ["o_orderkey"]).collect()
+    }
+    feed = read_change_feed(spark, b, 1)
+    rows = feed.collect()
+    feed_keys = {r["o_orderkey"] for r in rows}
+    ins = {r["o_orderkey"] for r in rows if r["_change_type"] == "insert"}
+    dels = {r["o_orderkey"] for r in rows if r["_change_type"] == "delete"}
+    _require(
+        diff_keys == feed_keys - (ins & dels),
+        "branch_diff must equal the feed's keys minus the netted-out "
+        "insert-then-delete keys",
+    )
+    return feed

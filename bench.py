@@ -183,6 +183,7 @@ HEADLINE = [
     "q283_versioned_point_in_time_merge",
     "q284_versioned_named_merge",
     "q285_versioned_cdc_replication",
+    "q286_versioned_branch_feed",
 ]
 
 
