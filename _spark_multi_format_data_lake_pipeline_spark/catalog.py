@@ -25,33 +25,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 class VersionedCatalog:
     """Name→path registry for versioned tables: one tiny JSON file
-    (``{"db.table": table_root}``) under the registry root, written
-    with the same tmp+atomic-rename pattern as table commits.  The
-    registry is METADATA-ONLY — tables stay self-contained at their
-    paths (droppable, clonable, readable without the registry); a
-    binding just gives pipeline flows (``run_merge``, the W5 strategy
-    selector, ``CatalogManager.table``) a ``db.table`` handle onto
-    them.  Registration is last-writer-wins (``replace`` guards
-    accidental rebinding); concurrent registrations of DIFFERENT names
-    may race the read-modify-write — acceptable for a registry whose
-    write rate is DDL-shaped, and each table's own commit log stays
-    the single source of truth for data."""
+    (``_versioned_catalog/<db>.<table>.json`` holding the table root)
+    under the registry root, written with the same tmp+atomic-rename
+    pattern as table commits.  The registry is METADATA-ONLY — tables
+    stay self-contained at their paths (droppable, clonable, readable
+    without the registry); a binding just gives pipeline flows
+    (``run_merge``, the W5 strategy selector, ``CatalogManager.table``)
+    a ``db.table`` handle onto them.  ONE FILE PER NAME makes every
+    operation a single atomic write/unlink — concurrent registrations
+    of different names cannot lose each other (no read-modify-write),
+    and two racing registrations of the SAME name are last-writer-wins
+    (``replace=False`` guards the sequential rebinding mistake; the
+    name validator keeps the name↔filename mapping trivial)."""
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
-        self._file = self.root / "_versioned_catalog.json"
+        self._dir = self.root / "_versioned_catalog"
 
-    def _load(self) -> dict[str, str]:
+    def _entry(self, name: str) -> Path:
+        return self._dir / f"{self._check(name)}.json"
+
+    def _read(self, name: str) -> str | None:
         try:
-            return json.loads(self._file.read_text())
-        except (OSError, ValueError):
-            return {}
-
-    def _store(self, reg: dict[str, str]) -> None:
-        self.root.mkdir(parents=True, exist_ok=True)
-        tmp = self.root / f".tmp-{uuid.uuid4().hex}.json"
-        tmp.write_text(json.dumps(reg, indent=1, sort_keys=True))
-        os.replace(tmp, self._file)
+            return json.loads(self._entry(name).read_text())["path"]
+        except (OSError, ValueError, KeyError):
+            return None
 
     @staticmethod
     def _check(name: str) -> str:
@@ -65,29 +63,28 @@ class VersionedCatalog:
         return name
 
     def register(self, name: str, path: str, replace: bool = False) -> None:
-        self._check(name)
-        reg = self._load()
-        if not replace and name in reg and reg[name] != str(path):
+        cur = self._read(name)
+        if not replace and cur is not None and cur != str(path):
             raise ValueError(
-                f"{name} is already bound to {reg[name]}; pass "
+                f"{name} is already bound to {cur}; pass "
                 "replace=True to rebind"
             )
-        reg[name] = str(path)
-        self._store(reg)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps({"path": str(path)}))
+        os.replace(tmp, self._entry(name))
 
     def unregister(self, name: str) -> None:
-        reg = self._load()
-        if reg.pop(name, None) is not None:
-            self._store(reg)
+        self._entry(name).unlink(missing_ok=True)
 
     def exists(self, name: str) -> bool:
-        return name in self._load()
+        return self._read(name) is not None
 
     def resolve(self, name: str) -> str:
-        reg = self._load()
-        if name not in reg:
+        path = self._read(name)
+        if path is None:
             raise KeyError(f"no versioned table registered as {name}")
-        return reg[name]
+        return path
 
     def default_path(self, name: str) -> str:
         """Where a NEW table created by name lands: ``<root>/<db>/<tbl>``
@@ -95,14 +92,21 @@ class VersionedCatalog:
         db, tbl = self._check(name).split(".")
         return str(self.root / db / tbl)
 
-    def list_tables(self, db: str) -> list[str]:
-        pre = f"{db}."
+    def _names(self) -> list[str]:
+        if not self._dir.is_dir():
+            return []
         return sorted(
-            n[len(pre):] for n in self._load() if n.startswith(pre)
+            p.name[: -len(".json")]
+            for p in self._dir.glob("*.json")
+            if not p.name.startswith(".")
         )
 
+    def list_tables(self, db: str) -> list[str]:
+        pre = f"{db}."
+        return [n[len(pre):] for n in self._names() if n.startswith(pre)]
+
     def list_databases(self) -> list[str]:
-        return sorted({n.split(".")[0] for n in self._load()})
+        return sorted({n.split(".")[0] for n in self._names()})
 
     def table(
         self, spark: SparkSession, name: str, version: int | None = None
