@@ -396,6 +396,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             except (OSError, ValueError):
                 floor = None
+            if not (isinstance(floor, dict) and "version" in floor):
+                floor = None  # corrupt/foreign file: ignore, heal below
             if floor is not None and floor.get("version", 0) > vs[-1]:
                 # stale incarnation: the head only ever grows, so a
                 # floor beyond it can only be a leftover of a table
@@ -980,8 +982,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             cur = _json.loads((d / "cursor.json").read_text())
             if self._okey(cur) >= self._okey(end):
                 return
-        except (OSError, ValueError):
-            pass
+        except (OSError, ValueError, TypeError, KeyError):
+            pass  # unreadable/corrupt current floor: overwrite it
         tmp = d / f".tmp-{_uuid.uuid4().hex}"
         tmp.write_text(_json.dumps(end))
         _os.replace(tmp, d / "cursor.json")

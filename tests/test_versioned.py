@@ -6317,3 +6317,29 @@ def test_branch_change_feed_fork_semantics(spark, tmp_path):
         ).parquet(out).collect()
     )
     assert streamed == full, "stream feed == batch feed on a branch"
+
+
+def test_default_offset_floor_corrupt_file_heals(spark, tmp_path):
+    """A corrupt or foreign cursor.json (truncated write, non-dict
+    JSON) must never crash the reader or commit(): construction ignores
+    it, and the next commit overwrites it with a valid floor."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1), t
+    )
+    d = VersionedChangesStreamReader({"path": t})._track_offsets
+    d.mkdir(parents=True, exist_ok=True)
+    for junk in ('5', '"half-written', '[1, 2]', "{}"):
+        (d / "cursor.json").write_text(junk)
+        r = VersionedChangesStreamReader({"path": t})
+        assert r._floor is None, f"junk floor {junk!r} must be ignored"
+        r.commit({"version": 1})
+        assert _json.loads((d / "cursor.json").read_text()) == {
+            "version": 1
+        }, f"commit must heal over junk floor {junk!r}"
