@@ -43,19 +43,27 @@ def run_ingestion(
     data_dir: str | Path,
     database: str = "local_db",
     partition_by: dict[str, list[str]] | None = None,
+    versioned=None,
 ) -> IngestionReport:
     """§3.1 flow: sweep data_dir → per-file tables → drop/recreate the
     staging database → write all tables → verify. Per-file failures are
-    isolated inside load_all_sources."""
+    isolated inside load_all_sources.  With ``versioned`` (a
+    ``catalog.VersionedCatalog``) the ingestion lands each table as an
+    atomic versioned-table snapshot registered as ``database.name``
+    instead of ``saveAsTable`` — see ``sinks/writer.py::write_tables``."""
     t0 = time.time()
     report = IngestionReport()
     report.tables = load_all_sources(spark, data_dir)
     report.total_rows = sum(h.row_count for h in report.tables)
     report.total_cols = sum(h.col_count for h in report.tables)
     report.written = write_tables(
-        spark, report.tables, database=database, partition_by=partition_by
+        spark,
+        report.tables,
+        database=database,
+        partition_by=partition_by,
+        versioned=versioned,
     )
-    report.verification = verify_tables(spark, database)
+    report.verification = verify_tables(spark, database, versioned=versioned)
     for h in report.tables:
         h.df.unpersist()
     report.elapsed_sec = time.time() - t0

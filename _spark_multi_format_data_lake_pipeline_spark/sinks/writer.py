@@ -33,6 +33,7 @@ def write_tables(
     table_format: str = "parquet",
     recreate_database: bool = True,
     max_records_per_file: int | None = None,
+    versioned=None,
 ) -> dict[str, int]:
     """W1 (reference utils/spark_write_iceberg.py:10-84): drop+recreate the
     database, then write each registry table. Returns {table: rows}.
@@ -42,7 +43,36 @@ def write_tables(
     after the fact): a 100 TB table written by 8000 tasks must neither emit
     8000 multi-GB files nor millions of KB files — cap records per file and
     let AQE coalesce the task count.
+
+    ``versioned`` (a ``catalog.VersionedCatalog``) lands the whole
+    ingestion on the VERSIONED plane instead of ``saveAsTable``: each
+    table becomes one atomic snapshot commit at the registry's default
+    path, registered as ``database.name`` — the lakehouse-format
+    ingestion the reference's Iceberg writer performs, jar-free, with
+    time travel over every ingestion run.  ``partition_by`` maps to the
+    versioned writer's Hive layout; bucket specs and format options are
+    saveAsTable-plane concepts and are ignored here.
     """
+    if versioned is not None:
+        from .versioned import versioned_write
+
+        results = {}
+        for h in handles:
+            name = f"{database}.{h.name}"
+            path = (
+                versioned.resolve(name)
+                if versioned.exists(name)
+                else versioned.default_path(name)
+            )
+            versioned_write(
+                h.df,
+                path,
+                mode=mode if mode in ("append", "overwrite") else "overwrite",
+                partition_by=list((partition_by or {}).get(h.name) or []) or None,
+            )
+            versioned.register(name, path)
+            results[h.name] = h.row_count
+        return results
     cat = CatalogManager(spark)
     if recreate_database:
         cat.drop_database(database)
@@ -77,14 +107,17 @@ def verify_tables(
     database: str,
     table_names: Sequence[str] | None = None,
     sample_rows: int = 3,
+    versioned=None,
 ) -> dict[str, dict]:
     """F9 (reference utils/spark_write_iceberg.py:88-132): SHOW TABLES →
-    per-table sample + count. Returns {table: {rows, columns, sample}}."""
-    cat = CatalogManager(spark)
+    per-table sample + count. Returns {table: {rows, columns, sample}}.
+    With ``versioned`` set the enumeration and reads union the
+    versioned-table registry (names there resolve through it)."""
+    cat = CatalogManager(spark, versioned=versioned)
     names = list(table_names) if table_names else cat.list_tables(database)
     report: dict[str, dict] = {}
     for t in names:
-        df = spark.table(f"{database}.{t}")
+        df = cat.table(f"{database}.{t}")
         report[t] = {
             "rows": df.count(),
             "columns": df.columns,

@@ -115,3 +115,42 @@ def test_winnowing_shared_substring(spark):
     by_id = {r.doc_id: set(r.fps) for r in got}
     assert by_id[0] & by_id[1], "docs sharing a long substring must share fingerprints"
     assert not (by_id[0] & by_id[2])
+
+
+def test_ingestion_lands_on_versioned_plane(spark, tmp_path, dbs):
+    """run_ingestion(versioned=...) writes each swept table as an
+    atomic versioned-table snapshot registered by name — the lakehouse
+    twin of the saveAsTable ingestion — and verify_tables enumerates
+    and reads them through the registry.  A re-run is a new snapshot
+    (time travel over ingestion runs), not a table swap."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versions,
+    )
+
+    src_db, _ = dbs
+    base = tmp_path / "data"
+    (base / "json").mkdir(parents=True)
+    (base / "json" / "items.json").write_text(
+        '[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]'
+    )
+    vc = VersionedCatalog(tmp_path / "wh")
+    rep = run_ingestion(spark, base, database=src_db, versioned=vc)
+    assert rep.written == {"json_items": 2}
+    assert rep.verification["json_items"]["rows"] == 2
+    name = f"{src_db}.json_items"
+    assert vc.exists(name)
+    p = vc.resolve(name)
+    assert versions(p) == [1]
+    assert read_version(spark, p).count() == 2
+    # re-ingestion = a new snapshot of the SAME table, history intact
+    rep2 = run_ingestion(spark, base, database=src_db, versioned=vc)
+    assert rep2.written == {"json_items": 2}
+    assert versions(p) == [1, 2]
+    assert read_version(spark, p, 1).count() == 2
+    # the whole flow composes: versioned ingestion -> named merge
+    r = run_merge(spark, src_db, src_db + "_t", versioned=vc,
+                  create_versioned=True)
+    assert r["json_items"]["strategy"] == "CREATE_TABLE"
+    assert vc.exists(f"{src_db}_t.json_items")
