@@ -1147,6 +1147,7 @@ def replicate_versioned_changes(
     max_bytes_per_trigger: int | None = None,
     ending_version: int | None = None,
     guard_concurrent_target: bool = True,
+    allow_schema_evolution: bool = False,
     max_runs: int = 10000,
     extra_options: dict | None = None,
 ) -> int:
@@ -1182,7 +1183,16 @@ def replicate_versioned_changes(
     ``ending_version`` bounds the replication — backfill ``dst``
     through a fixed ``src`` version and stop (the point-in-time clone
     shape); without it the loop stops at ``src``'s head as of the
-    final run.  Returns the number of runs that delivered data."""
+    final run.  Returns the number of runs that delivered data.
+
+    ``allow_schema_evolution=True`` lets the replica FOLLOW source
+    schema evolution: each availableNow run's fresh reader adopts the
+    source's committed head schema (pre-evolution change files read
+    NULL for later columns, exactly like the batch reader), and the
+    per-batch apply is allowed to add the new columns to ``dst``.
+    Without it, a widened batch refuses at the apply — the honest
+    default, since silently dropping a new column would diverge the
+    replica."""
     from pyspark.sql import functions as F
 
     from ..sinks.versioned import versioned_apply_changes
@@ -1217,6 +1227,7 @@ def replicate_versioned_changes(
             op_col="op",
             seq_col="_commit_version",
             source_version=sv,
+            allow_schema_evolution=allow_schema_evolution,
         )
 
     reader = (

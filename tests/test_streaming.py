@@ -2003,3 +2003,58 @@ def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
         == 0
     )
     assert versions(dst) == dvs, "a caught-up re-run must commit nothing"
+
+
+def test_replicate_follows_source_schema_evolution(spark, tmp_path):
+    """Replication across a mid-stream source schema evolution: after
+    the source gains a column, the next replication run's fresh reader
+    adopts the widened schema and allow_schema_evolution=True lets the
+    apply add it to the replica (pre-evolution rows read NULL).  The
+    default refuses the widened batch instead of silently dropping the
+    column."""
+    import pytest as _pytest
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_upsert,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    mk2 = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    mk3 = lambda rows: spark.createDataFrame(
+        rows, "id int, v string, w double"
+    )
+    versioned_write(mk2([(i, f"v{i}") for i in range(6)]).coalesce(1), src)
+    enable_change_data_feed(src)  # v2
+    replicate_versioned_changes(spark, src, dst, ckpt, ["id"])
+    assert read_version(spark, dst).columns == ["id", "v"]
+    # the source evolves: an append adds column w, an upsert uses it
+    versioned_write(mk3([(10, "a10", 1.5)]).coalesce(1), src)  # v3
+    versioned_upsert(mk3([(1, "u1", 2.5), (11, "i11", 3.5)]), src, ["id"])
+    # default: the widened batch must refuse, not drop the column
+    with _pytest.raises(Exception, match="[Ss]chema|column"):
+        replicate_versioned_changes(spark, src, dst, ckpt, ["id"])
+    # with evolution allowed the replica follows
+    replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], allow_schema_evolution=True
+    )
+    d = read_version(spark, dst)
+    assert set(d.columns) == {"id", "v", "w"}
+    got = {r["id"]: (r["v"], r["w"]) for r in d.collect()}
+    exp = {i: (f"v{i}", None) for i in range(6)}
+    exp[1] = ("u1", 2.5)
+    exp[10] = ("a10", 1.5)
+    exp[11] = ("i11", 3.5)
+    assert got == exp
+    s = {
+        r["id"]: (r["v"], r["w"])
+        for r in read_version(spark, src).collect()
+    }
+    assert got == s, "replica must equal the evolved source head"
