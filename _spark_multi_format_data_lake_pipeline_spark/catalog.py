@@ -80,6 +80,12 @@ class VersionedCatalog:
     def exists(self, name: str) -> bool:
         return self._read(name) is not None
 
+    def try_resolve(self, name: str) -> str | None:
+        """The bound path, or None for unregistered (or non-db.table)
+        names — one registry read where exists()+resolve() would pay
+        two."""
+        return self._read(name)
+
     def resolve(self, name: str) -> str:
         path = self._read(name)
         if path is None:
@@ -148,11 +154,25 @@ class CatalogManager:
         """D4 (reference utils/catalog_manager.py:16-18) — the union of
         both planes when a versioned registry is attached.  A database
         that lives ONLY on the versioned plane (no Spark-catalog schema
-        of that name) lists its registry half instead of raising."""
+        of that name) lists its registry half instead of raising; any
+        OTHER SHOW TABLES failure (metastore hiccup, permissions)
+        propagates — swallowing it would silently drop the
+        Spark-catalog half of the union."""
         try:
             rows = self.spark.sql(f"SHOW TABLES IN {self._q(db)}").collect()
-        except Exception:
-            if self.versioned is None or not self.versioned.list_tables(db):
+        except Exception as e:
+            from pyspark.errors import AnalysisException
+
+            missing_schema = isinstance(e, AnalysisException) and (
+                (getattr(e, "getErrorClass", lambda: None)() or "")
+                == "SCHEMA_NOT_FOUND"
+                or "SCHEMA_NOT_FOUND" in str(e)
+            )
+            if (
+                not missing_schema
+                or self.versioned is None
+                or not self.versioned.list_tables(db)
+            ):
                 raise
             rows = []
         # SHOW TABLES also lists session temp views — exclude them, they
@@ -163,11 +183,16 @@ class CatalogManager:
         return names
 
     def list_databases(self) -> list[str]:
-        """D5 (reference utils/catalog_manager.py:27)."""
+        """D5 (reference utils/catalog_manager.py:27) — unioned with
+        the versioned registry's databases when one is attached, like
+        every other enumeration on this manager."""
         rows = self.spark.sql(
             f"SHOW DATABASES IN {self.catalog}" if self.catalog else "SHOW DATABASES"
         ).collect()
-        return [r[0] for r in rows]
+        names = [r[0] for r in rows]
+        if self.versioned is not None:
+            names = sorted(set(names) | set(self.versioned.list_databases()))
+        return names
 
     def table_exists(self, qualified_name: str) -> bool:
         """D6 — via the catalog API, not try/except (reference

@@ -143,18 +143,19 @@ class TableMerger:
 
     # -- W2/W3/W4 on the versioned plane --------------------------------------
     def _merge_versioned(
-        self, df: DataFrame, target: str, target_exists: bool,
+        self, df: DataFrame, target: str, path: str | None,
         key: str | None,
     ) -> dict:
         """The three W5 strategies against a name-registered versioned
-        table: upsert (a real copy-on-write MERGE commit), overwrite
-        (a snapshot-isolated INSERT OVERWRITE), or create+register
-        (CTAS).  Every run is one atomic commit with full history."""
+        table (``path`` = the resolved binding, None for a
+        to-be-created target): upsert (a real copy-on-write MERGE
+        commit), overwrite (a snapshot-isolated INSERT OVERWRITE), or
+        create+register (CTAS).  Every run is one atomic commit with
+        full history."""
         from .versioned import read_version, versioned_upsert, versioned_write
 
         source_rows = df.count()
-        if target_exists:
-            path = self.versioned.resolve(target)
+        if path is not None:
             if key is not None:
                 strategy = "MERGE"
                 versioned_upsert(df, path, [key])
@@ -187,13 +188,12 @@ class TableMerger:
         ``create_versioned=True`` was set (else on the Spark catalog,
         the reference behavior)."""
         key = key or find_key_column(df)
-        if self.versioned is not None and (
-            self.versioned.exists(target_table)
-            or (self.create_versioned and not target_exists)
-        ):
-            return self._merge_versioned(
-                df, target_table, self.versioned.exists(target_table), key
-            )
+        if self.versioned is not None:
+            vpath = self.versioned.try_resolve(target_table)
+            if vpath is not None or (
+                self.create_versioned and not target_exists
+            ):
+                return self._merge_versioned(df, target_table, vpath, key)
         source_rows = df.count()
         if target_exists and key is not None:
             strategy = "MERGE"

@@ -49,25 +49,47 @@ def write_tables(
     table becomes one atomic snapshot commit at the registry's default
     path, registered as ``database.name`` — the lakehouse-format
     ingestion the reference's Iceberg writer performs, jar-free, with
-    time travel over every ingestion run.  ``partition_by`` maps to the
-    versioned writer's Hive layout; bucket specs and format options are
-    saveAsTable-plane concepts and are ignored here.
+    time travel over every ingestion run.  Save modes keep their
+    DataFrameWriter semantics (``error``/``errorifexists`` raise on a
+    registered table, ``ignore`` skips it with 0 rows reported);
+    ``recreate_database=True`` maps to the registry plane as "drop the
+    database's STALE BINDINGS" — names this sweep does not produce are
+    unregistered (table history stays on disk; the registry, like the
+    reference's drop+recreate, reflects only the current sweep).
+    ``partition_by`` maps to the versioned writer's Hive layout; bucket
+    specs and format options are saveAsTable-plane concepts and are
+    ignored here.
     """
     if versioned is not None:
         from .versioned import versioned_write
 
+        if recreate_database:
+            swept = {h.name for h in handles}
+            for stale in versioned.list_tables(database):
+                if stale not in swept:
+                    versioned.unregister(f"{database}.{stale}")
         results = {}
         for h in handles:
             name = f"{database}.{h.name}"
+            exists = versioned.exists(name)
+            if exists and mode in ("error", "errorifexists"):
+                raise ValueError(
+                    f"write_tables: versioned table {name} already "
+                    "exists and mode is "
+                    f"{mode!r}"
+                )
+            if exists and mode == "ignore":
+                results[h.name] = 0
+                continue
             path = (
                 versioned.resolve(name)
-                if versioned.exists(name)
+                if exists
                 else versioned.default_path(name)
             )
             versioned_write(
                 h.df,
                 path,
-                mode=mode if mode in ("append", "overwrite") else "overwrite",
+                mode="append" if mode == "append" else "overwrite",
                 partition_by=list((partition_by or {}).get(h.name) or []) or None,
             )
             versioned.register(name, path)

@@ -403,10 +403,25 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 # floor beyond it can only be a leftover of a table
                 # re-created at the same path — drop the file so the
                 # dir heals and future commits persist normally
+                # (best-effort: a read-only dir just keeps ignoring it)
                 floor = None
-                (self._track_offsets / "cursor.json").unlink(
-                    missing_ok=True
-                )
+                try:
+                    (self._track_offsets / "cursor.json").unlink(
+                        missing_ok=True
+                    )
+                except OSError:
+                    pass
+            if (
+                floor is not None
+                and self.end_version is not None
+                and self._okey(floor)
+                > self._okey({"version": self.end_version})
+            ):
+                # a floor persisted by an UNBOUNDED sharer of this
+                # (explicit) location may lie past this query's bound —
+                # cap it, or the clamp would hand the engine an end
+                # offset beyond the declared endingVersion
+                floor = {"version": self.end_version}
             if floor is not None:
                 self._floor = floor
                 if self._okey(floor) > self._okey(self._cursor):
@@ -971,22 +986,42 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         import uuid as _uuid
 
         d = self._track_offsets
-        d.mkdir(parents=True, exist_ok=True)
-        # the FILE is monotone too: a second query sharing this
-        # (default, per-query-shape) location that lags the first must
-        # never lower the persisted boundary — a lowered floor would
-        # re-open the regressed-commit window for the leader.  Plain
-        # read-compare-write (the race window is benign: losing it can
-        # only persist a lower-but-valid floor, never corrupt one).
+        # Persistence is an OPTIMIZATION over the in-memory floor (it
+        # closes the double-restart window) — on a table root the
+        # reader cannot write (read-only mount, another team's table),
+        # the default-on location must DEGRADE to in-memory tracking
+        # with a one-time warning, never kill the stream at its first
+        # committed batch.
         try:
-            cur = _json.loads((d / "cursor.json").read_text())
-            if self._okey(cur) >= self._okey(end):
-                return
-        except (OSError, ValueError, TypeError, KeyError):
-            pass  # unreadable/corrupt current floor: overwrite it
-        tmp = d / f".tmp-{_uuid.uuid4().hex}"
-        tmp.write_text(_json.dumps(end))
-        _os.replace(tmp, d / "cursor.json")
+            d.mkdir(parents=True, exist_ok=True)
+            # the FILE is monotone too: a second query sharing this
+            # (default, per-query-shape) location that lags the first
+            # must never lower the persisted boundary — a lowered floor
+            # would re-open the regressed-commit window for the leader.
+            # Plain read-compare-write (the race window is benign:
+            # losing it can only persist a lower-but-valid floor, never
+            # corrupt one).
+            try:
+                cur = _json.loads((d / "cursor.json").read_text())
+                if self._okey(cur) >= self._okey(end):
+                    return
+            except (OSError, ValueError, TypeError, KeyError):
+                pass  # unreadable/corrupt current floor: overwrite it
+            tmp = d / f".tmp-{_uuid.uuid4().hex}"
+            tmp.write_text(_json.dumps(end))
+            _os.replace(tmp, d / "cursor.json")
+        except OSError as e:
+            import warnings
+
+            self._track_offsets = None  # stop retrying every batch
+            warnings.warn(
+                f"versioned_changes: cannot persist the offset floor "
+                f"at {d} ({e}); falling back to in-memory tracking — "
+                "restarts of this query keep the documented "
+                "single-restart protocol (set offsetTrackingLocation "
+                "to a writable dir for the full guarantee)",
+                stacklevel=2,
+            )
 
 
 class VersionedChangesDataSource(DataSource):
@@ -1092,13 +1127,11 @@ def drain_versioned_changes(
     )
     for k, v in (extra_options or {}).items():
         reader = reader.option(k, str(v))
-    data_runs = 0
-    last_end: dict | None = None
-    for _ in range(max_runs):
-        df = reader.load()
+
+    def start_sink(df):
         if build is not None:
             df = build(df)
-        q = (
+        return (
             df.writeStream.format(sink_format)
             .option("path", sink_path)
             .option("checkpointLocation", checkpoint)
@@ -1106,6 +1139,32 @@ def drain_versioned_changes(
             .trigger(availableNow=True)
             .start()
         )
+
+    return _availablenow_loop(
+        path, reader, start_sink, None, max_runs, "drain_versioned_changes"
+    )
+
+
+def _availablenow_loop(
+    src_path: str,
+    reader,
+    start_sink,
+    ending_version: int | None,
+    max_runs: int,
+    helper: str,
+) -> int:
+    """The shared run loop of ``drain_versioned_changes`` /
+    ``replicate_versioned_changes``: one availableNow run per iteration
+    (``start_sink(reader.load())`` → await), until the committed end
+    offset reaches the TARGET — ``ending_version`` capped at the head
+    as of each run (a bound past the head is 'drain everything
+    available', not an error), or the head itself when unbounded.
+    Raises on genuine no-progress and on the run cap; returns the
+    number of runs that delivered data."""
+    data_runs = 0
+    last_end: dict | None = None
+    for _ in range(max_runs):
+        q = start_sink(reader.load())
         q.awaitTermination()
         progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         data_runs += bool(progressed)
@@ -1115,24 +1174,25 @@ def drain_versioned_changes(
             if p.get("sources")
         ]
         end = _parse_offset(ends[-1]) if ends else None
-        vs = versions(path)
+        vs = versions(src_path)
         head = vs[-1] if vs else 0
-        if end is not None and end.get("version") == head and (
+        tgt = head if ending_version is None else min(ending_version, head)
+        if end is not None and end.get("version") == tgt and (
             "file_index" not in end
         ):
-            return data_runs  # caught up to the head as of this run
+            return data_runs  # drained through the target as of this run
         if not progressed:
             if end is None or end == last_end:
                 if not vs:
                     return data_runs  # nothing committed yet
                 raise RuntimeError(
-                    f"drain_versioned_changes: no progress at offset "
-                    f"{end} with head v{head} at {path}"
+                    f"{helper}: no progress at offset {end} with "
+                    f"target v{tgt} at {src_path}"
                 )
         last_end = end
     raise RuntimeError(
-        f"drain_versioned_changes: backlog at {path} not drained in "
-        f"{max_runs} runs (cap too small for the commit rate?)"
+        f"{helper}: backlog at {src_path} not drained in {max_runs} "
+        f"runs (cap too small for the commit rate?)"
     )
 
 
@@ -1247,43 +1307,19 @@ def replicate_versioned_changes(
     for k, v in (extra_options or {}).items():
         reader = reader.option(k, str(v))
 
-    data_runs = 0
-    last_end: dict | None = None
-    for _ in range(max_runs):
-        q = (
-            reader.load()
-            .writeStream.foreachBatch(_apply)
+    def start_sink(df):
+        return (
+            df.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        data_runs += bool(progressed)
-        ends = [
-            p["sources"][0]["endOffset"]
-            for p in q.recentProgress
-            if p.get("sources")
-        ]
-        end = _parse_offset(ends[-1]) if ends else None
-        vs = _versions(src)
-        bound = ending_version if ending_version is not None else (
-            vs[-1] if vs else 0
-        )
-        if end is not None and end.get("version") == bound and (
-            "file_index" not in end
-        ):
-            return data_runs  # drained through the bound / the head
-        if not progressed:
-            if end is None or end == last_end:
-                if not vs:
-                    return data_runs
-                raise RuntimeError(
-                    f"replicate_versioned_changes: no progress at offset "
-                    f"{end} with bound v{bound} at {src}"
-                )
-        last_end = end
-    raise RuntimeError(
-        f"replicate_versioned_changes: backlog at {src} not replicated "
-        f"in {max_runs} runs (cap too small for the commit rate?)"
+
+    return _availablenow_loop(
+        src,
+        reader,
+        start_sink,
+        ending_version,
+        max_runs,
+        "replicate_versioned_changes",
     )

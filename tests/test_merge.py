@@ -422,3 +422,74 @@ def test_run_merge_into_versioned_plane(spark, tmp_path):
     finally:
         cm.drop_database("src_db")
         cm.drop_database("tgt_db")
+
+
+def test_versioned_write_tables_modes_and_stale_bindings(spark, tmp_path):
+    """write_tables on the versioned plane keeps DataFrameWriter mode
+    semantics (error raises on a registered table, ignore skips with 0
+    rows) and recreate_database unregisters bindings the sweep no
+    longer produces; list_databases unions the registry plane."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.registry import TableHandle
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.writer import write_tables
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    mkh = lambda n, rows: TableHandle(
+        df=_df(spark, rows),
+        name=n,
+        source_type="json",
+        row_count=len(rows),
+        col_count=3,
+    )
+    h1 = mkh("alpha", [(1, "a", 10)])
+    write_tables(spark, [h1], database="vdb", versioned=vc)
+    assert vc.exists("vdb.alpha")
+    with pytest.raises(ValueError, match="already exists"):
+        write_tables(
+            spark, [h1], database="vdb", mode="error", versioned=vc,
+            recreate_database=False,
+        )
+    res = write_tables(
+        spark, [h1], database="vdb", mode="ignore", versioned=vc,
+        recreate_database=False,
+    )
+    assert res == {"alpha": 0}, "ignore skips a registered table"
+    # a sweep without alpha (recreate) drops its binding, keeps history
+    h2 = mkh("beta", [(2, "b", 20)])
+    write_tables(spark, [h2], database="vdb", versioned=vc)
+    assert not vc.exists("vdb.alpha") and vc.exists("vdb.beta")
+    # the table's history is untouched on disk, only the binding is gone
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import versions
+
+    assert versions(str(tmp_path / "wh" / "vdb" / "alpha")) == [1]
+    cm = CatalogManager(spark, versioned=vc)
+    assert "vdb" in cm.list_databases(), "registry dbs join SHOW DATABASES"
+
+
+def test_replicate_bound_past_head_completes(spark, tmp_path):
+    """ending_version beyond the source head means 'drain everything
+    available' — the loop returns cleanly instead of blaming the rate
+    cap."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    src, dst, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    )
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        .coalesce(1),
+        src,
+    )
+    enable_change_data_feed(src)
+    runs = replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], ending_version=99
+    )
+    assert runs == 1
+    assert read_version(spark, dst).count() == 2

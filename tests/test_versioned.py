@@ -6343,3 +6343,64 @@ def test_default_offset_floor_corrupt_file_heals(spark, tmp_path):
         assert _json.loads((d / "cursor.json").read_text()) == {
             "version": 1
         }, f"commit must heal over junk floor {junk!r}"
+
+
+def test_offset_floor_degrades_on_readonly_table(spark, tmp_path):
+    """Floor persistence is an optimization: on a table root the reader
+    cannot create its floor dir (read-only mount; simulated here by a
+    FILE squatting on _stream_offsets, since the suite runs as root and
+    chmod cannot block it), the default-on location must warn and fall
+    back to in-memory tracking — never kill the stream at its first
+    committed batch."""
+    import warnings
+    from pathlib import Path as _P
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1), t
+    )
+    (_P(t) / "_stream_offsets").write_text("not a directory")
+    r = VersionedChangesStreamReader({"path": t})
+    assert r.latestOffset() == {"version": 1}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r.commit({"version": 1})
+    assert any("offset floor" in str(x.message) for x in w), (
+        "the degradation must be loud"
+    )
+    assert r._track_offsets is None, "no per-batch retry storm"
+    assert r._floor == {"version": 1}, "in-memory floor still tracks"
+    r.commit({"version": 1})  # second commit: silent no-op, no crash
+
+
+def test_offset_floor_capped_at_ending_version(spark, tmp_path):
+    """A floor persisted by an UNBOUNDED query sharing an explicit
+    location must not push a BOUNDED query past its endingVersion: the
+    loaded floor caps at the bound, so latestOffset still parks there."""
+    import json as _json
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    for i in range(5):  # v1..v5
+        versioned_write(mk([(i, f"a{i}")]).coalesce(1), t)
+    loc = tmp_path / "shared_cursor"
+    loc.mkdir()
+    (loc / "cursor.json").write_text(_json.dumps({"version": 5}))
+    r = VersionedChangesStreamReader(
+        {"path": t, "offsetTrackingLocation": str(loc), "endingVersion": "3"}
+    )
+    assert r._floor == {"version": 3}, "the floor must cap at the bound"
+    assert r.latestOffset() == {"version": 3}, (
+        "a bounded stream must park at its bound, floor or no floor"
+    )
+    # and the planned range stops at the bound: v4/v5 files never appear
+    parts = r.partitions({"version": 0}, r.latestOffset())
+    assert len(parts) == 3, "exactly the v1..v3 files plan"
