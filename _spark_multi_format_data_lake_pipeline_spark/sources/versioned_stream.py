@@ -157,7 +157,7 @@ def _visible_fields(schema_json: dict, has_buckets: bool) -> list[dict]:
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.path = options.get("path")
+        self.path = _resolve_path_option(options)
         if not self.path:
             raise ValueError("versioned_changes: option 'path' is required")
         self.skip_change_commits = (
@@ -1024,9 +1024,39 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             )
 
 
+def _resolve_path_option(options) -> str | None:
+    """The table root from either addressing plane: ``path`` directly,
+    or ``table`` (a ``db.table`` name) + ``catalogRoot`` (the
+    VersionedCatalog registry root) — the name-addressed twin, so a
+    stream can follow a registered table without knowing where it
+    lives.  Both given must agree; ``table`` without ``catalogRoot``
+    is an error (the registry cannot be guessed)."""
+    path = options.get("path")
+    name = options.get("table")
+    if name:
+        root = options.get("catalogRoot")
+        if not root:
+            raise ValueError(
+                "versioned_changes: option 'table' needs 'catalogRoot' "
+                "(the VersionedCatalog registry root) to resolve"
+            )
+        from ..catalog import VersionedCatalog
+
+        resolved = VersionedCatalog(str(root)).resolve(str(name))
+        if path and str(path) != resolved:
+            raise ValueError(
+                f"versioned_changes: 'path' ({path}) and 'table' "
+                f"({name} -> {resolved}) disagree — pass one"
+            )
+        return resolved
+    return path
+
+
 class VersionedChangesDataSource(DataSource):
     """``spark.readStream.format("versioned_changes")
-    .option("path", table_root).load()``"""
+    .option("path", table_root).load()`` — or name-addressed:
+    ``.option("table", "db.tbl").option("catalogRoot", registry_root)``
+    (resolved through ``catalog.VersionedCatalog``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1035,7 +1065,7 @@ class VersionedChangesDataSource(DataSource):
     def schema(self):
         from pyspark.sql.types import StructType
 
-        path = self.options.get("path")
+        path = _resolve_path_option(self.options)
         if not path:
             raise ValueError("versioned_changes: option 'path' is required")
         vs = versions(path)
