@@ -1238,6 +1238,7 @@ def replicate_versioned_changes(
     ending_version: int | None = None,
     guard_concurrent_target: bool = True,
     allow_schema_evolution: bool = False,
+    catalog=None,
     max_runs: int = 10000,
     extra_options: dict | None = None,
 ) -> int:
@@ -1282,7 +1283,24 @@ def replicate_versioned_changes(
     per-batch apply is allowed to add the new columns to ``dst``.
     Without it, a widened batch refuses at the apply — the honest
     default, since silently dropping a new column would diverge the
-    replica."""
+    replica.
+
+    ``catalog`` (a ``catalog.VersionedCatalog``) makes ``src``/``dst``
+    NAME-addressable: a registered ``db.table`` resolves to its bound
+    root; an UNREGISTERED ``dst`` name lands at the registry's default
+    path and is registered once replication creates it (the same
+    create-by-name contract as the W5 merge selector).  Strings that
+    don't resolve as names stay plain paths."""
+    dst_name: str | None = None
+    if catalog is not None:
+        src = catalog.try_resolve(src) or src
+        resolved = catalog.try_resolve(dst)
+        if resolved is not None:
+            dst = resolved
+        elif "." in dst and "/" not in dst:
+            # an unregistered db.table name: create at the default
+            # path, register once replication has created the table
+            dst_name, dst = dst, catalog.default_path(dst)
     from pyspark.sql import functions as F
 
     from ..sinks.versioned import versioned_apply_changes
@@ -1345,7 +1363,7 @@ def replicate_versioned_changes(
             .start()
         )
 
-    return _availablenow_loop(
+    runs = _availablenow_loop(
         src,
         reader,
         start_sink,
@@ -1353,3 +1371,6 @@ def replicate_versioned_changes(
         max_runs,
         "replicate_versioned_changes",
     )
+    if dst_name is not None and _versions(dst):
+        catalog.register(dst_name, dst)
+    return runs

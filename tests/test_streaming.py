@@ -2123,3 +2123,44 @@ def test_versioned_stream_by_registered_name(spark, tmp_path):
         for r in spark.read.schema("id int, v string").parquet(out).collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_replicate_by_name(spark, tmp_path):
+    """Name-addressed replication: with a VersionedCatalog, src/dst may
+    be registered db.table names; an unregistered dst name lands at the
+    registry's default path and registers once created — 'replicate
+    lake.orders into lake.orders_replica' is one call."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    p = vc.default_path("lake.orders")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id int, v string"
+        ).coalesce(1),
+        p,
+    )
+    enable_change_data_feed(p)
+    vc.register("lake.orders", p)
+    replicate_versioned_changes(
+        spark,
+        "lake.orders",
+        "lake.orders_replica",
+        str(tmp_path / "ckpt"),
+        ["id"],
+        catalog=vc,
+    )
+    assert vc.exists("lake.orders_replica")
+    got = sorted(
+        (r["id"], r["v"])
+        for r in vc.table(spark, "lake.orders_replica").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
