@@ -34,9 +34,17 @@ class VersionedCatalog:
     a ``db.table`` handle onto them.  ONE FILE PER NAME makes every
     operation a single atomic write/unlink — concurrent registrations
     of different names cannot lose each other (no read-modify-write),
-    and two racing registrations of the SAME name are last-writer-wins
-    (``replace=False`` guards the sequential rebinding mistake; the
-    name validator keeps the name↔filename mapping trivial)."""
+    and two racing ``replace=False`` registrations of the SAME name
+    settle by ``os.link``'s fail-if-exists contract (the same O_EXCL
+    primitive table commits use): exactly one wins, the loser gets a
+    clean error naming the winner's path.  Names are normalized to
+    LOWERCASE (Spark identifiers are case-insensitive, and the two
+    planes must agree on resolution); the validator keeps the
+    name↔filename mapping trivial.  Every register/unregister also
+    appends one line to ``_versioned_catalog/_changes.jsonl`` — the
+    registry's own change feed (``history()``), so pipelines can react
+    to bindings appearing/moving/dropping the way they react to table
+    commits."""
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -60,9 +68,58 @@ class VersionedCatalog:
             raise ValueError(
                 f"versioned table name must be db.table, got {name!r}"
             )
-        return name
+        # Spark identifiers are case-insensitive: 'Lake.Orders' and
+        # 'lake.orders' must be the SAME binding, or the versioned and
+        # Spark-catalog planes can disagree on resolution
+        return name.lower()
+
+    @classmethod
+    def is_name(cls, s: str) -> bool:
+        """True iff ``s`` is a valid ``db.table`` name this registry
+        could bind — the shared gate for APIs that accept either a name
+        or a filesystem path.  NOTE: a bare relative path like
+        ``backup.v2`` is indistinguishable from a name; spell relative
+        paths with a separator (``./backup.v2``) where both are
+        accepted."""
+        try:
+            cls._check(s)
+        except (ValueError, AttributeError):
+            return False
+        return True
+
+    def _log(self, op: str, name: str, path: str | None) -> None:
+        # registry change feed: one JSON line per mutation, append-only
+        # (O_APPEND single-line writes — readable while being written)
+        import time
+
+        with open(self._dir / "_changes.jsonl", "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"op": op, "name": name, "path": path, "at": time.time()}
+                )
+                + "\n"
+            )
+
+    def history(self, name: str | None = None) -> list[dict]:
+        """The registry's own change feed: every register/unregister
+        event in commit order (optionally for one name) — bindings are
+        pipeline-visible events, same as table commits."""
+        try:
+            lines = (self._dir / "_changes.jsonl").read_text().splitlines()
+        except OSError:
+            return []
+        out = []
+        for ln in lines:
+            try:
+                ev = json.loads(ln)
+            except ValueError:
+                continue  # torn trailing line from a crashed writer
+            if name is None or ev.get("name") == self._check(name):
+                out.append(ev)
+        return out
 
     def register(self, name: str, path: str, replace: bool = False) -> None:
+        name = self._check(name)
         cur = self._read(name)
         if not replace and cur is not None and cur != str(path):
             raise ValueError(
@@ -72,10 +129,38 @@ class VersionedCatalog:
         self._dir.mkdir(parents=True, exist_ok=True)
         tmp = self._dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps({"path": str(path)}))
-        os.replace(tmp, self._entry(name))
+        try:
+            if replace or cur is not None:
+                # rebinding / idempotent re-register: atomic swap
+                os.replace(tmp, self._entry(name))
+                tmp = None
+            else:
+                # CREATE: os.link fails if the entry exists, so two
+                # racing replace=False creates settle like two racing
+                # table commits — one wins, the loser RAISES (the
+                # read-check above can't see a registration that lands
+                # between the read and the write)
+                try:
+                    os.link(tmp, self._entry(name))
+                except FileExistsError:
+                    winner = self._read(name)
+                    if winner == str(path):
+                        return  # racing identical bindings both succeed
+                    raise ValueError(
+                        f"{name} was concurrently bound to {winner}; "
+                        "pass replace=True to rebind"
+                    ) from None
+        finally:
+            if tmp is not None:
+                tmp.unlink(missing_ok=True)
+        self._log("register", name, str(path))
 
     def unregister(self, name: str) -> None:
+        name = self._check(name)
+        existed = self._read(name) is not None
         self._entry(name).unlink(missing_ok=True)
+        if existed:
+            self._log("unregister", name, None)
 
     def exists(self, name: str) -> bool:
         return self._read(name) is not None
@@ -108,7 +193,7 @@ class VersionedCatalog:
         )
 
     def list_tables(self, db: str) -> list[str]:
-        pre = f"{db}."
+        pre = f"{db.lower()}."
         return [n[len(pre):] for n in self._names() if n.startswith(pre)]
 
     def list_databases(self) -> list[str]:

@@ -1290,16 +1290,23 @@ def replicate_versioned_changes(
     root; an UNREGISTERED ``dst`` name lands at the registry's default
     path and is registered once replication creates it (the same
     create-by-name contract as the W5 merge selector).  Strings that
-    don't resolve as names stay plain paths."""
+    don't pass the registry's name validator stay plain paths; a bare
+    relative path that happens to look like a name (``backup.v2``)
+    would be taken as one — spell relative paths with a separator
+    (``./backup.v2``)."""
     dst_name: str | None = None
     if catalog is not None:
         src = catalog.try_resolve(src) or src
         resolved = catalog.try_resolve(dst)
         if resolved is not None:
             dst = resolved
-        elif "." in dst and "/" not in dst:
-            # an unregistered db.table name: create at the default
-            # path, register once replication has created the table
+        elif "/" not in dst and type(catalog).is_name(dst):
+            # an unregistered db.table name (the registry's validator
+            # is the gate, so 'my-dir.v2' falls through as a path):
+            # create at the default path, register once replication has
+            # created the table.  A bare relative path that HAPPENS to
+            # validate ('backup.v2') is taken as a name — spell relative
+            # destinations with a separator ('./backup.v2').
             dst_name, dst = dst, catalog.default_path(dst)
     from pyspark.sql import functions as F
 

@@ -337,6 +337,102 @@ def test_versioned_catalog_registry_and_naming(spark, tmp_path):
         cm.drop_database("lake")
 
 
+def test_versioned_catalog_case_insensitive(tmp_path):
+    """Names normalize to lowercase (Spark identifier semantics): a
+    binding registered as 'Lake.Orders' resolves as 'lake.orders' and
+    vice versa, so the two naming planes can never disagree on case."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    p = str(tmp_path / "t")
+    vc.register("Lake.Orders", p)
+    assert vc.resolve("lake.orders") == p
+    assert vc.resolve("LAKE.ORDERS") == p
+    assert vc.exists("Lake.orders")
+    assert vc.list_tables("LAKE") == ["orders"]
+    assert vc.list_databases() == ["lake"]
+    # case variants are the SAME binding: rebinding under another case
+    # is still the already-bound error, and unregister removes it
+    with pytest.raises(ValueError, match="already bound"):
+        vc.register("LAKE.orders", str(tmp_path / "elsewhere"))
+    vc.unregister("lake.ORDERS")
+    assert not vc.exists("Lake.Orders")
+
+
+def test_versioned_catalog_register_race_o_excl(tmp_path):
+    """Two racing replace=False creates of one name: exactly one wins
+    (os.link fail-if-exists — the table-commit primitive), every loser
+    gets a clean error naming the winner's path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+
+    vc = VersionedCatalog(tmp_path / "wh")
+
+    def grab(i: int):
+        try:
+            vc.register("db.t", str(tmp_path / f"p{i}"))
+            return ("win", i)
+        except ValueError as e:
+            return ("lose", str(e))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(grab, range(8)))
+    wins = [r for r in results if r[0] == "win"]
+    assert len(wins) == 1
+    winner_path = str(tmp_path / f"p{wins[0][1]}")
+    assert vc.resolve("db.t") == winner_path
+    for _, msg in (r for r in results if r[0] == "lose"):
+        assert winner_path in msg and "replace=True" in msg
+    # racing IDENTICAL bindings both succeed (idempotent create)
+    vc2 = VersionedCatalog(tmp_path / "wh2")
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda _: vc2.register("db.t", str(tmp_path / "same")),
+                    range(8)))
+    assert vc2.resolve("db.t") == str(tmp_path / "same")
+
+
+def test_versioned_catalog_history_ledger(tmp_path):
+    """The registry's own change feed: register/unregister append to
+    _changes.jsonl in commit order, history() reads it back (optionally
+    per name), and no-op unregisters of unknown names log nothing."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    assert vc.history() == []
+    vc.register("db.a", str(tmp_path / "a"))
+    vc.register("db.b", str(tmp_path / "b"))
+    vc.register("db.a", str(tmp_path / "a2"), replace=True)
+    vc.unregister("db.b")
+    vc.unregister("db.never")  # no-op: nothing to log
+    evs = vc.history()
+    assert [(e["op"], e["name"]) for e in evs] == [
+        ("register", "db.a"),
+        ("register", "db.b"),
+        ("register", "db.a"),
+        ("unregister", "db.b"),
+    ]
+    assert evs[2]["path"] == str(tmp_path / "a2")
+    assert evs[3]["path"] is None
+    assert all(isinstance(e["at"], float) for e in evs)
+    a_evs = vc.history("DB.A")  # case-normalized lookup
+    assert [e["path"] for e in a_evs] == [str(tmp_path / "a"), str(tmp_path / "a2")]
+    # the ledger file never pollutes the binding enumeration
+    assert vc.list_tables("db") == ["a"]
+
+
+def test_versioned_catalog_is_name():
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+
+    assert VersionedCatalog.is_name("db.table")
+    assert VersionedCatalog.is_name("Backup.v2")  # valid (documented trap)
+    assert not VersionedCatalog.is_name("my-dir.v2")
+    assert not VersionedCatalog.is_name("a.b.c")
+    assert not VersionedCatalog.is_name("justone")
+    assert not VersionedCatalog.is_name("./backup.v2")
+    assert not VersionedCatalog.is_name("/abs/path.json")
+
+
 def test_w5_strategies_on_versioned_plane(spark, tmp_path):
     """The W5 selector against versioned-plane targets: a registered
     name MERGEs through versioned_upsert (one commit, history intact),

@@ -64,6 +64,16 @@ def main() -> int:
     from _spark_multi_format_data_lake_pipeline_spark.session import get_spark
     from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
 
+    unknown = sorted(only - set(QUERIES))
+    if unknown:
+        # A typo'd name must be an error, not a vacuous "0 failed": a
+        # green gate that can pass without running anything is a gate bug.
+        print(
+            "ERROR: unknown query name(s): " + ", ".join(unknown),
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_spark("check")
     con = duck_conn(sf_dir)
 
