@@ -987,6 +987,7 @@ def _write_snapshot(
     cdf_files: list[str] | None = None,
     ndv_by: list[str] | None = None,
     row_ids_consumed: int = 0,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Shared body of every versioned write (append / overwrite /
     compact / upsert / delete): write the data files, list them, combine
@@ -1304,6 +1305,11 @@ def _write_snapshot(
         df_w, pb_w = df, pb
     data_dir = Path(path) / "data" / uuid.uuid4().hex
     writer = df_w.write.mode("error")
+    if max_records_per_file:
+        # write-time file sizing (the other half of the small-files
+        # problem compaction fixes after the fact): cap rows per file
+        # so one wide task can't emit a multi-GB file
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if pb_w:
         writer = writer.partitionBy(*pb_w)
     writer.parquet(str(data_dir))
@@ -1976,6 +1982,7 @@ def versioned_write(
     identity_columns: dict[str, dict] | None = None,
     cluster_by: list[str] | None = None,
     ndv_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``path``;
     returns the committed version (1-based). ``mode="append"`` keeps the
@@ -2043,7 +2050,11 @@ def versioned_write(
     deterministic (ranked by ``order_by``, which must be a unique key
     among the inserted rows) and fully parallel (range-partition
     prefix-sum numbering, no ROW_NUMBER funnel).  Spec inherited like
-    the partition spec; pass ``{}`` to drop."""
+    the partition spec; pass ``{}`` to drop.
+
+    ``max_records_per_file`` caps rows per written data file (Spark's
+    ``maxRecordsPerFile``) — write-time file sizing for wide tasks, the
+    preventive half of what ``compact()`` fixes after the fact."""
     return _write_snapshot(
         df,
         path,
@@ -2057,6 +2068,7 @@ def versioned_write(
         generated_columns=generated_columns,
         identity_columns=identity_columns,
         cluster_by=cluster_by,
+        max_records_per_file=max_records_per_file,
     )
 
 

@@ -49,28 +49,37 @@ def write_tables(
     table becomes one atomic snapshot commit at the registry's default
     path, registered as ``database.name`` — the lakehouse-format
     ingestion the reference's Iceberg writer performs, jar-free, with
-    time travel over every ingestion run.  Save modes keep their
-    DataFrameWriter semantics (``error``/``errorifexists`` raise on a
-    registered table, ``ignore`` skips it with 0 rows reported);
-    ``recreate_database=True`` maps to the registry plane as "drop the
-    database's STALE BINDINGS" — names this sweep does not produce are
-    unregistered (table history stays on disk; the registry, like the
-    reference's drop+recreate, reflects only the current sweep).
-    ``partition_by`` maps to the versioned writer's Hive layout; bucket
-    specs and format options are saveAsTable-plane concepts and are
-    ignored here.
+    time travel over every ingestion run.
+
+    ``recreate_database=True`` maps to the registry plane as DROP ALL
+    of the database's bindings first, exactly like the warehouse
+    plane's drop+recreate: every table writes as a fresh OVERWRITE
+    snapshot at its previously-bound path (history stays on disk for
+    time travel — the one intentional divergence from the warehouse
+    drop, which destroys it), save-mode guards never fire (there is
+    nothing registered to collide with), and names the sweep does not
+    produce stay unregistered.  With ``recreate_database=False`` the
+    save modes keep their DataFrameWriter semantics against registered
+    bindings: ``error``/``errorifexists`` raise, ``ignore`` skips with
+    0 rows reported, ``append`` adds a snapshot on top.
+
+    ``partition_by`` maps to the versioned writer's Hive layout and
+    ``max_records_per_file`` to its write-time file sizing;
+    ``bucket_by`` and ``extra_options`` are saveAsTable-plane concepts
+    with no versioned-plane equivalent and are IGNORED on this plane.
     """
     if versioned is not None:
         from .versioned import versioned_write
 
+        prior: dict[str, str] = {}
         if recreate_database:
-            swept = {h.name for h in handles}
-            for stale in versioned.list_tables(database):
-                if stale not in swept:
-                    versioned.unregister(f"{database}.{stale}")
+            for t in versioned.list_tables(database):
+                name = f"{database}.{t}".lower()
+                prior[name] = versioned.resolve(name)
+                versioned.unregister(name)
         results = {}
         for h in handles:
-            name = f"{database}.{h.name}"
+            name = f"{database}.{h.name}".lower()
             exists = versioned.exists(name)
             if exists and mode in ("error", "errorifexists"):
                 raise ValueError(
@@ -81,7 +90,7 @@ def write_tables(
             if exists and mode == "ignore":
                 results[h.name] = 0
                 continue
-            path = (
+            path = prior.get(name) or (
                 versioned.resolve(name)
                 if exists
                 else versioned.default_path(name)
@@ -89,10 +98,15 @@ def write_tables(
             versioned_write(
                 h.df,
                 path,
-                mode="append" if mode == "append" else "overwrite",
+                # drop+recreate semantics: the write never sees prior
+                # rows, so a recreated database always snapshots fresh
+                mode="append"
+                if mode == "append" and not recreate_database
+                else "overwrite",
                 partition_by=list((partition_by or {}).get(h.name) or []) or None,
+                max_records_per_file=max_records_per_file,
             )
-            versioned.register(name, path)
+            versioned.register(name, path, replace=True)
             results[h.name] = h.row_count
         return results
     cat = CatalogManager(spark)
