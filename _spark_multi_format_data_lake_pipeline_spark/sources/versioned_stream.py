@@ -66,7 +66,17 @@ under ``<table>/_stream_offsets/`` (see ``__init__`` for why sharing
 one is loss/duplicate-free); ``offsetTrackingLocation`` overrides the
 location (one dir per query, like ``checkpointLocation`` —
 ``drain_versioned_changes`` sets one beside its checkpoint) and
-``offsetTrackingLocation=none`` opts out entirely.  With
+``offsetTrackingLocation=none`` opts out entirely.  A query whose
+CHECKPOINT is behind an inherited floor (a second query with the same
+option shape, or a deliberately reset checkpoint) gets the gap as ONE
+batch the caps cannot bound — correctness requires the jump (capped
+sub-floor ends would let the floor owner's engine log a regressed
+offset, the double-restart duplicate window the floor closes), so
+``floorJumpPolicy`` governs how loudly: ``warn`` (default) /
+``error`` / ``silent``.  ``initialOffsetFromFloor=true`` makes a
+FRESH query start AT the floor instead of replaying below it — for
+explicit per-query tracking dirs that ARE the query's own delivery
+record (the replication helpers set it).  With
 ``Trigger.AvailableNow`` the engine snapshots ONE end offset per run,
 so a capped stream drains exactly one capped batch per availableNow
 run (re-run to continue — each run picks up where the checkpoint
@@ -380,7 +390,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         sorted(
                             (str(k).lower(), str(v))
                             for k, v in dict(options).items()
-                            if str(k).lower() != "offsettrackinglocation"
+                            # tracking/policy options don't change WHAT
+                            # the stream delivers, so they must not
+                            # change which floor governs it
+                            if str(k).lower()
+                            not in (
+                                "offsettrackinglocation",
+                                "floorjumppolicy",
+                                "initialoffsetfromfloor",
+                            )
                         ),
                     ]
                 ).encode()
@@ -426,6 +444,37 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 self._floor = floor
                 if self._okey(floor) > self._okey(self._cursor):
                     self._cursor = dict(floor)
+        # The floor's one hazard: a DIFFERENT query with the same
+        # option shape (or a deliberately reset checkpoint) inherits a
+        # persisted floor that does not reflect ITS deliveries — its
+        # first batch then jumps (checkpoint, floor] in ONE batch,
+        # ignoring the rate caps.  Returning capped sub-floor ends
+        # instead is NOT safe (the true floor owner's engine would
+        # durably log a regressed offset — the double-restart duplicate
+        # window the floor exists to close), so correctness keeps the
+        # jump; ``floorJumpPolicy`` decides how loudly: "warn"
+        # (default — planning a cap-exceeding floor jump warns with
+        # remediation), "error" (refuse the batch; the user picks a
+        # fresh offsetTrackingLocation, =none, or accepts the jump
+        # explicitly), "silent".  ``initialOffsetFromFloor=true`` makes
+        # a FRESH query (no engine checkpoint) START at the floor
+        # instead of replaying from the beginning — correct exactly
+        # when the tracking dir is this query's own delivery record
+        # (an explicit per-query location, e.g. the replication
+        # helpers' cursor beside their checkpoint, where the floor may
+        # have been advanced by the batch-mode fast path).
+        self._floor_seed = dict(self._floor) if self._floor else None
+        pol = str(options.get("floorJumpPolicy", "warn")).strip().lower()
+        if pol not in ("warn", "error", "silent"):
+            raise ValueError(
+                "versioned_changes: floorJumpPolicy must be one of "
+                f"warn/error/silent, got {pol!r}"
+            )
+        self._floor_jump_policy = pol
+        self._init_from_floor = (
+            str(options.get("initialOffsetFromFloor", "false")).lower()
+            == "true"
+        )
 
     def _track_schema(self, track_dir: str, head_version: int) -> None:
         """Compare the committed field list against the tracked vintage
@@ -511,7 +560,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # stream (restarts never reach here) — the option is live,
             # so the deferred error is the honest answer
             raise self._init_error
-        return self._start_offset()
+        off = self._start_offset()
+        if (
+            self._init_from_floor
+            and self._floor is not None
+            and self._okey(self._floor) > self._okey(off)
+        ):
+            # initialOffsetFromFloor: this fresh query's tracking dir
+            # IS its delivery record — start at the boundary instead of
+            # replaying everything below it (see __init__)
+            return dict(self._floor)
+        return off
 
     def _iter_new_files(self, lo: int, ev: int, vs: list[int]):
         """Walk versions in (lo, ev], yielding (v, manifest, files,
@@ -721,6 +780,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             # the engine's start IS a committed boundary — raise the
             # in-memory floor even without offsetTrackingLocation
             self._floor = dict(start)
+        # floor-jump detection (see __init__): the engine's checkpoint
+        # start is BELOW the floor this reader inherited from disk, so
+        # this one batch spans the whole gap and the rate caps cannot
+        # bound it — measure it and apply floorJumpPolicy below
+        jump = (
+            self._floor_seed is not None
+            and (self._max_files is not None or self._max_bytes is not None)
+            and self._okey(start) < self._okey(self._floor_seed)
+            and self._okey(end) >= self._okey(self._floor_seed)
+        )
+        planned_bytes = 0
         # Offset-order guards for the capped reader's restart dance
         # (see __init__): the eager cursor seed can trail a restarted
         # query's checkpoint, making the first capped end REGRESS
@@ -842,6 +912,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 indexed = [p for p in indexed if p[0] < e_idx]
             if not indexed:
                 continue
+            if jump:
+                meta = (
+                    m.get("cdf_file_meta")
+                    if kind == "cdf"
+                    else m.get("file_meta")
+                ) or {}
+                planned_bytes += sum(
+                    (meta.get(f, {}) or {}).get("bytes", 0) or 0
+                    for _i, f in indexed
+                )
             if kind == "cdf":
                 # materialized change files: no hive partition values,
                 # no DV interplay; _change_type rides IN the parquet,
@@ -896,6 +976,36 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         dv_paths=dv_paths if f in dv_counts else (),
                     )
                 )
+        if jump and self._floor_jump_policy != "silent":
+            exceeds = (
+                self._max_files is not None and len(out) > self._max_files
+            ) or (
+                self._max_bytes is not None
+                and planned_bytes > self._max_bytes
+                and len(out) > 1
+            )
+            if exceeds:
+                msg = (
+                    f"versioned_changes: this query's checkpoint "
+                    f"(offset {start}) is BEHIND the persisted offset "
+                    f"floor {self._floor_seed} at "
+                    f"{self._track_offsets or '<in-memory>'} — the "
+                    f"floor was inherited from another query with the "
+                    f"same option shape (or a reset checkpoint), so "
+                    f"this ONE batch spans the whole gap: {len(out)} "
+                    f"files / ~{planned_bytes} bytes, exceeding "
+                    f"maxFilesPerTrigger={self._max_files} / "
+                    f"maxBytesPerTrigger={self._max_bytes}.  Give this "
+                    f"query its own offsetTrackingLocation (or =none) "
+                    f"to stream the backlog under the caps, or set "
+                    f"floorJumpPolicy=silent to accept unbounded "
+                    f"catch-up batches"
+                )
+                if self._floor_jump_policy == "error":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
         return out
 
     def read(self, partition: _FilePartition):

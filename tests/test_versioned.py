@@ -6404,3 +6404,89 @@ def test_offset_floor_capped_at_ending_version(spark, tmp_path):
     # and the planned range stops at the bound: v4/v5 files never appear
     parts = r.partitions({"version": 0}, r.latestOffset())
     assert len(parts) == 3, "exactly the v1..v3 files plan"
+
+
+def test_floor_jump_policy_and_initial_offset_from_floor(spark, tmp_path):
+    """r16 floor-jump guard: a fresh-checkpoint query inheriting a
+    same-shape persisted floor gets the whole gap as ONE batch — the
+    caps can't bound it, so the default policy WARNS loudly (with
+    remediation), policy=error refuses, policy=silent accepts, and in
+    every case the delivered rows stay correct.  Policy options don't
+    change the floor-dir shape hash (same floor governs all variants).
+    initialOffsetFromFloor makes a fresh query START at the floor —
+    the replication helpers' own-delivery-record case."""
+    import json as _json
+    import warnings as _w
+
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(1, "a"), (2, "b")]).repartition(2), t)  # v1: 2 files
+    versioned_write(mk([(3, "c")]).coalesce(1), t)  # v2
+    versioned_write(mk([(4, "d")]).coalesce(1), t)  # v3
+    opts = {"path": t, "maxFilesPerTrigger": "1"}
+    # leader drains under the cap; its commits persist the floor at head
+    rows = _drive_stream(lambda: VersionedChangesStreamReader(opts), t)
+    assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
+    d = VersionedChangesStreamReader(opts)._track_offsets
+    assert _json.loads((d / "cursor.json").read_text()) == {"version": 3}
+    # policy options share the leader's floor dir (shape-hash excluded)
+    assert (
+        VersionedChangesStreamReader(
+            {**opts, "floorJumpPolicy": "silent"}
+        )._track_offsets
+        == d
+    )
+    # follower: fresh checkpoint, same shape -> inherits the floor; the
+    # catch-up batch exceeds the cap -> WARN (default), rows correct
+    with pytest.warns(UserWarning, match="BEHIND the persisted offset"):
+        rows2 = _drive_stream(lambda: VersionedChangesStreamReader(opts), t)
+    assert sorted(r[0] for r in rows2) == [1, 2, 3, 4]
+    # policy=error refuses the jump batch, naming the remediation
+    with pytest.raises(ValueError, match="offsetTrackingLocation"):
+        _drive_stream(
+            lambda: VersionedChangesStreamReader(
+                {**opts, "floorJumpPolicy": "error"}
+            ),
+            t,
+        )
+    # policy=silent plans it without a murmur
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        rows3 = _drive_stream(
+            lambda: VersionedChangesStreamReader(
+                {**opts, "floorJumpPolicy": "silent"}
+            ),
+            t,
+        )
+    assert sorted(r[0] for r in rows3) == [1, 2, 3, 4]
+    # initialOffsetFromFloor: fresh query starts AT the floor — nothing
+    # replayed, no jump, no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        r = VersionedChangesStreamReader(
+            {**opts, "initialOffsetFromFloor": "true"}
+        )
+        assert r.initialOffset() == {"version": 3}
+        rows4 = _drive_stream(
+            lambda: VersionedChangesStreamReader(
+                {**opts, "initialOffsetFromFloor": "true"}
+            ),
+            t,
+        )
+    assert rows4 == []
+    # new rows past the floor stream normally for the floor-started query
+    versioned_write(mk([(5, "e")]).coalesce(1), t)  # v4
+    rows5 = _drive_stream(
+        lambda: VersionedChangesStreamReader(
+            {**opts, "initialOffsetFromFloor": "true"}
+        ),
+        t,
+    )
+    assert sorted(r[0] for r in rows5) == [5]
+    # bad policy value validates at construction
+    with pytest.raises(ValueError, match="floorJumpPolicy"):
+        VersionedChangesStreamReader({**opts, "floorJumpPolicy": "nope"})
