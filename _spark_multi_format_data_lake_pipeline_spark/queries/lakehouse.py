@@ -3082,23 +3082,27 @@ def q284_versioned_named_merge(
     WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0 AND o_orderkey % 5 <> 0
     """,
     doc="END-TO-END CDC REPLICATION — the composed lakehouse workload "
-        "all the pieces exist for: a readChangeFeed stream over the "
-        "source (bootstrap snapshot + upsert pre/post/insert + DV "
-        "delete + append commits) applies every capped micro-batch to "
-        "a SECOND versioned table via versioned_apply_changes in "
-        "foreachBatch (preimages dropped, I/U/D by _change_type, "
-        "seq_col=_commit_version collapsing multi-commit batches, "
-        "source_version guarding concurrent target writers).  The "
-        "schedule includes what production schedules include: a capped "
-        "BOUNDED backfill through v3 (>=2 availableNow runs, each a "
-        "fresh reader == a restart), a VACUUM of the source's "
-        "delivered prefix, then the unbounded catch-up through the "
-        "same checkpoint.  In-query checks prove the replica equals "
-        "the source head snapshot row-for-row; the driver hash proves "
-        "both equal the algebraically predicted state. "
-        "sources/versioned_stream.py:replicate_versioned_changes; "
-        "phase/restart/idempotency matrix pinned in "
-        "tests/test_streaming.py.",
+        "all the pieces exist for: the source's change feed (upsert "
+        "pre/post/insert + DV delete + append commits) applies every "
+        "capped batch to a SECOND versioned table via "
+        "versioned_apply_changes (preimages dropped, I/U/D by "
+        "_change_type, seq_col=_commit_version collapsing multi-commit "
+        "batches, source_version guarding concurrent target writers). "
+        "Since r16 the default engine is BATCH: capped "
+        "read_change_feed slices through the same durable cursor file "
+        "the streaming engine's offset floor uses — identical state "
+        "and restart contract (each slice is the restart case: cursor "
+        "read, apply, advance), without one JVM streaming-query "
+        "startup (~3-6s fixed) per capped micro-batch.  The schedule "
+        "includes what production schedules include: a capped BOUNDED "
+        "backfill through v3 (>=2 capped slices), a VACUUM of the "
+        "source's delivered prefix, then the unbounded catch-up "
+        "through the same checkpoint.  In-query checks prove the "
+        "replica equals the source head snapshot row-for-row; the "
+        "driver hash proves both equal the algebraically predicted "
+        "state. sources/versioned_stream.py:replicate_versioned_"
+        "changes/_replicate_batch; engine matrix + interleave pinned "
+        "in tests/test_streaming.py.",
 )
 def q285_versioned_cdc_replication(
     spark: SparkSession, sf_dir: str

@@ -439,3 +439,62 @@ def test_cdf_plane_read_change_feed_planning_real_files(spark, tmp_path):
             }
         )
     )
+
+
+def test_cdc_batch_slice_planning_rehearsal(tmp_path):
+    """r16 batch-replication planning budgets over the 10k-change-file
+    feed: each slice plans from MANIFEST METADATA only (O(versions
+    walked + admitted files), no file stats, no stream startup, no
+    Spark at all), byte caps close a slice at commit granularity, the
+    whole-backlog walk re-reads each manifest O(1) times per slice
+    boundary, and a mid-history vacuum hole refuses fast."""
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        _plan_feed_slice,
+    )
+
+    t = str(tmp_path / "tbl")
+    _cdf_table(t, CDF_COMMITS, CDF_FILES_PER_COMMIT)
+    head = CDF_COMMITS + 1
+    vs = V.versions(t)
+
+    # one capped slice: 50 MB cap over 100 MB commits -> exactly one
+    # commit per slice (commit-granular soft cap), planned fast
+    t0 = time.time()
+    hi, files = _plan_feed_slice(t, 1, head, vs, None, 50 << 20)
+    one_slice_s = time.time() - t0
+    assert hi == 2 and files == CDF_FILES_PER_COMMIT
+    assert one_slice_s < 2.0, f"slice planning took {one_slice_s:.2f}s"
+
+    # a 250 MB cap admits two 100 MB commits and closes on the third
+    hi3, files3 = _plan_feed_slice(t, 1, head, vs, None, 250 << 20)
+    assert hi3 == 4 and files3 == 3 * CDF_FILES_PER_COMMIT
+
+    # file cap: 150 files over 100-file commits -> two commits
+    hi_f, files_f = _plan_feed_slice(t, 1, head, vs, 150, None)
+    assert hi_f == 3 and files_f == 2 * CDF_FILES_PER_COMMIT
+
+    # whole-backlog walk: lo advances slice by slice to the head; the
+    # loop is O(commits) slices and bounded time over 10k feed files
+    t0 = time.time()
+    lo, n_slices = 1, 0
+    while lo < head:
+        lo, _ = _plan_feed_slice(t, lo, head, vs, None, 50 << 20)
+        n_slices += 1
+    walk_s = time.time() - t0
+    assert n_slices == CDF_COMMITS
+    assert walk_s < 10.0, f"backlog slice walk took {walk_s:.2f}s"
+    print(
+        f"\nCDC batch planning: one_slice={one_slice_s*1e3:.1f}ms, "
+        f"{n_slices}-slice backlog walk={walk_s:.2f}s"
+    )
+
+    # a vacuumed mid-history version refuses before any reads
+    (V._manifest_dir(t) / "v55.json").unlink()
+    vs2 = V.versions(t)
+    t0 = time.time()
+    try:
+        _plan_feed_slice(t, 1, head, vs2, None, 50 << 20)
+        raise AssertionError("must refuse the vacuum hole")
+    except ValueError as e:
+        assert "vacuumed" in str(e)
+    assert time.time() - t0 < 1.0

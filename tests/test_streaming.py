@@ -1933,14 +1933,16 @@ def test_cdf_partial_offset_survives_vacuumed_diff_base(spark, tmp_path):
     assert dels == [0, 2, 4, 6], "every change row exactly once, no dup"
 
 
-def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
-    """CDC replication composed end to end (r15): a readChangeFeed
-    stream over the source table applies every capped micro-batch to a
-    SECOND versioned table via versioned_apply_changes in foreachBatch
-    — through restarts (each availableNow run is a fresh reader),
-    a bounded backfill phase, and a source vacuum that trims the
-    delivered prefix — and the target's final state equals the
-    source's head snapshot exactly."""
+@pytest.mark.parametrize("engine", ["batch", "stream"])
+def test_replicate_versioned_changes_end_to_end(spark, tmp_path, engine):
+    """CDC replication composed end to end (r15; engine matrix r16):
+    the change feed over the source applies every capped batch to a
+    SECOND versioned table via versioned_apply_changes — through
+    restarts (each run resumes from the shared cursor), a bounded
+    backfill phase, and a source vacuum that trims the delivered
+    prefix — and the target's final state equals the source's head
+    snapshot exactly.  Both engines (capped read_change_feed slices /
+    the availableNow streaming loop) must satisfy the same contract."""
     from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
         enable_change_data_feed,
         read_version,
@@ -1976,7 +1978,7 @@ def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
     # each one a fresh reader == a restart)
     runs1 = replicate_versioned_changes(
         spark, src, dst, ckpt, ["id"],
-        max_files_per_trigger=2, ending_version=3,
+        max_files_per_trigger=2, ending_version=3, engine=engine,
     )
     assert runs1 >= 2, "the cap must split the backfill into several runs"
     assert state(read_version(spark, dst)) == state(
@@ -1987,7 +1989,8 @@ def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
     assert versions(src) == [3, 4, 5]
     # phase 2: same checkpoint, unbounded — catches up to the head
     replicate_versioned_changes(
-        spark, src, dst, ckpt, ["id"], max_files_per_trigger=2
+        spark, src, dst, ckpt, ["id"], max_files_per_trigger=2,
+        engine=engine,
     )
     assert state(read_version(spark, dst)) == state(
         read_version(spark, src)
@@ -1998,7 +2001,8 @@ def test_replicate_versioned_changes_end_to_end(spark, tmp_path):
     dvs = versions(dst)
     assert (
         replicate_versioned_changes(
-            spark, src, dst, ckpt, ["id"], max_files_per_trigger=2
+            spark, src, dst, ckpt, ["id"], max_files_per_trigger=2,
+            engine=engine,
         )
         == 0
     )
@@ -2164,3 +2168,131 @@ def test_replicate_by_name(spark, tmp_path):
         for r in vc.table(spark, "lake.orders_replica").collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_replicate_batch_engine_no_stream_startup(spark, tmp_path, monkeypatch):
+    """The r16 batch engine: a capped bounded backfill runs as
+    read_change_feed slices through the shared cursor file — NO
+    streaming query ever starts (monkeypatched to prove it), no Spark
+    engine checkpoint is created, and the per-run semantics (data-slice
+    count, bounded-to-v3 state, cursor resume) match the stream
+    engine's contract."""
+    import json as jsonlib
+
+    from pyspark.sql.streaming import readwriter as stream_rw
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    def _no_start(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("batch engine must not start a streaming query")
+
+    monkeypatch.setattr(stream_rw.DataStreamWriter, "start", _no_start)
+
+    src, dst, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(
+        mk([(i, f"v{i}") for i in range(12)]).repartition(3), src
+    )  # v1: 3 files
+    enable_change_data_feed(src)  # v2
+    versioned_upsert(mk([(0, "u0"), (20, "i20")]), src, ["id"])  # v3
+    versioned_delete(spark, src, "id % 5 = 0", strategy="dv")  # v4
+
+    runs = replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"],
+        max_files_per_trigger=2, ending_version=3,
+    )
+    assert runs >= 2, "the cap must split the backfill into slices"
+    state = lambda df: sorted((r["id"], r["v"]) for r in df.collect())
+    assert state(read_version(spark, dst)) == state(
+        read_version(spark, src, 3)
+    )
+    # the cursor file is the streaming floor file, parked at the bound
+    cur = jsonlib.loads(
+        (tmp_path / "ckpt" / "_vc_cursor" / "cursor.json").read_text()
+    )
+    assert cur == {"version": 3}
+    # no Spark streaming checkpoint state was ever created
+    assert not (tmp_path / "ckpt" / "offsets").exists()
+    assert not (tmp_path / "ckpt" / "commits").exists()
+    # catch-up resumes from the cursor and converges on the head
+    replicate_versioned_changes(spark, src, dst, ckpt, ["id"])
+    assert state(read_version(spark, dst)) == state(read_version(spark, src))
+    assert (
+        replicate_versioned_changes(spark, src, dst, ckpt, ["id"]) == 0
+    ), "a caught-up re-run must deliver nothing"
+    # extra_options are stream-reader options: explicit batch refuses,
+    # auto falls back to the stream engine (which would .start())
+    with pytest.raises(ValueError, match="extra_options"):
+        replicate_versioned_changes(
+            spark, src, dst, ckpt, ["id"], engine="batch",
+            extra_options={"schemaTrackingLocation": str(tmp_path / "st")},
+        )
+    with pytest.raises(ValueError, match="engine"):
+        replicate_versioned_changes(
+            spark, src, dst, ckpt, ["id"], engine="warp"
+        )
+
+
+def test_replicate_engines_interleave(spark, tmp_path):
+    """Engine interleave through ONE checkpoint: stream phase → batch
+    catch-up → stream tail.  The shared cursor file is the source of
+    truth (the batch engine clears the Spark checkpoint's engine state
+    and the stream reader starts AT the floor), so no window is ever
+    re-delivered into the replica and the final state equals the
+    source head."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        table_history,
+        versioned_upsert,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_versioned_changes,
+    )
+
+    src, dst, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ckpt")
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(8)]).coalesce(1), src)
+    enable_change_data_feed(src)  # v2
+    versioned_upsert(mk([(1, "u1"), (10, "i10")]), src, ["id"])  # v3
+    # phase 1: STREAM engine through v3
+    replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], ending_version=3, engine="stream"
+    )
+    state = lambda df: sorted((r["id"], r["v"]) for r in df.collect())
+    assert state(read_version(spark, dst)) == state(
+        read_version(spark, src, 3)
+    )
+    # phase 2: BATCH engine catches up new commits through the same ckpt
+    versioned_upsert(mk([(2, "u2"), (11, "i11")]), src, ["id"])  # v4
+    replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], engine="batch"
+    )
+    assert state(read_version(spark, dst)) == state(read_version(spark, src))
+    n_commits = len(table_history(spark, dst).collect())
+    # phase 3: STREAM engine again — starts at the cursor, re-delivers
+    # nothing (no extra commit on the replica for the caught-up window)
+    versioned_upsert(mk([(3, "u3")]), src, ["id"])  # v5
+    replicate_versioned_changes(
+        spark, src, dst, ckpt, ["id"], engine="stream"
+    )
+    assert state(read_version(spark, dst)) == state(read_version(spark, src))
+    n_after = len(table_history(spark, dst).collect())
+    assert n_after == n_commits + 1, (
+        "the stream tail must apply exactly the one new commit — a "
+        "re-delivered window would add more"
+    )
