@@ -3276,3 +3276,130 @@ def q286_versioned_branch_feed(
         "insert-then-delete keys",
     )
     return feed
+
+
+@register(
+    "q287_versioned_database_replication",
+    oracle="""
+    -- the whole-DATABASE replication sweep: mirror.ord must equal
+    -- lake.ord's final state (v1 evens, v3 upsert doubling %3 prices,
+    -- v4 DV delete of %7 keys) and mirror.cust must equal lake.cust's
+    -- (v1 evens, v3 append of odd %3 keys); the union tagged by table
+    SELECT 'ord' AS tbl, o_orderkey AS k,
+           CASE WHEN o_orderkey % 3 = 0 THEN ROUND(o_totalprice * 2, 2)
+                ELSE o_totalprice END AS val
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 'cust', c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 2 = 0
+       OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0)
+    """,
+    doc="DATABASE-LEVEL CDC REPLICATION (r16) — the reference's actual "
+        "topology (merge_to_minio.py:126-192 loops one catalog's "
+        "tables into another by name) composed on the versioned plane: "
+        "replicate_database enumerates lake.* in the VersionedCatalog "
+        "and per-table CDC-replicates into mirror.* through per-table "
+        "durable cursors (batch engine: capped read_change_feed "
+        "slices, no streaming-query startup), with per-table error "
+        "isolation and ending_versions bounds.  The schedule is "
+        "production-shaped: a BOUNDED first sweep (ord pinned to its "
+        "pre-delete version), then the unbounded re-invocation — the "
+        "restart — which catches ord up through its cursor and "
+        "no-ops the caught-up cust (0 runs, proven).  In-query checks "
+        "prove both replicas equal their source heads; the driver "
+        "hash proves the union equals the algebraically predicted "
+        "states.  sources/versioned_stream.py:replicate_database; "
+        "sweep matrix pinned in tests/test_streaming.py::"
+        "test_replicate_database_sweep.",
+)
+def q287_versioned_database_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import VersionedCatalog
+    from ..sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+    from ..sources.versioned_stream import replicate_database
+
+    wh = tempfile.mkdtemp(prefix="q287_wh_")
+    vc = VersionedCatalog(wh)
+    ko = F.col("o_orderkey")
+    kc = F.col("c_custkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # lake.ord: evens → CDF → %3 price doubling upsert → %7 DV delete
+    po = vc.default_path("lake.ord")
+    versioned_write(
+        od.filter(ko % 2 == 0).repartitionByRange(2, "o_orderkey"), po
+    )  # v1
+    enable_change_data_feed(po)  # v2
+    versioned_upsert(
+        od.filter(ko % 2 == 0)
+        .filter(ko % 3 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)),
+        po,
+        ["o_orderkey"],
+    )  # v3
+    versioned_delete(spark, po, "o_orderkey % 7 = 0", strategy="dv")  # v4
+    vc.register("lake.ord", po)
+    # lake.cust: evens → CDF → append of odd %3 keys
+    pc = vc.default_path("lake.cust")
+    versioned_write(cu.filter(kc % 2 == 0).repartition(2), pc)  # v1
+    enable_change_data_feed(pc)  # v2
+    versioned_write(
+        cu.filter((kc % 2 == 1) & (kc % 3 == 0)).repartition(2), pc
+    )  # v3
+    vc.register("lake.cust", pc)
+    ckpts = wh + "/_ckpts"
+    keys = {"ord": ["o_orderkey"], "cust": ["c_custkey"]}
+    # bounded first sweep: ord pinned BEFORE its delete, cust drains
+    r1 = replicate_database(
+        spark, vc, "lake", "mirror", ckpts, keys,
+        ending_versions={"ord": 3},
+    )
+    _require(
+        set(r1) == {"ord", "cust"} and "error" not in r1["ord"]
+        and "error" not in r1["cust"],
+        f"the bounded sweep must replicate both tables, got {r1}",
+    )
+    _require(
+        vc.exists("mirror.ord") and vc.exists("mirror.cust"),
+        "created replicas must register by name",
+    )
+    deleted = read_version(spark, vc.resolve("mirror.ord")).filter(
+        "o_orderkey % 7 = 0"
+    ).count()
+    _require(
+        deleted > 0,
+        "the bounded replica must still hold the to-be-deleted keys",
+    )
+    # the restart: unbounded re-invocation — ord catches up through its
+    # cursor, the caught-up cust no-ops
+    r2 = replicate_database(spark, vc, "lake", "mirror", ckpts, keys)
+    _require(
+        r2["cust"]["runs"] == 0,
+        f"a caught-up table must no-op on restart, got {r2['cust']}",
+    )
+    _require(r2["ord"]["runs"] >= 1, "ord must catch up past its bound")
+    for name in ("ord", "cust"):
+        s = read_version(spark, vc.resolve(f"lake.{name}"))
+        d = vc.table(spark, f"mirror.{name}")
+        _require(
+            s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0,
+            f"mirror.{name} must equal its source head exactly",
+        )
+    ord_rep = vc.table(spark, "mirror.ord").select(
+        F.lit("ord").alias("tbl"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("val"),
+    )
+    cust_rep = vc.table(spark, "mirror.cust").select(
+        F.lit("cust").alias("tbl"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("val"),
+    )
+    return ord_rep.unionByName(cust_rep)

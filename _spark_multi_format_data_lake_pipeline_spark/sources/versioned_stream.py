@@ -1804,3 +1804,86 @@ def replicate_versioned_changes(
     if dst_name is not None and _versions(dst):
         catalog.register(dst_name, dst)
     return runs
+
+
+def replicate_database(
+    spark,
+    catalog,
+    src_db: str,
+    dst_db: str,
+    checkpoint_root: str,
+    key_cols: dict[str, list[str]] | None = None,
+    *,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    ending_versions: dict[str, int] | None = None,
+    guard_concurrent_target: bool = True,
+    allow_schema_evolution: bool = False,
+    engine: str = "auto",
+    max_runs: int = 10000,
+) -> dict[str, dict]:
+    """DATABASE-LEVEL CDC replication — the reference's actual merge
+    topology (merge_to_minio.py:126-192 loops a catalog's tables into
+    another catalog BY NAME) composed from r15/r16's pieces: enumerate
+    ``src_db`` in the ``VersionedCatalog``, and for each table run
+    ``replicate_versioned_changes(src_db.t → dst_db.t)`` with its own
+    checkpoint dir under ``checkpoint_root`` and per-table ERROR
+    ISOLATION (one broken feed never stops the sweep — the reference's
+    per-table try/except contract, and ``run_merge``'s report shape).
+
+    Re-invoking is the restart: every table resumes from its own
+    durable cursor, caught-up tables are no-ops.  ``key_cols`` maps
+    table name → merge keys; a missing entry auto-detects via the W6
+    key finder (``sinks/merge.py::find_key_column``) against the
+    source head — no detectable key is a per-table error, not a sweep
+    failure.  ``ending_versions`` bounds individual tables (the
+    point-in-time-clone shape); unlisted tables drain to their heads.
+
+    Returns ``{table: {"runs": n, "final_rows": rows, "path": dst}}``
+    per replicated table or ``{"error": msg}`` for isolated failures.
+    """
+    from ..sinks.versioned import read_version
+
+    results: dict[str, dict] = {}
+    for tbl in catalog.list_tables(src_db):
+        src_name = f"{src_db}.{tbl}"
+        dst_name = f"{dst_db}.{tbl}"
+        try:
+            keys = (key_cols or {}).get(tbl)
+            if keys is None:
+                from ..sinks.merge import find_key_column
+
+                key = find_key_column(
+                    read_version(spark, catalog.resolve(src_name))
+                )
+                if key is None:
+                    raise ValueError(
+                        f"no key column detected for {src_name}; pass "
+                        "key_cols={...}"
+                    )
+                keys = [key]
+            runs = replicate_versioned_changes(
+                spark,
+                src_name,
+                dst_name,
+                str(Path(checkpoint_root) / tbl),
+                keys,
+                max_files_per_trigger=max_files_per_trigger,
+                max_bytes_per_trigger=max_bytes_per_trigger,
+                ending_version=(ending_versions or {}).get(tbl),
+                guard_concurrent_target=guard_concurrent_target,
+                allow_schema_evolution=allow_schema_evolution,
+                catalog=catalog,
+                max_runs=max_runs,
+                engine=engine,
+            )
+            path = catalog.resolve(dst_name)
+            results[tbl] = {
+                "runs": runs,
+                "final_rows": read_version(spark, path).count(),
+                "path": path,
+            }
+        except Exception as e:  # noqa: BLE001 — per-table isolation,
+            # the reference merge_to_minio.py:189-192 contract
+            results[tbl] = {"error": str(e)[:200]}
+    return results

@@ -2296,3 +2296,75 @@ def test_replicate_engines_interleave(spark, tmp_path):
         "the stream tail must apply exactly the one new commit — a "
         "re-delivered window would add more"
     )
+
+
+def test_replicate_database_sweep(spark, tmp_path):
+    """replicate_database (r16): the reference's catalog-loop topology
+    on the versioned plane — enumerate src_db in the registry, per-
+    table CDC replication into dst_db by name with per-table error
+    isolation, per-table cursors (re-invoking = restart = no-op when
+    caught up), key auto-detect via the W6 finder, and per-table
+    ending_versions bounds."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        enable_change_data_feed,
+        read_version,
+        versioned_upsert,
+        versioned_write,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        replicate_database,
+    )
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    # lake.alpha: v1 write, v2 cdf, v3 upsert
+    pa_ = vc.default_path("lake.alpha")
+    versioned_write(mk([(i, f"a{i}") for i in range(6)]).coalesce(1), pa_)
+    enable_change_data_feed(pa_)
+    versioned_upsert(mk([(1, "u1"), (10, "i10")]), pa_, ["id"])
+    vc.register("lake.alpha", pa_)
+    # lake.beta: auto-detectable key ('id'), appends only
+    pb = vc.default_path("lake.beta")
+    versioned_write(mk([(7, "b7")]).coalesce(1), pb)
+    enable_change_data_feed(pb)
+    versioned_write(mk([(8, "b8")]).coalesce(1), pb)
+    vc.register("lake.beta", pb)
+    # lake.gamma: NO detectable key -> isolated per-table error
+    pg = vc.default_path("lake.gamma")
+    versioned_write(
+        spark.createDataFrame([("x", 1.0)], "name string, val double")
+        .coalesce(1),
+        pg,
+    )
+    vc.register("lake.gamma", pg)
+
+    ckpts = str(tmp_path / "ckpts")
+    res = replicate_database(
+        spark, vc, "lake", "mirror", ckpts,
+        key_cols={"alpha": ["id"]},  # beta auto-detects, gamma fails
+        ending_versions={"alpha": 2},  # alpha bounded to its snapshot
+    )
+    assert set(res) == {"alpha", "beta", "gamma"}
+    assert "error" in res["gamma"] and "key" in res["gamma"]["error"]
+    assert res["beta"]["final_rows"] == 2
+    assert vc.exists("mirror.alpha") and vc.exists("mirror.beta")
+    assert not vc.exists("mirror.gamma")
+    # alpha stopped at its bound: v1 state only
+    state = lambda df: sorted((r["id"], r["v"]) for r in df.collect())
+    assert state(vc.table(spark, "mirror.alpha")) == state(
+        read_version(spark, pa_, 2)
+    )
+    # the restart: re-invoke unbounded — alpha catches up through its
+    # cursor, beta is a no-op (0 runs, no new replica commit)
+    beta_commits = len(versions(vc.resolve("mirror.beta")))
+    res2 = replicate_database(
+        spark, vc, "lake", "mirror", ckpts, key_cols={"alpha": ["id"]}
+    )
+    assert res2["alpha"]["runs"] >= 1
+    assert res2["beta"]["runs"] == 0
+    assert len(versions(vc.resolve("mirror.beta"))) == beta_commits
+    assert state(vc.table(spark, "mirror.alpha")) == state(
+        read_version(spark, pa_)
+    )
