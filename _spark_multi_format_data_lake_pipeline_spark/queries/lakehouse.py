@@ -3403,3 +3403,65 @@ def q287_versioned_database_replication(
         F.col("c_acctbal").alias("val"),
     )
     return ord_rep.unionByName(cust_rep)
+
+
+@register(
+    "q288_versioned_named_stream_landing",
+    oracle="""
+    -- the stream landed both micro-batches (%4==1 then %4==2 slices)
+    -- as snapshot commits into the name-registered landing table
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 4 IN (1, 2)
+    """,
+    doc="NAME-ADDRESSED STREAMING SINK (r16) — the sink-side twin of "
+        "the source's option('table'): a real Structured Streaming "
+        "query (file source, maxFilesPerTrigger=1) lands each "
+        "micro-batch as one atomic snapshot commit via "
+        "stream_versioned_sink into an UNREGISTERED db.table name, "
+        "which is created at the catalog's default path and REGISTERED "
+        "on the first committed batch (the W5 create-by-name "
+        "contract).  Exactly-once comes from the checkpoint-scoped txn "
+        "ledger (a replayed batch finds its id on the head manifest "
+        "and commits nothing).  In-query checks prove registration, "
+        "one commit per micro-batch, and default-path landing; the "
+        "read-back BY NAME is the returned result. "
+        "streaming/sinks.py:stream_versioned_sink; "
+        "tests/test_versioned.py::test_stream_versioned_sink_by_name.",
+)
+def q288_versioned_named_stream_landing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import VersionedCatalog
+    from ..sinks.versioned import versions
+    from ..streaming.sinks import stream_versioned_sink
+
+    wh = tempfile.mkdtemp(prefix="q288_wh_")
+    vc = VersionedCatalog(wh)
+    k = F.col("o_orderkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = wh + "/src"
+    od.filter(k % 4 == 1).coalesce(1).write.parquet(src + "/f1")
+    od.filter(k % 4 == 2).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("o_orderkey bigint, o_totalprice double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = stream_versioned_sink(
+        stream, "lake.orders_landing", wh + "/ckpt", catalog=vc
+    )
+    q.awaitTermination()
+    _require(
+        vc.exists("lake.orders_landing"),
+        "the first committed batch must register the created table",
+    )
+    p = vc.resolve("lake.orders_landing")
+    _require(
+        p == vc.default_path("lake.orders_landing"),
+        "an unregistered name must land at the registry's default path",
+    )
+    _require(
+        versions(p) == [1, 2],
+        f"one snapshot commit per micro-batch, got {versions(p)}",
+    )
+    return vc.table(spark, "lake.orders_landing")

@@ -634,6 +634,7 @@ def stream_versioned_sink(
     checkpoint_dir: str,
     available_now: bool = True,
     partition_by: list[str] | None = None,
+    catalog=None,
 ) -> StreamingQuery:
     """Stream into a versioned parquet table (sinks/versioned.py): each
     micro-batch commits one snapshot, so the landing zone gets time
@@ -663,8 +664,29 @@ def stream_versioned_sink(
     scoped recorded ``stream-{batch_id}``; a head manifest carrying that
     LEGACY id for the replayed batch is also treated as a match, so the
     first replay after upgrading doesn't double-append an already-landed
-    batch (new commits always write the scoped form)."""
+    batch (new commits always write the scoped form).
+
+    ``catalog`` (a ``catalog.VersionedCatalog``) makes ``table_path``
+    NAME-addressable — the sink-side twin of the r15 source-side naming
+    (``option("table", ...)``): a registered ``db.table`` resolves to
+    its bound root, an UNREGISTERED name lands at the registry's
+    default path and is REGISTERED on the first committed batch (the
+    W5 create-by-name contract — an empty stream never registers a
+    table with no commits).  Strings that fail the registry's name
+    validator stay plain paths; spell a bare relative path that looks
+    like a name with a separator (``./backup.v2``)."""
     from ..sinks.versioned import last_txn_id, versioned_write_txn
+
+    dst_name: str | None = None
+    if catalog is not None:
+        resolved = catalog.try_resolve(table_path)
+        if resolved is not None:
+            table_path = resolved
+        elif "/" not in table_path and type(catalog).is_name(table_path):
+            dst_name, table_path = (
+                table_path,
+                catalog.default_path(table_path),
+            )
 
     scope = _txn_scope(checkpoint_dir)
 
@@ -679,6 +701,11 @@ def stream_versioned_sink(
             txn_id=f"stream-{scope}-{batch_id}",
             partition_by=partition_by,
         )
+        if dst_name is not None and not catalog.exists(dst_name):
+            # first commit created the table: register it by name
+            # (same-path re-registration is idempotent, so a replayed
+            # batch can never trip the already-bound guard)
+            catalog.register(dst_name, table_path)
 
     writer = stream.writeStream.foreachBatch(_commit_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -6490,3 +6490,72 @@ def test_floor_jump_policy_and_initial_offset_from_floor(spark, tmp_path):
     # bad policy value validates at construction
     with pytest.raises(ValueError, match="floorJumpPolicy"):
         VersionedChangesStreamReader({**opts, "floorJumpPolicy": "nope"})
+
+
+def test_stream_versioned_sink_by_name(spark, tmp_path):
+    """r16 name-addressed streaming sink — the sink-side twin of the
+    source's option('table'): a registered db.table resolves through
+    the VersionedCatalog, an UNREGISTERED name lands at the default
+    path and registers on the FIRST committed batch (an empty stream
+    registers nothing), and a restart appends to the now-registered
+    table by name."""
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        read_version,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.streaming.sinks import (
+        stream_versioned_sink,
+    )
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    src = tmp_path / "src"
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    mk([(1, "a"), (2, "b")]).coalesce(1).write.parquet(str(src / "f1"))
+
+    def stream():
+        return spark.readStream.schema("id int, v string").parquet(
+            str(src / "*")
+        )
+
+    # an empty stream first: nothing committed -> nothing registered
+    empty_src = tmp_path / "empty"
+    empty_src.mkdir()
+    q0 = stream_versioned_sink(
+        spark.readStream.schema("id int, v string").parquet(
+            str(empty_src / "*")
+        ),
+        "lake.landing_empty",
+        str(tmp_path / "ck0"),
+        catalog=vc,
+    )
+    q0.awaitTermination()
+    assert not vc.exists("lake.landing_empty")
+    # create-by-name: first committed batch registers the table
+    q1 = stream_versioned_sink(
+        stream(), "lake.landing", str(tmp_path / "ck1"), catalog=vc
+    )
+    q1.awaitTermination()
+    assert vc.exists("lake.landing")
+    p = vc.resolve("lake.landing")
+    assert p == vc.default_path("lake.landing")
+    assert versions(p) == [1]
+    # restart with new data: resolves the REGISTERED name, appends
+    mk([(3, "c")]).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = stream_versioned_sink(
+        stream(), "lake.landing", str(tmp_path / "ck1"), catalog=vc
+    )
+    q2.awaitTermination()
+    assert versions(p) == [1, 2]
+    got = sorted((r["id"], r["v"]) for r in read_version(spark, p).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # a non-name string stays a plain path even with a catalog attached
+    q3 = stream_versioned_sink(
+        stream(),
+        str(tmp_path / "plain.dir"),
+        str(tmp_path / "ck2"),
+        catalog=vc,
+    )
+    q3.awaitTermination()
+    assert versions(str(tmp_path / "plain.dir")) == [1]
+    assert vc.list_tables("lake") == ["landing"]
