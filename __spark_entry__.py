@@ -37,35 +37,23 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  All eleven r14 entries came back green
-    # in CORRECTNESS_r14 and leave per the removal rule.  r15 changes:
+    # their latest green record.  All twenty r15 entries came back
+    # green in CORRECTNESS_r15 and leave per the removal rule.  r16
+    # changes:
     #
-    # (1) every in-query bare assert became an explicit _require raise
-    # (python -O robustness — behavior-neutral, but the bodies moved):
-    "q231_versioned_dv_delete",
-    "q264_versioned_incremental_compact",
-    "q265_versioned_concurrent_append_delete",
-    "q266_versioned_stream_rate_limited",
-    "q268_versioned_branch_merge_back",
-    "q269_versioned_generated_pruning",
-    "q270_versioned_clustered_table",
-    "q271_versioned_parquet_checkpoint",
-    "q274_versioned_not_null",
-    "q275_versioned_stream_drain",
-    "q278_versioned_ndv_registers",
-    "q279_versioned_row_tracking",
-    "q280_versioned_merge_cdf_row_tracking",
-    "q282_versioned_concurrent_disjoint_upserts",
-    "q283_versioned_point_in_time_merge",
-    # (2) _commit_state now clamps committed_at monotone (in-commit
-    # timestamps) — re-prove the table-clock consumers:
-    "q230_versioned_history_audit",
-    "q252_versioned_timetravel_asof",
-    "q281_versioned_feed_time_bounds",
-    # (3) the stream offset floor defaulted ON (per-query-shape dir
-    # under the table) — re-prove the stream representatives not
-    # already listed above:
+    # (1) replicate_versioned_changes grew the BATCH engine and it is
+    # the new default (engine='auto' → read_change_feed slices through
+    # the shared cursor, no streaming-query startup):
+    "q285_versioned_cdc_replication",
+    # (2) VersionedCatalog hardened (lowercase normalization, O_EXCL
+    # create, change ledger) — re-prove the name-plane consumer:
+    "q284_versioned_named_merge",
+    # (3) the stream reader's floor path changed (floor-jump policy,
+    # initialOffsetFromFloor, shape-hash exclusions) — re-prove the
+    # streaming representatives:
     "q242_versioned_stream_follow",
+    "q266_versioned_stream_rate_limited",
+    "q275_versioned_stream_drain",
     "q277_versioned_stream_change_feed",
 )
 

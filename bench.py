@@ -184,6 +184,8 @@ HEADLINE = [
     "q284_versioned_named_merge",
     "q285_versioned_cdc_replication",
     "q286_versioned_branch_feed",
+    "q287_versioned_database_replication",
+    "q288_versioned_named_stream_landing",
 ]
 
 
