@@ -3465,3 +3465,73 @@ def q288_versioned_named_stream_landing(
         f"one snapshot commit per micro-batch, got {versions(p)}",
     )
     return vc.table(spark, "lake.orders_landing")
+
+
+@register(
+    "q289_versioned_batch_drain",
+    oracle="""
+    -- the batch drain lands every append exactly once: v1 evens, v2
+    -- odd %3 keys, and the incremental v3 remainder = the whole table
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    doc="BATCH BACKLOG DRAIN (r16) — the engine='batch' twin of q275's "
+        "streaming drain: capped APPEND SLICES planned from manifest "
+        "metadata (O(admitted files), ~0.4 ms over a 10k-file backlog) "
+        "land in the sink under deterministic slice-keyed file names "
+        "through the same durable cursor the streaming engine's offset "
+        "floor uses — a crash between write and cursor advance rewrites "
+        "the SAME names and converges, so the sink holds every row "
+        "exactly once with NO JVM streaming-query startup per capped "
+        "batch (the cost that makes a 10k-commit capped stream "
+        "backfill hours of pure engine overhead).  Caps close at "
+        "commit granularity (the soft-cap rule; the streaming engine "
+        "remains the sub-commit splitter).  The schedule: a 6-file "
+        "2-commit backlog under a 2-file cap (2 slices, asserted), "
+        "then an incremental append drained through the same cursor "
+        "(1 slice), then a caught-up no-op (0).  The driver hash "
+        "proves sink == table exactly once. "
+        "sources/versioned_stream.py:_drain_batch/_plan_append_slice; "
+        "engine matrix + handover pinned in tests/test_streaming.py.",
+)
+def q289_versioned_batch_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sinks.versioned import versioned_write
+    from ..sources.versioned_stream import drain_versioned_changes
+
+    base = tempfile.mkdtemp(prefix="q289_vtbl_")
+    t, out, ckpt = base + "/t", base + "/out", base + "/ckpt"
+    od = _orders_slim(spark, sf_dir)
+    k = F.col("o_orderkey")
+    versioned_write(
+        od.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"), t
+    )  # v1: 4 files
+    versioned_write(
+        od.filter((k % 2 == 1) & (k % 3 == 0)).repartition(2), t
+    )  # v2: 2 files
+    runs = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=2, engine="batch"
+    )
+    _require(runs == 2, (
+        f"a 4-file + 2-file backlog under a 2-file cap must drain in "
+        f"2 commit-granular slices, got {runs}"
+    ))
+    # incremental: the remainder appends and drains through the SAME
+    # cursor in one more slice; a further drain is a clean 0-run no-op
+    versioned_write(
+        od.filter((k % 2 == 1) & (k % 3 != 0)).repartition(2), t
+    )  # v3
+    runs2 = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=2, engine="batch"
+    )
+    _require(runs2 == 1, f"the incremental drain is one slice, got {runs2}")
+    _require(
+        drain_versioned_changes(
+            spark, t, out, ckpt, max_files_per_trigger=2, engine="batch"
+        )
+        == 0,
+        "a caught-up re-drain must deliver nothing",
+    )
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).parquet(out)

@@ -1213,6 +1213,181 @@ def _parse_offset(s):
     return _parse_offset(out) if isinstance(out, str) else out
 
 
+def _plan_append_slice(
+    path: str,
+    lo: int,
+    tgt: int,
+    vs: list[int],
+    max_files: int | None,
+    max_bytes: int | None,
+    skip_change: bool,
+) -> tuple[int, list[tuple[int, dict, list[str]]]]:
+    """One capped APPEND slice ``(lo, hi]`` for the batch drain: walk
+    surviving manifests (append diffs accumulate across survivors, so
+    tag+vacuum gaps are fine — the same walk the streaming source
+    does), collecting each append commit's new data files until a cap
+    is reached.  Metadata-only commits pass; non-append commits raise
+    unless ``skip_change`` (the streaming source's contract).  Returns
+    ``(hi, [(v, manifest, new_files), ...])``."""
+    prev = _read_manifest(path, lo) if lo in vs else {"files": []}
+    files = 0
+    nbytes = 0
+    hi = lo
+    out: list[tuple[int, dict, list[str]]] = []
+    for v in [x for x in vs if lo < x <= tgt]:
+        m = _read_manifest(path, v)
+        pf = set(prev.get("files") or [])
+        new = [f for f in m["files"] if f not in pf]
+        removed = [f for f in prev.get("files") or [] if f not in set(m["files"])]
+        dv_same = (m.get("dv_files") or []) == (
+            prev.get("dv_files") or []
+        ) and (m.get("dv_counts") or {}) == (prev.get("dv_counts") or {})
+        is_first = v == vs[0]
+        prev = m
+        if not is_first and not new and not removed and dv_same:
+            hi = v
+            continue  # metadata-only commit
+        if not (m.get("mode") in _APPEND_MODES or is_first):
+            if not skip_change:
+                raise ValueError(
+                    f"drain_versioned_changes: version {v} is a "
+                    f"{m.get('mode')!r} commit — an append-only drain "
+                    "cannot represent row changes; set "
+                    "skip_change_commits=True to ignore them"
+                )
+            hi = v
+            continue
+        fm = m.get("file_meta") or {}
+        out.append((v, m, new))
+        files += len(new)
+        nbytes += sum(
+            (fm.get(x, {}) or {}).get("bytes", 0) or 0 for x in new
+        )
+        hi = v
+        if (max_files is not None and files >= max_files) or (
+            max_bytes is not None and nbytes >= max_bytes
+        ):
+            break
+    return hi, out
+
+
+def _drain_batch(
+    spark,
+    path: str,
+    sink_path: str,
+    checkpoint: str,
+    *,
+    build,
+    sink_format: str,
+    max_files: int | None,
+    max_bytes: int | None,
+    skip_change: bool,
+    max_runs: int,
+) -> int:
+    """The BATCH engine of ``drain_versioned_changes``: capped append
+    slices written to ``sink_path`` as SLICE-KEYED files through the
+    shared cursor — each slice lands under deterministic names
+    (``slice-v<from>-v<to>-<i>``) after deleting any same-slice
+    leftovers, so a crash between write and cursor advance re-runs the
+    slice into the same names and converges (idempotent), matching the
+    stream engine's end-to-end exactly-once without its per-run JVM
+    startup.  ``build`` must be a stateless per-row/projection
+    transform (the same restriction foreachBatch imposes)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.versioned import _read_files, read_version
+
+    cur_dir = Path(checkpoint) / "_vc_cursor"
+
+    def _write_slice(df, lo: int, hi: int) -> None:
+        if build is not None:
+            df = build(df)
+        _land_slice(df, sink_path, sink_format, f"slice-v{lo + 1:06d}-v{hi:06d}-")
+
+    def _align(df, fields):
+        return df.select(
+            [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+
+    runs = 0
+    for _ in range(max_runs):
+        vs = versions(path)
+        if not vs:
+            return runs
+        tgt = vs[-1]
+        cur = _cursor_read(cur_dir / "cursor.json")
+        if cur is not None and (
+            cur.get("file_index") is not None or cur.get("snapshot_start")
+        ):
+            # a capped STREAM drain left a PARTIAL offset: the sink
+            # already holds part of that commit as flat stream files,
+            # so a commit-granular re-delivery would duplicate rows —
+            # refuse instead of guessing
+            raise ValueError(
+                "drain_versioned_changes: the checkpoint holds a "
+                f"partial streaming offset {cur}; finish the capped "
+                "drain with engine='stream' before switching to the "
+                "batch engine"
+            )
+        lo = 0 if cur is None else int(cur["version"])
+        if lo >= tgt:
+            return runs
+        # emit every slice under the HEAD commit's visible schema (the
+        # field-list vintage a fresh stream would declare)
+        from pyspark.sql.types import StructType
+
+        hm = _read_manifest(path, vs[-1])
+        fields = StructType.fromJson(
+            {
+                **hm["schema"],
+                "fields": _visible_fields(
+                    hm["schema"], bool(hm.get("bucket_by"))
+                ),
+            }
+        ).fields
+        if lo == 0 and vs[0] > 1:
+            # fresh drain of an ever-vacuumed table: the earliest
+            # surviving snapshot is the initial load
+            snap = _align(read_version(spark, path, vs[0]), fields)
+            _write_slice(snap, 0, vs[0])
+            _cursor_advance(cur_dir, vs[0])
+            runs += 1
+            continue
+        if 0 < lo < vs[0]:
+            raise ValueError(
+                f"drain_versioned_changes: the drain cursor v{lo} "
+                f"predates the earliest surviving manifest v{vs[0]} "
+                f"at {path} — the intervening commits were vacuumed "
+                "and cannot be replayed; restart from a fresh "
+                "checkpoint"
+            )
+        hi, cms = _plan_append_slice(
+            path, lo, tgt, vs, max_files, max_bytes, skip_change
+        )
+        if not cms:
+            _cursor_advance(cur_dir, hi)
+            continue
+        frames = [
+            _align(_read_files(spark, path, new, m), fields)
+            for _v, m, new in cms
+            if new
+        ]
+        from functools import reduce
+
+        _write_slice(reduce(lambda a, b: a.unionByName(b), frames), lo, hi)
+        _cursor_advance(cur_dir, hi)
+        runs += 1
+    raise RuntimeError(
+        f"drain_versioned_changes: backlog at {path} not drained in "
+        f"{max_runs} slices (cap too small for the commit rate?)"
+    )
+
+
 def drain_versioned_changes(
     spark,
     path: str,
@@ -1227,6 +1402,7 @@ def drain_versioned_changes(
     skip_change_commits: bool = False,
     max_runs: int = 10000,
     extra_options: dict | None = None,
+    engine: str = "stream",
 ) -> int:
     """Drain a versioned table's FULL backlog under a rate cap in one
     call — the semantics Delta gives ``trigger(availableNow=True)``
@@ -1247,7 +1423,54 @@ def drain_versioned_changes(
     delivers rows nor advances the offset while the head is unreached
     raises instead of spinning (that state is unreachable short of a
     concurrent vacuum breaking replay — which ``partitions`` reports
-    with its own honest error on the next run)."""
+    with its own honest error on the next run).
+
+    ``engine="batch"`` (r16) drains the same backlog as capped APPEND
+    SLICES through the same cursor file, writing each slice to
+    ``sink_path`` under deterministic slice-keyed file names (crash →
+    same-name rewrite → converges) — no JVM streaming-query startup
+    per capped batch, for bulk backfills.  Caps close at COMMIT
+    granularity there (the streaming engine remains the sub-commit
+    splitter), ``output_mode`` must be ``append``, ``extra_options``
+    are not supported, and ``build`` must be a stateless
+    projection/filter (the foreachBatch restriction, now load-bearing).
+    The default stays ``"stream"`` — the engine-faithful
+    admission-control demonstrator; both engines share the cursor, so
+    a batch backfill can hand over to a streaming tail (the batch run
+    clears the Spark checkpoint's engine state and the stream reader
+    starts AT the cursor)."""
+    if engine not in ("stream", "batch"):
+        raise ValueError(
+            "drain_versioned_changes: engine must be 'stream' or "
+            f"'batch', got {engine!r}"
+        )
+    _refuse_metadata_sink(sink_path)
+    if engine == "batch":
+        if output_mode != "append":
+            raise ValueError(
+                "drain_versioned_changes: engine='batch' drains "
+                "append-mode only (stateful output modes need the "
+                "streaming engine)"
+            )
+        if extra_options:
+            raise ValueError(
+                "drain_versioned_changes: extra_options are streaming-"
+                "reader options — use engine='stream' with them"
+            )
+        runs = _drain_batch(
+            spark,
+            path,
+            sink_path,
+            checkpoint,
+            build=build,
+            sink_format=sink_format,
+            max_files=max_files_per_trigger,
+            max_bytes=max_bytes_per_trigger,
+            skip_change=skip_change_commits,
+            max_runs=max_runs,
+        )
+        _wipe_engine_checkpoint(checkpoint)
+        return runs
     register(spark)
     reader = (
         spark.readStream.format("versioned_changes").option("path", path)
@@ -1261,19 +1484,41 @@ def drain_versioned_changes(
     # each availableNow run constructs a FRESH reader against the same
     # engine checkpoint — the restart case every run; tracking the
     # committed offset beside the checkpoint makes each run seed at the
-    # boundary (no regression dance, no empty batches, restart-safe)
+    # boundary (no regression dance, no empty batches, restart-safe).
+    # The per-checkpoint cursor IS this query's delivery record, so a
+    # fresh/reset engine checkpoint (including after a batch-engine
+    # backfill) starts AT the cursor instead of re-delivering rows the
+    # sink already holds.
     reader = reader.option(
         "offsetTrackingLocation", str(Path(checkpoint) / "_vc_cursor")
-    )
+    ).option("initialOffsetFromFloor", "true")
     for k, v in (extra_options or {}).items():
         reader = reader.option(k, str(v))
+
+    # foreachBatch with batch-keyed slice names instead of the file
+    # sink: a batch replay rewrites the SAME names (exactly-once), and
+    # there is no _spark_metadata log to hide the batch engine's slice
+    # files from batch readers — the two engines share one sink layout,
+    # so a batch backfill can hand over to this streaming tail.
+    from ..streaming.sinks import _txn_scope
+
+    scope = _txn_scope(checkpoint)
+
+    def _land(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        _land_slice(
+            batch_df,
+            sink_path,
+            sink_format,
+            f"slice-b{scope}-{batch_id:06d}-",
+        )
 
     def start_sink(df):
         if build is not None:
             df = build(df)
         return (
-            df.writeStream.format(sink_format)
-            .option("path", sink_path)
+            df.writeStream.foreachBatch(_land)
             .option("checkpointLocation", checkpoint)
             .outputMode(output_mode)
             .trigger(availableNow=True)
@@ -1356,6 +1601,91 @@ def _cdc_op_frame(ch, F):
 
 def _okey_off(off: dict) -> tuple:
     return (off["version"], off.get("file_index", float("inf")))
+
+
+def _cursor_read(cur_file: Path) -> dict | None:
+    """The shared cursor file (the streaming engine's offset floor):
+    None for absent/corrupt."""
+    import json as _json
+
+    try:
+        c = _json.loads(cur_file.read_text())
+    except (OSError, ValueError):
+        return None
+    return c if isinstance(c, dict) and "version" in c else None
+
+
+def _cursor_advance(cur_dir: Path, version: int) -> None:
+    """Atomically raise the cursor to ``{"version": version}`` —
+    monotone, like the floor it shares a file with."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    cur = _cursor_read(cur_dir / "cursor.json")
+    new = {"version": version}
+    if cur is not None and _okey_off(cur) >= _okey_off(new):
+        return
+    cur_dir.mkdir(parents=True, exist_ok=True)
+    tmp = cur_dir / f".tmp-{_uuid.uuid4().hex}"
+    tmp.write_text(_json.dumps(new))
+    _os.replace(tmp, cur_dir / "cursor.json")
+
+
+def _land_slice(df, sink_path: str, sink_format: str, prefix: str) -> None:
+    """Land one drained slice in the sink under DETERMINISTIC file
+    names: write to a temp dir, delete any same-prefix leftovers (a
+    previous attempt's partial slice), then move each file to
+    ``<prefix><i><ext>``.  A replay of the same slice — batch-engine
+    re-run after a crash, or a foreachBatch batch replay — rewrites
+    the same names and converges: sink-side exactly-once without a
+    ``_spark_metadata`` transaction log (whose presence makes batch
+    reads IGNORE files the log doesn't list — the reason both drain
+    engines share this layout instead of the streaming file sink)."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    tmp = Path(sink_path) / f"_tmp-slice-{_uuid.uuid4().hex}"
+    df.write.format(sink_format).mode("overwrite").save(str(tmp))
+    dst = Path(sink_path)
+    for old in dst.glob(prefix + "*"):
+        old.unlink()
+    outs = sorted(
+        p
+        for p in tmp.iterdir()
+        if p.is_file() and not p.name.startswith(("_", "."))
+    )
+    for i, f in enumerate(outs):
+        _os.replace(f, dst / f"{prefix}{i:04d}{f.suffix}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _refuse_metadata_sink(sink_path: str) -> None:
+    """Both drain engines write slice-keyed plain files; a sink
+    carrying a streaming file-sink ``_spark_metadata`` log would hide
+    them from batch readers (reads through such a log IGNORE unlisted
+    files) — refuse rather than land invisible rows."""
+    if (Path(sink_path) / "_spark_metadata").exists():
+        raise ValueError(
+            f"drain_versioned_changes: {sink_path} carries a streaming "
+            "file-sink _spark_metadata log (a pre-r16 drain landed "
+            "here); batch readers of such a directory ignore files the "
+            "log doesn't list, so newly drained slices would be "
+            "invisible — drain into a fresh sink directory (or remove "
+            "_spark_metadata after verifying no orphan part files)"
+        )
+
+
+def _wipe_engine_checkpoint(checkpoint: str) -> None:
+    """After a batch-engine run the cursor file is the source of truth;
+    clear the Spark streaming checkpoint's engine state so a following
+    stream run starts fresh and (via initialOffsetFromFloor) AT the
+    cursor instead of re-delivering the batch-applied window."""
+    import shutil
+
+    for sub in ("offsets", "commits", "metadata", "sources", "state"):
+        shutil.rmtree(Path(checkpoint) / sub, ignore_errors=True)
 
 
 def _plan_feed_slice(
@@ -1468,10 +1798,6 @@ def _replicate_batch(
     advance the cursor — a crash between apply and advance re-applies
     one slice, which keyed I/U/D application converges under (the same
     at-least-once contract foreachBatch gives the streaming engine)."""
-    import json as _json
-    import os as _os
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
 
     from ..sinks.versioned import (
@@ -1483,23 +1809,8 @@ def _replicate_batch(
 
     cur_dir = Path(checkpoint) / "_vc_cursor"
     cur_file = cur_dir / "cursor.json"
-
-    def _read_cursor() -> dict | None:
-        try:
-            c = _json.loads(cur_file.read_text())
-        except (OSError, ValueError):
-            return None
-        return c if isinstance(c, dict) and "version" in c else None
-
-    def _advance(v: int) -> None:
-        cur = _read_cursor()
-        new = {"version": v}
-        if cur is not None and _okey_off(cur) >= _okey_off(new):
-            return  # the cursor (like the floor) is monotone
-        cur_dir.mkdir(parents=True, exist_ok=True)
-        tmp = cur_dir / f".tmp-{_uuid.uuid4().hex}"
-        tmp.write_text(_json.dumps(new))
-        _os.replace(tmp, cur_file)
+    _read_cursor = lambda: _cursor_read(cur_file)
+    _advance = lambda v: _cursor_advance(cur_dir, v)
 
     def _apply(ch) -> None:
         # no isEmpty pre-flight: the planner only sends slices whose
@@ -1728,16 +2039,7 @@ def replicate_versioned_changes(
             allow_evo=allow_schema_evolution,
             max_runs=max_runs,
         )
-        # the cursor is now the source of truth; a stale Spark
-        # streaming checkpoint (from an earlier engine='stream' run)
-        # would otherwise make the NEXT stream run re-deliver the
-        # batch-applied window — clear its engine state so a stream
-        # run starts fresh and (via initialOffsetFromFloor) AT the
-        # cursor.  The cursor dir itself is preserved.
-        import shutil
-
-        for sub in ("offsets", "commits", "metadata", "sources", "state"):
-            shutil.rmtree(Path(checkpoint) / sub, ignore_errors=True)
+        _wipe_engine_checkpoint(checkpoint)
         if dst_name is not None and _versions(dst):
             catalog.register(dst_name, dst)
         return runs

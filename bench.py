@@ -186,6 +186,7 @@ HEADLINE = [
     "q286_versioned_branch_feed",
     "q287_versioned_database_replication",
     "q288_versioned_named_stream_landing",
+    "q289_versioned_batch_drain",
 ]
 
 

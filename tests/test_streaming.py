@@ -2368,3 +2368,130 @@ def test_replicate_database_sweep(spark, tmp_path):
     assert state(vc.table(spark, "mirror.alpha")) == state(
         read_version(spark, pa_)
     )
+
+
+def test_drain_batch_engine(spark, tmp_path):
+    """r16 batch drain: capped append slices land as slice-keyed files
+    through the shared cursor — exactly-once across re-runs and
+    incremental drains, non-append commits refuse unless
+    skip_change_commits, a partial STREAM offset refuses the engine
+    switch (commit-granular re-delivery would duplicate), and a batch
+    backfill hands over to a streaming tail without re-delivery."""
+    import json as jsonlib
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_upsert,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        drain_versioned_changes,
+    )
+
+    t, out, ckpt = (
+        str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(1, "a"), (2, "b")]).repartition(2), t)  # v1: 2 files
+    versioned_write(mk([(3, "c")]).coalesce(1), t)  # v2
+    runs = drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=1, engine="batch"
+    )
+    assert runs == 2, "2-file v1 closes slice 1 under the 1-file cap"
+    read = lambda: sorted(
+        (r["id"], r["v"])
+        for r in spark.read.schema("id int, v string").parquet(out).collect()
+    )
+    assert read() == [(1, "a"), (2, "b"), (3, "c")]
+    # slice-keyed deterministic names, no Spark engine checkpoint
+    names = sorted(p.name for p in (tmp_path / "out").glob("slice-*"))
+    assert names and all(n.startswith("slice-v") for n in names)
+    assert not (tmp_path / "ckpt" / "offsets").exists()
+    assert jsonlib.loads(
+        (tmp_path / "ckpt" / "_vc_cursor" / "cursor.json").read_text()
+    ) == {"version": 2}
+    # caught-up re-drain: 0 runs, sink unchanged
+    assert drain_versioned_changes(
+        spark, t, out, ckpt, max_files_per_trigger=1, engine="batch"
+    ) == 0
+    assert read() == [(1, "a"), (2, "b"), (3, "c")]
+    # a row-level commit refuses without skip_change_commits
+    versioned_upsert(mk([(1, "u1")]), t, ["id"])  # v3
+    versioned_write(mk([(4, "d")]).coalesce(1), t)  # v4
+    with pytest.raises(ValueError, match="append-only"):
+        drain_versioned_changes(spark, t, out, ckpt, engine="batch")
+    runs2 = drain_versioned_changes(
+        spark, t, out, ckpt, engine="batch", skip_change_commits=True
+    )
+    assert runs2 == 1
+    assert read() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # handover: more appends drain through the STREAMING tail with no
+    # re-delivery of the batch-drained window
+    versioned_write(mk([(5, "e")]).coalesce(1), t)  # v5
+    drain_versioned_changes(
+        spark, t, out, ckpt, engine="stream", skip_change_commits=True
+    )
+    assert read() == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    # a partial STREAM offset refuses the batch engine
+    cur = tmp_path / "ckpt2" / "_vc_cursor"
+    cur.mkdir(parents=True)
+    (cur / "cursor.json").write_text('{"version": 1, "file_index": 1}')
+    with pytest.raises(ValueError, match="partial streaming offset"):
+        drain_versioned_changes(
+            spark, t, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            engine="batch", skip_change_commits=True,
+        )
+    # build() projections apply per slice; batch refusals validate
+    with pytest.raises(ValueError, match="append-mode"):
+        drain_versioned_changes(
+            spark, t, out, ckpt, engine="batch", output_mode="complete"
+        )
+    with pytest.raises(ValueError, match="extra_options"):
+        drain_versioned_changes(
+            spark, t, out, ckpt, engine="batch",
+            extra_options={"x": "1"},
+        )
+
+
+def test_drain_batch_engine_bootstrap_and_build(spark, tmp_path):
+    """Batch drain of an ever-vacuumed table bootstraps from the
+    earliest surviving snapshot (DV state applied), build() transforms
+    ride each slice, and a behind-retention cursor refuses."""
+    import json as jsonlib
+
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        vacuum,
+        versioned_delete,
+        versioned_write,
+        versions,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        drain_versioned_changes,
+    )
+
+    t = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(i, f"v{i}") for i in range(6)]).coalesce(1), t)
+    versioned_write(mk([(10, "x10")]).coalesce(1), t)  # v2
+    versioned_delete(spark, t, "id = 3", strategy="dv")  # v3
+    versioned_write(mk([(11, "x11")]).coalesce(1), t)  # v4
+    vacuum(t, keep_last=2)
+    assert versions(t) == [3, 4]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    runs = drain_versioned_changes(
+        spark, t, out, ckpt, engine="batch",
+        build=lambda df: df.select("id"),
+    )
+    assert runs == 2, "bootstrap snapshot + the v4 append"
+    got = sorted(
+        r["id"] for r in spark.read.schema("id int").parquet(out).collect()
+    )
+    assert got == [0, 1, 2, 4, 5, 10, 11], "DV'd id=3 must not resurrect"
+    # a cursor behind the retention horizon refuses
+    cur = tmp_path / "ckpt2" / "_vc_cursor"
+    cur.mkdir(parents=True)
+    (cur / "cursor.json").write_text('{"version": 1}')
+    with pytest.raises(ValueError, match="predates the earliest"):
+        drain_versioned_changes(
+            spark, t, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            engine="batch",
+        )
