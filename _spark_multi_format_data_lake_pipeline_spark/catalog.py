@@ -56,8 +56,32 @@ class VersionedCatalog:
     def _read(self, name: str) -> str | None:
         try:
             return json.loads(self._entry(name).read_text())["path"]
-        except (OSError, ValueError, KeyError):
+        except OSError:
+            return self._read_legacy_case(name)
+        except (ValueError, KeyError):
             return None
+
+    def _read_legacy_case(self, name: str) -> str | None:
+        """Pre-r16 registries persisted binding files under the
+        caller's case; names now normalize to lowercase, so on a miss
+        look for a case-insensitive filename match, migrate it to the
+        lowercase name (best-effort — read-only registries still
+        resolve), and serve it."""
+        low = self._entry(name).name
+        if not self._dir.is_dir():
+            return None
+        for p in self._dir.glob("*.json"):
+            if p.name.lower() == low and p.name != low:
+                try:
+                    os.replace(p, self._dir / low)
+                    p = self._dir / low
+                except OSError:
+                    pass
+                try:
+                    return json.loads(p.read_text())["path"]
+                except (OSError, ValueError, KeyError):
+                    return None
+        return None
 
     @staticmethod
     def _check(name: str) -> str:
@@ -104,6 +128,8 @@ class VersionedCatalog:
         """The registry's own change feed: every register/unregister
         event in commit order (optionally for one name) — bindings are
         pipeline-visible events, same as table commits."""
+        if name is not None:
+            name = self._check(name)
         try:
             lines = (self._dir / "_changes.jsonl").read_text().splitlines()
         except OSError:
@@ -114,7 +140,7 @@ class VersionedCatalog:
                 ev = json.loads(ln)
             except ValueError:
                 continue  # torn trailing line from a crashed writer
-            if name is None or ev.get("name") == self._check(name):
+            if name is None or ev.get("name") == name:
                 out.append(ev)
         return out
 
@@ -187,9 +213,12 @@ class VersionedCatalog:
         if not self._dir.is_dir():
             return []
         return sorted(
-            p.name[: -len(".json")]
-            for p in self._dir.glob("*.json")
-            if not p.name.startswith(".")
+            {
+                # lowercase covers legacy pre-r16 mixed-case filenames
+                p.name[: -len(".json")].lower()
+                for p in self._dir.glob("*.json")
+                if not p.name.startswith(".")
+            }
         )
 
     def list_tables(self, db: str) -> list[str]:

@@ -51,14 +51,16 @@ def write_tables(
     ingestion the reference's Iceberg writer performs, jar-free, with
     time travel over every ingestion run.
 
-    ``recreate_database=True`` maps to the registry plane as DROP ALL
-    of the database's bindings first, exactly like the warehouse
-    plane's drop+recreate: every table writes as a fresh OVERWRITE
+    ``recreate_database=True`` maps to the registry plane as the
+    warehouse drop+recreate: every table writes as a fresh OVERWRITE
     snapshot at its previously-bound path (history stays on disk for
     time travel — the one intentional divergence from the warehouse
-    drop, which destroys it), save-mode guards never fire (there is
-    nothing registered to collide with), and names the sweep does not
-    produce stay unregistered.  With ``recreate_database=False`` the
+    drop, which destroys it), save-mode guards never fire (a
+    recreated database has, semantically, no tables), stale names the
+    sweep does not produce unregister, and — unlike a literal
+    drop-first — each SWEPT binding survives until its replacement
+    write succeeds, so a mid-sweep failure leaves the unwritten rest
+    of the database resolvable.  With ``recreate_database=False`` the
     save modes keep their DataFrameWriter semantics against registered
     bindings: ``error``/``errorifexists`` raise, ``ignore`` skips with
     0 rows reported, ``append`` adds a snapshot on top.
@@ -73,23 +75,34 @@ def write_tables(
 
         prior: dict[str, str] = {}
         if recreate_database:
+            # drop+recreate on the registry plane: STALE names (not in
+            # this sweep) unregister now; SWEPT names keep their
+            # binding until their replacement write succeeds — a
+            # mid-sweep failure must never leave the rest of the
+            # database unresolvable
+            swept = {f"{database}.{h.name}".lower() for h in handles}
             for t in versioned.list_tables(database):
                 name = f"{database}.{t}".lower()
-                prior[name] = versioned.resolve(name)
-                versioned.unregister(name)
+                if name in swept:
+                    prior[name] = versioned.resolve(name)
+                else:
+                    versioned.unregister(name)
         results = {}
         for h in handles:
             name = f"{database}.{h.name}".lower()
             exists = versioned.exists(name)
-            if exists and mode in ("error", "errorifexists"):
-                raise ValueError(
-                    f"write_tables: versioned table {name} already "
-                    "exists and mode is "
-                    f"{mode!r}"
-                )
-            if exists and mode == "ignore":
-                results[h.name] = 0
-                continue
+            if exists and not recreate_database:
+                # save-mode guards only apply without drop+recreate
+                # (a recreated database has, semantically, no tables)
+                if mode in ("error", "errorifexists"):
+                    raise ValueError(
+                        f"write_tables: versioned table {name} already "
+                        "exists and mode is "
+                        f"{mode!r}"
+                    )
+                if mode == "ignore":
+                    results[h.name] = 0
+                    continue
             path = prior.get(name) or (
                 versioned.resolve(name)
                 if exists

@@ -1302,17 +1302,35 @@ def _drain_batch(
     def _write_slice(df, lo: int, hi: int) -> None:
         if build is not None:
             df = build(df)
-        _land_slice(df, sink_path, sink_format, f"slice-v{lo + 1:06d}-v{hi:06d}-")
-
-    def _align(df, fields):
-        return df.select(
-            [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in fields
-            ]
+        # leftovers clear by START version only: a crash before the
+        # cursor advance followed by new commits replans the same start
+        # with a LARGER hi, and an exact-prefix clear would orphan the
+        # crashed attempt's files as duplicates — any file starting at
+        # lo+1 is an attempt at THIS slice (ranges partition the
+        # version axis as the cursor advances)
+        _land_slice(
+            df,
+            sink_path,
+            sink_format,
+            f"slice-v{lo + 1:06d}-v{hi:06d}-",
+            clear_glob=f"slice-v{lo + 1:06d}-v*",
         )
+
+    def _align(df, fields, cmap: dict, head_cmap: dict):
+        # resolve through PHYSICAL column identity (stable across
+        # renames), exactly like the streaming reader: a pre-rename
+        # file's column lands under the head's logical name instead of
+        # silently reading NULL
+        phys_to_local = {cmap.get(c, c): c for c in df.columns}
+        sel = []
+        for f in fields:
+            src = phys_to_local.get(head_cmap.get(f.name, f.name))
+            sel.append(
+                F.col(src).cast(f.dataType).alias(f.name)
+                if src is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+        return df.select(sel)
 
     runs = 0
     for _ in range(max_runs):
@@ -1342,6 +1360,7 @@ def _drain_batch(
         from pyspark.sql.types import StructType
 
         hm = _read_manifest(path, vs[-1])
+        head_cmap = dict(hm.get("column_mapping") or {})
         fields = StructType.fromJson(
             {
                 **hm["schema"],
@@ -1353,18 +1372,28 @@ def _drain_batch(
         if lo == 0 and vs[0] > 1:
             # fresh drain of an ever-vacuumed table: the earliest
             # surviving snapshot is the initial load
-            snap = _align(read_version(spark, path, vs[0]), fields)
+            em = _read_manifest(path, vs[0])
+            snap = _align(
+                read_version(spark, path, vs[0]),
+                fields,
+                dict(em.get("column_mapping") or {}),
+                head_cmap,
+            )
             _write_slice(snap, 0, vs[0])
             _cursor_advance(cur_dir, vs[0])
             runs += 1
             continue
-        if 0 < lo < vs[0]:
+        if 0 < lo and lo not in vs:
+            # a cursor whose own manifest was vacuumed — below the
+            # earliest survivor OR inside a tag+vacuum interior gap.
+            # Either way the delivered prefix is unreconstructable:
+            # diffing the next survivor against an older one would
+            # re-deliver files committed before the cursor.
             raise ValueError(
                 f"drain_versioned_changes: the drain cursor v{lo} "
-                f"predates the earliest surviving manifest v{vs[0]} "
-                f"at {path} — the intervening commits were vacuumed "
-                "and cannot be replayed; restart from a fresh "
-                "checkpoint"
+                f"references a vacuumed manifest (have {vs}) at "
+                f"{path} — the delivered prefix is unreconstructable; "
+                "restart from a fresh checkpoint"
             )
         hi, cms = _plan_append_slice(
             path, lo, tgt, vs, max_files, max_bytes, skip_change
@@ -1373,7 +1402,12 @@ def _drain_batch(
             _cursor_advance(cur_dir, hi)
             continue
         frames = [
-            _align(_read_files(spark, path, new, m), fields)
+            _align(
+                _read_files(spark, path, new, m),
+                fields,
+                dict(m.get("column_mapping") or {}),
+                head_cmap,
+            )
             for _v, m, new in cms
             if new
         ]
@@ -1499,10 +1533,15 @@ def drain_versioned_changes(
     # sink: a batch replay rewrites the SAME names (exactly-once), and
     # there is no _spark_metadata log to hide the batch engine's slice
     # files from batch readers — the two engines share one sink layout,
-    # so a batch backfill can hand over to this streaming tail.
+    # so a batch backfill can hand over to this streaming tail.  The
+    # scope carries the checkpoint's WIPE INCARNATION: after a
+    # batch-engine run resets the engine state, batch ids restart at 0,
+    # and an unchanged scope would make the new batch 0's pre-delete
+    # erase the previous incarnation's batch-0 slice from the sink.
     from ..streaming.sinks import _txn_scope
 
-    scope = _txn_scope(checkpoint)
+    inc = _sink_incarnation(checkpoint)
+    scope = _txn_scope(checkpoint) + (f"i{inc}" if inc else "")
 
     def _land(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -1526,7 +1565,13 @@ def drain_versioned_changes(
         )
 
     return _availablenow_loop(
-        path, reader, start_sink, None, max_runs, "drain_versioned_changes"
+        path,
+        reader,
+        start_sink,
+        None,
+        max_runs,
+        "drain_versioned_changes",
+        cursor_dir=Path(checkpoint) / "_vc_cursor",
     )
 
 
@@ -1537,6 +1582,7 @@ def _availablenow_loop(
     ending_version: int | None,
     max_runs: int,
     helper: str,
+    cursor_dir: Path | None = None,
 ) -> int:
     """The shared run loop of ``drain_versioned_changes`` /
     ``replicate_versioned_changes``: one availableNow run per iteration
@@ -1545,7 +1591,14 @@ def _availablenow_loop(
     as of each run (a bound past the head is 'drain everything
     available', not an error), or the head itself when unbounded.
     Raises on genuine no-progress and on the run cap; returns the
-    number of runs that delivered data."""
+    number of runs that delivered data.
+
+    ``cursor_dir``: the shared cursor file is advanced DRIVER-SIDE to
+    each run's committed end offset — the engine's availableNow
+    single-batch fallback never invokes the reader's ``commit()`` for
+    a run's final batch, so without this the cursor file would lag the
+    engine checkpoint forever and a batch-engine handover would
+    re-deliver from the beginning."""
     data_runs = 0
     last_end: dict | None = None
     for _ in range(max_runs):
@@ -1559,6 +1612,8 @@ def _availablenow_loop(
             if p.get("sources")
         ]
         end = _parse_offset(ends[-1]) if ends else None
+        if end is not None and cursor_dir is not None:
+            _cursor_advance(cursor_dir, end)
         vs = versions(src_path)
         head = vs[-1] if vs else 0
         tgt = head if ending_version is None else min(ending_version, head)
@@ -1615,15 +1670,16 @@ def _cursor_read(cur_file: Path) -> dict | None:
     return c if isinstance(c, dict) and "version" in c else None
 
 
-def _cursor_advance(cur_dir: Path, version: int) -> None:
-    """Atomically raise the cursor to ``{"version": version}`` —
-    monotone, like the floor it shares a file with."""
+def _cursor_advance(cur_dir: Path, off: int | dict) -> None:
+    """Atomically raise the cursor to ``off`` (a plain version or a
+    full offset dict) — monotone, like the floor it shares a file
+    with."""
     import json as _json
     import os as _os
     import uuid as _uuid
 
     cur = _cursor_read(cur_dir / "cursor.json")
-    new = {"version": version}
+    new = {"version": off} if isinstance(off, int) else dict(off)
     if cur is not None and _okey_off(cur) >= _okey_off(new):
         return
     cur_dir.mkdir(parents=True, exist_ok=True)
@@ -1632,16 +1688,23 @@ def _cursor_advance(cur_dir: Path, version: int) -> None:
     _os.replace(tmp, cur_dir / "cursor.json")
 
 
-def _land_slice(df, sink_path: str, sink_format: str, prefix: str) -> None:
+def _land_slice(
+    df,
+    sink_path: str,
+    sink_format: str,
+    prefix: str,
+    clear_glob: str | None = None,
+) -> None:
     """Land one drained slice in the sink under DETERMINISTIC file
-    names: write to a temp dir, delete any same-prefix leftovers (a
-    previous attempt's partial slice), then move each file to
-    ``<prefix><i><ext>``.  A replay of the same slice — batch-engine
-    re-run after a crash, or a foreachBatch batch replay — rewrites
-    the same names and converges: sink-side exactly-once without a
-    ``_spark_metadata`` transaction log (whose presence makes batch
-    reads IGNORE files the log doesn't list — the reason both drain
-    engines share this layout instead of the streaming file sink)."""
+    names: write to a temp dir, delete leftovers matching
+    ``clear_glob`` (default: same-prefix files — a previous attempt's
+    partial slice), then move each file to ``<prefix><i><ext>``.  A
+    replay of the same slice — batch-engine re-run after a crash, or a
+    foreachBatch batch replay — rewrites the same names and converges:
+    sink-side exactly-once without a ``_spark_metadata`` transaction
+    log (whose presence makes batch reads IGNORE files the log doesn't
+    list — the reason both drain engines share this layout instead of
+    the streaming file sink)."""
     import os as _os
     import shutil
     import uuid as _uuid
@@ -1649,7 +1712,7 @@ def _land_slice(df, sink_path: str, sink_format: str, prefix: str) -> None:
     tmp = Path(sink_path) / f"_tmp-slice-{_uuid.uuid4().hex}"
     df.write.format(sink_format).mode("overwrite").save(str(tmp))
     dst = Path(sink_path)
-    for old in dst.glob(prefix + "*"):
+    for old in dst.glob(clear_glob or (prefix + "*")):
         old.unlink()
     outs = sorted(
         p
@@ -1677,15 +1740,33 @@ def _refuse_metadata_sink(sink_path: str) -> None:
         )
 
 
+def _sink_incarnation(checkpoint: str) -> int:
+    """How many times this checkpoint's engine state has been wiped —
+    part of the stream drain's slice-name scope, because batch ids
+    restart at 0 after a wipe and an unchanged scope would make the
+    new batch 0's pre-delete erase a previous incarnation's slice."""
+    try:
+        return int(
+            (Path(checkpoint) / "_vc_cursor" / "incarnation").read_text()
+        )
+    except (OSError, ValueError):
+        return 0
+
+
 def _wipe_engine_checkpoint(checkpoint: str) -> None:
     """After a batch-engine run the cursor file is the source of truth;
     clear the Spark streaming checkpoint's engine state so a following
     stream run starts fresh and (via initialOffsetFromFloor) AT the
-    cursor instead of re-delivering the batch-applied window."""
+    cursor instead of re-delivering the batch-applied window.  Bumps
+    the sink incarnation so the next stream run's restarted batch ids
+    land under fresh slice names (see ``_sink_incarnation``)."""
     import shutil
 
     for sub in ("offsets", "commits", "metadata", "sources", "state"):
         shutil.rmtree(Path(checkpoint) / sub, ignore_errors=True)
+    d = Path(checkpoint) / "_vc_cursor"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "incarnation").write_text(str(_sink_incarnation(checkpoint) + 1))
 
 
 def _plan_feed_slice(
@@ -2102,6 +2183,7 @@ def replicate_versioned_changes(
         ending_version,
         max_runs,
         "replicate_versioned_changes",
+        cursor_dir=Path(checkpoint) / "_vc_cursor",
     )
     if dst_name is not None and _versions(dst):
         catalog.register(dst_name, dst)
@@ -2142,7 +2224,9 @@ def replicate_database(
     point-in-time-clone shape); unlisted tables drain to their heads.
 
     Returns ``{table: {"runs": n, "final_rows": rows, "path": dst}}``
-    per replicated table or ``{"error": msg}`` for isolated failures.
+    per replicated table (``final_rows`` is ``None`` when the table
+    was already caught up — a no-op restart never pays a replica
+    scan) or ``{"error": msg}`` for isolated failures.
     """
     from ..sinks.versioned import read_version
 
@@ -2182,7 +2266,11 @@ def replicate_database(
             path = catalog.resolve(dst_name)
             results[tbl] = {
                 "runs": runs,
-                "final_rows": read_version(spark, path).count(),
+                # a caught-up no-op stays cheap: don't pay a full
+                # replica scan just to report an unchanged count
+                "final_rows": (
+                    read_version(spark, path).count() if runs else None
+                ),
                 "path": path,
             }
         except Exception as e:  # noqa: BLE001 — per-table isolation,

@@ -589,3 +589,31 @@ def test_replicate_bound_past_head_completes(spark, tmp_path):
     )
     assert runs == 1
     assert read_version(spark, dst).count() == 2
+
+
+def test_versioned_catalog_legacy_mixed_case_migration(tmp_path):
+    """r16 self-review fix: a registry persisted by the pre-r16 code
+    (binding filenames keep the caller's case) still resolves after
+    the lowercase normalization — reads migrate the legacy file to its
+    lowercase name lazily, enumeration lowercases, and unregister
+    removes the migrated binding."""
+    import json
+
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    d = tmp_path / "wh" / "_versioned_catalog"
+    d.mkdir(parents=True)
+    # a pre-r16 binding file under mixed case
+    (d / "Lake.Orders.json").write_text(json.dumps({"path": "/data/orders"}))
+    assert vc.list_tables("lake") == ["orders"]
+    assert vc.resolve("Lake.Orders") == "/data/orders"
+    # the read migrated the file to its lowercase name
+    assert (d / "lake.orders.json").exists()
+    assert not (d / "Lake.Orders.json").exists()
+    assert vc.resolve("lake.orders") == "/data/orders"
+    # register-over + unregister act on the migrated binding
+    (d / "Old.Style.json").write_text(json.dumps({"path": "/data/x"}))
+    vc.unregister("old.style")
+    assert not vc.exists("Old.Style")
+    assert vc.list_tables("old") == []

@@ -2490,8 +2490,119 @@ def test_drain_batch_engine_bootstrap_and_build(spark, tmp_path):
     cur = tmp_path / "ckpt2" / "_vc_cursor"
     cur.mkdir(parents=True)
     (cur / "cursor.json").write_text('{"version": 1}')
-    with pytest.raises(ValueError, match="predates the earliest"):
+    with pytest.raises(ValueError, match="vacuumed manifest"):
         drain_versioned_changes(
             spark, t, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
             engine="batch",
         )
+
+
+def test_drain_engines_full_interleave_and_crash_recovery(
+    spark, tmp_path, monkeypatch
+):
+    """r16 self-review fixes pinned: (a) stream → batch → stream
+    through one checkpoint keeps EVERY earlier window in the sink (the
+    post-wipe stream run's restarted batch ids land under an
+    incarnation-scoped name, never clobbering the first stream run's
+    slices); (b) a batch-engine crash between slice write and cursor
+    advance, with NEW commits landing before the retry, converges with
+    no duplicates (leftovers clear by slice START, not exact range);
+    (c) a mid-backlog column RENAME drains pre-rename rows under the
+    head's logical name through physical identity, never as NULLs."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        rename_column,
+        versioned_write,
+    )
+    from _spark_multi_format_data_lake_pipeline_spark.sources import versioned_stream as VS
+
+    # (a) stream -> batch -> stream
+    t, out, ckpt = (
+        str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    versioned_write(mk([(1, "a")]).coalesce(1), t)  # v1
+    VS.drain_versioned_changes(spark, t, out, ckpt, engine="stream")
+    versioned_write(mk([(2, "b")]).coalesce(1), t)  # v2
+    VS.drain_versioned_changes(spark, t, out, ckpt, engine="batch")
+    versioned_write(mk([(3, "c")]).coalesce(1), t)  # v3
+    VS.drain_versioned_changes(spark, t, out, ckpt, engine="stream")
+    read = lambda p: sorted(
+        (r["id"], r["v"])
+        for r in spark.read.schema("id int, v string").parquet(p).collect()
+    )
+    assert read(out) == [(1, "a"), (2, "b"), (3, "c")], (
+        "every window must survive the engine interleave"
+    )
+    # (b) crash between slice write and cursor advance + new commits
+    t2, out2, ckpt2 = (
+        str(tmp_path / "t2"), str(tmp_path / "out2"), str(tmp_path / "ck2")
+    )
+    versioned_write(mk([(1, "a"), (2, "b")]).coalesce(1), t2)  # v1
+    real_advance = VS._cursor_advance
+    calls = {"n": 0}
+
+    def crashy(cur_dir, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before cursor advance")
+        real_advance(cur_dir, version)
+
+    monkeypatch.setattr(VS, "_cursor_advance", crashy)
+    with pytest.raises(OSError, match="simulated crash"):
+        VS.drain_versioned_changes(spark, t2, out2, ckpt2, engine="batch")
+    versioned_write(mk([(3, "c")]).coalesce(1), t2)  # v2 lands pre-retry
+    VS.drain_versioned_changes(spark, t2, out2, ckpt2, engine="batch")
+    assert read(out2) == [(1, "a"), (2, "b"), (3, "c")], (
+        "the crashed slice must be superseded, not duplicated"
+    )
+    monkeypatch.setattr(VS, "_cursor_advance", real_advance)
+    # (c) mid-backlog rename: physical identity, not NULLs
+    t3, out3, ckpt3 = (
+        str(tmp_path / "t3"), str(tmp_path / "out3"), str(tmp_path / "ck3")
+    )
+    versioned_write(mk([(1, "old1")]).coalesce(1), t3)  # v1 (id, v)
+    rename_column(t3, "v", "w")  # v2
+    versioned_write(
+        spark.createDataFrame([(2, "new2")], "id int, w string").coalesce(1),
+        t3,
+    )  # v3
+    VS.drain_versioned_changes(spark, t3, out3, ckpt3, engine="batch")
+    got = sorted(
+        (r["id"], r["w"])
+        for r in spark.read.schema("id int, w string").parquet(out3).collect()
+    )
+    assert got == [(1, "old1"), (2, "new2")], (
+        "pre-rename rows must resolve through physical identity"
+    )
+
+
+def test_write_tables_mid_sweep_failure_keeps_bindings(
+    spark, tmp_path, monkeypatch
+):
+    """r16 self-review fix: recreate_database=True keeps each SWEPT
+    binding until its replacement write succeeds — a mid-sweep failure
+    leaves the unwritten rest of the database resolvable (only stale
+    names drop up front)."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.catalog import VersionedCatalog
+    from _spark_multi_format_data_lake_pipeline_spark.registry import TableHandle
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.writer import write_tables
+
+    vc = VersionedCatalog(tmp_path / "wh")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    handles = [TableHandle(df, n, "JSON", 1, 2) for n in ("alpha", "beta")]
+    write_tables(spark, handles, database="db", versioned=vc)
+    p_beta = vc.resolve("db.beta")
+    real_write = V.versioned_write
+
+    def failing(df_, path, **kw):
+        if path.endswith("beta"):
+            raise RuntimeError("simulated write failure")
+        return real_write(df_, path, **kw)
+
+    monkeypatch.setattr(V, "versioned_write", failing)
+    with pytest.raises(RuntimeError, match="simulated write failure"):
+        write_tables(spark, handles, database="db", versioned=vc)
+    # alpha rewrote; beta's binding SURVIVES the failed sweep
+    assert vc.resolve("db.beta") == p_beta
+    assert vc.table(spark, "db.beta").count() == 1
