@@ -848,6 +848,26 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "stream from a fresh checkpoint (rows before the "
                     "retention horizon must be reprocessed explicitly)"
                 )
+            if (
+                sv > vs[0]
+                and sv not in vs
+                and not self.read_change_feed
+            ):
+                # Offset inside a tag+vacuum INTERIOR gap (vacuum keeps
+                # tagged versions, so gaps happen mid-history): the
+                # append walk would diff the next survivor against a
+                # survivor BELOW the offset, re-delivering files
+                # committed at or before it — duplicates.  Same honest
+                # refusal as the behind-retention case.  (readChangeFeed
+                # mode raises its own contiguity error in the walk.)
+                raise ValueError(
+                    f"versioned_changes: checkpointed offset version "
+                    f"{sv} references a vacuumed manifest (have {vs}) "
+                    f"at {self.path} — the delivered prefix cannot be "
+                    "diffed against a surviving base without "
+                    "re-emitting rows; restart the stream from a "
+                    "fresh checkpoint"
+                )
         # A PARTIAL start offset ({"version": V, "file_index": K}, laid
         # down by a capped latestOffset) means K files of V's new-file
         # list were already delivered — planning resumes INSIDE V, so

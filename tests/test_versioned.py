@@ -6559,3 +6559,33 @@ def test_stream_versioned_sink_by_name(spark, tmp_path):
     q3.awaitTermination()
     assert versions(str(tmp_path / "plain.dir")) == [1]
     assert vc.list_tables("lake") == ["landing"]
+
+
+def test_stream_offset_in_vacuum_interior_gap_refuses(spark, tmp_path):
+    """r16 hardening: a plain (data-mode) offset whose manifest sits in
+    a tag+vacuum INTERIOR gap refuses like behind-retention — the
+    append walk would diff the next survivor against a survivor below
+    the offset and re-deliver already-delivered files.  A cursor ON a
+    surviving version (the tag itself) keeps streaming."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import create_tag
+    from _spark_multi_format_data_lake_pipeline_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string")
+    for i in range(6):
+        versioned_write(mk([(i, f"v{i}")]).coalesce(1), t)  # v1..v6
+    create_tag(t, "keep", 2)
+    vacuum(t, keep_last=2)  # tagged v2 survives -> vs=[2,5,6]
+    assert versions(t) == [2, 5, 6]
+    r = VersionedChangesStreamReader({"path": t})
+    with pytest.raises(ValueError, match="vacuumed manifest"):
+        r.partitions({"version": 3}, {"version": 6})
+    # a cursor ON the surviving tag streams the accumulated diff once
+    rows = []
+    for p in r.partitions({"version": 2}, {"version": 6}):
+        for item in r.read(p):
+            rows.extend(item.to_pylist() if hasattr(item, "to_pylist") else [item])
+    got = sorted(d["id"] for d in rows)
+    assert got == [2, 3, 4, 5], "diff vs the surviving base delivers v3..v6 files once"
