@@ -55,6 +55,15 @@ _RECHECK = (
     "q266_versioned_stream_rate_limited",
     "q275_versioned_stream_drain",
     "q277_versioned_stream_change_feed",
+    # (4) commit row counts now come from the parquet footers the
+    # stats harvest reads (no second Spark scan of the written data)
+    # — re-prove write-path representatives across the verb families
+    # (append/upsert/DV-delete/compact/row-tracking):
+    "q222_versioned_upsert_changes",
+    "q231_versioned_dv_delete",
+    "q253_versioned_update_rows",
+    "q264_versioned_incremental_compact",
+    "q279_versioned_row_tracking",
 )
 
 

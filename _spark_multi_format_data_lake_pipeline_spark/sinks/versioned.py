@@ -1319,9 +1319,6 @@ def _write_snapshot(
         if p.is_file()
     )
     files = list(carry_files) + new_files
-    n_new = (
-        df.sparkSession.read.parquet(str(data_dir)).count() if new_files else 0
-    )
     schema = df.schema.jsonValue()
     # the hidden materialized-row-id column never joins the committed
     # schema (it IS in the parquet of rewrite-written files; readers
@@ -1370,6 +1367,18 @@ def _write_snapshot(
                     "type; rebuild via overwrite or compact first"
                 )
     new_stats, new_meta = _harvest(path, new_files)
+    # The commit's new-row count comes from the parquet FOOTERS the
+    # stats harvest just read (md.num_rows is authoritative) — not a
+    # second Spark scan of everything the write produced; only an
+    # unreadable footer (no "rows" entry) falls back to the re-read.
+    if new_files and all("rows" in new_meta.get(f, {}) for f in new_files):
+        n_new = sum(int(new_meta[f]["rows"]) for f in new_files)
+    else:
+        n_new = (
+            df.sparkSession.read.parquet(str(data_dir)).count()
+            if new_files
+            else 0
+        )
     # Stamp each new file's COMMIT VERSION into its meta entry: the
     # initial-default read path decides "file predates column C" by
     # comparing this against the default's since-version (files with no
