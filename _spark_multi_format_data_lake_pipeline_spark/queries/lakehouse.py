@@ -2222,17 +2222,16 @@ def q274_versioned_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- must equal the table exactly once
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
-    doc="End-to-end AVAILABLE-NOW BACKLOG DRAIN "
-        "(drain_versioned_changes — the semantics Delta gives "
-        "trigger(availableNow=True) under admission control): the "
-        "Python DS API gives availableNow single-batch semantics, so "
-        "one run of a capped stream delivers ONE capped batch; the "
-        "helper loops availableNow runs against one checkpoint until "
-        "the head is reached.  A 2-commit / 7-file orders backlog "
-        "under maxFilesPerTrigger=2 drains in 4 bounded runs (asserted) "
-        "and the driver hash proves the sink equals the table exactly "
-        "once — the cap is what prevents the cluster-killing "
-        "table-sized batch at 100 TB. "
+    doc="End-to-end CAPPED BACKLOG DRAIN (drain_versioned_changes — "
+        "the semantics Delta gives trigger(availableNow=True) under "
+        "admission control): one running micro-batch query against "
+        "the checkpoint drains the backlog and stops at the head "
+        "(processAllAvailable — r16: one JVM query startup instead of "
+        "one availableNow run per capped batch).  A 2-commit / 7-file "
+        "orders backlog under maxFilesPerTrigger=2 drains as 4 bounded "
+        "micro-batches (asserted) and the driver hash proves the sink "
+        "equals the table exactly once — the cap is what prevents the "
+        "cluster-killing table-sized batch at 100 TB. "
         "sources/versioned_stream.py:drain_versioned_changes; "
         "incremental re-drain through the same checkpoint pinned in "
         "tests/test_streaming.py.",
@@ -2257,7 +2256,8 @@ def q275_versioned_stream_drain(
         spark, t, out, ckpt, max_files_per_trigger=2
     )
     _require(runs == 4, (
-        f"7 files under a 2-file cap must drain in 4 runs, got {runs}"
+        f"7 files under a 2-file cap must drain in 4 capped batches, "
+        f"got {runs}"
     ))
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double"
@@ -2686,35 +2686,48 @@ def q280_versioned_merge_cdf_row_tracking(
         not_matched_by_source_update_condition="o_orderkey % 5 = 0",
     )
     _require(v4 == 4, "the merge must commit as v4")
-    # row-id stability across the full-table by-source rewrite
+    # row-id stability across the full-table by-source rewrite.  The
+    # four invariants previously ran as four count() actions, each
+    # re-reading both snapshots and re-running the join (8 table reads
+    # total); ONE left join + ONE conditional-sum aggregation answers
+    # all four in a single pass (guide §1.2 fewer passes / §2.3
+    # aggregate before you shuffle).  `id0 IS NOT NULL` restricts the
+    # first three to pre∩post rows, exactly the old inner join's scope.
+    hw = _read_manifest(t, 3)["row_id_high_water"]
     pre = read_version_row_ids(spark, t, 3).select(
         "o_orderkey", F.col("_row_id").alias("id0")
     )
     post = read_version_row_ids(spark, t, 4)
-    j = pre.join(post, "o_orderkey")
-    _require(j.filter("id0 <> _row_id").count() == 0, (
+    j = post.join(pre, "o_orderkey", "left")
+
+    def _n(cond: str):
+        return F.sum(F.when(F.expr(cond), 1).otherwise(0))
+
+    chk = j.agg(
+        _n("id0 IS NOT NULL AND id0 <> _row_id").alias("id_drift"),
+        _n(
+            "id0 IS NOT NULL AND o_orderkey % 9 = 0 "
+            "AND _row_commit_version <> 4"
+        ).alias("stale_update_cv"),
+        _n(
+            "id0 IS NOT NULL AND o_orderkey % 3 <> 0 "
+            "AND o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0 "
+            "AND o_orderkey % 5 <> 0 AND _row_commit_version <> 1"
+        ).alias("bumped_carry_cv"),
+        _n(f"o_orderkey % 2 = 1 AND _row_id < {hw}").alias("stale_insert_id"),
+    ).first()
+    _require(chk["id_drift"] == 0, (
         "every surviving key must keep its row id"
     ))
-    _require((
-        j.filter("o_orderkey % 9 = 0")
-        .filter("_row_commit_version <> 4")
-        .count()
-        == 0
-    ), "updated rows must re-stamp their commit version")
-    _require((
-        j.filter(
-            "o_orderkey % 3 <> 0 AND o_orderkey % 11 <> 0 AND "
-            "o_orderkey % 13 <> 0 AND o_orderkey % 5 <> 0"
-        )
-        .filter("_row_commit_version <> 1")
-        .count()
-        == 0
-    ), "carried rows must keep their original commit version")
-    hw = _read_manifest(t, 3)["row_id_high_water"]
-    _require((
-        post.filter("o_orderkey % 2 = 1").filter(f"_row_id < {hw}").count()
-        == 0
-    ), "inserted rows must draw fresh ids past the watermark")
+    _require(chk["stale_update_cv"] == 0, (
+        "updated rows must re-stamp their commit version"
+    ))
+    _require(chk["bumped_carry_cv"] == 0, (
+        "carried rows must keep their original commit version"
+    ))
+    _require(chk["stale_insert_id"] == 0, (
+        "inserted rows must draw fresh ids past the watermark"
+    ))
     return read_change_feed(spark, t, 3, 4)
 
 
@@ -3157,8 +3170,10 @@ def q285_versioned_cdc_replication(
     # here keeps the catch-up to the fewest availableNow runs)
     replicate_versioned_changes(spark, src, dst, ckpt, ["o_orderkey"])
     s, d = read_version(spark, src), read_version(spark, dst)
+    # both difference directions in ONE action (union of the two
+    # exceptAlls) instead of two counts that each re-read both tables
     _require(
-        s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0,
+        s.exceptAll(d).unionAll(d.exceptAll(s)).count() == 0,
         "the replica must equal the source head snapshot exactly",
     )
     return read_version(spark, dst)
@@ -3388,8 +3403,9 @@ def q287_versioned_database_replication(
     for name in ("ord", "cust"):
         s = read_version(spark, vc.resolve(f"lake.{name}"))
         d = vc.table(spark, f"mirror.{name}")
+        # both difference directions in ONE action per table
         _require(
-            s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0,
+            s.exceptAll(d).unionAll(d.exceptAll(s)).count() == 0,
             f"mirror.{name} must equal its source head exactly",
         )
     ord_rep = vc.table(spark, "mirror.ord").select(

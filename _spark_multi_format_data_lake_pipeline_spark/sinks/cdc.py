@@ -40,6 +40,7 @@ def apply_cdc_batch(
     allow_schema_evolution: bool = False,
     action_col: str | None = None,
     with_feed: bool = False,
+    join_hook=None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Next table state = target ⊳ changes (anti on keys) ∪ latest upserts.
 
@@ -112,6 +113,13 @@ def apply_cdc_batch(
     ``insert`` (an unmatched change row inserted).  Deleted rows are
     absent, as always.  This is the hook row tracking hangs off: carry
     keeps id+commit-version, update keeps id only, insert draws fresh.
+
+    ``join_hook``: optional callable applied to the single full-outer
+    merge join right after it is built (slow path only; the anti-join
+    fast path has one consumer and never calls it).  Callers that
+    consume BOTH returned frames (state + feed) pass a persist here so
+    the join — the expensive shuffle of the merge — executes once
+    instead of once per consuming action; the caller owns unpersist.
 
     ``with_feed=True`` returns ``(state, feed)`` where ``feed`` holds
     the Delta-CDF rows of this very merge — the target's columns plus
@@ -219,6 +227,8 @@ def apply_cdc_batch(
         F.col(op_col).alias("_s_op"),
     )
     j = t.join(s, keys, "full_outer")
+    if join_hook is not None:
+        j = join_hook(j)
 
     def _cond(expr: str | None):
         # SQL WHEN-clause semantics: only a provably-TRUE condition

@@ -4246,112 +4246,164 @@ def versioned_upsert(
     vs = versions(path)
     if not vs:
         return _write_snapshot(df, path, "upsert", carry_files=[])
-    dup = (
-        df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
-    )
-    if dup:
-        raise ValueError(
-            f"versioned_upsert: change set has multiple rows for key "
-            f"{tuple(dup[0][k] for k in keys)}; collapse to one row per "
-            "key first (e.g. latest-by-sequence)"
-        )
     m = _read_manifest(path, vs[-1])
     pc = prune_col or keys[0]
-    rng = df.agg(F.min(pc).alias("lo"), F.max(pc).alias("hi")).first()
-    lo, hi = rng["lo"], rng["hi"]
-    if lo is None and hi is None and df.isEmpty():
-        return vs[-1]  # empty change set: nothing to commit
-    if source_version is not None:
-        # point-in-time merge source (see versioned_apply_changes):
-        # the change set was computed against an older snapshot —
-        # refuse unless every intervening commit is provably disjoint
-        _validate_merge_source_version(
-            path, vs, source_version, (pc, lo, hi), False,
-            verb="versioned_upsert",
+    # Several downstream ACTIONS re-consume the change set (the stats
+    # pass below, bucket confinement, the CDF feed write, the snapshot
+    # write) — pin it so the caller's plan computes once, not once per
+    # action (guide §5 caching-for-reuse).  Same for the narrow derived
+    # key sets pinned further down.  All unpersisted in the finally.
+    held: list[DataFrame] = []
+
+    def _pin(d: DataFrame) -> DataFrame:
+        p = d.persist()
+        held.append(p)
+        return p
+
+    try:
+        df = _pin(df)
+        # ONE pass computes the duplicate-key guard AND the prune range
+        # (guide §2.3 "aggregate before you shuffle" / §1.2 fewer
+        # passes): previously the guard was its own groupBy job and the
+        # range a second full scan of the change set — two jobs whose
+        # map sides each read every change row.  The per-key partial
+        # aggregation carries (count, min, max) in one shuffle; the
+        # 1-row fold also answers "is the change set empty", replacing
+        # the isEmpty() job.
+        st = (
+            df.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(pc).alias("__lo"),
+                F.max(pc).alias("__hi"),
+            )
+            .agg(
+                F.max("__n").alias("max_n"),
+                F.min("__lo").alias("lo"),
+                F.max("__hi").alias("hi"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+            .first()
         )
-    spark = df.sparkSession
-    candidates, untouched = _apply_derived_pruning(
-        spark, m, pc, lo, hi, *_candidate_split(m, pc, lo, hi)
-    )
-    candidates, untouched = _bucket_confine(m, df, candidates, untouched)
-    df = _materialize_defaults(df, m)  # an omitting change set fills,
-    # BEFORE the union would NULL-fill it against the survivors
-    cdf = None
-    track = _row_tracking_on(m)
-    rid_consumed = 0
+        if st is None or st["n_keys"] == 0:
+            return vs[-1]  # empty change set: nothing to commit
+        if st["max_n"] > 1:
+            # failure path only: re-run the per-key count to NAME one
+            # offending key in the error (the happy path never pays it)
+            dup = (
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            raise ValueError(
+                f"versioned_upsert: change set has multiple rows for "
+                f"key {tuple(dup[0][k] for k in keys)}; collapse to one "
+                "row per key first (e.g. latest-by-sequence)"
+            )
+        lo, hi = st["lo"], st["hi"]
+        if source_version is not None:
+            # point-in-time merge source (see versioned_apply_changes):
+            # the change set was computed against an older snapshot —
+            # refuse unless every intervening commit is provably disjoint
+            _validate_merge_source_version(
+                path, vs, source_version, (pc, lo, hi), False,
+                verb="versioned_upsert",
+            )
+        spark = df.sparkSession
+        candidates, untouched = _apply_derived_pruning(
+            spark, m, pc, lo, hi, *_candidate_split(m, pc, lo, hi)
+        )
+        candidates, untouched = _bucket_confine(m, df, candidates, untouched)
+        df = _materialize_defaults(df, m)  # an omitting change set fills,
+        # BEFORE the union would NULL-fill it against the survivors
+        cdf = None
+        track = _row_tracking_on(m)
+        rid_consumed = 0
 
-    def _fresh_ids(rows: DataFrame, hw: int) -> tuple[DataFrame, int]:
-        return _assign_fresh_row_ids(rows, keys, hw)
+        def _fresh_ids(rows: DataFrame, hw: int) -> tuple[DataFrame, int]:
+            return _assign_fresh_row_ids(rows, keys, hw)
 
-    if candidates:
-        cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
-        dk = df.select(*keys).distinct()
-        if track:
-            # an updated key INHERITS the replaced row's id; inserted
-            # keys draw fresh ones past the watermark
-            cur_ids = (
-                cur.select(*keys, _ROWID_COL)
-                .groupBy(*keys)
-                .agg(F.min(_ROWID_COL).alias(_ROWID_COL))
-            )
-            dfi = df.join(cur_ids, keys, "left")
-            ins, rid_consumed = _fresh_ids(
-                dfi.filter(F.col(_ROWID_COL).isNull()).drop(_ROWID_COL),
-                int(m.get("row_id_high_water") or 0),
-            )
-            df = dfi.filter(F.col(_ROWID_COL).isNotNull()).unionByName(
-                ins, allowMissingColumns=True
-            )
-        survivors = cur.join(dk, keys, "left_anti")
-        out = survivors.unionByName(df, allowMissingColumns=True)
-        if _cdf_on(m):
-            # MERGE-shaped feed rows (Delta CDF): replaced current rows
-            # are update_preimage, their replacements update_postimage,
-            # new keys insert — key membership decided over the
-            # candidates only (untouched files provably hold no change-
-            # range keys, the same zone-map argument as the rewrite)
-            ck = cur.select(*keys).distinct()
-            feed = (
-                cur.drop(_ROWID_COL, _ROWCV_COL)
-                .join(dk, keys, "left_semi")
-                .withColumn("_change_type", F.lit("update_preimage"))
-                .unionByName(
-                    df.drop(_ROWID_COL)
-                    .join(ck, keys, "left_semi")
-                    .withColumn("_change_type", F.lit("update_postimage")),
-                    allowMissingColumns=True,
+        if candidates:
+            cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
+            dk = df.select(*keys).distinct()
+            if track:
+                # an updated key INHERITS the replaced row's id; inserted
+                # keys draw fresh ones past the watermark.  The id map is
+                # a candidate-file read consumed by the id-assignment
+                # count AND the snapshot write — pin it (narrow).
+                cur_ids = _pin(
+                    cur.select(*keys, _ROWID_COL)
+                    .groupBy(*keys)
+                    .agg(F.min(_ROWID_COL).alias(_ROWID_COL))
                 )
-                .unionByName(
-                    df.drop(_ROWID_COL)
-                    .join(ck, keys, "left_anti")
-                    .withColumn("_change_type", F.lit("insert")),
-                    allowMissingColumns=True,
+                dfi = df.join(cur_ids, keys, "left")
+                ins, rid_consumed = _fresh_ids(
+                    dfi.filter(F.col(_ROWID_COL).isNull()).drop(_ROWID_COL),
+                    int(m.get("row_id_high_water") or 0),
                 )
-            )
-            cdf = _write_cdf(feed, path, _column_mapping(m))
-    else:
-        if track:
-            df, rid_consumed = _fresh_ids(
-                df, int(m.get("row_id_high_water") or 0)
-            )
-        out = df
-        if _cdf_on(m):
-            cdf = _write_cdf(
-                df.drop(_ROWID_COL).withColumn(
-                    "_change_type", F.lit("insert")
-                ),
-                path,
-                _column_mapping(m),
-            )
-    return _write_snapshot(
-        out,
-        path,
-        "upsert",
-        carry_files=untouched,
-        read_range=(pc, lo, hi),
-        cdf_files=cdf,
-        row_ids_consumed=rid_consumed,
-    )
+                df = dfi.filter(F.col(_ROWID_COL).isNotNull()).unionByName(
+                    ins, allowMissingColumns=True
+                )
+            survivors = cur.join(dk, keys, "left_anti")
+            out = survivors.unionByName(df, allowMissingColumns=True)
+            if _cdf_on(m):
+                # MERGE-shaped feed rows (Delta CDF): replaced current
+                # rows are update_preimage, their replacements
+                # update_postimage, new keys insert — key membership
+                # decided over the candidates only (untouched files
+                # provably hold no change-range keys, the same zone-map
+                # argument as the rewrite).  The candidate key set backs
+                # two feed branches — pin it so the candidate files are
+                # read once for it, not once per branch/action.
+                ck = _pin(cur.select(*keys).distinct())
+                feed = (
+                    cur.drop(_ROWID_COL, _ROWCV_COL)
+                    .join(dk, keys, "left_semi")
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        df.drop(_ROWID_COL)
+                        .join(ck, keys, "left_semi")
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        df.drop(_ROWID_COL)
+                        .join(ck, keys, "left_anti")
+                        .withColumn("_change_type", F.lit("insert")),
+                        allowMissingColumns=True,
+                    )
+                )
+                cdf = _write_cdf(feed, path, _column_mapping(m))
+        else:
+            if track:
+                df, rid_consumed = _fresh_ids(
+                    df, int(m.get("row_id_high_water") or 0)
+                )
+            out = df
+            if _cdf_on(m):
+                cdf = _write_cdf(
+                    df.drop(_ROWID_COL).withColumn(
+                        "_change_type", F.lit("insert")
+                    ),
+                    path,
+                    _column_mapping(m),
+                )
+        return _write_snapshot(
+            out,
+            path,
+            "upsert",
+            carry_files=untouched,
+            read_range=(pc, lo, hi),
+            cdf_files=cdf,
+            row_ids_consumed=rid_consumed,
+        )
+    finally:
+        for p in held:
+            p.unpersist()
 
 
 def versioned_delete(
@@ -4761,35 +4813,45 @@ def versioned_update(
         )
     )
     cdf = None
-    if _cdf_on(m):
-        hit = cur.filter(pred).drop(_ROWID_COL, _ROWCV_COL)
-        upd = hit.select(
-            *(
-                F.expr(set_exprs[c]).cast(cur.schema[c].dataType).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in hit.columns
+    hit = None
+    try:
+        if _cdf_on(m):
+            # the matched-row set feeds BOTH feed branches (preimage
+            # verbatim + postimage with assignments applied) — pin it so
+            # the candidate files are scanned once for the feed, not
+            # once per branch; it holds only the matched rows, so the
+            # cache is O(updated rows), not O(candidate bytes)
+            hit = cur.filter(pred).drop(_ROWID_COL, _ROWCV_COL).persist()
+            upd = hit.select(
+                *(
+                    F.expr(set_exprs[c]).cast(cur.schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in hit.columns
+                )
             )
-        )
-        cdf = _write_cdf(
-            hit.withColumn(
-                "_change_type", F.lit("update_preimage")
-            ).unionByName(
-                upd.withColumn("_change_type", F.lit("update_postimage"))
-            ),
+            cdf = _write_cdf(
+                hit.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    upd.withColumn("_change_type", F.lit("update_postimage"))
+                ),
+                path,
+                _column_mapping(m),
+            )
+        return _write_snapshot(
+            out,
             path,
-            _column_mapping(m),
+            "update",
+            carry_files=untouched,
+            read_range=(
+                (prune_col, lo, hi) if prune_col is not None else None
+            ),
+            cdf_files=cdf,
         )
-    return _write_snapshot(
-        out,
-        path,
-        "update",
-        carry_files=untouched,
-        read_range=(
-            (prune_col, lo, hi) if prune_col is not None else None
-        ),
-        cdf_files=cdf,
-    )
+    finally:
+        if hit is not None:
+            hit.unpersist()
 
 
 def _validate_merge_source_version(
@@ -5021,6 +5083,24 @@ def versioned_apply_changes(
     # row tracking cost no extra shuffle.  Confinement makes the feed
     # exact: untouched files provably hold no change-range keys (the
     # zone-map argument), and by-source merges run unconfined anyway.
+    # The feed write, the fresh-id count and the snapshot write all fan
+    # out of the ONE merge join — persist shared sub-plans so the
+    # candidate read + full-outer join computes once instead of once
+    # per consuming action (a by-source merge reads the whole table;
+    # 3-4 re-reads would be real money at 100 TB).  Two pins:
+    # - the JOIN itself when the table feeds CDF (the feed's four
+    #   branches and the state chain otherwise each re-run it),
+    # - the classified state when row tracking needs it twice (id
+    #   assignment count + snapshot write).
+    # MEMORY_AND_DISK, so a huge rewrite spills instead of failing;
+    # all unpersisted post-commit.
+    held: list[DataFrame] = []
+
+    def _pin(d: DataFrame) -> DataFrame:
+        p = d.persist()
+        held.append(p)
+        return p
+
     res = apply_cdc_batch(
         cur_data,
         changes,
@@ -5029,24 +5109,20 @@ def versioned_apply_changes(
         seq_col=seq_col,
         action_col="__act" if track else None,
         with_feed=cdf_on,
+        join_hook=_pin if cdf_on else None,
         **clause_kw,
     )
     out, feed = res if cdf_on else (res, None)
-    # The fresh-id count and the snapshot write (and their id-carry
-    # join) all fan out of the ONE merge join — persist the merge state
-    # so the candidate read + full-outer join computes once instead of
-    # once per consumer (a by-source merge reads the whole table; 3-4
-    # re-reads would be real money at 100 TB).  MEMORY_AND_DISK, so a
-    # huge rewrite spills instead of failing; unpersisted post-commit.
-    persisted = out.persist() if track else None
+    if track:
+        out = _pin(out)
     try:
         return _apply_changes_commit(
             spark, path, m, keys, cur, out, feed, cdf_on, track,
-            untouched, rr,
+            untouched, rr, pin=_pin,
         )
     finally:
-        if persisted is not None:
-            persisted.unpersist()
+        for p in held:
+            p.unpersist()
 
 
 def _apply_changes_commit(
@@ -5061,9 +5137,12 @@ def _apply_changes_commit(
     track: bool,
     untouched: list[str],
     rr: tuple | None,
+    pin=None,
 ) -> int:
     """The write half of ``versioned_apply_changes``: materialize the
-    feed, carry/deal row ids off the (persisted) merge state, commit."""
+    feed, carry/deal row ids off the (persisted) merge state, commit.
+    ``pin`` (optional) persists shared sub-plans; the caller owns
+    unpersist."""
     from pyspark.sql import functions as F
 
     cdf = _write_cdf(feed, path, _column_mapping(m)) if cdf_on else None
@@ -5072,7 +5151,10 @@ def _apply_changes_commit(
         # carried rows keep id + commit version (not logically
         # modified); updated rows inherit the replaced row's id but
         # re-stamp their version; inserted keys draw fresh ids past the
-        # watermark — exactly versioned_upsert's contract
+        # watermark — exactly versioned_upsert's contract.  The id map
+        # is its own candidate-file read consumed by BOTH the id-
+        # assignment count and the snapshot write — pin it (narrow:
+        # keys + two longs) so the candidate files are read once here.
         cur_ids = (
             cur.select(*keys, _ROWID_COL, _ROWCV_COL)
             .groupBy(*keys)
@@ -5081,6 +5163,8 @@ def _apply_changes_commit(
                 F.min(_ROWCV_COL).alias("__cv0"),
             )
         )
+        if pin is not None:
+            cur_ids = pin(cur_ids)
         outi = (
             out.join(cur_ids, keys, "left")
             .withColumn(

@@ -1461,23 +1461,26 @@ def drain_versioned_changes(
     """Drain a versioned table's FULL backlog under a rate cap in one
     call — the semantics Delta gives ``trigger(availableNow=True)``
     under admission control.  The Python DataSource API exposes no
-    availableNow hook, so Spark falls back to single-batch semantics:
-    one availableNow run of a capped ``versioned_changes`` stream
-    delivers exactly ONE capped micro-batch (module docstring).  This
-    helper loops availableNow runs against ONE checkpoint until the
-    stream has caught up to the table head, so every batch stays
-    bounded by the cap AND the call returns only when the backlog as of
-    each run's start is fully delivered — exactly-once end to end,
-    because each run resumes from the same engine checkpoint.
+    availableNow hook (one availableNow run of a capped
+    ``versioned_changes`` stream delivers exactly ONE capped
+    micro-batch — module docstring), so the stream engine runs ONE
+    continuously-triggered micro-batch query against the checkpoint
+    and blocks until the stream has caught up to the table head
+    (``processAllAvailable``): every batch stays bounded by the cap
+    AND the call returns only when the backlog as of the run's start
+    is fully delivered — exactly-once end to end through the engine
+    checkpoint, with the same batch ids (and therefore the same
+    batch-keyed sink slice names) the pre-r16 availableNow-per-batch
+    loop produced, for one JVM query startup instead of one per batch.
 
     ``build`` (optional) maps the streaming DataFrame before the sink —
-    projections/filters, same restrictions as any availableNow stream.
-    Returns the number of runs that delivered data.  Progress is
-    detected from each run's committed end offset; a run that neither
-    delivers rows nor advances the offset while the head is unreached
-    raises instead of spinning (that state is unreachable short of a
-    concurrent vacuum breaking replay — which ``partitions`` reports
-    with its own honest error on the next run).
+    projections/filters, same restrictions as any streaming query.
+    Returns the number of micro-batches that delivered data.  Progress
+    is detected from the run's committed end offset; a run that
+    neither delivers rows nor advances the offset while the head is
+    unreached raises instead of spinning (that state is unreachable
+    short of a concurrent vacuum breaking replay — which
+    ``partitions`` reports with its own honest error on the next run).
 
     ``engine="batch"`` (r16) drains the same backlog as capped APPEND
     SLICES through the same cursor file, writing each slice to
@@ -1535,11 +1538,11 @@ def drain_versioned_changes(
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     if skip_change_commits:
         reader = reader.option("skipChangeCommits", "true")
-    # each availableNow run constructs a FRESH reader against the same
-    # engine checkpoint — the restart case every run; tracking the
-    # committed offset beside the checkpoint makes each run seed at the
-    # boundary (no regression dance, no empty batches, restart-safe).
-    # The per-checkpoint cursor IS this query's delivery record, so a
+    # each drain CALL constructs a fresh reader against the same engine
+    # checkpoint — the restart case every call; tracking the committed
+    # offset beside the checkpoint makes each call seed at the boundary
+    # (no regression dance, no empty batches, restart-safe).  The
+    # per-checkpoint cursor IS this query's delivery record, so a
     # fresh/reset engine checkpoint (including after a batch-engine
     # backfill) starts AT the cursor instead of re-delivering rows the
     # sink already holds.
@@ -1562,10 +1565,12 @@ def drain_versioned_changes(
 
     inc = _sink_incarnation(checkpoint)
     scope = _txn_scope(checkpoint) + (f"i{inc}" if inc else "")
+    n_landed = [0]
 
     def _land(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        n_landed[0] += 1
         _land_slice(
             batch_df,
             sink_path,
@@ -1580,11 +1585,11 @@ def drain_versioned_changes(
             df.writeStream.foreachBatch(_land)
             .option("checkpointLocation", checkpoint)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
 
-    return _availablenow_loop(
+    return _capped_drain_loop(
         path,
         reader,
         start_sink,
@@ -1592,10 +1597,11 @@ def drain_versioned_changes(
         max_runs,
         "drain_versioned_changes",
         cursor_dir=Path(checkpoint) / "_vc_cursor",
+        delivered=lambda: n_landed[0],
     )
 
 
-def _availablenow_loop(
+def _capped_drain_loop(
     src_path: str,
     reader,
     start_sink,
@@ -1603,29 +1609,58 @@ def _availablenow_loop(
     max_runs: int,
     helper: str,
     cursor_dir: Path | None = None,
+    delivered=None,
 ) -> int:
-    """The shared run loop of ``drain_versioned_changes`` /
-    ``replicate_versioned_changes``: one availableNow run per iteration
-    (``start_sink(reader.load())`` → await), until the committed end
-    offset reaches the TARGET — ``ending_version`` capped at the head
-    as of each run (a bound past the head is 'drain everything
-    available', not an error), or the head itself when unbounded.
-    Raises on genuine no-progress and on the run cap; returns the
-    number of runs that delivered data.
+    """The shared drain loop of ``drain_versioned_changes`` /
+    ``replicate_versioned_changes`` (stream engine): ONE running
+    micro-batch query (``start_sink(reader.load())`` →
+    ``processAllAvailable`` → ``stop``) drains the whole backlog as a
+    sequence of capped micro-batches, until the committed end offset
+    reaches the TARGET — ``ending_version`` capped at the head as of
+    the run (a bound past the head is 'drain everything available',
+    not an error), or the head itself when unbounded.  Raises on
+    genuine no-progress and on the iteration cap; returns the number
+    of micro-batches that delivered data.
+
+    Until r16 this looped one ``availableNow`` run per capped batch —
+    the Python DS API's availableNow fallback snapshots ONE end offset
+    per run, so an N-batch backlog paid N JVM streaming-query startups
+    (~2-3.5 s each, SF-independent — measured in OPTIMIZATION_r16.md).
+    A running ``processingTime`` trigger delivers the same capped
+    batches (the caps bound each ``latestOffset`` step, exactly as in
+    the running-stream query q266) through the same checkpoint with
+    the same batch ids — so the sink's batch-keyed slice names, the
+    exactly-once replay story and the returned count are unchanged —
+    for ONE startup.  The outer loop survives a commit racing the
+    drain's tail: a rare second query picks up the remainder.
 
     ``cursor_dir``: the shared cursor file is advanced DRIVER-SIDE to
-    each run's committed end offset — the engine's availableNow
-    single-batch fallback never invokes the reader's ``commit()`` for
-    a run's final batch, so without this the cursor file would lag the
-    engine checkpoint forever and a batch-engine handover would
-    re-deliver from the beginning."""
+    the run's committed end offset — the engine never invokes the
+    reader's ``commit()`` for the final batch before ``stop()``, so
+    without this the cursor file would lag the engine checkpoint and a
+    batch-engine handover would re-deliver from the beginning.
+
+    ``delivered``: zero-arg callable returning the cumulative count of
+    non-empty batches the sink landed (maintained by the caller's
+    foreachBatch).  ``recentProgress`` keeps only the last ~100
+    entries, so a long single-query drain needs the sink's own count
+    to report an exact total."""
     data_runs = 0
     last_end: dict | None = None
     for _ in range(max_runs):
+        before = delivered() if delivered is not None else 0
         q = start_sink(reader.load())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         q.awaitTermination()
         progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        data_runs += bool(progressed)
+        if delivered is not None:
+            data_runs += delivered() - before
+            progressed = progressed or (delivered() > before)
+        else:
+            data_runs += len(progressed)
         ends = [
             p["sources"][0]["endOffset"]
             for p in q.recentProgress
@@ -2025,12 +2060,12 @@ def replicate_versioned_changes(
     *source* feeding a versioned table as CDC *target*, keyed, rate-
     capped, restart-safe, and bounded if asked.
 
-    Loop shape is ``drain_versioned_changes``'s: the Python DS API
-    gives availableNow single-batch semantics, so each run delivers one
-    capped micro-batch against ONE shared engine checkpoint — every run
-    is a fresh reader instance, i.e. the restart case by construction,
+    Loop shape is ``drain_versioned_changes``'s: one running
+    micro-batch query per call drains the backlog as capped
+    micro-batches against ONE shared engine checkpoint — every CALL is
+    a fresh reader instance, i.e. the restart case by construction,
     with the (default-on) persisted offset floor keeping capped offsets
-    exact across runs.  Per batch: ``update_preimage`` rows drop, the
+    exact across calls.  Per batch: ``update_preimage`` rows drop, the
     remaining feed rows map to I/U/D (insert / update_postimage /
     delete), and ``seq_col="_commit_version"`` collapses multi-commit
     batches to the LAST change per key — so one batch spanning an
@@ -2147,10 +2182,13 @@ def replicate_versioned_changes(
 
     register(spark)
 
+    n_applied = [0]
+
     def _apply(bdf, _batch_id):
         ch = _cdc_op_frame(bdf, F)
         if ch.isEmpty():
             return
+        n_applied[0] += 1
         sv = None
         if guard_concurrent_target:
             dvs = _versions(dst)
@@ -2192,11 +2230,11 @@ def replicate_versioned_changes(
         return (
             df.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
 
-    runs = _availablenow_loop(
+    runs = _capped_drain_loop(
         src,
         reader,
         start_sink,
@@ -2204,6 +2242,7 @@ def replicate_versioned_changes(
         max_runs,
         "replicate_versioned_changes",
         cursor_dir=Path(checkpoint) / "_vc_cursor",
+        delivered=lambda: n_applied[0],
     )
     if dst_name is not None and _versions(dst):
         catalog.register(dst_name, dst)
