@@ -1761,19 +1761,20 @@ def q267_versioned_metadata_aggregates(
     )
     versioned_delete(spark, t, "o_orderkey % 9 = 0", strategy="dv")
     cnt = versioned_count(spark, t).select(F.col("count").alias("cnt"))
-    keys = versioned_min_max(spark, t, "o_orderkey").select(
+    # one multi-column min/max call: the three columns' boundary files
+    # (DV'd candidates + pre-evolution files) share ONE scan instead of
+    # three overlapping ones (r16 — versioned_min_max list form)
+    mm = versioned_min_max(
+        spark, t, ["o_orderkey", "o_totalprice", "o_custkey"]
+    ).select(
         F.col("min_o_orderkey").alias("min_key"),
         F.col("max_o_orderkey").alias("max_key"),
-    )
-    price = versioned_min_max(spark, t, "o_totalprice").select(
         F.col("min_o_totalprice").alias("min_price"),
         F.col("max_o_totalprice").alias("max_price"),
-    )
-    cust = versioned_min_max(spark, t, "o_custkey").select(
         F.col("min_o_custkey").alias("min_cust"),
         F.col("max_o_custkey").alias("max_cust"),
     )
-    return cnt.crossJoin(keys).crossJoin(price).crossJoin(cust)
+    return cnt.crossJoin(mm)
 
 
 @register(
@@ -3275,18 +3276,38 @@ def q286_versioned_branch_feed(
     # branch_diff (a keyed STATE diff vs the fork) and the since-fork
     # feed (an EVENT log) agree up to exactly the keys that net out:
     # inserted-then-deleted keys appear in the feed twice and in the
-    # diff not at all
-    diff_keys = {
-        r["o_orderkey"]
-        for r in branch_diff(spark, t, "dev", ["o_orderkey"]).collect()
-    }
+    # diff not at all.  The set comparison runs DISTRIBUTED (one
+    # full-outer join + one count) instead of collecting both the whole
+    # feed and the whole diff to the driver — same invariant, no
+    # driver materialization of either side (guide §5: the driver
+    # should do almost no data work).
     feed = read_change_feed(spark, b, 1)
-    rows = feed.collect()
-    feed_keys = {r["o_orderkey"] for r in rows}
-    ins = {r["o_orderkey"] for r in rows if r["_change_type"] == "insert"}
-    dels = {r["o_orderkey"] for r in rows if r["_change_type"] == "delete"}
+    fk = feed.groupBy("o_orderkey").agg(
+        F.max(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        ).alias("has_ins"),
+        F.max(
+            F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+        ).alias("has_del"),
+    )
+    expected = (
+        fk.filter((F.col("has_ins") == 0) | (F.col("has_del") == 0))
+        .select("o_orderkey")
+        .withColumn("_e", F.lit(1))
+    )
+    dk = (
+        branch_diff(spark, t, "dev", ["o_orderkey"])
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    mismatches = (
+        expected.join(dk, "o_orderkey", "full_outer")
+        .filter(F.col("_e").isNull() | F.col("_d").isNull())
+        .count()
+    )
     _require(
-        diff_keys == feed_keys - (ins & dels),
+        mismatches == 0,
         "branch_diff must equal the feed's keys minus the netted-out "
         "insert-then-delete keys",
     )

@@ -2673,7 +2673,7 @@ def versioned_count(
 def versioned_min_max(
     spark: SparkSession,
     path: str,
-    col: str,
+    col: str | list[str] | tuple[str, ...],
     version: int | None = None,
 ) -> DataFrame:
     """``MIN(col)/MAX(col)`` answered from the manifest zone maps where
@@ -2697,9 +2697,20 @@ def versioned_min_max(
     scan aggregate, never to a wrong answer.  Time-typed columns keep
     their stats as Hive-normal-form ISO strings (lexicographic ==
     value order), cast back to the committed type in the result.
-    Result columns are ``min_<col>``/``max_<col>``."""
+    Result columns are ``min_<col>``/``max_<col>``.
+
+    ``col`` may be a LIST of columns (r16): per-column metadata
+    resolution is unchanged, but all columns needing a scan share ONE
+    scan job over the union of their boundary files — SELECT MIN(a),
+    MAX(a), MIN(b), MAX(b) scan sharing.  Scanning a file one column
+    didn't strictly need is sound: its values lie within that file's
+    committed range, so folding them in with least/greatest can never
+    move the true extreme.  Result columns follow the list order."""
     from pyspark.sql import functions as F
 
+    cols = [col] if isinstance(col, str) else list(col)
+    if not cols:
+        raise ValueError("versioned_min_max: col list must be non-empty")
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -2707,78 +2718,100 @@ def versioned_min_max(
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(path, v)
-    ctype = next(
-        (
-            f["type"]
-            for f in (m.get("schema") or {}).get("fields", [])
-            if f["name"] == col and isinstance(f["type"], str)
-        ),
-        None,
-    )
-    if ctype is None:
-        raise ValueError(
-            f"versioned_min_max: column {col!r} not in the committed "
-            "schema (or not a primitive type)"
+    ctypes: dict[str, str] = {}
+    for c in cols:
+        ctype = next(
+            (
+                f["type"]
+                for f in (m.get("schema") or {}).get("fields", [])
+                if f["name"] == c and isinstance(f["type"], str)
+            ),
+            None,
         )
-    pc = _phys(m, col)
+        if ctype is None:
+            raise ValueError(
+                f"versioned_min_max: column {c!r} not in the committed "
+                "schema (or not a primitive type)"
+            )
+        ctypes[c] = ctype
     stats = m.get("file_stats") or {}
     meta = m.get("file_meta") or {}
     dvc = m.get("dv_counts") or {}
-    exact_min = exact_max = None
-    dvd: list[tuple[str, object, object]] = []
-    scan: list[str] = []
-    for f in m["files"]:
-        if (meta.get(f) or {}).get("rows") == 0:
-            continue  # empty file (range-partition edge): no rows, no stats
-        rng = stats.get(f, {}).get(pc)
-        if rng is None:
-            scan.append(f)
-            continue
-        if f in dvc:
-            dvd.append((f, rng[0], rng[1]))
-            continue
-        try:
-            if exact_min is None or rng[0] < exact_min:
-                exact_min = rng[0]
-            if exact_max is None or rng[1] > exact_max:
-                exact_max = rng[1]
-        except TypeError:
-            scan.append(f)  # incomparable stats → conservative scan
-    for f, lo, hi in dvd:
-        try:
-            beats = (
-                exact_min is None
-                or exact_max is None
-                or lo < exact_min
-                or hi > exact_max
-            )
-        except TypeError:
-            beats = True
-        if beats:
-            scan.append(f)
-    min_cands, max_cands = [], []
-    if exact_min is not None:
-        min_cands.append(F.lit(exact_min).cast(ctype))
-        max_cands.append(F.lit(exact_max).cast(ctype))
+    exact: dict[str, tuple] = {}  # col -> (min, max) or absent
+    scan_for: dict[str, set[str]] = {c: set() for c in cols}
+    for c in cols:
+        pc = _phys(m, c)
+        exact_min = exact_max = None
+        dvd: list[tuple[str, object, object]] = []
+        for f in m["files"]:
+            if (meta.get(f) or {}).get("rows") == 0:
+                continue  # empty file (range-partition edge): no stats
+            rng = stats.get(f, {}).get(pc)
+            if rng is None:
+                scan_for[c].add(f)
+                continue
+            if f in dvc:
+                dvd.append((f, rng[0], rng[1]))
+                continue
+            try:
+                if exact_min is None or rng[0] < exact_min:
+                    exact_min = rng[0]
+                if exact_max is None or rng[1] > exact_max:
+                    exact_max = rng[1]
+            except TypeError:
+                scan_for[c].add(f)  # incomparable stats → conservative
+        for f, lo, hi in dvd:
+            try:
+                beats = (
+                    exact_min is None
+                    or exact_max is None
+                    or lo < exact_min
+                    or hi > exact_max
+                )
+            except TypeError:
+                beats = True
+            if beats:
+                scan_for[c].add(f)
+        if exact_min is not None:
+            exact[c] = (exact_min, exact_max)
+    scan = sorted(set().union(*scan_for.values()))
+    scanned: dict[str, tuple] = {}
     if scan:
         got = (
             _read_files(spark, path, scan, m)
-            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .agg(
+                *[
+                    g
+                    for c in cols
+                    for g in (
+                        F.min(c).alias(f"__lo_{c}"),
+                        F.max(c).alias(f"__hi_{c}"),
+                    )
+                ]
+            )
             .first()
         )
-        if got["lo"] is not None:
-            min_cands.append(F.lit(got["lo"]).cast(ctype))
-            max_cands.append(F.lit(got["hi"]).cast(ctype))
-    if not min_cands:
-        min_cands = max_cands = [F.lit(None).cast(ctype)]
+        for c in cols:
+            if got[f"__lo_{c}"] is not None:
+                scanned[c] = (got[f"__lo_{c}"], got[f"__hi_{c}"])
 
     def _fold(fn, cands):  # least/greatest need >= 2 args
         return cands[0] if len(cands) == 1 else fn(*cands)
 
-    return spark.range(1).select(
-        _fold(F.least, min_cands).alias(f"min_{col}"),
-        _fold(F.greatest, max_cands).alias(f"max_{col}"),
-    )
+    out_cols = []
+    for c in cols:
+        min_cands, max_cands = [], []
+        if c in exact:
+            min_cands.append(F.lit(exact[c][0]).cast(ctypes[c]))
+            max_cands.append(F.lit(exact[c][1]).cast(ctypes[c]))
+        if c in scanned:
+            min_cands.append(F.lit(scanned[c][0]).cast(ctypes[c]))
+            max_cands.append(F.lit(scanned[c][1]).cast(ctypes[c]))
+        if not min_cands:
+            min_cands = max_cands = [F.lit(None).cast(ctypes[c])]
+        out_cols.append(_fold(F.least, min_cands).alias(f"min_{c}"))
+        out_cols.append(_fold(F.greatest, max_cands).alias(f"max_{c}"))
+    return spark.range(1).select(*out_cols)
 
 
 def read_version_keyed(
@@ -4545,6 +4578,13 @@ def _delete_with_vectors(
 
     cur = _read_files(spark, path, candidates, m, keep_lineage=True)
     hit = cur.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    # On a CDF table the matched set feeds TWO write actions (the feed
+    # and the DV parquet), each of which would otherwise re-scan every
+    # candidate file — pin it (O(deleted rows), not O(candidate
+    # bytes)) so the candidates are scanned once.  Unpersisted below.
+    pinned = hit.persist() if _cdf_on(m) else None
+    if pinned is not None:
+        hit = pinned
     matched = hit.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
@@ -4561,6 +4601,8 @@ def _delete_with_vectors(
     )
     dv_rel = f"_deletes/{uuid.uuid4().hex}"
     matched.write.mode("error").parquet(str(Path(path) / dv_rel))
+    if pinned is not None:
+        pinned.unpersist()
     new_dv_files = sorted(
         str(p.relative_to(path))
         for p in (Path(path) / dv_rel).rglob("*.parquet")

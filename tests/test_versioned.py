@@ -3910,6 +3910,63 @@ def test_versioned_min_max_metadata_and_hybrid(spark, tmp_path, monkeypatch):
     assert [tuple(r) for r in got] == [tuple(truth)]
 
 
+def test_versioned_min_max_multi_column_shared_scan(
+    spark, tmp_path, monkeypatch
+):
+    """The list form of versioned_min_max (r16 scan sharing): all
+    requested columns resolve in ONE call — metadata where exact, a
+    SINGLE shared scan over the union of boundary files otherwise —
+    and every per-column answer equals the single-column call's and
+    the full-scan truth.  Scanning a file only one column needed must
+    not disturb the others' extremes."""
+    import _spark_multi_format_data_lake_pipeline_spark.sinks.versioned as V
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_min_max,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, float(100 - i) * 1.5, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, price double, v string")
+    versioned_write(df.repartitionByRange(4, "id"), t)
+    # DV the id extremes: id needs a boundary scan, price's extremes
+    # live in the SAME files (reversed order) so it scans too, and the
+    # middle files stay closed
+    versioned_delete(spark, t, "id IN (0, 99)", strategy="dv")
+
+    real_rf = V._read_files
+    calls = []
+
+    def counting_rf(spark_, path_, files_, m_, **k):
+        calls.append(sorted(files_))
+        return real_rf(spark_, path_, files_, m_, **k)
+
+    monkeypatch.setattr(V, "_read_files", counting_rf)
+    got = versioned_min_max(spark, t, ["id", "price", "v"]).collect()
+    monkeypatch.setattr(V, "_read_files", real_rf)
+    assert len(calls) == 1, (
+        f"multi-column min/max must share one scan, got {len(calls)}"
+    )
+    m = V._read_manifest(t, 2)
+    assert 0 < len(calls[0]) < len(m["files"]), (
+        "the shared scan must cover only the union of boundary files"
+    )
+    truth = read_version(spark, t).agg(
+        F.min("id"), F.max("id"),
+        F.min("price"), F.max("price"),
+        F.min("v"), F.max("v"),
+    ).first()
+    assert [tuple(r) for r in got] == [tuple(truth)]
+    # column order follows the list; names are min_<col>/max_<col>
+    assert got[0].__fields__ == [
+        "min_id", "max_id", "min_price", "max_price", "min_v", "max_v",
+    ]
+    # the single-column form is unchanged and agrees
+    one = versioned_min_max(spark, t, "price").collect()
+    assert [tuple(r) for r in one] == [(truth[2], truth[3])]
+
+
 def test_versioned_min_max_time_columns_and_empty(spark, tmp_path):
     """Time-typed columns keep their stats as ISO strings: the result
     casts back to the committed type exactly; an all-NULL column and
