@@ -38,32 +38,59 @@ _ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup"
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
     # their latest green record.  All twenty r15 entries came back
-    # green in CORRECTNESS_r15 and leave per the removal rule.  r16
-    # changes:
-    #
-    # (1) replicate_versioned_changes grew the BATCH engine and it is
-    # the new default (engine='auto' → read_change_feed slices through
-    # the shared cursor, no streaming-query startup):
-    "q285_versioned_cdc_replication",
-    # (2) VersionedCatalog hardened (lowercase normalization, O_EXCL
-    # create, change ledger) — re-prove the name-plane consumer:
-    "q284_versioned_named_merge",
-    # (3) the stream reader's floor path changed (floor-jump policy,
-    # initialOffsetFromFloor, shape-hash exclusions) — re-prove the
-    # streaming representatives:
-    "q242_versioned_stream_follow",
-    "q266_versioned_stream_rate_limited",
-    "q275_versioned_stream_drain",
-    "q277_versioned_stream_change_feed",
-    # (4) commit row counts now come from the parquet footers the
-    # stats harvest reads (no second Spark scan of the written data)
-    # — re-prove write-path representatives across the verb families
-    # (append/upsert/DV-delete/compact/row-tracking):
+    # green in CORRECTNESS_r15 and leave per the removal rule.  The
+    # r16 BUILD half changed the batch replication engine, the
+    # VersionedCatalog, the stream reader's floor path, and the
+    # commit row-count source; the r16 OPTIMIZATION half then touched
+    # versioned_upsert (one-pass stats + pinned sub-plans),
+    # versioned_apply_changes/apply_cdc_batch (pinned merge join),
+    # versioned_update and the DV delete (pinned CDF sets),
+    # versioned_min_max (multi-column scan sharing), and the
+    # drain/replicate stream engine (single running query) — every
+    # catalog query consuming those verbs re-proves below (all fit:
+    # 3 always-on + 42 recheck + never-verified q288 ≤ 50 slots).
     "q222_versioned_upsert_changes",
+    "q223_versioned_delete_rows",
+    "q224_versioned_partition_read",
+    "q229_versioned_apply_cdc_state",
+    "q230_versioned_history_audit",
     "q231_versioned_dv_delete",
+    "q236_versioned_bucket_lookup",
+    "q239_versioned_bloom_lookup",
+    "q241_versioned_clone_upsert",
+    "q242_versioned_stream_follow",
+    "q244_versioned_conditional_merge",
+    "q246_versioned_compact_dv_zorder",
+    "q248_versioned_branch_isolation",
+    "q250_versioned_deep_clone_export",
+    "q252_versioned_timetravel_asof",
     "q253_versioned_update_rows",
+    "q256_versioned_generated_partition",
+    "q257_versioned_merge_by_source",
+    "q260_versioned_identity_column",
+    "q261_versioned_merge_schema_evolution",
     "q264_versioned_incremental_compact",
+    "q265_versioned_concurrent_append_delete",
+    "q266_versioned_stream_rate_limited",
+    "q267_versioned_metadata_aggregates",
+    "q268_versioned_branch_merge_back",
+    "q271_versioned_parquet_checkpoint",
+    "q272_versioned_branch_merge_diverged",
+    "q274_versioned_not_null",
+    "q275_versioned_stream_drain",
+    "q276_versioned_change_feed",
+    "q277_versioned_stream_change_feed",
+    "q278_versioned_ndv_registers",
     "q279_versioned_row_tracking",
+    "q280_versioned_merge_cdf_row_tracking",
+    "q281_versioned_feed_time_bounds",
+    "q282_versioned_concurrent_disjoint_upserts",
+    "q283_versioned_point_in_time_merge",
+    "q284_versioned_named_merge",
+    "q285_versioned_cdc_replication",
+    "q286_versioned_branch_feed",
+    "q287_versioned_database_replication",
+    "q289_versioned_batch_drain",
 )
 
 
