@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 # probe is a row-count so a "graph too big" answer never ships rows driver-side.
 _TAKE_PROBE_CAP = 10_000
 
+# pagerank severs the rank vector's lineage every K iterations so the
+# physical plan stays O(1) nodes per round (the q156 plan unrolled to
+# ~290 Exchanges before the cut)
+_PR_CHECKPOINT_EVERY = 5
+
 
 def connected_components(
     edges: DataFrame,
@@ -167,10 +172,18 @@ def pagerank(
     Each iteration is one join of the current rank vector against the
     out-weight-normalized edge list plus a dst-keyed aggregation — the
     textbook edge-partitioned shape: state is O(nodes), the per-iteration
-    shuffle is O(edges), and nothing ever collects to the driver. The
-    plan chains ``iters`` joins with the small rank vector on the build
-    side; for high iteration counts on a real cluster, localCheckpoint
-    the rank vector every ~5 rounds like ``_cc_distributed`` does.
+    shuffle is O(edges), and nothing ever collects to the driver.
+
+    Lineage is BOUNDED (r17): the node set and the normalized edge list
+    are localCheckpoint-ed once up front — they are re-joined every
+    iteration, and without the cut the (possibly expensive) upstream
+    edge-derivation subtree rides the plan once per round, exactly the
+    unbounded-plan growth ``_cc_distributed`` fixed for q75 — and the
+    rank vector is checkpointed every ``_PR_CHECKPOINT_EVERY`` rounds,
+    so the physical plan stays O(1) nodes per iteration at any
+    iteration count (guide §5: materialize to truncate huge plans;
+    checkpointing changes no value, only where the data is re-read
+    from).
 
     Nodes without in-edges get the (1-d)/N teleport mass via the left
     join from the node set; mass from dangling nodes (no out-edges) is
@@ -186,16 +199,19 @@ def pagerank(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    enorm = e.join(outw, "_src").select(
-        "_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p")
+    enorm = (
+        e.join(outw, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
-    for _ in range(max(iters, 0)):
+    for i in range(max(iters, 0)):
         contrib = (
             enorm.join(ranks, enorm._src == ranks.node)
             .select("_dst", (F.col("r") * F.col("_p")).alias("_c"))
@@ -213,4 +229,8 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if (i + 1) % _PR_CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            # sever the growing rank lineage so the plan stays O(1)
+            # per iteration however many rounds run
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

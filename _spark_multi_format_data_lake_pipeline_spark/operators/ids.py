@@ -31,12 +31,27 @@ def assign_contiguous_ids(
     order_cols: Sequence[str],
     id_col: str = "stable_id",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_count: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Add ``id_col`` = 0..n-1 in ``order_cols`` order, fully parallel.
 
     ``order_cols`` must be a unique key (ties would make the order, and
     therefore the ids, nondeterministic). Step 3 collects one count per
     partition to the driver — P longs, independent of table size.
+
+    ``num_partitions=None`` (default) leaves the range shuffle's
+    partition count to AQE partition coalescing (scale-adaptive: a
+    100-row insert set numbers in one task, a billion-row one keeps the
+    configured width) instead of pinning ``spark.sql.shuffle.partitions``
+    tasks on any input.  The ids are partitioning-independent either
+    way: they follow the global ``order_cols`` order through the
+    per-partition prefix sum, whatever boundaries the sampler or AQE
+    picked.
+
+    ``with_count=True`` returns ``(numbered, n)`` where ``n`` is the
+    total row count — FREE here (the per-partition count collect already
+    sums to it), so callers that need both never pay a separate
+    ``count()`` job over the input.
 
     The sorted stage is eagerly localCheckpoint-ed before counting:
     range-partition boundaries come from sampling, and a re-compiled plan
@@ -51,9 +66,6 @@ def assign_contiguous_ids(
     localCheckpoint blocks mid-query, use reliable checkpoint/write
     instead.)
     """
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
     # The partition index is BAKED INTO the checkpointed rows rather
     # than read from TaskContext at numbering time: a downstream plan
     # that composes the numbered frame into a UNION (or any stage
@@ -64,9 +76,16 @@ def assign_contiguous_ids(
     # row-tracking upsert found exactly this).  Data-carried pids are
     # immune to any task renumbering.
     pid_col = "__acid_pid"
+    ranged = (
+        df.repartitionByRange(int(num_partitions), *order_cols)
+        if num_partitions is not None
+        # no explicit count → AQE may coalesce the range shuffle to fit
+        # the data; coalescing merges ADJACENT ranges, so the global
+        # order (and therefore every id) is unchanged
+        else df.repartitionByRange(*order_cols)
+    )
     ordered = (
-        df.repartitionByRange(int(parts), *order_cols)
-        .sortWithinPartitions(*order_cols)
+        ranged.sortWithinPartitions(*order_cols)
         .withColumn(pid_col, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -118,4 +137,5 @@ def assign_contiguous_ids(
                 pdf[id_col] = pd.Series([], dtype="int64")
             yield pdf.drop(columns=[pid_col])
 
-    return ordered.mapInPandas(_number, schema=out_schema)
+    numbered = ordered.mapInPandas(_number, schema=out_schema)
+    return (numbered, acc) if with_count else numbered

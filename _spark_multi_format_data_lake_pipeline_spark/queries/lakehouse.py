@@ -30,6 +30,14 @@ from ..sources.lake import load_table
 from .registry import register
 
 
+# Ceiling on driver-collected point-lookup probe lists (q236/q239/q245):
+# the list-of-literals shape IS the scenario those queries demonstrate,
+# but an unbounded collect() is a driver OOM at 100 TB (guide §5).  The
+# cap sits orders of magnitude above the probe-key count at every bench
+# SF (≤ ~600 keys at sf0.1), so bench/oracle row sets are unchanged.
+_PROBE_CAP = 100_000
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -332,9 +340,16 @@ def q236_versioned_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
     )
     versioned_upsert(chg, t, ["o_orderkey"])
+    # the probe-list-of-literals IS the point-lookup scenario, but the
+    # driver-side collect must stay bounded at any scale: cap the list
+    # (guide §5 — the driver does no data work; _PROBE_CAP is far above
+    # the key count at every bench SF, so the row set is unchanged)
     keys = [
         r["o_orderkey"]
-        for r in od.filter(k % 250 == 0).select("o_orderkey").collect()
+        for r in od.filter(k % 250 == 0)
+        .select("o_orderkey")
+        .limit(_PROBE_CAP)
+        .collect()
     ]
     return read_version_keyed(spark, t, keys)
 
@@ -372,11 +387,14 @@ def q239_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned_write(
         od.repartitionByRange(6, "o_orderkey"), t, bloom_by=["o_custkey"]
     )
+    # bounded probe list — see q236's cap note (row set unchanged at
+    # every bench SF; at real scale the collect stays driver-safe)
     keys = [
         r["o_custkey"]
         for r in od.filter(F.col("o_custkey") % 100 == 0)
         .select("o_custkey")
         .distinct()
+        .limit(_PROBE_CAP)
         .collect()
     ]
     return read_version_bloom(spark, t, "o_custkey", keys)
@@ -582,11 +600,13 @@ def q245_versioned_bloom_multi_lookup(
         t,
         bloom_by=["o_custkey", "o_totalprice"],
     )
+    # bounded probe lists — see q236's cap note
     custs = [
         r["o_custkey"]
         for r in od.filter(F.col("o_custkey") % 100 == 0)
         .select("o_custkey")
         .distinct()
+        .limit(_PROBE_CAP)
         .collect()
     ]
     prices = [
@@ -596,6 +616,7 @@ def q245_versioned_bloom_multi_lookup(
         )
         .select("o_totalprice")
         .distinct()
+        .limit(_PROBE_CAP)
         .collect()
     ]
     return read_version_bloom_multi(

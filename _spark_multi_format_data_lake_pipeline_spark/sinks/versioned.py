@@ -114,6 +114,29 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — reread and retry."""
 
 
+_SIDE_JOB_POOL = None
+
+
+def _side_job_pool():
+    """Shared 2-worker pool for overlapping a commit's INDEPENDENT Spark
+    write jobs (the CDF feed write vs the snapshot/DV write — disjoint
+    output dirs, both must finish before the manifest commits).  Spark's
+    scheduler runs concurrent driver jobs fine (guide §2.6: actions are
+    only sequential because the driver calls them sequentially); a
+    shared pool keeps the py4j-pinned JVM thread count bounded instead
+    of leaking one per commit.  Two workers suffice: no commit ever has
+    more than one side job in flight, and commit paths never nest pool
+    submissions (no deadlock)."""
+    global _SIDE_JOB_POOL
+    if _SIDE_JOB_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SIDE_JOB_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="versioned-side-job"
+        )
+    return _SIDE_JOB_POOL
+
+
 def _manifest_dir(path: str) -> Path:
     return Path(path) / "_manifests"
 
@@ -985,6 +1008,8 @@ def _write_snapshot(
     read_range: tuple | None = None,
     content_independent: bool = False,
     cdf_files: list[str] | None = None,
+    cdf_feed=None,  # DataFrame, or an already-submitted Future[list]
+    cdf_cmap: dict | None = None,
     ndv_by: list[str] | None = None,
     row_ids_consumed: int = 0,
     max_records_per_file: int | None = None,
@@ -1028,6 +1053,31 @@ def _write_snapshot(
         "update",
     ):
         raise ValueError(f"versioned snapshot write: unknown mode {mode!r}")
+    # CDF feed handed as a FRAME: its parquet write is independent of the
+    # snapshot write (disjoint output dirs, shared pinned inputs), so it
+    # runs as a concurrent side job and is joined right before the
+    # manifest needs the file list — one commit pays max(feed, snapshot)
+    # wall-clock instead of feed + snapshot (guide §2.6 overlapping
+    # independent jobs).  Callers pass either cdf_files (already
+    # written) or cdf_feed, never both.
+    cdf_future = None
+    if cdf_feed is not None:
+        if cdf_files is not None:
+            raise ValueError(
+                "_write_snapshot: pass cdf_files or cdf_feed, not both"
+            )
+        from concurrent.futures import Future
+
+        # a caller that has eager work of its own between building the
+        # feed and committing (the row-id chain) submits the side job
+        # early and hands the Future down
+        cdf_future = (
+            cdf_feed
+            if isinstance(cdf_feed, Future)
+            else _side_job_pool().submit(
+                _write_cdf, cdf_feed, path, dict(cdf_cmap or {})
+            )
+        )
     vs = versions(path)
     prev = (
         _read_manifest(path, vs[-1])
@@ -1186,13 +1236,19 @@ def _write_snapshot(
             else:
                 df = df.withColumn(name, F.col(name).cast("long"))
             need = df.filter(F.col(name).isNull())
-            n_null = need.count()
-            if n_null:
-                from ..operators.ids import assign_contiguous_ids
+            from ..operators.ids import assign_contiguous_ids
 
-                numbered = assign_contiguous_ids(
-                    need.drop(name), list(ob), id_col="__ident_rank"
-                ).withColumn(
+            # the numbering's own per-partition count collect reports
+            # n_null (with_count) — one job less per identity commit
+            # than the old separate need.count() pre-flight
+            ranked, n_null = assign_contiguous_ids(
+                need.drop(name),
+                list(ob),
+                id_col="__ident_rank",
+                with_count=True,
+            )
+            if n_null:
+                numbered = ranked.withColumn(
                     name,
                     (
                         F.lit(start)
@@ -1465,6 +1521,10 @@ def _write_snapshot(
     )
     import time
 
+    if cdf_future is not None:
+        # join the concurrent feed write; its file list rides the
+        # manifest exactly as a pre-written cdf_files list would
+        cdf_files = cdf_future.result()
     manifest = {
         "version": (vs[-1] + 1) if vs else 1,
         "mode": mode,
@@ -1908,6 +1968,30 @@ def _file_rows(
 
     base = (file_base or {}).get(rel)
     return pq.ParquetFile(str(Path(base or path) / rel)).metadata.num_rows
+
+
+# Candidate-pin threshold for the cow+CDF delete (bytes): below it the
+# feed and survivor consumers share one persisted candidate scan; above
+# it caching O(candidate bytes) is the guide-§5 anti-pattern and the two
+# scans stay (overlapped by the concurrent feed write).  Parameterised
+# for production (SPARK_GRAFT_DELETE_PIN_MB); 256 MB default is safely
+# inside one executor's storage fraction at any deployment size.
+_DELETE_PIN_BYTES = (
+    int(os.environ.get("SPARK_GRAFT_DELETE_PIN_MB", "256")) * 1024 * 1024
+)
+
+
+def _files_bytes(m: dict, files: list[str]) -> int:
+    """Total manifest-recorded bytes of ``files``; a file with no
+    recorded size counts as unbounded (disables size-gated pins)."""
+    meta = m.get("file_meta") or {}
+    total = 0
+    for f in files:
+        b = meta.get(f, {}).get("bytes")
+        if b is None:
+            return 1 << 62
+        total += int(b)
+    return total
 
 
 # Safe type-widening lattices (Delta 4.x type widening): values written
@@ -4217,17 +4301,20 @@ def _assign_fresh_row_ids(
     high-water mark via the range-partition prefix sum (operators/ids)
     — never a ROW_NUMBER funnel — returned as (rows + id column,
     ids consumed).  Callers guarantee the keyed rows are the INSERT
-    side of a rewrite (every row draws one id)."""
+    side of a rewrite (every row draws one id).  The consumed count
+    comes out of the numbering's own per-partition count collect
+    (with_count) — no separate ``count()`` pass over the insert set."""
     from pyspark.sql import functions as F
 
-    n = rows.count()
-    if not n:
-        return rows.withColumn(_ROWID_COL, F.lit(None).cast("long")), 0
     from ..operators.ids import assign_contiguous_ids
 
-    rows = assign_contiguous_ids(rows, keys, id_col="__rid_tmp")
+    numbered, n = assign_contiguous_ids(
+        rows, keys, id_col="__rid_tmp", with_count=True
+    )
+    if not n:
+        return rows.withColumn(_ROWID_COL, F.lit(None).cast("long")), 0
     return (
-        rows.withColumn(
+        numbered.withColumn(
             _ROWID_COL, (F.col("__rid_tmp") + F.lit(hw)).cast("long")
         ).drop("__rid_tmp"),
         n,
@@ -4294,7 +4381,12 @@ def versioned_upsert(
         return p
 
     try:
-        df = _pin(df)
+        sl = df.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            # pin only when the CALLER hasn't: persist() on an already-
+            # persisted frame at a different level raises, and our
+            # finally-unpersist would silently evict the caller's cache
+            df = _pin(df)
         # ONE pass computes the duplicate-key guard AND the prune range
         # (guide §2.3 "aggregate before you shuffle" / §1.2 fewer
         # passes): previously the guard was its own groupBy job and the
@@ -4410,7 +4502,7 @@ def versioned_upsert(
                         allowMissingColumns=True,
                     )
                 )
-                cdf = _write_cdf(feed, path, _column_mapping(m))
+                cdf = feed
         else:
             if track:
                 df, rid_consumed = _fresh_ids(
@@ -4418,20 +4510,20 @@ def versioned_upsert(
                 )
             out = df
             if _cdf_on(m):
-                cdf = _write_cdf(
-                    df.drop(_ROWID_COL).withColumn(
-                        "_change_type", F.lit("insert")
-                    ),
-                    path,
-                    _column_mapping(m),
+                cdf = df.drop(_ROWID_COL).withColumn(
+                    "_change_type", F.lit("insert")
                 )
+        # the feed FRAME goes down as cdf_feed: its parquet write runs
+        # concurrently with the snapshot write inside _write_snapshot
+        # (guide §2.6) — one commit, two overlapped jobs
         return _write_snapshot(
             out,
             path,
             "upsert",
             carry_files=untouched,
             read_range=(pc, lo, hi),
-            cdf_files=cdf,
+            cdf_feed=cdf,
+            cdf_cmap=_column_mapping(m),
             row_ids_consumed=rid_consumed,
         )
     finally:
@@ -4533,28 +4625,42 @@ def versioned_delete(
         spark, path, candidates, m, keep_row_ids=_row_tracking_on(m)
     )
     pred = F.coalesce(F.expr(predicate), F.lit(False))
-    survivors = cur.filter(~pred)  # ids (if tracked) materialize with them
-    cdf = (
-        _write_cdf(
+    pinned = None
+    if _cdf_on(m) and _files_bytes(m, candidates) <= _DELETE_PIN_BYTES:
+        # CDF on: the feed (matched rows) and the snapshot (survivors)
+        # each scan the candidates.  When the manifest bounds the
+        # candidate bytes small, pin the candidate read so the two
+        # consumers share ONE underlying scan (guide §5 reuse-only
+        # caching; unpersisted below).  Past the threshold the pin
+        # would cache O(candidate bytes) — the §5 anti-pattern — so
+        # the two scans stay, overlapped by the concurrent feed write.
+        pinned = cur.persist()
+        cur = pinned
+    try:
+        survivors = cur.filter(~pred)  # tracked ids materialize with them
+        cdf = (
             cur.filter(pred)
             .drop(_ROWID_COL, _ROWCV_COL)
-            .withColumn("_change_type", F.lit("delete")),
-            path,
-            _column_mapping(m),
+            .withColumn("_change_type", F.lit("delete"))
+            if _cdf_on(m)
+            else None
         )
-        if _cdf_on(m)
-        else None
-    )
-    return _write_snapshot(
-        survivors,
-        path,
-        "delete",
-        carry_files=untouched,
-        read_range=(
-            (prune_col, lo, hi) if prune_col is not None else None
-        ),
-        cdf_files=cdf,
-    )
+        # feed frame rides as cdf_feed: its write overlaps the snapshot
+        # write inside _write_snapshot (guide §2.6)
+        return _write_snapshot(
+            survivors,
+            path,
+            "delete",
+            carry_files=untouched,
+            read_range=(
+                (prune_col, lo, hi) if prune_col is not None else None
+            ),
+            cdf_feed=cdf,
+            cdf_cmap=_column_mapping(m),
+        )
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
 
 
 def _delete_with_vectors(
@@ -4588,21 +4694,32 @@ def _delete_with_vectors(
     matched = hit.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
-    cdf_files = (
-        _write_cdf(
-            hit.drop("__dv_file", "__dv_pos").withColumn(
-                "_change_type", F.lit("delete")
-            ),
-            path,
-            _column_mapping(m),
-        )
-        if _cdf_on(m)
-        else None
-    )
     dv_rel = f"_deletes/{uuid.uuid4().hex}"
-    matched.write.mode("error").parquet(str(Path(path) / dv_rel))
-    if pinned is not None:
-        pinned.unpersist()
+    cdf_files = None
+    try:
+        # the feed write and the (file, pos) DV write are independent
+        # jobs over the SAME pinned matched set — run them concurrently
+        # (guide §2.6): the commit pays max(feed, dv) instead of
+        # feed + dv.  try/finally so the pin never outlives the verb
+        # even when a write raises.
+        cdf_fut = (
+            _side_job_pool().submit(
+                _write_cdf,
+                hit.drop("__dv_file", "__dv_pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                path,
+                _column_mapping(m),
+            )
+            if _cdf_on(m)
+            else None
+        )
+        matched.write.mode("error").parquet(str(Path(path) / dv_rel))
+        if cdf_fut is not None:
+            cdf_files = cdf_fut.result()
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
     new_dv_files = sorted(
         str(p.relative_to(path))
         for p in (Path(path) / dv_rel).rglob("*.parquet")
@@ -4872,15 +4989,13 @@ def versioned_update(
                     for c in hit.columns
                 )
             )
-            cdf = _write_cdf(
-                hit.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                ).unionByName(
-                    upd.withColumn("_change_type", F.lit("update_postimage"))
-                ),
-                path,
-                _column_mapping(m),
+            cdf = hit.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                upd.withColumn("_change_type", F.lit("update_postimage"))
             )
+        # feed frame rides as cdf_feed: its write overlaps the snapshot
+        # write inside _write_snapshot (guide §2.6)
         return _write_snapshot(
             out,
             path,
@@ -4889,7 +5004,8 @@ def versioned_update(
             read_range=(
                 (prune_col, lo, hi) if prune_col is not None else None
             ),
-            cdf_files=cdf,
+            cdf_feed=cdf,
+            cdf_cmap=_column_mapping(m),
         )
     finally:
         if hit is not None:
@@ -5098,27 +5214,6 @@ def versioned_apply_changes(
     m = _read_manifest(path, vs[-1])
     cdf_on = _cdf_on(m)
     track = _row_tracking_on(m)
-    if has_by_source:
-        # by-source clauses touch rows no change-row key points at:
-        # zone-map confinement on the batch's key range would leave
-        # unmatched rows in carried files un-deleted/un-updated
-        candidates, untouched = list(m["files"]), []
-        rr = None
-    else:
-        pc = prune_col or keys[0]
-        rng = changes.agg(
-            F.min(pc).alias("lo"), F.max(pc).alias("hi")
-        ).first()
-        candidates, untouched = _bucket_confine(
-            m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
-        )
-        rr = (pc, rng["lo"], rng["hi"])
-    if source_version is not None:
-        _validate_merge_source_version(
-            path, vs, source_version, rr, has_by_source
-        )
-    cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
-    cur_data = cur.drop(_ROWID_COL, _ROWCV_COL) if track else cur
     # The merge itself classifies every surviving row (carry / update /
     # insert) and, on a feed-enabled table, emits its own Delta-CDF
     # rows — both selected off the single full-outer join, so CDF and
@@ -5129,7 +5224,11 @@ def versioned_apply_changes(
     # out of the ONE merge join — persist shared sub-plans so the
     # candidate read + full-outer join computes once instead of once
     # per consuming action (a by-source merge reads the whole table;
-    # 3-4 re-reads would be real money at 100 TB).  Two pins:
+    # 3-4 re-reads would be real money at 100 TB).  Three pins:
+    # - the CHANGE BATCH itself (r17): the range/bucket probes and the
+    #   merge join each re-run its plan, which for replication slices
+    #   and branch merges is a whole feed read or two table diffs —
+    #   skipped when the caller already persisted it,
     # - the JOIN itself when the table feeds CDF (the feed's four
     #   branches and the state chain otherwise each re-run it),
     # - the classified state when row tracking needs it twice (id
@@ -5143,21 +5242,45 @@ def versioned_apply_changes(
         held.append(p)
         return p
 
-    res = apply_cdc_batch(
-        cur_data,
-        changes,
-        keys,
-        op_col=op_col,
-        seq_col=seq_col,
-        action_col="__act" if track else None,
-        with_feed=cdf_on,
-        join_hook=_pin if cdf_on else None,
-        **clause_kw,
-    )
-    out, feed = res if cdf_on else (res, None)
-    if track:
-        out = _pin(out)
     try:
+        sl = changes.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            changes = _pin(changes)
+        if has_by_source:
+            # by-source clauses touch rows no change-row key points at:
+            # zone-map confinement on the batch's key range would leave
+            # unmatched rows in carried files un-deleted/un-updated
+            candidates, untouched = list(m["files"]), []
+            rr = None
+        else:
+            pc = prune_col or keys[0]
+            rng = changes.agg(
+                F.min(pc).alias("lo"), F.max(pc).alias("hi")
+            ).first()
+            candidates, untouched = _bucket_confine(
+                m, changes, *_candidate_split(m, pc, rng["lo"], rng["hi"])
+            )
+            rr = (pc, rng["lo"], rng["hi"])
+        if source_version is not None:
+            _validate_merge_source_version(
+                path, vs, source_version, rr, has_by_source
+            )
+        cur = _read_files(spark, path, candidates, m, keep_row_ids=track)
+        cur_data = cur.drop(_ROWID_COL, _ROWCV_COL) if track else cur
+        res = apply_cdc_batch(
+            cur_data,
+            changes,
+            keys,
+            op_col=op_col,
+            seq_col=seq_col,
+            action_col="__act" if track else None,
+            with_feed=cdf_on,
+            join_hook=_pin if cdf_on else None,
+            **clause_kw,
+        )
+        out, feed = res if cdf_on else (res, None)
+        if track:
+            out = _pin(out)
         return _apply_changes_commit(
             spark, path, m, keys, cur, out, feed, cdf_on, track,
             untouched, rr, pin=_pin,
@@ -5187,7 +5310,16 @@ def _apply_changes_commit(
     unpersist."""
     from pyspark.sql import functions as F
 
-    cdf = _write_cdf(feed, path, _column_mapping(m)) if cdf_on else None
+    # the feed's parquet write runs concurrently with the row-id chain
+    # and the snapshot write (guide §2.6): submitted HERE so the id
+    # chain's eager jobs overlap it, then handed to _write_snapshot as
+    # a Future — the feed selects off the pinned merge join, so the
+    # overlap shares the pin, never re-runs the join
+    cdf_fut = (
+        _side_job_pool().submit(_write_cdf, feed, path, _column_mapping(m))
+        if cdf_on
+        else None
+    )
     rid_consumed = 0
     if track:
         # carried rows keep id + commit version (not logically
@@ -5231,7 +5363,7 @@ def _apply_changes_commit(
         "upsert",
         carry_files=untouched,
         read_range=rr,
-        cdf_files=cdf,
+        cdf_feed=cdf_fut,
         row_ids_consumed=rid_consumed,
     )
 

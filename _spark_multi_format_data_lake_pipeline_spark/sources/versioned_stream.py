@@ -1565,18 +1565,26 @@ def drain_versioned_changes(
 
     inc = _sink_incarnation(checkpoint)
     scope = _txn_scope(checkpoint) + (f"i{inc}" if inc else "")
-    n_landed = [0]
+    landed_ids: set[int] = set()
 
     def _land(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        n_landed[0] += 1
-        _land_slice(
+        # No isEmpty() pre-flight: that was a SECOND job per batch
+        # through the Python DS read (guide §1.2 — the write itself
+        # proves emptiness: an all-empty-task parquet write lands zero
+        # part files).  Batch offsets are deterministic, so a batch
+        # that lands nothing now landed nothing in every earlier
+        # attempt too — the slice-keyed clear inside _land_slice is a
+        # no-op for it.  Counting by BATCH ID instead of a bare
+        # counter keeps the returned count exact when a stop() races a
+        # mid-flight batch and the outer loop's next query replays it
+        # (the slice rewrite is idempotent; the count must be too).
+        if _land_slice(
             batch_df,
             sink_path,
             sink_format,
             f"slice-b{scope}-{batch_id:06d}-",
-        )
+        ):
+            landed_ids.add(batch_id)
 
     def start_sink(df):
         if build is not None:
@@ -1597,7 +1605,7 @@ def drain_versioned_changes(
         max_runs,
         "drain_versioned_changes",
         cursor_dir=Path(checkpoint) / "_vc_cursor",
-        delivered=lambda: n_landed[0],
+        delivered=lambda: len(landed_ids),
     )
 
 
@@ -1749,7 +1757,7 @@ def _land_slice(
     sink_format: str,
     prefix: str,
     clear_glob: str | None = None,
-) -> None:
+) -> int:
     """Land one drained slice in the sink under DETERMINISTIC file
     names: write to a temp dir, delete leftovers matching
     ``clear_glob`` (default: same-prefix files — a previous attempt's
@@ -1759,7 +1767,10 @@ def _land_slice(
     sink-side exactly-once without a ``_spark_metadata`` transaction
     log (whose presence makes batch reads IGNORE files the log doesn't
     list — the reason both drain engines share this layout instead of
-    the streaming file sink)."""
+    the streaming file sink).  Returns the number of files landed — 0
+    means the slice was empty (an all-empty-task write emits no part
+    files), which the stream sink uses instead of a separate
+    ``isEmpty()`` job."""
     import os as _os
     import shutil
     import uuid as _uuid
@@ -1777,6 +1788,7 @@ def _land_slice(
     for i, f in enumerate(outs):
         _os.replace(f, dst / f"{prefix}{i:04d}{f.suffix}")
     shutil.rmtree(tmp, ignore_errors=True)
+    return len(outs)
 
 
 def _refuse_metadata_sink(sink_path: str) -> None:
@@ -2084,7 +2096,13 @@ def replicate_versioned_changes(
     ``ending_version`` bounds the replication — backfill ``dst``
     through a fixed ``src`` version and stop (the point-in-time clone
     shape); without it the loop stops at ``src``'s head as of the
-    final run.  Returns the number of runs that delivered data.
+    final run.  Returns the number of runs that delivered data —
+    precisely (r16+): distinct micro-batches/slices whose
+    POST-TRANSFORM op frame was non-empty, i.e. batches that actually
+    applied a change to ``dst``; a batch carrying only
+    ``update_preimage`` rows (or rows a ``skipChangeCommits`` reader
+    dropped) applies nothing and does not count, where the pre-r16
+    loop counted any run with ``numInputRows > 0``.
 
     ``allow_schema_evolution=True`` lets the replica FOLLOW source
     schema evolution: each availableNow run's fresh reader adopts the
@@ -2182,13 +2200,12 @@ def replicate_versioned_changes(
 
     register(spark)
 
-    n_applied = [0]
+    applied_ids: set[int] = set()
 
-    def _apply(bdf, _batch_id):
+    def _apply(bdf, batch_id):
         ch = _cdc_op_frame(bdf, F)
         if ch.isEmpty():
             return
-        n_applied[0] += 1
         sv = None
         if guard_concurrent_target:
             dvs = _versions(dst)
@@ -2202,6 +2219,15 @@ def replicate_versioned_changes(
             source_version=sv,
             allow_schema_evolution=allow_schema_evolution,
         )
+        # counted by BATCH ID, post-apply: a stop() racing a mid-flight
+        # batch makes the outer loop's next query replay the same id —
+        # the keyed apply converges, and the set keeps the returned
+        # count exact across the replay.  Semantics (r16+): a run
+        # "delivered data" when its post-transform op frame is
+        # non-empty — a batch holding only update_preimage rows (or
+        # rows dropped by skipChangeCommits) applies nothing and does
+        # not count.
+        applied_ids.add(batch_id)
 
     reader = (
         spark.readStream.format("versioned_changes")
@@ -2242,7 +2268,7 @@ def replicate_versioned_changes(
         max_runs,
         "replicate_versioned_changes",
         cursor_dir=Path(checkpoint) / "_vc_cursor",
-        delivered=lambda: n_applied[0],
+        delivered=lambda: len(applied_ids),
     )
     if dst_name is not None and _versions(dst):
         catalog.register(dst_name, dst)

@@ -1325,6 +1325,48 @@ def test_bucket_confines_upsert_when_ranges_cannot(spark, tmp_path):
     assert rows[7] == "NEW" and len(rows) == 80 and rows[8] == "v8"
 
 
+def test_bucket_confines_apply_changes_when_ranges_cannot(spark, tmp_path):
+    """versioned_apply_changes (keyed, no by-source clause) routes
+    through the same bucket confinement as versioned_upsert: a keyed
+    I/U/D batch on a bucketed table rewrites ONLY the touched buckets'
+    files — the other-bucket candidates never enter the merge join's
+    shuffle, they carry verbatim (guide §2.4/§3: the prune that works
+    when hash-spread keys defeat min/max ranges)."""
+    from _spark_multi_format_data_lake_pipeline_spark.sinks.versioned import (
+        _bucket_expr,
+        _candidate_split,
+        versioned_apply_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(80)], "id int, v string"
+    )
+    versioned_write(df.coalesce(1), t, bucket_by=("id", 8))
+    m1 = _read_manifest(t, 1)
+    range_only, _ = _candidate_split(m1, "id", 7, 7)
+    assert len(range_only) > 1  # zone maps alone cannot confine this
+    b7 = (
+        spark.createDataFrame([(7,)], "id int")
+        .select(_bucket_expr("id", 8).alias("b"))
+        .first()["b"]
+    )
+    versioned_apply_changes(
+        spark.createDataFrame([(7, "NEW", "U")], "id int, v string, op string"),
+        t,
+        ["id"],
+    )
+    m2 = _read_manifest(t, 2)
+    for f in m1["files"]:
+        fb = m1["file_stats"][f]["__bucket"][0]
+        if fb != b7:
+            assert f in m2["files"], "other-bucket file must carry verbatim"
+        else:
+            assert f not in m2["files"], "touched-bucket file must rewrite"
+    rows = dict(_rows(read_version(spark, t)))
+    assert rows[7] == "NEW" and len(rows) == 80 and rows[8] == "v8"
+
+
 def test_bucket_keyed_read_opens_only_touched_buckets(spark, tmp_path):
     """read_version_keyed returns exactly filter(col IN values) while
     opening only files whose bucket matches a requested value's."""
