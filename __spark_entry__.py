@@ -30,53 +30,62 @@ from _spark_multi_format_data_lake_pipeline_spark.queries import QUERIES
 # rows-only by design (no oracle) — when the driver recorded a row count
 # without error.  Entries with any other ``err`` are treated as unchecked so
 # a failed query automatically rotates back into the window next round.
-_ALWAYS_ON = ("q01_pricing_summary", "q43_user_sessions", "q54_minhash_near_dup")
+# r17: two relational representatives (rollup + window family) joined
+# the core so rotation can never empty analytic oracle coverage — the
+# r16 PERF window-diff read as a mass "drop" when the recheck block
+# displaced every analytic row.
+_ALWAYS_ON = (
+    "q01_pricing_summary",
+    "q43_user_sessions",
+    "q54_minhash_near_dup",
+    "q12_rollup_sales",
+    "q20_top3_orders_per_customer",
+)
 
 # Queries whose implementation changed after their most recent green driver
 # record.  Keep in sync when editing query bodies: add the name here, remove
 # it once a newer CORRECTNESS_r*.json shows it green again.
 _RECHECK = (
     # Hash-green queries whose bodies or consumed helpers changed after
-    # their latest green record.  All twenty r15 entries came back
-    # green in CORRECTNESS_r15 and leave per the removal rule.  The
-    # r16 BUILD half changed the batch replication engine, the
-    # VersionedCatalog, the stream reader's floor path, and the
-    # commit row-count source; the r16 OPTIMIZATION half then touched
-    # versioned_upsert (one-pass stats + pinned sub-plans),
-    # versioned_apply_changes/apply_cdc_batch (pinned merge join),
-    # versioned_update and the DV delete (pinned CDF sets),
-    # versioned_min_max (multi-column scan sharing), and the
-    # drain/replicate stream engine (single running query) — every
-    # catalog query consuming those verbs re-proves below (all fit:
-    # 3 always-on + 42 recheck + never-verified q288 ≤ 50 slots).
+    # their latest green record.  Every r16 entry came back green in
+    # CORRECTNESS_r16 and leaves per the removal rule.  The r17
+    # OPTIMIZATION round touched: versioned_upsert / versioned_delete
+    # (cow pin + dv) / versioned_update / versioned_apply_changes +
+    # apply_cdc_batch (change-batch pin, concurrent CDF-feed write in
+    # _write_snapshot), the identity/row-tracking id assignment
+    # (operators/ids.py with_count + AQE-adaptive width), the
+    # drain/replicate batch counting, pagerank's lineage cap, and the
+    # probe-list caps in the point-lookup query bodies — every catalog
+    # query consuming a changed branch re-proves below (derived by
+    # scanning query sources for the changed verb names; 5 always-on +
+    # 42 recheck ≤ 50 slots).
+    "q110_stable_ids",
+    "q118_cdc_apply",
+    "q156_nation_trade_pagerank",
+    "q166_prefix_filter_neardup",
     "q222_versioned_upsert_changes",
     "q223_versioned_delete_rows",
-    "q224_versioned_partition_read",
     "q229_versioned_apply_cdc_state",
     "q230_versioned_history_audit",
     "q231_versioned_dv_delete",
     "q236_versioned_bucket_lookup",
     "q239_versioned_bloom_lookup",
     "q241_versioned_clone_upsert",
-    "q242_versioned_stream_follow",
     "q244_versioned_conditional_merge",
+    "q245_versioned_bloom_multi_lookup",
     "q246_versioned_compact_dv_zorder",
     "q248_versioned_branch_isolation",
     "q250_versioned_deep_clone_export",
-    "q252_versioned_timetravel_asof",
     "q253_versioned_update_rows",
-    "q256_versioned_generated_partition",
     "q257_versioned_merge_by_source",
     "q260_versioned_identity_column",
     "q261_versioned_merge_schema_evolution",
     "q264_versioned_incremental_compact",
     "q265_versioned_concurrent_append_delete",
-    "q266_versioned_stream_rate_limited",
     "q267_versioned_metadata_aggregates",
     "q268_versioned_branch_merge_back",
     "q271_versioned_parquet_checkpoint",
     "q272_versioned_branch_merge_diverged",
-    "q274_versioned_not_null",
     "q275_versioned_stream_drain",
     "q276_versioned_change_feed",
     "q277_versioned_stream_change_feed",
@@ -90,6 +99,7 @@ _RECHECK = (
     "q285_versioned_cdc_replication",
     "q286_versioned_branch_feed",
     "q287_versioned_database_replication",
+    "q288_versioned_named_stream_landing",
     "q289_versioned_batch_drain",
 )
 

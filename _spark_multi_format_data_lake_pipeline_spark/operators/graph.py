@@ -195,19 +195,25 @@ def pagerank(
         F.col(dst).alias("_dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("_w"),
     )
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     enorm = (
         e.join(outw, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p"))
-        .localCheckpoint(eager=True)
+        # ONE lazy local checkpoint cuts the (possibly expensive)
+        # upstream edge-derivation subtree out of every iteration's
+        # plan; lazy = blocks save inside the first consuming job, no
+        # separate materialization job at small scale
+        .localCheckpoint(eager=False)
     )
+    # node set derived FROM the checkpointed edge list (enorm holds
+    # exactly e's rows: the out-weight join matches every edge), so the
+    # edge subtree appears in the whole computation exactly once
+    nodes = (
+        enorm.select(F.col("_src").alias("node"))
+        .union(enorm.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
@@ -232,5 +238,5 @@ def pagerank(
         if (i + 1) % _PR_CHECKPOINT_EVERY == 0 and (i + 1) < iters:
             # sever the growing rank lineage so the plan stays O(1)
             # per iteration however many rounds run
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -3,6 +3,7 @@ merge idempotency, union-by-name alignment, dedup count conservation."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -125,6 +126,7 @@ def test_interval_join_matches_naive(spark, events):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.lists(
@@ -501,6 +503,7 @@ def test_grouped_running_sum_float_weights_close_to_window(spark, rows):
         assert math.isclose(got[k], expected[k], rel_tol=1e-9, abs_tol=1e-9), k
 
 
+@pytest.mark.slow
 @given(
     ops=st.lists(
         st.one_of(
@@ -610,6 +613,7 @@ def test_lakehouse_verbs_model_row_ids_and_feed(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 @given(
     winner=st.sampled_from(
         [

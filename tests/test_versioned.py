@@ -1810,6 +1810,7 @@ def test_append_commit_bytes_independent_of_table_file_count(spark, tmp_path):
     assert read_version(spark, small).count() == 201
 
 
+@pytest.mark.slow
 def test_checkpoint_cadence_full_at_interval(spark, tmp_path):
     """v1 and every _CHECKPOINT_INTERVAL-th version are FULL manifests
     (legacy format, no 'kind'); everything between is a delta whose
@@ -1897,6 +1898,7 @@ def test_dv_delete_commits_as_delta_with_plane_entries(spark, tmp_path):
     assert _rows(read_version(spark, t)) == [(i, f"v{i}") for i in range(3, 10)]
 
 
+@pytest.mark.slow
 def test_vacuum_reanchors_kept_delta_and_invalidates_cache(spark, tmp_path):
     """Vacuum dropping a delta's base rewrites the kept delta as its
     resolved FULL form (re-anchoring) BEFORE deleting anything, drops
@@ -1929,6 +1931,7 @@ def test_vacuum_reanchors_kept_delta_and_invalidates_cache(spark, tmp_path):
     assert read_version(spark, t).count() == 60
 
 
+@pytest.mark.slow
 def test_vacuum_reanchor_preserves_branch_reads(spark, tmp_path):
     """Re-anchoring interacts safely with branches: a branch cloned at
     an early parent version keeps reading after the parent vacuums past
@@ -3657,6 +3660,7 @@ def test_r11_feature_composition_clone_vacuum(spark, tmp_path):
     assert got == {1, 2, 3, 4, 5, 6, 7, 8}
 
 
+@pytest.mark.slow
 def test_incremental_compact_scoped_and_small_file(spark, tmp_path):
     """Incremental OPTIMIZE: a key-range-scoped compact rewrites only
     the may-intersect files (the rest carry byte-identical, their
@@ -4540,6 +4544,7 @@ def test_checkpoint_goes_parquet_above_threshold(spark, tmp_path):
     assert not _plane_dir(s).is_dir()
 
 
+@pytest.mark.slow
 def test_bloom_sidecars_survive_clone_merge_and_vacuum(spark, tmp_path):
     """Bloom masks live in content-addressed sidecars resolved through
     each file's root: a SHALLOW clone probes via the source's sidecars
@@ -5636,6 +5641,7 @@ def test_apply_changes_cdf_and_row_tracking(spark, tmp_path):
     assert ids2 == ids1, "a no-op merge must not disturb ids or versions"
 
 
+@pytest.mark.slow
 def test_change_feed_timestamp_bounds_and_bounded_stream(spark, tmp_path):
     """startingTimestamp / endingTimestamp / endingVersion (Delta CDF
     parity): batch bounds resolve against each commit's committed_at
@@ -5812,6 +5818,7 @@ def _cdf_history_table(spark, tmp_path, name="tbl"):
     return t
 
 
+@pytest.mark.slow
 def test_cdf_stream_exactly_once_across_random_schedules(spark, tmp_path):
     """Exactly-once under rate caps × restarts × vacuums, 50 random
     schedules: a readChangeFeed stream delivers the SAME multiset of
@@ -6660,6 +6667,7 @@ def test_stream_versioned_sink_by_name(spark, tmp_path):
     assert vc.list_tables("lake") == ["landing"]
 
 
+@pytest.mark.slow
 def test_stream_offset_in_vacuum_interior_gap_refuses(spark, tmp_path):
     """r16 hardening: a plain (data-mode) offset whose manifest sits in
     a tag+vacuum INTERIOR gap refuses like behind-retention — the
