@@ -3442,13 +3442,32 @@ def q287_versioned_database_replication(
         f"a caught-up table must no-op on restart, got {r2['cust']}",
     )
     _require(r2["ord"]["runs"] >= 1, "ord must catch up past its bound")
-    for name in ("ord", "cust"):
+    # replica == source for BOTH tables in ONE action: each table's
+    # symmetric difference is projected to a common (tbl, k, val) shape
+    # and the union counted once (two fewer jobs than per-table
+    # counts); the per-table re-run happens only on the failure path,
+    # to NAME the diverged table
+    def _sym_diff(name, kcol, vcol):
         s = read_version(spark, vc.resolve(f"lake.{name}"))
         d = vc.table(spark, f"mirror.{name}")
-        # both difference directions in ONE action per table
+        return (
+            s.exceptAll(d)
+            .unionAll(d.exceptAll(s))
+            .select(
+                F.lit(name).alias("tbl"),
+                F.col(kcol).alias("k"),
+                F.col(vcol).alias("val"),
+            )
+        )
+    diffs = _sym_diff("ord", "o_orderkey", "o_totalprice").unionByName(
+        _sym_diff("cust", "c_custkey", "c_acctbal")
+    )
+    if diffs.count() != 0:
+        bad = sorted(
+            r["tbl"] for r in diffs.select("tbl").distinct().collect()
+        )
         _require(
-            s.exceptAll(d).unionAll(d.exceptAll(s)).count() == 0,
-            f"mirror.{name} must equal its source head exactly",
+            False, f"mirror.{bad} must equal its source head exactly"
         )
     ord_rep = vc.table(spark, "mirror.ord").select(
         F.lit("ord").alias("tbl"),

@@ -158,9 +158,12 @@ def _simple_plan(spark, sf_dir, name) -> str:
         ("q154_dau_wau_stickiness", 6),
         # tf grain then doc grain (window + rollup share the second)
         ("q155_token_entropy", 2),
-        # 4 unrolled PageRank iterations; growth here means a per-
-        # iteration stage was added (rank state must stay O(nodes))
-        ("q156_nation_trade_pagerank", 50),
+        # 4 PageRank iterations over the ONCE-checkpointed edge list
+        # (r17: the edge-derivation subtree appears exactly once; the
+        # rank vector re-checkpoints every 5 rounds) — measured 29
+        # static exchanges; growth past the margin means the lineage
+        # cut regressed and iterations re-derive the edge join again
+        ("q156_nation_trade_pagerank", 32),
         # LATERAL must rewrite to WindowGroupLimit, not per-row subqueries
         ("q162_lateral_top_orders", 2),
         # vocab df groupBy + per-doc position window + prefix join pair +
